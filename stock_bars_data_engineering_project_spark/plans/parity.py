@@ -1,0 +1,433 @@
+"""Reference-parity queries (SURVEY §2) over the driver testdata.
+
+Each query re-expresses one (or a tight cluster) of the reference's
+operators on the TPC-H-ish tables, paired with a DuckDB oracle. The
+analytical shapes mirror
+/root/reference/etl_project/assets/sql/transform/stock_bars_analysis.sql
+transplanted onto ``events(user_id, ts, value)``; relational operators
+(join/project/filter/agg) mirror the sites cited per-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up, sql_round
+from ..operators.analysis import bars_analysis
+from ..sources.readers import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's full analysis pipeline (W1+W2+W3, X2-X5, Q2-Q5)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = f"""
+WITH prev AS (
+    SELECT user_id, ts, value,
+           LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+    FROM events
+), rets AS (
+    SELECT user_id, ts, value, prev_value,
+           {sql_round('(value - prev_value) / NULLIF(prev_value, 0)', 3)} AS ret
+    FROM prev
+)
+SELECT user_id,
+       CAST(ts AS DATE) AS event_date,
+       value,
+       prev_value,
+       {sql_round('ret * 100', 1)} AS return_pct,
+       {sql_round('AVG(value) OVER w', 2)} AS moving_avg,
+       {sql_round('STDDEV(ret) OVER w', 2)} AS moving_stddev
+FROM rets
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("flagship_analysis", oracle=_FLAGSHIP_ORACLE, tags=("window", "flagship"))
+def flagship_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag -> guarded rounded return -> 5-row moving avg/stddev;
+    the whole reference analytical query as one composable operator
+    (reference SQL stock_bars_analysis.sql:1-35, quirks Q2-Q5)."""
+    events = load_table(spark, sf_dir, "events")
+    out = bars_analysis(events, key="user_id", ts="ts", value="value")
+    return out.withColumnRenamed("date", "event_date")
+
+
+# ---------------------------------------------------------------------------
+# W1 / W2 / W3 individually (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_lag",
+    oracle="""
+SELECT user_id, ts, value,
+       LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+FROM events
+""",
+    tags=("window",),
+)
+def w1_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: LAG(value,1) OVER (PARTITION BY key ORDER BY ts), no default —
+    NULL first row per key (stock_bars_analysis.sql:10, Q5)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return events.select(
+        "user_id", "ts", "value", F.lag("value", 1).over(w).alias("prev_value")
+    )
+
+
+@register(
+    "w2_moving_avg",
+    oracle=f"""
+SELECT user_id, ts, value,
+       {sql_round('''AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)''', 2)} AS moving_avg
+FROM events
+""",
+    tags=("window",),
+)
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: 5-row sliding AVG (ROWS frame), rounded to 2
+    (stock_bars_analysis.sql:32)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, Window.currentRow)
+    return events.select(
+        "user_id",
+        "ts",
+        "value",
+        round_half_up(F.avg("value").over(w), 2).alias("moving_avg"),
+    )
+
+
+@register(
+    "w3_moving_stddev",
+    oracle=f"""
+SELECT user_id, ts, value,
+       {sql_round('''STDDEV(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)''', 2)} AS moving_stddev
+FROM events
+""",
+    tags=("window",),
+)
+def w3_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 5-row sliding sample STDDEV, NULL on 1-row frames
+    (stock_bars_analysis.sql:33, Q4)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-4, Window.currentRow)
+    return events.select(
+        "user_id",
+        "ts",
+        "value",
+        round_half_up(F.stddev("value").over(w), 2).alias("moving_stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: inner equi-join to a small dimension, different key names, drops
+# non-matching fact rows (assets.py:93-102, Q7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_dim_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+       p.p_name, p.p_brand
+FROM lineitem l
+INNER JOIN (SELECT * FROM part WHERE p_size < 25) p
+  ON l.l_partkey = p.p_partkey
+""",
+    tags=("join",),
+)
+def j1_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⋈ small dim, inner (non-matching fact rows silently dropped
+    — Q7), different key names, dim broadcast. Catalyst plans a
+    BroadcastHashJoin: zero shuffle of the 100-TB fact side."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+    joined = lineitem.join(
+        F.broadcast(dim), lineitem.l_partkey == dim.p_partkey, "inner"
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "p_name", "p_brand"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P3: rename / drop / fixed-order projection (assets.py:79-107)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_rename_project",
+    oracle="""
+SELECT o_orderkey AS order_id,
+       o_custkey AS customer_id,
+       o_orderstatus AS status,
+       o_totalprice AS total_price,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+""",
+    tags=("project",),
+)
+def p1_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P3: bulk rename and fixed-order projection (the reference's
+    rename map assets.py:79-91 and reorder assets.py:105-107); X2 honest
+    date cast (Q1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.withColumnsRenamed(
+        {
+            "o_orderkey": "order_id",
+            "o_custkey": "customer_id",
+            "o_orderstatus": "status",
+            "o_totalprice": "total_price",
+        }
+    ).select(
+        "order_id",
+        "customer_id",
+        "status",
+        "total_price",
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 / F2: equality + watermark-range predicates (utilities.py:11-15,
+# stock_bars.py:51-57) — both push down to the parquet scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_filter_eq",
+    oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
+    tags=("filter",),
+)
+def f1_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: equality predicate (checkpoint lookup shape, utilities.py:11-15).
+    `.explain` shows the predicate in PushedFilters on the parquet scan."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+@register(
+    "f2_incremental_range",
+    oracle="""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+""",
+    tags=("filter", "incremental"),
+)
+def f2_incremental_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the incremental high-watermark predicate (checkpoint date pushed
+    into the source, stock_bars.py:51-57) — Q9's overlap-inclusive `>=`.
+    Pushed down to the parquet scan; on date-partitioned storage this is
+    partition pruning."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 / A2: watermark max + count (stock_bars.py:115, :93)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_max_watermark",
+    oracle="SELECT MAX(ts) AS latest_timestamp FROM events",
+    tags=("agg", "incremental"),
+)
+def a1_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global max(ts) — the checkpoint watermark scalar
+    (stock_bars.py:115). Partial max per partition, single-row exchange."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(F.max("ts").alias("latest_timestamp"))
+
+
+@register(
+    "a2_row_count",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    tags=("agg",),
+)
+def a2_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: row count (logging metric, stock_bars.py:93)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# S2: flatten/explode (assets.py:54-68) — word explode over documents
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s2_explode_tokens",
+    oracle="""
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+""",
+    tags=("explode",),
+)
+def s2_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the flatten operator — nested collection -> one row per element,
+    parent key carried along (the reference's dict-of-lists flatten,
+    assets.py:54-68, as a distributed explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+# ---------------------------------------------------------------------------
+# S6 + §2.7: ad-hoc SQL with chained CTEs, verbatim WITH clause
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s6_sql_cte_chain",
+    oracle="""
+WITH order_value AS (
+    SELECT o_custkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+), running AS (
+    SELECT o_custkey, order_date, o_totalprice,
+           SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_date, o_totalprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+    FROM order_value
+)
+SELECT o_custkey, order_date, o_totalprice,
+       {round_expr} AS running_spend
+FROM running
+""".format(round_expr=sql_round("running_spend", 2)),
+    tags=("sql", "cte", "window"),
+)
+def s6_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: arbitrary SQL text executed by the engine (extract_from_query,
+    assets.py:146-147) with §2.7's chained-CTE composition — same WITH
+    clause Catalyst inlines and optimizes as one plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH order_value AS (
+            SELECT o_custkey, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS order_date
+            FROM orders
+        ), running AS (
+            SELECT o_custkey, order_date, o_totalprice,
+                   SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_date, o_totalprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+            FROM order_value
+        )
+        SELECT o_custkey, order_date, o_totalprice,
+               CAST(ROUND(CAST(running_spend AS DECIMAL(30,10)), 2) AS DOUBLE) AS running_spend
+        FROM running
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6: string slice of a rendered timestamp (stock_bars.py:43)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x6_checkpoint_date_slice",
+    oracle="""
+SELECT event_id, substr(CAST(ts AS VARCHAR), 1, 10) AS checkpoint_date
+FROM events
+""",
+    tags=("scalar",),
+)
+def x6_checkpoint_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: `last_checkpoint[:10]` — ISO-timestamp string sliced to its date
+    prefix (stock_bars.py:43), the reference's checkpoint-to-start-date
+    conversion."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.substring(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), 1, 10).alias(
+            "checkpoint_date"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical OLAP shapes beyond the reference surface (bench headliners)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_round('SUM(l_quantity)', 2)} AS sum_qty,
+       {sql_round('SUM(l_extendedprice)', 2)} AS sum_base_price,
+       {sql_round('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+       {sql_round('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+       {sql_round('AVG(l_quantity)', 4)} AS avg_qty,
+       {sql_round('AVG(l_extendedprice)', 4)} AS avg_price,
+       {sql_round('AVG(l_discount)', 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate groupBy — partial
+    aggregation map-side, 6-group exchange; the canonical 100-TB scan
+    benchmark."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            round_half_up(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT user_id, event_id, value, rn
+FROM (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+    FROM events
+)
+WHERE rn <= 3
+""",
+    tags=("window", "topk"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window + filter — Catalyst/AQE rewrites
+    the rank filter into a per-partition top-k (WindowGroupLimit) so no
+    group ever materializes fully; deterministic tiebreak on event_id."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,77 @@
+"""File sources (SURVEY §2.1: S3 csv scan, S5 full table scan, S6 ad-hoc SQL).
+
+The reference scans PostgreSQL tables via SQLAlchemy
+(``/root/reference/etl_project/connectors/postgresql.py:58-59``) and a
+10-row CSV dimension (``/root/reference/etl_project/assets/assets.py:70-71``).
+Here the durable store is columnar parquet: scans get predicate pushdown,
+column pruning, and partition pruning from Catalyst for free — `.explain`
+on any downstream query shows ``PushedFilters`` / ``ReadSchema`` reaching
+the ``FileScan parquet`` node.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) parquet, which Spark reads as long
+# (nanos since epoch) under the legacy flag; truncated to micros on load —
+# the same truncation DuckDB applies, so oracle comparisons line up.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S5: full (prunable) scan of one parquet table."""
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        # Session-settable; done here (not only in get_spark) because the
+        # driver harness constructs its own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nano_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            # integer div: float division loses precision on epoch-nanos
+            # (~1.7e18 > 2^53) and rounds, while DuckDB truncates
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql`` (S6)."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv_dim(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """S3: header CSV dimension scan (reference: pd.read_csv of the
+    10-row ticker dim). Explicit schema preferred over inference in prod;
+    dims this small are broadcast by Catalyst at join time."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
