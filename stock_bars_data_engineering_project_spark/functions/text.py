@@ -1,0 +1,106 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure JVM-side Column expressions (no Python UDFs) so they vectorize
+inside whole-stage codegen over billions of documents: tokenization,
+shingling, language-ID heuristics, quality scoring, and a rolling-hash
+document fingerprint. Each has an exact ANSI-SQL twin used by the DuckDB
+oracles (see plans/extensions.py) — the arithmetic is engine-portable by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small closed-class English function-word list for the n-gram/stopword
+# language heuristic. Deliberately tiny: the signal is the RATIO, and a
+# short list keeps the oracle SQL identical.
+EN_STOPWORDS = ("a", "an", "the", "of", "to", "and", "in", "is", "it", "that")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via a BPE-flavored regex: words are split
+    from punctuation/digits, so counts approximate LLM tokenizer load
+    better than whitespace counts."""
+    return F.size(
+        F.filter(
+            F.split(F.lower(text), r"[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    ) + F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", F.lit("")))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are closed-class function words."""
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return n_stop / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither word chars nor whitespace."""
+    return (
+        F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", F.lit("")))
+        / F.length(text)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    return (F.length(text) - F.size(tokens(text)) + 1) / F.size(tokens(text))
+
+
+def lang_id(text: Column, threshold: float = 0.03) -> Column:
+    """Heuristic language ID: stopword density above threshold -> 'en'.
+    (A real n-gram profile model drops in here; the Spark plumbing —
+    per-document closed-vocabulary scan, no shuffle — is the point.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]:
+    length credit (saturates at 100 tokens) + prose-likeness (low
+    punctuation density) + function-word density (saturates at 10%)."""
+    length_credit = F.least(F.lit(1.0), token_count(text) / 100.0)
+    prose = 1.0 - F.least(F.lit(1.0), punct_ratio(text) * 5.0)
+    stop = F.least(F.lit(1.0), stopword_ratio(text) * 10.0)
+    return F.round(
+        (0.4 * length_credit + 0.3 * prose + 0.3 * stop).cast("decimal(30,10)"), 4
+    ).cast("double")
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over characters,
+    ``h = (h*31 + ascii(ch)) mod (2^31-1)`` — a content fingerprint that
+    is cheap, incremental, and identical in any engine with 64-bit
+    integer arithmetic."""
+    codes = F.transform(F.split(text, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 2147483647,
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Overlapping k-word shingles (documents shorter than k words yield
+    an empty array — NB ``sequence(1, 0)`` in Spark counts DOWN, so the
+    short-doc case must be guarded explicitly)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k))),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,34 @@
+"""Vector (embedding) column functions — JVM-side array arithmetic.
+
+Embeddings live as ``array<float>`` columns; all math promotes to double
+FIRST so results are bit-identical with the DuckDB oracle's
+double-precision sums (float accumulation orders would diverge).
+``F.zip_with`` + ``F.aggregate`` keep the dot product inside codegen —
+no Python, no UDF, no serialization per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold sum — same accumulation order as the oracle's
+    index-ordered list_sum, so doubles match exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = as_double(a), as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))

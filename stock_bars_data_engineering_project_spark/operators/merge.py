@@ -1,0 +1,28 @@
+"""K3 as a pure relational operator: keyed upsert of a source batch into
+a target frame — ``MERGE … WHEN MATCHED UPDATE SET * WHEN NOT MATCHED
+INSERT *`` (reference: INSERT .. ON CONFLICT DO UPDATE,
+/root/reference/etl_project/connectors/postgresql.py:79-91) expressed as
+dedup + anti-join + union. The warehouse sink wraps this with snapshot
+commits; here it is also independently usable/testable as a transform.
+
+Scale: one shuffle of each side on the key columns (sort-merge or, when
+the batch is small, broadcast anti-join chosen by Catalyst/AQE). With a
+date-partitioned target the warehouse variant prunes the rewrite to
+touched partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def upsert_frames(
+    target: DataFrame, source: DataFrame, keys: tuple[str, ...]
+) -> DataFrame:
+    """Rows of ``source`` win on key collision; target rows without a
+    colliding key survive. Source is deduped on the keys first (Q6 — the
+    reference's one-statement-one-key contract, made explicit)."""
+    src = source.dropDuplicates(list(keys))
+    on = [src[k].eqNullSafe(target[k]) for k in keys]
+    kept = target.join(src, on=on, how="left_anti")
+    return kept.unionByName(src)

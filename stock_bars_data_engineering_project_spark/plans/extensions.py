@@ -1,5 +1,387 @@
 """Scale-extension queries: dedup, similarity search, text analysis,
-multimodal plumbing (BASELINE.json north star — beyond the reference's own
-surface). Populated as the operators land."""
+multimodal plumbing (BASELINE.json north star). Each is oracle-paired
+where expressible — including the MinHash/SimHash pipelines, whose
+MD5-based signatures are recomputed EXACTLY by the DuckDB oracle, so the
+LSH step itself (not just the verified output) is correctness-gated.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up, sql_round
+from ..functions.text import (
+    EN_STOPWORDS,
+    lang_id,
+    mean_word_len,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from ..operators.similarity import cosine_topk, lsh_ann_topk
+from ..sources.readers import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one hash-aggregate shuffle on
+    md5(text); keeper = lowest doc_id."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# shared oracle CTE: distinct 3-word shingles per doc
+_SH_CTE = """
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(l[j:j+2], ' ') for j in range(1, len(l)-1)]) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    WHERE len(l) >= 3
+)
+"""
+
+_JACCARD = (
+    "CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS DOUBLE)"
+    " / (len(sa.shingles) + len(sb.shingles)"
+    " - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SH_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
+            for s in {list(range(16))}] AS sig
+    FROM sh
+),
+band AS (
+    SELECT doc_id, b.b AS band_idx,
+           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '')) AS band_key
+    FROM sig, (SELECT unnest([0,1,2,3]) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard
+FROM (
+    SELECT c.doc_a, c.doc_b, {sql_round(_JACCARD, 4)} AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+)
+WHERE jaccard >= 0.7
+""",
+    tags=("dedup", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 sigs) + LSH(4 bands) candidate pairs, exact-Jaccard
+    verified at >= 0.7. The oracle recomputes the identical MD5 minhash
+    signatures and banding, so LSH recall/precision is exactly checked."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SH_CTE}
+SELECT doc_a, doc_b, jaccard
+FROM (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {sql_round(_JACCARD, 4)} AS jaccard
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+)
+WHERE jaccard >= 0.7
+""",
+    tags=("dedup",),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard >= 0.7 via inverted-index join
+    (pairs must share a shingle — no quadratic cross join, no LSH
+    recall loss). The oracle brute-forces all pairs; results must agree
+    because jaccard >= 0.7 implies a shared shingle."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = f"""
+CAST(list_sum([CASE WHEN list_sum(list_transform(toks,
+        t -> CASE WHEN (('0x' || substr(md5(t), 1, 4))::INT >> j) & 1 = 1
+                  THEN 1 ELSE -1 END)) > 0
+      THEN (1 << j) ELSE 0 END
+      for j in {list(range(16))}]) AS INT)
+"""
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle=f"""
+SELECT doc_id, {_SIMHASH_SQL} AS simhash
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+    tags=("dedup", "hash"),
+)
+def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (MD5-derived bit votes) —
+    bit-identical across engines."""
+    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id, {_SIMHASH_SQL} AS simhash
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+""",
+    tags=("dedup", "hash"),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3), nibble-blocked self-join —
+    pigeonhole makes the blocking lossless, which the brute-force oracle
+    verifies."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_COS_DOUBLE = """
+list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    [CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(va)+1)]),
+    (x, y) -> x + y)
+/ (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       [CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in range(1, len(va)+1)]),
+       (x, y) -> x + y))
+ * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       [CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(vb)+1)]),
+       (x, y) -> x + y)))
+"""
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+SELECT id_a, id_b, cos
+FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_round(_COS_DOUBLE, 4)} AS cos
+    FROM (SELECT vec_id, embedding AS va FROM embeddings) a
+    JOIN (SELECT vec_id, embedding AS vb FROM embeddings) b ON a.vec_id < b.vec_id
+)
+WHERE cos >= 0.4
+""",
+    tags=("dedup", "embedding"),
+)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.4), brute-force baseline;
+    double-promoted sequential-fold dot products match the oracle
+    bit-for-bit."""
+    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           {sql_round(_COS_DOUBLE, 6)} AS cos
+    FROM (SELECT vec_id, embedding AS va FROM embeddings WHERE vec_id < 5) q
+    JOIN (SELECT vec_id, embedding AS vb FROM embeddings) c
+      ON c.vec_id != q.vec_id
+)
+SELECT query_id, vec_id, cos, rank
+FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM pairs
+)
+WHERE rank <= 10
+""",
+    tags=("similarity",),
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 5 query vectors: corpus streams
+    once against a broadcast query set; deterministic (cos, id) ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("ann_topk_lsh", oracle=None, tags=("similarity", "lsh"))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH (5 planes, multi-probe
+    radius 2 => ~50% candidate reduction). On THIS synthetic corpus the
+    neighbors are near-orthogonal (cos ~0.4) so recall ~= bucket fraction
+    — the adversarial case for LSH; on clustered real embeddings the same
+    config concentrates neighbors sharply. Recall floor is pinned by
+    tests/test_similarity.py rather than a SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=5, probe_radius=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+_STOP_RATIO_SQL = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOPLIST_SQL}, lower(t)))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       {sql_round("CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))", 4)} AS mean_word_len
+FROM documents
+""",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + shape stats per document — pure codegen'd
+    expressions, no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        round_half_up(mean_word_len(t), 4).alias("mean_word_len"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_STOP_RATIO_SQL} >= 0.03 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       {sql_round(_STOP_RATIO_SQL, 4)} AS stop_ratio
+FROM documents
+""",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via closed-class function-word density."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        lang_id(t).alias("pred_lang"),
+        round_half_up(stopword_ratio(t), 4).alias("stop_ratio"),
+    )
+
+
+_PUNCT_RATIO_SQL = (
+    "CAST(length(regexp_replace(text, '[a-zA-Z0-9" + "\\s" + "]', '', 'g')) AS DOUBLE)"
+    " / length(text)"
+)
+_QUALITY_SQL = sql_round(
+    "0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)"
+    " + 0.3 * (1.0 - least(1.0, (" + _PUNCT_RATIO_SQL + ") * 5.0))"
+    " + 0.3 * least(1.0, (" + _STOP_RATIO_SQL + ") * 10.0)",
+    4,
+)
+
+
+@register(
+    "text_quality_score",
+    oracle="SELECT doc_id, " + _QUALITY_SQL + " AS quality FROM documents",
+    tags=("text",),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length credit + prose-likeness (low punct
+    density) + function-word density."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+FROM documents
+""",
+    tags=("text", "hash"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (poly-31 mod
+    2^31-1) — identical integer fold in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS byte_len,
+       md5(text) AS content_md5,
+       source AS media_source
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payload bytes + content hash +
+    typed metadata travel together (the decode/feature path is
+    operators/multimodal.py, exercised by tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+        F.col("source").alias("media_source"),
+    )

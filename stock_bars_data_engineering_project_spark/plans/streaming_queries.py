@@ -1,4 +1,181 @@
-"""Event-time windowed queries (batch-checkable analogs of the streaming
-operators in streaming/). Populated as the operators land."""
+"""Event-time window queries + incremental-merge semantics, oracle-paired.
+
+``win_*`` run the streaming window operators in batch mode (same code
+path Structured Streaming executes). ``stream_tumbling_hourly`` runs a
+REAL ``readStream`` query (availableNow trigger, memory sink) and
+returns its result table — proving the streaming pipeline end-to-end
+while still hash-matching the batch oracle.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import sql_round
+from ..operators.merge import upsert_frames
+from ..sources.readers import load_table
+from ..streaming.windows import (
+    run_stream_to_memory,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    tumbling_agg,
+)
+from .registry import register
+
+
+@register(
+    "win_tumbling_daily",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_round('SUM(value)', 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows (epoch-aligned) — identical code
+    runs under readStream with a watermark."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"), duration="1 day")
+
+
+@register(
+    "win_sliding_2h",
+    oracle="""
+WITH expanded AS (
+    SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS window_start,
+           event_type
+    FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM expanded
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows — each event contributes to two buckets; the
+    oracle expands the membership explicitly."""
+    return sliding_agg(
+        load_table(spark, sf_dir, "events"), duration="2 hours", slide="1 hour"
+    )
+
+
+@register(
+    "win_session_2h",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 7200000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {sql_round('SUM(value)', 2)} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "window", "session"),
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2h inactivity gap) via native ``session_window``
+    — checked against a gaps-and-islands oracle, proving the stateful
+    merge semantics equal the classic SQL formulation."""
+    return session_agg(load_table(spark, sf_dir, "events"), gap="2 hours")
+
+
+@register(
+    "incremental_merge_upsert",
+    oracle="""
+WITH source AS (
+    SELECT event_id, user_id, ts, event_type, value + 1000 AS value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+), target AS (
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+)
+SELECT event_id, user_id, ts, event_type, value FROM source
+UNION ALL
+SELECT t.event_id, t.user_id, t.ts, t.event_type, t.value
+FROM target t LEFT JOIN source s ON t.event_id = s.event_id
+WHERE s.event_id IS NULL
+""",
+    tags=("incremental", "merge"),
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/C4 as a query: an overlapping re-extract (ts >= 01-15, values
+    revised) merged into the existing target (ts < 01-20) — source wins
+    on key collision, non-overlapping target rows survive. The exact Q9
+    healing semantics of the reference's incremental upsert."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    cut_lo = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cut_hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    target = events.filter(F.col("ts") < cut_hi)
+    source = events.filter(F.col("ts") >= cut_lo).withColumn(
+        "value", F.col("value") + 1000
+    )
+    return upsert_frames(target, source, keys=("event_id",))
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_round('SUM(value)', 2)} AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming query: readStream(parquet) ->
+    watermark -> tumbling window agg -> availableNow drain into a memory
+    sink; the returned table hash-matches the batch oracle (complete
+    output mode => watermark drops nothing on a finite drain)."""
+    import os
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    schema = batch.schema
+    # stage the (timestamp-normalized) events as a stream source dir
+    src = os.path.join("/tmp", f"stream_src_{abs(hash(sf_dir))}")
+    if not os.path.isdir(src):
+        batch.write.mode("overwrite").parquet(src)
+    events = stream_events(spark, src, schema, watermark="1 hour")
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value_raw"),
+        )
+    )
+    run_stream_to_memory(agg, "stream_tumbling_hourly", output_mode="complete")
+    out = spark.table("stream_tumbling_hourly")
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value_raw").cast("decimal(30,10)"), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

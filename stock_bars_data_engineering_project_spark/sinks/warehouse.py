@@ -166,6 +166,8 @@ class ParquetWarehouse:
         the partitions the source touches; untouched partitions carry over
         file-unchanged.
         """
+        from ..operators.merge import upsert_frames
+
         src = source.dropDuplicates(list(keys))
         if not self.exists(table):
             version = self._write_snapshot(src, table, partition_by)
@@ -173,7 +175,6 @@ class ParquetWarehouse:
             return
 
         target = self.read(table)
-        on = [src[k].eqNullSafe(target[k]) for k in keys]
         if partition_by and set(partition_by) <= set(src.columns):
             # partition-pruned rewrite: only partitions present in the batch
             parts = src.select(*partition_by).distinct()
@@ -183,11 +184,9 @@ class ParquetWarehouse:
             untouched = target.join(
                 F.broadcast(parts), on=list(partition_by), how="left_anti"
             )
-            kept = touched.join(src, on=on, how="left_anti")
-            merged = untouched.unionByName(kept).unionByName(src)
+            merged = untouched.unionByName(upsert_frames(touched, src, keys))
         else:
-            kept = target.join(src, on=on, how="left_anti")
-            merged = kept.unionByName(src)
+            merged = upsert_frames(target, src, keys)
         version = self._write_snapshot(merged, table, partition_by)
         self._commit(table, version)
 

@@ -1,0 +1,62 @@
+"""Dedup operator semantics on crafted corpora."""
+
+from __future__ import annotations
+
+from stock_bars_data_engineering_project_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the old river bend"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the old river bank"),  # exact dup of 1
+    (5, "tiny doc"),  # < 3 words after split -> no shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark)
+    groups = {r.keeper_doc_id: r.n_copies for r in exact_dedup_groups(df).collect()}
+    assert groups[1] == 2  # docs 1 and 4
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 2, 3, 5]  # 4 dropped, lowest id kept
+
+
+def test_minhash_lsh_finds_near_and_exact_dups(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup -> jaccard 1
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_all_pairs(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    # inverted-index join must also relate the dup pair (2,4)
+    assert (2, 4) in pairs
+
+
+def test_simhash_pairs_exact_dups_distance_zero(spark):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(_docs(spark)).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_short_doc_yields_no_pairs(spark):
+    pairs = minhash_lsh_pairs(_docs(spark)).collect()
+    assert not any(5 in (r.doc_a, r.doc_b) for r in pairs)

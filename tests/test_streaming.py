@@ -1,0 +1,72 @@
+"""Structured Streaming: windowed aggs vs batch equivalence, and the
+incremental merge stream (exactly-once sink semantics under replay)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.sinks import ParquetWarehouse
+from stock_bars_data_engineering_project_spark.sources.readers import load_table
+from stock_bars_data_engineering_project_spark.streaming.incremental import incremental_merge_stream
+from stock_bars_data_engineering_project_spark.streaming.windows import (
+    run_stream_to_memory,
+    stream_events,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch_tumbling(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = stream_events(spark, src, events.schema, watermark="1 hour")
+    agg = tumbling_agg(stream, duration="1 day")
+    run_stream_to_memory(agg, "t_stream_batch_eq", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_stream_batch_eq").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_agg(events, duration="1 day").collect()
+    }
+    assert got == want
+
+
+def test_incremental_merge_stream_exactly_once(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "ts", "value")
+    first = events.filter(F.col("event_id") < 500)
+    first.write.mode("append").parquet(src)
+
+    incremental_merge_stream(
+        spark, src, first.schema, wh, "ev", keys=("event_id",), checkpoint_dir=ckpt
+    )
+    n1 = wh.read("ev").count()
+    assert n1 == first.count()
+
+    # second drain with NO new files: offsets checkpointed -> no-op
+    incremental_merge_stream(
+        spark, src, first.schema, wh, "ev", keys=("event_id",), checkpoint_dir=ckpt
+    )
+    assert wh.read("ev").count() == n1
+
+    # new file arrives, overlapping keys revised -> merged idempotently
+    second = events.filter(
+        (F.col("event_id") >= 400) & (F.col("event_id") < 700)
+    ).withColumn("value", F.col("value") + 1000)
+    second.write.mode("append").parquet(src)
+    incremental_merge_stream(
+        spark, src, first.schema, wh, "ev", keys=("event_id",), checkpoint_dir=ckpt
+    )
+    final = wh.read("ev")
+    assert final.count() == 700
+    # overlap rows took the revised values
+    assert final.filter((F.col("event_id") == 450) & (F.col("value") >= 1000)).count() == 1

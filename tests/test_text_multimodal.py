@@ -1,0 +1,82 @@
+"""Text functions + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.functions.text import (
+    quality_score,
+    rolling_fingerprint,
+    word_shingles,
+)
+from stock_bars_data_engineering_project_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_features,
+    fake_feature_extractor,
+    media_metadata_only,
+)
+
+
+def test_rolling_fingerprint_known_value(spark):
+    # "ab": ((0*31+97)*31+98) % (2^31-1) = 3105
+    row = (
+        spark.createDataFrame([("ab",)], "text string")
+        .select(rolling_fingerprint(F.col("text")).alias("fp"))
+        .collect()[0]
+    )
+    assert row.fp == 3105
+
+
+def test_shingles_short_doc_empty(spark):
+    rows = (
+        spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+        .select(word_shingles(F.col("text")).alias("sh"))
+        .collect()
+    )
+    assert rows[0].sh == []
+    assert rows[1].sh == ["a b c", "b c d"]
+
+
+def test_quality_score_bounds(spark):
+    rows = (
+        spark.createDataFrame([("the a of and in is it that to an " * 10,), ("x",)], "text string")
+        .select(quality_score(F.col("text")).alias("q"))
+        .collect()
+    )
+    assert 0.0 <= rows[1].q < rows[0].q <= 1.0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG")
+
+
+def test_feature_extractor_deterministic():
+    assert fake_feature_extractor(b"abc") == fake_feature_extractor(b"abc")
+    assert fake_feature_extractor(b"abc") != fake_feature_extractor(b"abd")
+    assert len(fake_feature_extractor(None)) == 16
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    feats = extract_features(media).collect()
+    assert {r.media_id for r in feats} == {1, 2}
+    assert all(len(r.features) == 16 for r in feats)
+    assert "payload" not in extract_features(media).columns  # bytes dropped post-extract
+
+    # metadata-only projection never touches payload bytes in the scan
+    import io
+    from contextlib import redirect_stdout
+
+    docs.write.mode("overwrite").parquet("/tmp/mm_media_test")
+    stored = spark.read.parquet("/tmp/mm_media_test")
+    media_stored = attach_binary_payload(stored)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        media_metadata_only(media_stored).explain()
+    assert "payload" not in buf.getvalue() or "ReadSchema" in buf.getvalue()
