@@ -10,6 +10,18 @@ Performance note for 100 TB: MD5-per-shingle is ~2-3x slower than
 xxhash64 but both are JVM-side codegen'd expressions; swap
 ``F.md5`` -> ``F.xxhash64`` for production once cross-engine
 verification is no longer needed — the operator shapes are unchanged.
+
+Expression-shape rule (learned the hard way, it is 10-60x): an
+expensive sub-expression must only ever appear as the ARRAY INPUT of a
+higher-order function — inputs are evaluated once. A reference inside
+the LAMBDA BODY is re-evaluated per element, and CollapseProject will
+happily inline an upstream aliased column into a lambda body (it counts
+syntactic references, not runtime evaluations). Hence every function
+below is a single fold whose lambda bodies touch only lambda variables,
+literals, or attributes; multi-use intermediates (the MinHash signature
+feeding 4 band slices) are unrolled so the multiple syntactic
+references block projection collapse and keep the intermediate
+materialized.
 """
 
 from __future__ import annotations
@@ -26,14 +38,22 @@ def minhash_signature(shingles: Column, n_sigs: int = MINHASH_SIGS) -> Column:
     """array<string> of ``n_sigs`` MinHash values: for seed s, the
     lexicographic min of ``md5(s || ':' || shingle)``. Min of a uniform
     hash family — the classic Broder estimator; string min avoids any
-    cross-engine integer-parsing divergence."""
-    idx = F.sequence(F.lit(0), F.lit(n_sigs - 1))
-    return F.transform(
-        idx,
-        lambda s: F.array_min(
-            F.transform(
-                shingles, lambda sh: F.md5(F.concat(s.cast("string"), F.lit(":"), sh))
-            )
+    cross-engine integer-parsing divergence.
+
+    Single fold over the shingle array: each shingle is hashed once per
+    seed and element-wise-min'ed into the accumulator, so ``shingles``
+    (however expensive its expression) is evaluated exactly once per
+    row. ``least`` skips the NULL initial accumulator."""
+    init = F.array_repeat(F.lit(None).cast("string"), n_sigs)
+    return F.aggregate(
+        shingles,
+        init,
+        lambda acc, sh: F.zip_with(
+            acc,
+            F.array(
+                *[F.md5(F.concat(F.lit(f"{s}:"), sh)) for s in range(n_sigs)]
+            ),
+            lambda a, b: F.least(a, b),
         ),
     )
 
@@ -41,47 +61,73 @@ def minhash_signature(shingles: Column, n_sigs: int = MINHASH_SIGS) -> Column:
 def lsh_band_hashes(signature: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     """array<string> of band keys: md5 of each contiguous ``rows``-slice
     of the signature. Two docs collide in a band iff that band's rows all
-    match — the standard banding amplification."""
-    idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    return F.transform(
-        idx,
-        lambda b: F.md5(F.concat_ws("", F.slice(signature, b * rows + 1, rows))),
+    match — the standard banding amplification.
+
+    Unrolled at the Python level: the ``bands`` syntactic references to
+    ``signature`` keep CollapseProject from inlining an expensive
+    upstream signature expression into a per-element lambda body (the
+    caller should still compute the signature in its own select)."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws("", F.slice(signature, b * rows + 1, rows)))
+            for b in range(bands)
+        ]
     )
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash over tokens: bit j of the fingerprint is the sign of
-    ``sum over tokens of (bit_j(md5_prefix16(token)) ? +1 : -1)``.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
 
-    16 bits (4 hex chars -> int) keeps the per-bit extraction a pair of
-    integer ops in both engines; widen to 64 by repeating over 4-char
-    windows if finer granularity is needed."""
-    tok_val = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+
+def simhash60(toks: Column) -> Column:
+    """60-bit SimHash over tokens: bit j of the fingerprint is the sign
+    of ``sum over tokens of (bit_j(md5_prefix60(token)) ? +1 : -1)``.
+
+    60 bits (not 64) so every intermediate stays exactly representable:
+    the per-token hash is split as h1 = first 7 hex chars (28 bits) and
+    h2 = next 8 hex chars (32 bits) — both < 2^53, so the per-bit
+    ``floor(v / 2^j) % 2`` extraction is exact in double arithmetic
+    (the Column-valued shift amount rules out the integer shift
+    builtins, which need literal shifts), and the assembled fingerprint
+    < 2^60 fits a signed 64-bit integer in any engine.
+
+    One fold: per token, hash once (the h1/h2 struct is materialized
+    once via the ``array_repeat`` trick), then vote into all 60 bit
+    counters via ``zip_with`` — ``toks`` is evaluated once per row
+    regardless of what expression produced it."""
+    pow2 = lambda j: F.pow(F.lit(2.0), j)  # noqa: E731 — exact for 2^j
+    halves = lambda t: F.struct(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5(t), 8, 8), 16, 10).cast("long").alias("h2"),
     )
-    bit_idx = F.sequence(F.lit(0), F.lit(15))
-    # bit j of v extracted as floor(v / 2^j) % 2 — shiftleft/shiftright in
-    # the Python DSL need literal shift amounts, pow(2, j) is exact here
-    pow2 = lambda j: F.pow(F.lit(2.0), j).cast("int")  # noqa: E731
-    bit_sums = F.transform(
-        bit_idx,
-        lambda j: F.aggregate(
-            tok_val,
-            F.lit(0),
-            lambda acc, v: acc
-            + F.when(F.floor(v / pow2(j)).cast("int") % 2 == 1, 1).otherwise(-1),
+    bit = lambda s, j: F.when(  # noqa: E731
+        j < 32, F.floor(s["h2"] / pow2(j)).cast("long") % 2
+    ).otherwise(F.floor(s["h1"] / pow2(j - 32)).cast("long") % 2)
+    bit_sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.array_repeat(halves(t), SIMHASH_BITS),
+                lambda s, j: F.when(bit(s, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
         ),
     )
     return F.aggregate(
         F.zip_with(
             bit_sums,
-            bit_idx,
-            lambda s, j: F.when(s > 0, pow2(j)).otherwise(F.lit(0)),
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda s, j: F.when(s > 0, pow2(j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
 
-def hamming16(a: Column, b: Column) -> Column:
+def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))

@@ -95,12 +95,22 @@ def rolling_fingerprint(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Overlapping k-word shingles (documents shorter than k words yield
-    an empty array — NB ``sequence(1, 0)`` in Spark counts DOWN, so the
-    short-doc case must be guarded explicitly)."""
+    """Overlapping k-word shingles; documents shorter than k words yield
+    an empty array.
+
+    Built by zipping k-1 shifted copies of the token array (``zip_with``
+    NULL-pads the shorter side, ``concat`` nulls out the incomplete tail
+    shingles, ``filter`` drops them). The obvious alternative —
+    ``transform(sequence(...), j -> slice(toks, j, k))`` — references
+    ``toks`` inside a lambda BODY, which re-evaluates the tokenization
+    per shingle index (O(n^2) in document length) after projection
+    collapse; the zip shape touches each token O(k) times total."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(idx, lambda j: F.concat_ws(" ", F.slice(toks, j, k))),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = toks
+    for off in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, off + 1, F.size(toks)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.filter(acc, lambda x: x.isNotNull())

@@ -6,17 +6,18 @@ Python in the hot path, no driver-side materialization.
 
 Scale shapes (the part that matters at 100 TB):
   * exact: one hash-aggregate shuffle on the content key.
-  * minhash_lsh: rows explode x bands (small constant), shuffle on
-    (band_idx, band_hash) — collision groups are tiny by construction, so
-    the self-join never sees a quadratic blowup; candidate pairs are then
-    verified with exact Jaccard.
+  * minhash_lsh: rows explode x bands (small constant), ONE shuffle on
+    (band_idx, band_hash) into bucket-local pair expansion — collision
+    groups are tiny by construction, the hashing stage is scanned exactly
+    once (a self-join would recompute it per side), and candidate pairs
+    are then verified with exact Jaccard.
   * ngram_jaccard: inverted-index join on shingle (pairs sharing >= 1
     shingle), count-intersections aggregate — the standard
     all-pairs-similarity shape (cf. Vernica et al.); hot shingles are the
     skew hazard -> drop ubiquitous shingles (document-frequency cap)
     exactly as real pipelines do.
-  * simhash: 16-bit fingerprint per doc, self-join blocked on matching
-    nibble (any of 4) -> hamming <= k filter.
+  * simhash: 60-bit fingerprint per doc, pairs blocked on any matching
+    15-bit block (of 4) -> hamming <= k filter.
   * embedding: brute-force pair cosine over a blocking-free cross join —
     the correctness baseline; the LSH-bucketed variant in similarity.py
     is the scale path.
@@ -27,10 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import lsh_band_hashes, minhash_signature, simhash16
+from ..functions.hashing import (
+    SIMHASH_BLOCK_BITS,
+    SIMHASH_BLOCKS,
+    lsh_band_hashes,
+    minhash_signature,
+    simhash60,
+)
 from ..functions.scalars import round_half_up
 from ..functions.text import tokens, word_shingles
 from ..functions.vectors import cosine
+from ..sources.readers import balance
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,10 +63,50 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
+    slim = balance(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    )
+    return slim.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("_text"), k)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+
+
+def _bucket_pairs(
+    df: DataFrame, keys: list[str], id_col: str, payload_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distinct ordered id pairs that share a bucket key — via ONE
+    groupBy + in-bucket pair expansion instead of a self-join. A
+    self-join would scan (and recompute) the upstream plan twice; here
+    the expensive hashing stage upstream runs exactly once, and the only
+    shuffle payload is (key, id, small payload). Bucket sizes are small
+    by construction for LSH-style keys, so the in-bucket expansion never
+    goes quadratic globally; a pathological all-identical corpus is
+    quadratic in ANY pairing scheme.
+
+    Returns struct columns ``a``/``b`` with fields (id, *payload_cols),
+    ordered ``a.id < b.id``.
+    """
+    item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
+    buckets = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_set(item)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def minhash_lsh_pairs(
@@ -71,31 +119,32 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
     shingle -> 16 MD5-minhash sigs -> 4 bands -> explode band keys ->
-    self-join on (band, key) -> distinct candidate pairs -> verify with
-    exact Jaccard >= threshold. Banding bounds the join: only docs
-    agreeing on an entire band ever meet.
+    bucket-aggregate pair expansion on (band, key) -> distinct candidate
+    pairs -> verify with exact Jaccard >= threshold. Banding bounds the
+    candidate set: only docs agreeing on an entire band ever meet. The
+    bucket aggregation (vs. a band self-join) computes the per-shingle
+    minhash signatures exactly once and never shuffles the shingle
+    arrays with the band keys — the verify join re-derives shingles only
+    for the (tiny) candidate set's rows.
     """
     shingled = _shingled(df, text_col, id_col, k)
-    banded = shingled.select(
+    # signature in its own select: lsh_band_hashes references it `bands`
+    # times, which blocks CollapseProject from inlining the (expensive)
+    # per-shingle hashing into the band expressions — it runs once/row
+    sig = shingled.select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    banded = sig.select(
         "doc_id",
-        "shingles",
-        F.posexplode(lsh_band_hashes(minhash_signature(F.col("shingles")))).alias(
-            "band_idx", "band_key"
-        ),
+        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band_idx", "band_key"),
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"),
-        "band_idx", "band_key",
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"),
-        "band_idx", "band_key",
-    )
+    pairs = _bucket_pairs(banded, ["band_idx", "band_key"], "doc_id")
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     cand = (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        pairs.select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -154,10 +203,13 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document 16-bit SimHash fingerprint."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        simhash16(tokens(F.col(text_col))).alias("simhash"),
+    """Per-document 60-bit SimHash fingerprint."""
+    slim = balance(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    )
+    return slim.select(
+        "doc_id",
+        simhash60(tokens(F.col("_text"))).alias("simhash"),
     )
 
 
@@ -167,40 +219,40 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on any matching nibble (pigeonhole:
-    hamming <= 3 over 4 nibbles => at least one nibble identical), then
-    exact hamming filter — never a full cross join."""
+    """SimHash near-dup pairs, Manku-style blocking: split the 60-bit
+    fingerprint into 4 x 15-bit blocks; pigeonhole says hamming <= 3
+    over 4 blocks => at least one block identical, so blocking on any
+    matching (block_idx, block_value) is lossless — and with 2^15
+    values per block the buckets stay tiny at corpus scale (a 16-bit
+    hash would give only 16 values per block and quadratic buckets).
+    The fingerprint (an int64) rides along as bucket payload, so the
+    token-hashing stage runs once and no re-join is needed for the
+    exact hamming check."""
     fp = simhash_fingerprints(df, text_col, id_col)
-    nib = fp.select(
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocked = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    (F.floor(F.col("simhash") / F.lit(16**i)).cast("int") % 16)
-                    for i in range(4)
+                    F.shiftright(F.col("simhash"), i * SIMHASH_BLOCK_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(SIMHASH_BLOCKS)
                 ]
             )
-        ).alias("nibble_idx", "nibble"),
+        ).alias("block_idx", "block_val"),
     )
-    a = nib.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "nibble_idx", "nibble",
-    )
-    b = nib.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "nibble_idx", "nibble",
-    )
+    pairs = _bucket_pairs(blocked, ["block_idx", "block_val"], "doc_id", ("simhash",))
     return (
-        a.join(b, ["nibble_idx", "nibble"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        pairs.select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -213,8 +265,9 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup pairs — brute force all-pairs baseline.
     At scale, swap the cross join for the LSH bucketing in similarity.py;
     semantics (the verified filter) stay identical."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    slim = balance(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    a = slim.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = slim.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

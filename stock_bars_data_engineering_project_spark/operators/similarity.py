@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up
 from ..functions.vectors import as_double, cosine, dot
+from ..sources.readers import balance
 
 
 def cosine_topk(
@@ -39,7 +40,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = balance(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -91,10 +94,10 @@ def lsh_ann_topk(
     """Approximate top-k: candidates = corpus vectors whose bucket is
     within ``probe_radius`` sign-flips of the query's bucket (multi-probe
     LSH), then exact-rank the candidates."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("c_bucket"),
+    c = balance(corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))).select(
+        "vec_id",
+        "c_vec",
+        lsh_bucket(F.col("c_vec"), dim, n_planes).alias("c_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

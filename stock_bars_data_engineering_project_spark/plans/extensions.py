@@ -132,12 +132,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# 60-bit SimHash: per token, h1 = first 7 hex chars (28 bits), h2 = next
+# 8 hex chars (32 bits); bit j comes from h2 for j<32 else h1 — matching
+# functions/hashing.py's double-exact split. DuckDB shifts are integer-
+# exact so it reads the bit directly from each half.
 _SIMHASH_SQL = f"""
 CAST(list_sum([CASE WHEN list_sum(list_transform(toks,
-        t -> CASE WHEN (('0x' || substr(md5(t), 1, 4))::INT >> j) & 1 = 1
+        t -> CASE WHEN (CASE WHEN j < 32
+                  THEN (('0x' || substr(md5(t), 8, 8))::BIGINT >> j) & 1
+                  ELSE (('0x' || substr(md5(t), 1, 7))::BIGINT >> (j - 32)) & 1
+                  END) = 1
                   THEN 1 ELSE -1 END)) > 0
-      THEN (1 << j) ELSE 0 END
-      for j in {list(range(16))}]) AS INT)
+      THEN (1::BIGINT << j) ELSE 0::BIGINT END
+      for j in {list(range(60))}]) AS BIGINT)
 """
 
 
@@ -150,7 +157,7 @@ FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     tags=("dedup", "hash"),
 )
 def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash fingerprint (MD5-derived bit votes) —
+    """Per-document 60-bit SimHash fingerprint (MD5-derived bit votes) —
     bit-identical across engines."""
     return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -163,16 +170,16 @@ WITH fp AS (
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS INT) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     tags=("dedup", "hash"),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3), nibble-blocked self-join —
-    pigeonhole makes the blocking lossless, which the brute-force oracle
-    verifies."""
+    """SimHash near-dup pairs (hamming <= 3), blocked on 4 x 15-bit
+    fingerprint blocks — pigeonhole makes the blocking lossless, which
+    the brute-force oracle verifies."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -39,6 +39,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def balance(df: DataFrame) -> DataFrame:
+    """Spread rows across the session's default parallelism ahead of a
+    CPU-heavy per-row stage (shingling, per-shingle hashing, regex
+    scoring). At cluster scale the file scan's splits usually provide
+    parallelism already, but a coarse upstream — one fat single-row-group
+    file, or a skewed post-filter remnant — starves every core but one;
+    a round-robin repartition of just the projected columns is the
+    standard fix and costs one narrow-payload shuffle."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S5: full (prunable) scan of one parquet table."""
     nano_cols = _NANO_TS_COLS.get(name, ())
