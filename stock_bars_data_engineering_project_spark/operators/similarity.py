@@ -81,6 +81,113 @@ def lsh_bucket(vec: F.Column, dim: int, n_planes: int = 8) -> F.Column:
     return bucket
 
 
+def l2sq(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance, double-promoted, sequential fold — same
+    accumulation order as the oracle's index-ordered list sum."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared-L2, ties to
+    the lowest centroid id) — the IVF coarse quantizer.
+
+    Shuffle-free: the centroid table is collapsed to ONE row holding a
+    cid-sorted array of (cid, vector) structs, broadcast, and the argmin
+    runs as a per-row fold — no |corpus| x K expansion, no groupBy. At
+    100 TB this is a map-only pass; K (hundreds to thousands) bounds the
+    broadcast at a few MB."""
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), as_double(F.col("cv")).alias("cv")))
+        ).alias("cents")
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("double").alias("d2"),
+        ),
+        lambda acc, c: F.when(
+            acc["cid"].isNull() | (l2sq(c["cv"], F.col("_v")) < acc["d2"]),
+            F.struct(
+                c["cid"].alias("cid"), l2sq(c["cv"], F.col("_v")).alias("d2")
+            ),
+        ).otherwise(acc),
+    )
+    slim = balance(
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    )
+    return (
+        slim.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            F.col("_v").alias("embedding"),
+            F.col("_best.cid").alias("cid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    centroid_stride: int = 125,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into inverted lists by
+    nearest centroid (deterministic centroid seed: every
+    ``centroid_stride``-th vector by id), probe each query against its
+    ``nprobe`` nearest lists only, exact-rank the candidates.
+
+    The scale shape: assignment is map-only (see ivf_assign); the probe
+    join keys on cid, so each query reads ~nprobe/K of the corpus
+    instead of all of it — the classic IVF recall/cost dial."""
+    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    assigned = ivf_assign(corpus, cent, vec_col, id_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # nprobe nearest centroids per query (deterministic (d2, cid) order)
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d2", l2sq(F.col("q_vec"), F.col("cv")))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cid")
+    )
+    cand = assigned.join(F.broadcast(qc), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos", round_half_up(cosine(F.col("q_vec"), F.col("embedding")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import round_half_up, sql_round
 from ..functions.text import (
     EN_STOPWORDS,
+    bpe_ish_token_count,
     lang_id,
     mean_word_len,
     quality_score,
@@ -29,7 +30,7 @@ from ..operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from ..operators.similarity import cosine_topk, lsh_ann_topk
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_topk
 from ..sources.readers import load_table
 from .registry import register
 
@@ -250,6 +251,61 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+# squared-L2 between va/vb, identical fold order both engines
+_L2_AB = """
+list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    [(CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE))
+     * (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) for i in range(1, len(va)+1)]),
+    (x, y) -> x + y)
+"""
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 125 = 0
+),
+assign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_L2_AB.replace('va', 'e.embedding').replace('vb', 'c.cv')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_L2_AB.replace('va', 'q.embedding').replace('vb', 'c.cv')}, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT p.query_id, p.q_vec AS va, a.vec_id, a.embedding AS vb
+    FROM assign a JOIN probes p USING (cid)
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM cand)
+) WHERE rank <= 10
+""",
+    tags=("similarity", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: map-only coarse quantization against a
+    broadcast centroid array (every 125th vector), nprobe=4 inverted
+    lists probed per query, exact cosine rank within candidates. The
+    oracle replays the identical quantizer, so list membership — not
+    just the final ranking — is correctness-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, centroid_stride=125, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 @register("ann_topk_lsh", oracle=None, tags=("similarity", "lsh"))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (5 planes, multi-probe
@@ -343,6 +399,30 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     density) + function-word density."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
+            + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
+    tags=("text",),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token load estimate: alnum word splits + one token
+    per punctuation char — tracks LLM tokenizer counts far closer than
+    whitespace counts. Pure codegen'd regex, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("ws_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("bpe_ish_tokens"),
+    )
 
 
 @register(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up, sql_round
 from ..operators.analysis import bars_analysis
-from ..sources.readers import load_table
+from ..sources.readers import load_events_since, load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -225,12 +225,11 @@ WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
 def f2_incremental_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: the incremental high-watermark predicate (checkpoint date pushed
     into the source, stock_bars.py:51-57) — Q9's overlap-inclusive `>=`.
-    Pushed down to the parquet scan; on date-partitioned storage this is
+    Pushed down to the parquet scan as an epoch-nanos long comparison
+    (see readers.load_events_since); on date-partitioned storage this is
     partition pruning."""
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
-        "event_id", "user_id", "ts", "event_type", "value"
-    )
+    events = load_events_since(spark, sf_dir, "2024-01-15 00:00:00")
+    return events.select("event_id", "user_id", "ts", "event_type", "value")
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.scalars import sql_round
 from ..operators.merge import upsert_frames
 from ..sources.readers import load_table
+from ..streaming.stateful import first_seen_per_key
 from ..streaming.windows import (
     run_stream_to_memory,
     session_agg,
@@ -131,6 +132,39 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value") + 1000
     )
     return upsert_frames(target, source, keys=("event_id",))
+
+
+@register(
+    "stream_stateful_dedup",
+    oracle="""
+SELECT user_id, ts AS first_ts, event_id AS first_event_id, value AS first_value
+FROM (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+) WHERE rn = 1
+""",
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    keyed first-seen dedup — one output row per user ever, state
+    persisted in the state store. Drained with availableNow into a
+    memory sink; the oracle is the batch gaps-free formulation
+    (row_number = 1 per key by event time)."""
+    import os
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    src = os.path.join("/tmp", f"stream_src_{abs(hash(sf_dir))}")
+    if not os.path.isdir(src):
+        batch.write.mode("overwrite").parquet(src)
+    events = spark.readStream.schema(batch.schema).parquet(src)
+    out = first_seen_per_key(events, key="user_id")
+    run_stream_to_memory(out, "stream_stateful_dedup", output_mode="append")
+    return spark.table("stream_stateful_dedup")
 
 
 @register(

@@ -66,6 +66,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_since(
+    spark: SparkSession, sf_dir: str, watermark_utc: str
+) -> DataFrame:
+    """F2 scan with the watermark predicate pushed THROUGH the
+    nano-epoch encoding: ``events.ts`` is physically a long
+    (TIMESTAMP(NANOS) parquet), so a filter on the post-conversion
+    timestamp column cannot reach the scan. Instead the watermark is
+    converted driver-side to an epoch-nanos literal (integer
+    arithmetic — float multiplication would corrupt the low digits
+    above 2^53) and compared against the RAW long column; `.explain`
+    then shows ``PushedFilters: [GreaterThanOrEqual(ts, ...)]`` and on
+    date-partitioned storage this same shape is partition pruning."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(watermark_utc).replace(tzinfo=timezone.utc)
+    nanos = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1_000
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.filter(F.col("ts") >= F.lit(nanos)).withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    else:
+        raw = raw.filter(F.col("ts") >= F.lit(watermark_utc).cast("timestamp"))
+    return raw
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Structured Streaming's built-ins (windowed aggs, dropDuplicates) cover
+most state shapes; anything else — keyed first-seen dedup with explicit
+state, per-key running extrema, custom session logic — is an
+``applyInPandasWithState`` over a grouped stream: Spark shuffles rows to
+their key's partition, hands each key's micro-batch slice to a Python
+function together with that key's persisted state, and checkpoints the
+state store per trigger. Arrow-batched, so the Python hop is columnar.
+
+Scale posture: state lives in the executors' state stores (RocksDB
+provider in production), partitioned by the grouping key — the operator
+scales horizontally with key cardinality and never materializes more
+than one key's batch slice per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# output: the first-seen event per key
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("first_value", T.DoubleType()),
+    ]
+)
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def _first_seen(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the key's first event (by event time, event_id tiebreak) the
+    first time the key appears; afterwards the state swallows every later
+    arrival. Within one micro-batch the slice is sorted explicitly —
+    micro-batch row order is not event-time order."""
+    if state.exists:
+        return
+    first = None
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values(["ts", "event_id"]).iloc[0]
+        if first is None or (cand.ts, cand.event_id) < (first.ts, first.event_id):
+            first = cand
+    if first is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "first_ts": [first.ts],
+            "first_event_id": [first.event_id],
+            "first_value": [first.value],
+        }
+    )
+
+
+def first_seen_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Keyed first-seen dedup as a custom stateful operator: one output
+    row per key, ever — the pattern behind streaming entity resolution
+    and exactly-once side-effect gating. ``NoTimeout`` keeps keys
+    forever; swap to ``EventTimeTimeout`` + ``state.setTimeoutTimestamp``
+    to age keys out under a watermark (bounded state at 100 TB/day)."""
+    return events.groupBy(key).applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

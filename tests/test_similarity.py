@@ -40,3 +40,32 @@ def test_lsh_recall_floor(spark):
     # within candidates is covered by the brute-force properties test.
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    from stock_bars_data_engineering_project_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [0.9, 1.0]), (3, [0.4, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (20, [1.0, 1.0])], "cid long, cv array<double>"
+    )
+    got = {r.vec_id: r.cid for r in ivf_assign(corpus, cents).collect()}
+    assert got == {1: 10, 2: 20, 3: 10}  # v3 tie-free nearest, not ambiguous
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from stock_bars_data_engineering_project_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+    # probe every list -> IVF must equal brute force exactly
+    n = emb.count()
+    full = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, centroid_stride=50, nprobe=max(1, n // 50) + 1).collect()
+    }
+    assert full == exact

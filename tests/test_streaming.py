@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from stock_bars_data_engineering_project_spark.sinks import ParquetWarehouse
@@ -70,3 +71,32 @@ def test_incremental_merge_stream_exactly_once(spark, tmp_path):
     assert final.count() == 700
     # overlap rows took the revised values
     assert final.filter((F.col("event_id") == 450) & (F.col("value") >= 1000)).count() == 1
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    from stock_bars_data_engineering_project_spark.streaming.stateful import first_seen_per_key
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = first_seen_per_key(stream, key="user_id")
+    run_stream_to_memory(out, "t_first_seen", output_mode="append")
+    got = {
+        r.user_id: (r.first_ts, r.first_event_id)
+        for r in spark.table("t_first_seen").collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_id)
+        for r in events.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
