@@ -27,9 +27,12 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "text_quality_score",
     "text_fingerprint",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "asof_join_marks",
     "incremental_merge_upsert",
 ]
 

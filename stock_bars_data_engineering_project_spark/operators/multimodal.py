@@ -104,6 +104,66 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.mapInPandas(_extract, schema=_OUT_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields
+    + [
+        T.StructField("resized_width", T.IntegerType(), True),
+        T.StructField("resized_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """mapInPandas resize stage. The pixel work is the decoder seam
+    (``decode_image_stub``); the deterministic stand-in keeps the payload
+    bytes and stamps the target geometry, so schema/batching/partition
+    behavior — the Spark-side contract — is real and tested. A production
+    build swaps the loop body for PIL ``Image.resize`` and re-encodes
+    the payload."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["resized_width"] = width
+            out["resized_height"] = height
+            yield out
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas frame sampling — a 1->N row fan-out (one row per
+    sampled frame), the shape ffmpeg keyframe extraction takes. The
+    deterministic stand-in slices the payload into ``n_frames`` even
+    byte ranges; a production build replaces the slicing with decoder
+    calls. Output rows carry only (media_id, frame_idx, frame bytes) so
+    the downstream per-frame featurization shuffles frames, not whole
+    videos."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_idx"].append(i)
+                    rows["frame_payload"].append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def media_metadata_only(df: DataFrame) -> DataFrame:
     """Metadata projection — the plan must NOT read the payload column
     (verified by tests via the scan's ReadSchema)."""

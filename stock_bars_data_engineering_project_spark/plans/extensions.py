@@ -22,6 +22,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
+from ..operators.asof import asof_join
 from ..operators.dedup import (
     embedding_dup_pairs,
     exact_dedup_groups,
@@ -216,6 +217,46 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-promoted sequential-fold dot products match the oracle
     bit-for-bit."""
     return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_marks",
+    oracle=f"""
+WITH marks AS (
+    SELECT user_id,
+           time_bucket(INTERVAL '1 hour', ts) AS mark_ts,
+           {sql_round('SUM(value)', 2)} AS mark_value
+    FROM events
+    GROUP BY 1, 2
+),
+lefts AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, r.mark_ts, r.mark_value
+FROM lefts l
+ASOF LEFT JOIN marks r ON l.user_id = r.user_id AND l.ts >= r.mark_ts
+""",
+    tags=("join", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join: every purchase event picks up the
+    most recent hourly per-user mark at-or-before its event time. One
+    union + keyed window pass (no range-join blowup); DuckDB's native
+    ASOF JOIN is the oracle. Marks are unique per (user, hour) by
+    construction, so the match is deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    marks = events.groupBy(
+        "user_id", F.window("ts", "1 hour")["start"].alias("mark_ts")
+    ).agg(round_half_up(F.sum("value"), 2).alias("mark_value"))
+    lefts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(lefts, marks, on="ts", right_on="mark_ts", by=("user_id",))
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,31 @@ def test_multimodal_pipeline(spark):
     with redirect_stdout(buf):
         media_metadata_only(media_stored).explain()
     assert "payload" not in buf.getvalue() or "ReadSchema" in buf.getvalue()
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = attach_binary_payload(docs)
+
+    resized = resize_images(media, width=64, height=48)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(r.resized_width == 64 and r.resized_height == 48 for r in rows)
+    assert all(r.payload is not None for r in rows)
+
+    frames = sample_frames(media, n_frames=4)
+    out = frames.collect()
+    assert len(out) == 80  # 1 -> N fan-out
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
+        assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in rows)
