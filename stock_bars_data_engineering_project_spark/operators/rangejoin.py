@@ -1,0 +1,52 @@
+"""Range (interval) join: left.ts ∈ [right.lo, right.hi], bucketized.
+
+Spark turns a raw BETWEEN join into BroadcastNestedLoopJoin (small right)
+or a cartesian product (big right) — O(|L| x |R|) per key. The standard
+scale fix is temporal bucketization: explode each right interval into
+the fixed-width buckets it covers, bucket the left timestamps, and
+equi-join on (keys..., bucket) — Catalyst then runs a plain shuffle/
+broadcast HASH join — followed by the exact BETWEEN filter. Cost is
+O(|L| + |R| x avg_interval/bucket) join input rows; pick the bucket
+width near the median interval length so the explosion factor stays
+small. A left row meets a given interval in exactly one bucket (its
+own), so no post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    lo: str = "lo",
+    hi: str = "hi",
+    by: tuple[str, ...] = (),
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join-shaped interval join: rows of ``left`` matched to every
+    ``right`` interval with ``lo <= on <= hi`` (inclusive both ends),
+    optionally co-keyed on ``by`` columns."""
+    lb = left.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(on)) / bucket_seconds)
+    )
+    rb = (
+        right.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(lo)) / bucket_seconds),
+                    F.floor(F.unix_timestamp(F.col(hi)) / bucket_seconds),
+                )
+            ),
+        )
+    )
+    return (
+        lb.join(rb, [*by, "_bucket"], how)
+        .filter((F.col(on) >= F.col(lo)) & (F.col(on) <= F.col(hi)))
+        .drop("_bucket")
+    )

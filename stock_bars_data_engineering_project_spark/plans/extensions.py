@@ -23,6 +23,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join
 from ..operators.dedup import (
     embedding_dup_pairs,
     exact_dedup_groups,
@@ -257,6 +258,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     return asof_join(lefts, marks, on="ts", right_on="mark_ts", by=("user_id",))
+
+
+@register(
+    "range_join_windows",
+    oracle=f"""
+WITH w AS (
+    SELECT user_id, mark AS window_lo, mark + INTERVAL '3 hours' AS window_hi
+    FROM (SELECT DISTINCT user_id, time_bucket(INTERVAL '1 hour', ts) AS mark
+          FROM events)
+    WHERE extract(hour FROM mark) % 6 = 0
+),
+p AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, w.window_lo,
+       COUNT(*) AS n_events,
+       {sql_round('SUM(p.value)', 2)} AS sum_value
+FROM p JOIN w ON p.user_id = w.user_id
+             AND p.ts >= w.window_lo AND p.ts <= w.window_hi
+GROUP BY 1, 2
+""",
+    tags=("join", "range"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via temporal bucketization: purchases matched into
+    per-user 3-hour promo windows (every 6th hour), then aggregated.
+    The bucketized equi-join replaces the cartesian/nested-loop plan a
+    raw BETWEEN join produces; the oracle runs the raw BETWEEN join."""
+    events = load_table(spark, sf_dir, "events")
+    windows = (
+        events.select(
+            "user_id", F.window("ts", "1 hour")["start"].alias("window_lo")
+        )
+        .distinct()
+        .filter(F.hour("window_lo") % 6 == 0)
+        .withColumn("window_hi", F.col("window_lo") + F.expr("INTERVAL 3 HOURS"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    matched = range_join(
+        purchases, windows, on="ts", lo="window_lo", hi="window_hi",
+        by=("user_id",), bucket_seconds=3600,
+    )
+    return matched.groupBy("user_id", "window_lo").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.sum("value"), 2).alias("sum_value"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up, sql_round
 from ..operators.analysis import bars_analysis
+from ..operators.skew import salted_topk
 from ..sources.readers import load_events_since, load_table
 from .registry import register
 
@@ -430,3 +431,31 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "topk_per_group_salted",
+    oracle="""
+SELECT user_id, event_id, value, rank
+FROM (
+    SELECT user_id, event_id, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rank
+    FROM events
+)
+WHERE rank <= 3
+""",
+    tags=("window", "topk", "skew"),
+)
+def topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-k computed skew-proof: two-phase salted ranking
+    (operators/skew.py) — per-task fan-in bounded at k x n_salt rows per
+    key however hot the key. The oracle is the plain unsalted ranking,
+    proving the salted plan is exact, not approximate."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = salted_topk(
+        events, keys=("user_id",), order_col="value", tiebreak_col="event_id",
+        k=3, n_salt=8,
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
