@@ -221,6 +221,61 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset statistics / snapshot diff (training-pipeline bookkeeping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stats",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_round('AVG(value)', 6)} AS avg_value,
+       {sql_round('quantile_cont(value, 0.5)', 6)} AS p50_value,
+       {sql_round('quantile_cont(value, 0.95)', 6)} AS p95_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "stats"),
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice dataset statistics (count, distinct entities, mean,
+    exact interpolated p50/p95) — the bookkeeping pass every training
+    corpus gets before sampling. Exact `percentile` here is the
+    correctness baseline; at 100 TB swap in `approx_percentile` /
+    `approx_count_distinct` (sketch-mergeable, one pass) — the error
+    bound of that swap is pinned in tests/test_stats.py."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        round_half_up(F.avg("value"), 6).alias("avg_value"),
+        round_half_up(F.expr("percentile(value, 0.5D)"), 6).alias("p50_value"),
+        round_half_up(F.expr("percentile(value, 0.95D)"), 6).alias("p95_value"),
+    )
+
+
+@register(
+    "snapshot_diff_docs",
+    oracle="""
+SELECT doc_id, text FROM documents
+EXCEPT
+SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+""",
+    tags=("setop", "incremental"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via EXCEPT: which documents are new relative to the
+    prior corpus snapshot (simulated as 'everything but every 10th
+    doc'). The set-op shape behind incremental training-data refreshes;
+    Catalyst plans it as a left-anti hash join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 10 != 0)
+    return docs.subtract(prior)
+
+
+# ---------------------------------------------------------------------------
 # As-of join
 # ---------------------------------------------------------------------------
 

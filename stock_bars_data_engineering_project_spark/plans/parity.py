@@ -434,6 +434,28 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_pricing",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_round('SUM(l_extendedprice)', 2)} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "rollup"),
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — partial-aggregated like any
+    groupBy (one shuffle, grouping-set expansion map-side); NULL group
+    markers match ANSI semantics in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        round_half_up(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
     "topk_per_group_salted",
     oracle="""
 SELECT user_id, event_id, value, rank
