@@ -1,0 +1,59 @@
+"""Deterministic sampling / dataset splitting.
+
+Training pipelines need splits that are STABLE: re-running the pipeline
+on a grown corpus must keep yesterday's documents in yesterday's split
+(no train/test leakage on refresh), and any engine must agree on the
+assignment. RNG-based `sample()` gives neither — so both operators here
+key off a content hash (md5, engine-portable like everything in
+functions/hashing.py): a document's split is a pure function of its id.
+
+Scale shape: both are map-only row-local expressions — no shuffle, no
+state, trivially parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 10_000) -> Column:
+    """Uniform bucket in [0, n_buckets) from the md5 of the key — the
+    first 12 hex chars (48 bits < 2^53, exact in every engine's integer
+    and double arithmetic) mod n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def stable_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign every row a split label by hashed-id bucket. Default
+    90/5/5 train/val/test. Deterministic, engine-portable, and stable
+    under corpus growth — new rows hash into splits without moving any
+    existing row."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    bucket = hash_bucket(F.col(id_col))
+    expr = None
+    hi = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        hi += w
+        cond = bucket < int(round(hi * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(items[-1][0]) if expr is None else expr.otherwise(items[-1][0])
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-addressed sample: keeps the row iff its hash bucket falls
+    under ``fraction``. Unlike ``df.sample`` this is reproducible across
+    runs, engines, and partitionings, and a row's membership never flips
+    when the corpus around it changes."""
+    return df.filter(hash_bucket(F.col(id_col)) < int(round(fraction * 10_000)))

@@ -24,6 +24,7 @@ from ..functions.text import (
 )
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
+from ..operators.sampling import stable_split
 from ..operators.dedup import (
     embedding_dup_pairs,
     exact_dedup_groups,
@@ -254,6 +255,30 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.expr("percentile(value, 0.5D)"), 6).alias("p50_value"),
         round_half_up(F.expr("percentile(value, 0.95D)"), 6).alias("p95_value"),
     )
+
+
+@register(
+    "stable_split_assignment",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
+    FROM documents
+)
+""",
+    tags=("sampling",),
+)
+def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-hash
+    bucket — stable under corpus growth (rows never migrate between
+    splits on refresh), identical in any engine, map-only at any scale.
+    The RNG-free answer to train/test leakage on refresh."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stable_split(docs, id_col="doc_id").select("doc_id", "split")
 
 
 @register(

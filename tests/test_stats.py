@@ -25,3 +25,31 @@ def test_approx_percentile_error_bound(spark):
         F.expr("approx_percentile(value, 0.95D, 10000)")
     ).first()[0]
     assert abs(approx - exact) <= abs(exact) * 0.01 + 1e-9
+
+
+def test_stable_split_deterministic_and_stable(spark):
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        deterministic_sample,
+        stable_split,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    a = {r.doc_id: r.split for r in stable_split(docs).select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in stable_split(docs).select("doc_id", "split").collect()}
+    assert a == b  # run-to-run deterministic
+
+    # growing the corpus never moves an existing row's split
+    grown = stable_split(docs.limit(100))
+    g = {r.doc_id: r.split for r in grown.select("doc_id", "split").collect()}
+    assert all(a[k] == v for k, v in g.items())
+
+    # proportions roughly honored
+    from collections import Counter
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert 0.85 < c["train"] / n < 0.95
+    assert c["val"] > 0 and c["test"] > 0
+
+    # sample is a strict subset rule, consistent with buckets
+    s = deterministic_sample(docs, 0.25)
+    assert 0.15 < s.count() / docs.count() < 0.35
