@@ -1,0 +1,134 @@
+"""Scale soak: replicate the sf0.1 tables Nx with content perturbation
+and measure operator runtime scaling — the empirical answer to "would
+this plan survive a 100x scale-up?".
+
+Replicas are perturbed so the workload grows REALISTICALLY:
+  * documents: per-replica vowel rotation (translate) changes most
+    shingles, so near-dup structure (and pair output) grows linearly
+    with the corpus instead of quadratically as verbatim copies would;
+  * events: timestamps shifted by a day per replica and ids offset, so
+    keys/windows grow linearly.
+
+Usage: python tools/soak.py [scales ...] (default 1 2 4 8)
+Writes one JSON line per (operator, scale) and a final summary of the
+runtime ratio vs. the linear ideal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from stock_bars_data_engineering_project_spark.operators.asof import asof_join  # noqa: E402
+from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
+from stock_bars_data_engineering_project_spark.session import get_spark  # noqa: E402
+from stock_bars_data_engineering_project_spark.sources.readers import load_table  # noqa: E402
+from stock_bars_data_engineering_project_spark.streaming.windows import tumbling_agg  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/soak_data"
+VOWELS = "aeiou"
+
+
+def stage(spark, scale: int) -> str:
+    out = os.path.join(WORK, f"x{scale}")
+    if os.path.isdir(out):
+        return out
+    docs = load_table(spark, SF_DIR, "documents")
+    events = load_table(spark, SF_DIR, "events")
+    n_docs = docs.count()
+    n_events = events.count()
+    d_parts, e_parts = [], []
+    for k in range(scale):
+        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                F.translate(F.col("text"), VOWELS, rot).alias("text"),
+            )
+        )
+        e_parts.append(
+            events.select(
+                (F.col("event_id") + k * n_events).alias("event_id"),
+                (F.col("user_id") + k * 100000).alias("user_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k} DAYS")).alias("ts"),
+                "event_type",
+                "value",
+            )
+        )
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    ev = e_parts[0]
+    for p in e_parts[1:]:
+        ev = ev.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents"))
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events"))
+    return out
+
+
+def run(spark, path: str) -> dict[str, float]:
+    docs = spark.read.parquet(os.path.join(path, "documents"))
+    events = spark.read.parquet(os.path.join(path, "events"))
+    marks = events.groupBy(
+        "user_id", F.window("ts", "1 hour")["start"].alias("mark_ts")
+    ).agg(F.sum("value").alias("mark_value"))
+    ops = {
+        "minhash_lsh": lambda: minhash_lsh_pairs(docs),
+        "ngram_jaccard": lambda: ngram_jaccard_pairs(docs),
+        "simhash_pairs": lambda: simhash_pairs(docs),
+        "asof_join": lambda: asof_join(
+            events.select("event_id", "user_id", "ts", "value"),
+            marks,
+            on="ts",
+            right_on="mark_ts",
+        ),
+        "tumbling_agg": lambda: tumbling_agg(events, duration="1 day"),
+        "salted_topk": lambda: salted_topk(
+            events, ("user_id",), "value", "event_id", k=3, n_salt=8
+        ),
+    }
+    times = {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def main() -> None:
+    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = get_spark("soak")
+    results: dict[int, dict[str, float]] = {}
+    for s in scales:
+        path = stage(spark, s)
+        results[s] = run(spark, path)
+        print(json.dumps({"scale": s, "times": results[s]}), flush=True)
+    base = results[scales[0]]
+    summary = {}
+    for op in base:
+        top = scales[-1]
+        ideal = base[op] * top / scales[0]
+        summary[op] = {
+            "t1": base[op],
+            f"t{top}": results[top][op],
+            "vs_linear": round(results[top][op] / ideal, 2) if ideal > 0 else None,
+        }
+    print(json.dumps({"summary": summary, "scales": scales}))
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
