@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): operator laws that must hold for
+ANY input, pinned against independent reference implementations
+(pandas merge_asof, Python decimal) rather than hand-picked examples.
+
+max_examples is kept small — every example runs Spark jobs — but the
+generators cover the adversarial shapes: empty groups, ties broken by
+id, duplicate keys, boundary timestamps.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.functions.scalars import round_half_up
+from stock_bars_data_engineering_project_spark.operators.asof import asof_join
+from stock_bars_data_engineering_project_spark.operators.merge import upsert_frames
+
+BASE = datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, minutes)
+    min_size=1,
+    max_size=12,
+)
+_marks = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.floats(0, 100)),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: (t[0], t[1]),  # unique per (key, ts): merge contract
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_events, _marks)
+def test_asof_join_matches_pandas_merge_asof(spark, events, marks):
+    left = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(events)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=m), v) for u, m, v in marks],
+        "user_id long, mark_ts timestamp, mark_value double",
+    )
+    got = {
+        r.event_id: (r.mark_ts, r.mark_value)
+        for r in asof_join(left, right, on="ts", right_on="mark_ts").collect()
+    }
+    lp = left.toPandas().sort_values("ts").reset_index(drop=True)
+    rp = right.toPandas().sort_values("mark_ts").reset_index(drop=True)
+    want_df = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="mark_ts", by="user_id", direction="backward"
+    )
+    for _, r in want_df.iterrows():
+        w_ts = None if pd.isna(r.mark_ts) else r.mark_ts.to_pydatetime()
+        w_v = None if pd.isna(r.mark_value) else r.mark_value
+        assert got[r.event_id] == (w_ts, w_v)
+
+
+_frames = st.lists(
+    st.tuples(st.integers(0, 5), st.floats(0, 10)), min_size=0, max_size=8
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_frames, _frames)
+def test_upsert_source_wins_and_idempotent(spark, target_rows, source_rows):
+    schema = "k long, v double"
+    target = spark.createDataFrame(
+        [(k, float(v)) for k, v in {k: v for k, v in target_rows}.items()], schema
+    )
+    source = spark.createDataFrame(
+        [(k, float(v)) for k, v in {k: v for k, v in source_rows}.items()], schema
+    )
+    once = upsert_frames(target, source, keys=("k",))
+    got = {r.k: r.v for r in once.collect()}
+    want = {r.k: r.v for r in target.collect()} | {r.k: r.v for r in source.collect()}
+    assert got == want  # source wins on collision, union of keys
+    twice = upsert_frames(once, source, keys=("k",))
+    assert {r.k: r.v for r in twice.collect()} == want  # idempotent replay
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.floats(-1e6, 1e6, allow_nan=False),
+    st.integers(0, 6),
+)
+def test_round_half_up_matches_decimal(spark, x, n):
+    got = spark.range(1).select(round_half_up(F.lit(x), n).alias("r")).first().r
+    want = float(
+        Decimal(x).quantize(Decimal(10) ** -n, rounding=ROUND_HALF_UP)
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from("ab cd ef gh ij".split()), max_size=8), st.integers(2, 4))
+def test_word_shingles_count_law(spark, words, k):
+    from stock_bars_data_engineering_project_spark.functions.text import word_shingles
+
+    text = " ".join(words)
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(word_shingles(F.col("text"), k).alias("sh"))
+        .first()
+    )
+    n_tokens = len(text.split(" "))  # split semantics: '' -> ['']
+    assert len(row.sh) == max(0, n_tokens - k + 1)
+    assert all(len(s.split(" ")) == k for s in row.sh)

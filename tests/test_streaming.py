@@ -3,7 +3,6 @@ incremental merge stream (exactly-once sink semantics under replay)."""
 
 from __future__ import annotations
 
-import pytest
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
