@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the scale properties this engine
+relies on (pushdown, broadcast, shared window sort, group-limit
+pruning) asserted from `.explain` output so a refactor cannot silently
+regress them."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from stock_bars_data_engineering_project_spark.plans import get_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name):
+    df = get_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "j1_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # reaches PushedFilters
+
+
+def test_incremental_range_pushed_as_nanos(spark):
+    plan = _plan(spark, "f2_incremental_range")
+    assert "GreaterThanOrEqual(ts," in plan
+
+
+def test_flagship_windows_share_one_sort(spark):
+    plan = _plan(spark, "flagship_analysis")
+    assert plan.count("Window") >= 2
+    # both window nodes ride a single exchange+sort pair
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("+- Sort") == 1
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan  # rank filter pruned before full sort
+
+
+def test_metadata_projection_prunes_columns(spark):
+    plan = _plan(spark, "multimodal_binary_meta")
+    # only the needed columns reach the scan, never a full-row read
+    assert "ReadSchema: struct<doc_id" in plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
