@@ -57,3 +57,34 @@ def deterministic_sample(
     runs, engines, and partitionings, and a row's membership never flips
     when the corpus around it changes."""
     return df.filter(hash_bucket(F.col(id_col)) < int(round(fraction * 10_000)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixture dial of a
+    training pipeline ("100% of books, 10% of common-crawl"). Same
+    map-only hash-bucket rule as :func:`deterministic_sample`, with the
+    threshold chosen per stratum; strata not listed get ``default_rate``.
+    Row membership is stable under corpus growth and identical across
+    engines and runs — re-weighting a mixture never reshuffles which
+    rows the kept strata contribute."""
+    bucket = hash_bucket(F.col(id_col))
+    threshold = None
+    for name, r in rates.items():
+        t = int(round(r * 10_000))
+        threshold = (
+            F.when(F.col(stratum_col) == name, t)
+            if threshold is None
+            else threshold.when(F.col(stratum_col) == name, t)
+        )
+    thr = (
+        F.lit(int(round(default_rate * 10_000)))
+        if threshold is None
+        else threshold.otherwise(int(round(default_rate * 10_000)))
+    )
+    return df.filter(bucket < thr)

@@ -24,7 +24,7 @@ from ..functions.text import (
 )
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
-from ..operators.sampling import stable_split
+from ..operators.sampling import stable_split, stratified_sample
 from ..operators.dedup import (
     embedding_dup_pairs,
     exact_dedup_groups,
@@ -279,6 +279,40 @@ def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The RNG-free answer to train/test leakage on refresh."""
     docs = load_table(spark, sf_dir, "documents")
     return stable_split(docs, id_col="doc_id").select("doc_id", "split")
+
+
+@register(
+    "stratified_mixture_sample",
+    oracle="""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b,
+           CASE WHEN source = 'src0' THEN 10000
+                WHEN source = 'src1' THEN 5000
+                WHEN source = 'src2' THEN 1000
+                ELSE 2500 END AS thr
+    FROM documents
+)
+WHERE b < thr
+""",
+    tags=("sampling", "mixture"),
+)
+def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture sampling: keep 100% of src0, 50% of src1, 10% of
+    src2, 25% of everything else — per-stratum deterministic hash-bucket
+    thresholds, map-only at any scale, stable under corpus growth. The
+    dial a training pipeline turns to re-weight data sources without
+    reshuffling previously kept rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        stratum_col="source",
+        id_col="doc_id",
+        default_rate=0.25,
+    )
+    return out.select("doc_id", "source")
 
 
 @register(
