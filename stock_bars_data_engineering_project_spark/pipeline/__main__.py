@@ -1,0 +1,47 @@
+"""CLI entry — reference parity with ``python -m
+etl_project.pipelines.stock_bars`` (Dockerfile:13): run the full/
+incremental pipeline against a local warehouse directory.
+
+    python -m stock_bars_data_engineering_project_spark.pipeline \
+        [--warehouse DIR] [--config stock_bars.yaml]
+
+First run: full load (table absent). Every later run: incremental from
+the checkpoint with overlap healing + idempotent merge, then the
+analysis rebuild. Prints one JSON status line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..session import get_spark
+from ..sinks import ParquetWarehouse
+from ..sources.readers import read_csv_dim
+from .stock_pipeline import PipelineConfig, default_dim, run
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", default="/tmp/stock_bars_warehouse")
+    ap.add_argument("--config", default=None, help="YAML config (PipelineConfig)")
+    args = ap.parse_args()
+
+    spark = get_spark("stock-bars-pipeline")
+    cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    wh = ParquetWarehouse(spark, args.warehouse)
+    dim = (
+        read_csv_dim(spark, cfg.symbols_csv)
+        if cfg.symbols_csv
+        else default_dim(spark)
+    )
+    info = run(spark, wh, cfg, dim)
+    info["warehouse"] = args.warehouse
+    info["analysis_rows"] = (
+        wh.read(cfg.analysis_table).count() if wh.exists(cfg.analysis_table) else 0
+    )
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,7 @@ LSH step itself (not just the verified output) is correctness-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up, sql_round
@@ -626,6 +626,120 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(t).alias("ws_tokens"),
         bpe_ish_token_count(t).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+SELECT token, n, rank
+FROM (
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank
+    FROM (
+        SELECT lower(t.token) AS token, COUNT(*) AS n
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token != ''
+        GROUP BY lower(t.token)
+    )
+)
+WHERE rank <= 100
+""",
+    tags=("text", "vocab"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens -> hash-aggregate counts ->
+    global top-100 (deterministic (count desc, token) order). The
+    explode+partial-agg shape is the canonical wordcount; at 100 TB the
+    map-side combine absorbs Zipf skew before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+    )
+
+
+@register(
+    "text_scrub",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g') AS scrubbed,
+       CAST(length(text) - length(
+           regexp_replace(
+               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g')) AS BIGINT) AS delta_chars
+FROM documents
+""",
+    tags=("text", "compliance"),
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/phone patterns replaced with typed tags —
+    pure codegen'd regex, no shuffle, with a per-doc audit delta. (The
+    pattern list is the seam; production plugs a fuller ruleset into
+    the same shape.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") - F.length(scrubbed)).cast("long").alias("delta_chars"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+FROM (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+          FROM documents)
+)
+""",
+    tags=("text", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget packs
+    (2048) by running-total binning per source shard — the greedy
+    pre-tokenization packing step of LLM training. Partitioned by
+    source so the running sum parallelizes across shards (a single
+    global ordering would serialize at 100 TB); pack_id is keyed off
+    the budget floor of the preceding cumulative total, so a document
+    that crosses the boundary starts its pack."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = token_count(F.col("text"))
+    return (
+        docs.select("doc_id", "source", n.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+            .cast("long")
+            .alias("pack_id"),
+        )
     )
 
 
