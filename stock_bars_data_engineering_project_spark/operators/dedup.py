@@ -256,6 +256,65 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> duplicate clusters:
+    every doc labeled with the smallest doc_id reachable through the
+    pair graph (the canonical keeper). THE dedup endgame — pairwise
+    output alone can't answer "which copies do I drop" when dups chain
+    (a~b, b~c but not a~c).
+
+    Iterative min-label propagation: each round every node takes the
+    min label in its closed neighborhood; converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dups of a common
+    ancestor), so a handful of rounds suffices at any corpus size. Each
+    round is one shuffle join + one aggregate on the (tiny relative to
+    the corpus) pair graph, with a driver-side convergence check —
+    the standard Spark shape for iterative graph algorithms (cf.
+    GraphFrames' connected components / MapReduce min-label).
+
+    Input: pairs with columns doc_a, doc_b. Output: (doc_id, cluster_id)
+    for every doc that appears in some pair; singleton docs are their
+    own cluster by definition and need no row.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

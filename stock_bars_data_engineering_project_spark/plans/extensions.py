@@ -26,6 +26,7 @@ from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.dedup import (
+    dedup_clusters,
     embedding_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -140,6 +141,66 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8 hex chars (32 bits); bit j comes from h2 for j<32 else h1 — matching
 # functions/hashing.py's double-exact split. DuckDB shifts are integer-
 # exact so it reads the bit directly from each half.
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
+            for s in {list(range(16))}] AS sig
+    FROM sh
+),
+band AS (
+    SELECT doc_id, b.b AS band_idx,
+           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '')) AS band_key
+    FROM sig, (SELECT unnest([0,1,2,3]) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b, {_JACCARD} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.7
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+    UNION
+    SELECT doc_a AS src, doc_a AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_b AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach
+GROUP BY src
+""",
+    tags=("dedup", "clusters"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: MinHash-LSH verified pairs -> connected
+    components by iterative min-label propagation (cluster_id = lowest
+    reachable doc_id = the keeper). The oracle computes the same
+    components via a recursive-CTE transitive closure, so the iterative
+    Spark algorithm is checked against an independent formulation —
+    chains (a~b~c without a~c) must cluster together in both."""
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
 _SIMHASH_SQL = f"""
 CAST(list_sum([CASE WHEN list_sum(list_transform(toks,
         t -> CASE WHEN (CASE WHEN j < 32

@@ -60,3 +60,14 @@ def test_simhash_pairs_exact_dups_distance_zero(spark):
 def test_short_doc_yields_no_pairs(spark):
     pairs = minhash_lsh_pairs(_docs(spark)).collect()
     assert not any(5 in (r.doc_a, r.doc_b) for r in pairs)
+
+
+def test_dedup_clusters_chains_transitively(spark):
+    from stock_bars_data_engineering_project_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3 (no direct 1~3 edge) + separate pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
