@@ -301,13 +301,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # Materialize once (truncating lineage), then run the convergence
+        # check against the checkpointed data — checking before
+        # checkpointing would compute the round twice.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(
