@@ -20,6 +20,8 @@ BENCH_QUERIES = [
     "flagship_analysis",
     "q1_pricing_summary",
     "j1_dim_join",
+    "q3_shipping_priority",
+    "q5_region_volume",
     "topk_per_group",
     "s6_sql_cte_chain",
     "win_tumbling_daily",

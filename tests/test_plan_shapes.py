@@ -55,3 +55,35 @@ def test_metadata_projection_prunes_columns(spark):
     # only the needed columns reach the scan, never a full-row read
     assert "ReadSchema: struct<doc_id" in plan
     assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_q3_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    # top-10 planned as TakeOrderedAndProject, not a full sort + limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_region_nation_broadcast(spark):
+    plan = _plan(spark, "q5_region_volume")
+    # the tiny region/nation dims never shuffle a fact side
+    assert "BroadcastHashJoin" in plan
+    # orderdate range predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q18_aggregates_before_join(spark):
+    plan = _plan(spark, "q18_large_orders")
+    # the HAVING subquery pre-reduces lineitem before any join: the
+    # aggregate must appear below the join in the formatted tree
+    agg = plan.index("HashAggregate")
+    join = plan.index("Join")
+    assert agg > join  # formatted plan lists children after parents
+
+
+def test_anti_and_semi_join_types(spark):
+    anti = _plan(spark, "anti_customers_no_urgent")
+    semi = _plan(spark, "semi_customers_recent_urgent")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+    # the orders side is filtered before joining
+    assert "EqualTo(o_orderpriority,1-URGENT)" in anti
