@@ -190,6 +190,67 @@ class ParquetWarehouse:
         version = self._write_snapshot(merged, table, partition_by)
         self._commit(table, version)
 
+    # -- table maintenance (beyond the reference; required at 100 TB) -------
+
+    def data_files(self, table: str, version: str | None = None) -> list[str]:
+        """Data files of a snapshot — the observable compaction metric."""
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        out: list[str] = []
+        for dirpath, _dirs, names in os.walk(
+            os.path.join(self.table_path(table), v)
+        ):
+            out.extend(
+                os.path.join(dirpath, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+        return sorted(out)
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """Small-file compaction: rewrite the latest snapshot into
+        ceil(bytes / target) files (per partition when hive-partitioned —
+        one file per partition directory, the right shape for pruned
+        reads). Micro-batch appends/merges accrete small files; at scale
+        the fix is a periodic rewrite sized to the parquet row-group
+        sweet spot (~128 MB), exactly Delta OPTIMIZE / Iceberg rewrite.
+        Runs as an ordinary snapshot write + pointer flip, so readers
+        see either the old or the compacted snapshot, never a mix.
+        """
+        total = sum(os.path.getsize(f) for f in self.data_files(table))
+        df = self.read(table)
+        if partition_by:
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        else:
+            n = max(1, -(-total // target_file_bytes))  # ceil div
+            df = df.repartition(n)
+        version = self._write_snapshot(df, table, partition_by)
+        self._commit(table, version)
+
+    def vacuum(self, table: str, keep_last: int = 2) -> None:
+        """Drop snapshot directories older than the newest ``keep_last``,
+        never touching the version the pointer references. Bounds storage
+        growth of the version history the same way Delta VACUUM does;
+        readers pinned to a vacuumed version fail loudly on next read
+        rather than seeing partial data.
+        """
+        current = self._latest_version(table)
+        tdir = self.table_path(table)
+        versions = sorted(
+            d for d in os.listdir(tdir)
+            if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
+        )
+        keep = set(versions[-keep_last:]) | ({current} if current else set())
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+
     # -- K6: run-metadata log ----------------------------------------------
 
     def log(self, table: str, message: str) -> None:

@@ -1,0 +1,88 @@
+"""Table-maintenance and bucketing tests: compaction, vacuum, and the
+exchange-free co-bucketed join — the write-side scale levers."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.sinks.bucketed import (
+    co_bucketed_join,
+    write_bucketed,
+)
+from stock_bars_data_engineering_project_spark.sinks.warehouse import ParquetWarehouse
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    # simulate micro-batch accretion: several small appends -> many files
+    for i in range(4):
+        wh.append(spark.range(i * 1000, (i + 1) * 1000).repartition(8), "t")
+    before = len(wh.data_files("t"))
+    assert before > 8
+    wh.compact("t", target_file_bytes=1 << 30)  # everything fits one file
+    assert len(wh.data_files("t")) == 1
+    assert wh.read("t").count() == 4000
+    assert wh.read("t").agg(F.sum("id")).first()[0] == sum(range(4000))
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 2000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    for _ in range(3):
+        wh.append(df, "t", partition_by=("bucket",))
+        df = df.withColumn("id", F.col("id") + 10000)
+    wh.compact("t", partition_by=("bucket",))
+    files = wh.data_files("t")
+    assert len(files) == 4  # one per hive partition
+    assert wh.read("t").count() == 6000
+
+
+def test_vacuum_drops_old_versions_keeps_current(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    for i in range(5):
+        wh.overwrite(spark.range(i, i + 10), "t")
+    assert wh.read("t", "v000001").count() == 10  # history readable
+    wh.vacuum("t", keep_last=2)
+    assert wh.read("t").agg(F.min("id")).first()[0] == 4  # latest intact
+    assert wh.read("t", "v000004").count() == 10  # kept
+    try:
+        wh.read("t", "v000001").count()
+        raise AssertionError("vacuumed version should not be readable")
+    except Exception:
+        pass
+
+
+def test_cobucketed_join_is_exchange_free(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"), "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ("orderkey",), 8, sort_cols=("orderkey",))
+    write_bucketed(lineitem, "b_lineitem", ("orderkey",), 8, sort_cols=("orderkey",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        # force the fact-fact path (broadcast would hide the exchange)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = co_bucketed_join(spark, "b_orders", "b_lineitem", on=["orderkey"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # the whole point: bucketed scans feed the join with NO shuffle
+        assert "Exchange" not in plan
+        expected = lineitem.join(orders, on=["orderkey"]).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
