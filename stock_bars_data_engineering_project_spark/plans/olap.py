@@ -1,0 +1,194 @@
+"""OLAP-variety queries: grouping sets, rank-family windows, per-group
+percentiles, outer-join reconciliation, UNION ALL.
+
+The reference's aggregate surface is max + count (SURVEY §2.4) and its
+window surface is lag/avg/stddev (§2.5); these queries complete the
+standard OLAP menu so a warehouse user switching engines finds every
+shape they run today. All are single-shuffle plans: grouping-set
+expansion happens map-side before the exchange, the rank family shares
+one sort, and the outer join shuffles both pre-aggregated (tiny) sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up, sql_round
+from ..sources.readers import load_table
+from .registry import register
+
+
+@register(
+    "cube_order_counts",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grouping_level,
+       COUNT(*) AS n_orders,
+       {sql_round('SUM(o_totalprice)', 2)} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "cube"),
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with GROUPING() disambiguation — all four
+    grouping sets in one pass (map-side expansion, one exchange). The
+    grouping_level column distinguishes a real NULL dimension value from
+    a subtotal row, exactly as ANSI intends; complements rollup_pricing's
+    hierarchy with the full lattice."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       {sql_round('quantile_cont(o.o_totalprice, 0.25)', 4)} AS p25,
+       {sql_round('quantile_cont(o.o_totalprice, 0.5)', 4)} AS p50,
+       {sql_round('quantile_cont(o.o_totalprice, 0.9)', 4)} AS p90,
+       {sql_round('MAX(o.o_totalprice)', 2)} AS max_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("agg", "stats"),
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles of order value by market
+    segment (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
+    interpolation). Exact is the correctness baseline; the 100 TB path
+    swaps `approx_percentile` (t-digest sketch, mergeable map-side) —
+    the error of that swap is bounded in tests/test_stats.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            round_half_up(F.expr("percentile(o_totalprice, 0.25D)"), 4).alias("p25"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
+            round_half_up(F.expr("percentile(o_totalprice, 0.9D)"), 4).alias("p90"),
+            round_half_up(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+SELECT user_id, event_id, value,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cume_bps
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+""",
+    tags=("window", "rank"),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family windows the reference lacks — dense_rank, ntile,
+    cume_dist — all over ONE partition/order spec so Catalyst plans a
+    single exchange + sort for the three functions. Ordering made
+    tie-free with the event_id tiebreak (cross-engine determinism);
+    cume_dist scaled to integer basis points to avoid double-hash
+    divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        # FLOOR on both sides: Spark's double->bigint cast truncates while
+        # DuckDB's rounds, so the truncation is made explicit
+        F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cume_bps"),
+    )
+
+
+@register(
+    "full_outer_year_reconcile",
+    oracle="""
+WITH y99 AS (
+    SELECT o_custkey, COUNT(*) AS n99 FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY o_custkey
+), y00 AS (
+    SELECT o_custkey, COUNT(*) AS n00 FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY o_custkey
+)
+SELECT COALESCE(y99.o_custkey, y00.o_custkey) AS custkey,
+       COALESCE(y99.n99, 0) AS n99,
+       COALESCE(y00.n00, 0) AS n00,
+       COALESCE(y00.n00, 0) - COALESCE(y99.n99, 0) AS delta
+FROM y99 FULL OUTER JOIN y00 ON y99.o_custkey = y00.o_custkey
+""",
+    tags=("join", "outer"),
+)
+def full_outer_year_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: per-customer order counts across two
+    years, keeping customers present in either (the audit/diff shape).
+    Both sides pre-aggregate BEFORE the outer join, so the join input is
+    one row per customer-year, not raw orders — at 100 TB the outer join
+    shuffles keys, not facts."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, key: str, alias: str) -> DataFrame:
+        # distinct key names per side: both frames descend from the same
+        # scan, so qualified access would be ambiguous after the join
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias(key))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    y99 = year_counts(1999, "ck99", "n99")
+    y00 = year_counts(2000, "ck00", "n00")
+    return (
+        y99.join(y00, F.col("ck99") == F.col("ck00"), "full_outer")
+        .select(
+            F.coalesce(F.col("ck99"), F.col("ck00")).alias("custkey"),
+            F.coalesce(F.col("n99"), F.lit(0)).alias("n99"),
+            F.coalesce(F.col("n00"), F.lit(0)).alias("n00"),
+            (F.coalesce(F.col("n00"), F.lit(0)) - F.coalesce(F.col("n99"), F.lit(0))).alias(
+                "delta"
+            ),
+        )
+    )
+
+
+@register(
+    "union_all_tagged_events",
+    oracle="""
+SELECT 'high' AS band, event_id, user_id, value FROM events WHERE value >= 90
+UNION ALL
+SELECT 'error' AS band, event_id, user_id, value FROM events WHERE event_type = 'error'
+""",
+    tags=("setop",),
+)
+def union_all_tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with a provenance tag — bag semantics (a row matching
+    both arms appears twice), the standard multi-source concatenation.
+    Plans as a no-shuffle Union of two pushed-down scans."""
+    ev = load_table(spark, sf_dir, "events")
+    high = ev.filter(F.col("value") >= 90).select(
+        F.lit("high").alias("band"), "event_id", "user_id", "value"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error").alias("band"), "event_id", "user_id", "value"
+    )
+    return high.unionByName(err)
