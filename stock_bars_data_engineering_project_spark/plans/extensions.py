@@ -23,6 +23,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.asof import asof_join
+from ..operators.contamination import contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.dedup import (
@@ -199,6 +200,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (a~b~c without a~c) must cluster together in both."""
     pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
     return dedup_clusters(pairs)
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH {_SH_CTE},
+bench AS (
+    SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 20 = 0
+),
+corp AS (
+    SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+    FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_overlap,
+       {sql_round('CAST(COUNT(*) AS DOUBLE) / c.n_shingles', 4)} AS contamination
+FROM corp c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id, c.n_shingles
+""",
+    tags=("text", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 20 != 0) scored
+    by 3-gram shingle overlap against a held-out benchmark split
+    (doc_id % 20 == 0). The benchmark's distinct shingle set broadcasts;
+    the corpus side is a map-side join + one aggregate — no corpus
+    shuffle at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    out = contamination_overlap(corpus, benchmark, k=3)
+    return out.withColumn("n_shingles", F.col("n_shingles").cast("bigint"))
 
 
 _SIMHASH_SQL = f"""

@@ -158,7 +158,9 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
-    src = os.path.join("/tmp", f"stream_src_{abs(hash(sf_dir))}")
+    # stable name: Python's str hash is per-process randomized, which would
+    # re-stage the directory every run
+    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
     if not os.path.isdir(src):
         batch.write.mode("overwrite").parquet(src)
     events = spark.readStream.schema(batch.schema).parquet(src)
@@ -192,7 +194,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = batch.schema
     # stage the (timestamp-normalized) events as a stream source dir
-    src = os.path.join("/tmp", f"stream_src_{abs(hash(sf_dir))}")
+    # stable name: Python's str hash is per-process randomized, which would
+    # re-stage the directory every run
+    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
     if not os.path.isdir(src):
         batch.write.mode("overwrite").parquet(src)
     events = stream_events(spark, src, schema, watermark="1 hour")
@@ -213,3 +217,54 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       v.event_id AS view_id
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL '1 hour'
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
+  AND v.ts >= TIMESTAMP '2024-01-25 00:00:00'
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases matched to the
+    same user's views in the preceding hour — two readStream sources,
+    watermark + event-time range predicate bounding both join states,
+    append-mode drain. A finite availableNow drain emits exactly the
+    batch interval join, which is what the oracle computes."""
+    import os
+
+    from ..streaming.joins import interval_join
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    schema = batch.schema
+    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(src):
+        batch.write.mode("overwrite").parquet(src)
+    purchases = stream_events(spark, src, schema, watermark="1 hour").filter(
+        F.col("event_type") == "purchase"
+    )
+    views = stream_events(spark, src, schema, watermark="1 hour").filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts", max_lag="1 hour"
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+    run_stream_to_memory(joined, "stream_interval_join", output_mode="append")
+    return spark.table("stream_interval_join")

@@ -1,0 +1,46 @@
+"""Watermarked stream-stream joins.
+
+The reference's incremental loop correlates nothing across events; a
+streaming engine must. Structured Streaming's stream-stream inner join
+emits a match as soon as both sides arrive; the watermarks plus the
+event-time range predicate bound how long each side's rows are buffered
+in state (without them, both join states grow forever). On a finite
+availableNow drain the inner join therefore emits exactly the batch
+interval-join result — which is what the DuckDB oracle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_lag: str = "1 hour",
+) -> DataFrame:
+    """Inner-join ``left`` and ``right`` on ``key`` where the right event
+    happened within ``[left_ts - max_lag, left_ts]``. Works identically
+    on batch DataFrames and on watermarked streams (callers apply
+    ``withWatermark`` on each stream; the range predicate below is what
+    lets the engine evict buffered rows once the watermark passes).
+    """
+    lk, rk = f"l_{key}", f"r_{key}"
+    lt = left.select(
+        F.col(key).alias(lk),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rt = right.select(
+        F.col(key).alias(rk),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    )
+    return lt.join(rt, cond, "inner")
