@@ -20,6 +20,7 @@ from ..functions.text import (
     rolling_fingerprint,
     stopword_ratio,
     token_count,
+    word_shingles,
     tokens,
 )
 from ..operators.asof import asof_join
@@ -200,6 +201,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (a~b~c without a~c) must cluster together in both."""
     pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
     return dedup_clusters(pairs)
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    WHERE len(l) >= 2
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       {sql_round('1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)', 4)}
+           AS dup_ratio
+FROM g
+""",
+    tags=("text", "quality"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality filter): fraction
+    of 2-gram occurrences that are repeats of an earlier 2-gram in the
+    same document. Pure per-row expression work — map-only, no shuffle,
+    whole-stage codegen; the shape that runs at scan speed on 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_shingles(F.col("text"), 2)
+    return (
+        docs.select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            round_half_up(
+                1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 4
+            ).alias("dup_ratio"),
+        )
+    )
 
 
 @register(

@@ -32,7 +32,11 @@ from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa:
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from stock_bars_data_engineering_project_spark.operators.contamination import (  # noqa: E402
+    contamination_overlap,
+)
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
+from stock_bars_data_engineering_project_spark.streaming.joins import interval_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.session import get_spark  # noqa: E402
 from stock_bars_data_engineering_project_spark.sources.readers import load_table  # noqa: E402
 from stock_bars_data_engineering_project_spark.streaming.windows import tumbling_agg  # noqa: E402
@@ -98,6 +102,17 @@ def run(spark, path: str) -> dict[str, float]:
         "tumbling_agg": lambda: tumbling_agg(events, duration="1 day"),
         "salted_topk": lambda: salted_topk(
             events, ("user_id",), "value", "event_id", k=3, n_salt=8
+        ),
+        "contamination": lambda: contamination_overlap(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+        ),
+        "interval_join": lambda: interval_join(
+            events.filter(F.col("event_type") == "purchase"),
+            events.filter(F.col("event_type") == "view"),
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
         ),
     }
     times = {}
