@@ -27,7 +27,12 @@ import hashlib
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 BARS_SCHEMA = (
     "symbol string, c double, h double, l double, n bigint, o double, "
@@ -144,6 +149,9 @@ class StockBarsDataSource(DataSource):
     def reader(self, schema) -> "StockBarsReader":
         return StockBarsReader(self.options)
 
+    def streamReader(self, schema) -> "StockBarsStreamReader":
+        return StockBarsStreamReader(self.options)
+
 
 class StockBarsReader(DataSourceReader):
     def __init__(self, options):
@@ -186,6 +194,77 @@ class StockBarsReader(DataSourceReader):
                 )
         else:
             yield from synth_bars(partition.symbol, self.start, self.end, self.seed)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, symbol: str, start: str, end: str):
+        self.symbol = symbol
+        self.start = start  # exclusive
+        self.end = end  # inclusive
+
+
+class StockBarsStreamReader(DataSourceStreamReader):
+    """The reference's incremental loop — "poll since checkpoint, load,
+    advance watermark" (stock_bars.py:36-89, SURVEY §2.8) — as a REAL
+    Structured Streaming source. The offset IS the reference's
+    checkpoint date; Spark's offset log replaces the hand-rolled
+    ``check_points`` table, and exactly-once comes from offset-ranged
+    replay instead of Q9's overlap-plus-upsert healing.
+
+    Each micro-batch covers ``(last_offset_date, available_date]``;
+    ``available_date`` advances ``batch_days`` per poll up to ``end``
+    (deterministic bounded replay offline; a live deployment would
+    return today's date). Partitions split by symbol per batch, so
+    ingestion parallelizes across executors within every micro-batch.
+    """
+
+    def __init__(self, options):
+        self.symbols = [
+            s.strip()
+            for s in options.get("symbols", DEFAULT_SYMBOLS).split(",")
+            if s.strip()
+        ]
+        self.start = _dt.date.fromisoformat(options.get("start", "2025-09-01"))
+        self.end = (
+            _dt.date.fromisoformat(options["end"])
+            if "end" in options
+            else self.start + _dt.timedelta(days=30)
+        )
+        self.seed = int(options.get("seed", "42"))
+        self.batch_days = int(options.get("batch_days", "7"))
+        self._cursor = self.start - _dt.timedelta(days=1)
+
+    def initialOffset(self) -> dict:
+        return {"date": (self.start - _dt.timedelta(days=1)).isoformat()}
+
+    def latestOffset(self) -> dict:
+        self._cursor = min(
+            self._cursor + _dt.timedelta(days=self.batch_days), self.end
+        )
+        return {"date": self._cursor.isoformat()}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _RangePartition(s, start["date"], end["date"]) for s in self.symbols
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        lo = _dt.date.fromisoformat(partition.start) + _dt.timedelta(days=1)
+        hi = _dt.date.fromisoformat(partition.end)
+        if lo > hi:
+            return
+        # Replay the walk from series start and slice the batch's range:
+        # the geometric walk chains day-to-day, so starting a fresh walk
+        # at `lo` would emit different bars than the batch reader for the
+        # same days. Replay keeps stream ≡ batch bar-for-bar.
+        cutoff = lo.isoformat()
+        for row in synth_bars(partition.symbol, self.start, hi, self.seed):
+            if row[6][:10] >= cutoff:  # row[6] = ISO timestamp string
+                yield row
+
+    def commit(self, end: dict) -> None:
+        # offsets are durable in Spark's offset log; nothing to clean up
+        pass
 
 
 def _ship_package(spark) -> None:

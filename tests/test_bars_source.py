@@ -39,3 +39,42 @@ def test_offline_determinism(spark):
     a = sorted(map(tuple, _read(spark).collect()))
     b = sorted(map(tuple, _read(spark).collect()))
     assert a == b
+
+
+def test_stream_reader_matches_batch(spark, tmp_path):
+    """The streaming source, drained across several micro-batches, must
+    emit exactly the batch read's rows (offset-ranged replay, no dup/loss
+    across batch boundaries of the chained walk)."""
+    import time
+
+    register(spark)
+    opts = {"symbols": "AAPL,MSFT", "start": "2025-09-01", "end": "2025-09-30"}
+    batch = sorted(map(tuple, _read(spark, **opts).collect()))
+
+    stream = (
+        spark.readStream.format("stockbars")
+        .option("symbols", opts["symbols"])
+        .option("start", opts["start"])
+        .option("end", opts["end"])
+        .option("batch_days", "7")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("bars_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table("bars_stream_test").count()
+            if got >= len(batch):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    streamed = sorted(map(tuple, spark.table("bars_stream_test").collect()))
+    assert streamed == batch
