@@ -17,12 +17,22 @@ from pyspark.sql import DataFrame
 
 
 def upsert_frames(
-    target: DataFrame, source: DataFrame, keys: tuple[str, ...]
+    target: DataFrame,
+    source: DataFrame,
+    keys: tuple[str, ...],
+    allow_schema_drift: bool = False,
 ) -> DataFrame:
     """Rows of ``source`` win on key collision; target rows without a
     colliding key survive. Source is deduped on the keys first (Q6 — the
-    reference's one-statement-one-key contract, made explicit)."""
+    reference's one-statement-one-key contract, made explicit).
+
+    With ``allow_schema_drift`` the union tolerates asymmetric columns
+    (Delta-style additive schema evolution): columns new in the source
+    backfill NULL on old target rows, columns the source dropped carry
+    NULL on new rows. Key columns must exist on both sides regardless.
+    Default is strict — silent drift is a bug in most pipelines.
+    """
     src = source.dropDuplicates(list(keys))
     on = [src[k].eqNullSafe(target[k]) for k in keys]
     kept = target.join(src, on=on, how="left_anti")
-    return kept.unionByName(src)
+    return kept.unionByName(src, allowMissingColumns=allow_schema_drift)

@@ -120,7 +120,13 @@ class ParquetWarehouse:
 
     # -- writes (K1/K2/K3/K4) ----------------------------------------------
 
-    def append(self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: tuple[str, ...] = (),
+        allow_schema_drift: bool = False,
+    ) -> None:
         """K1: append insert (postgresql.py:70-73) — new snapshot = old ∪ batch.
 
         Written as a union-snapshot rather than in-place add so readers are
@@ -130,7 +136,9 @@ class ParquetWarehouse:
         prior files instead of copying (noted TODO; semantics identical).
         """
         if self.exists(table):
-            df = self.read(table).unionByName(df)
+            df = self.read(table).unionByName(
+                df, allowMissingColumns=allow_schema_drift
+            )
         version = self._write_snapshot(df, table, partition_by)
         self._commit(table, version)
 
@@ -152,6 +160,7 @@ class ParquetWarehouse:
         table: str,
         keys: tuple[str, ...],
         partition_by: tuple[str, ...] = (),
+        allow_schema_drift: bool = False,
     ) -> None:
         """K3: keyed upsert — MERGE WHEN MATCHED UPDATE SET * / WHEN NOT
         MATCHED INSERT * (postgresql.py:79-91).
@@ -184,9 +193,12 @@ class ParquetWarehouse:
             untouched = target.join(
                 F.broadcast(parts), on=list(partition_by), how="left_anti"
             )
-            merged = untouched.unionByName(upsert_frames(touched, src, keys))
+            merged = untouched.unionByName(
+                upsert_frames(touched, src, keys, allow_schema_drift),
+                allowMissingColumns=allow_schema_drift,
+            )
         else:
-            merged = upsert_frames(target, src, keys)
+            merged = upsert_frames(target, src, keys, allow_schema_drift)
         version = self._write_snapshot(merged, table, partition_by)
         self._commit(table, version)
 

@@ -86,3 +86,29 @@ def test_cobucketed_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_schema_drift_backfills_nulls(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    wh.merge(v1, "t", keys=("id",))
+    # source adds a column: old rows backfill NULL, collisions take source
+    v2 = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "c", 1.0)], "id long, val string, score double"
+    )
+    wh.merge(v2, "t", keys=("id",), allow_schema_drift=True)
+    got = {r.id: (r.val, r.score) for r in wh.read("t").collect()}
+    assert got == {1: ("a", None), 2: ("B", 9.5), 3: ("c", 1.0)}
+
+
+def test_merge_strict_rejects_drift(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.merge(spark.createDataFrame([(1, "a")], "id long, val string"), "t", keys=("id",))
+    drifted = spark.createDataFrame([(2, "b", 1.0)], "id long, val string, extra double")
+    try:
+        wh.merge(drifted, "t", keys=("id",))
+        raise AssertionError("strict merge should reject asymmetric schemas")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # analysis error from unionByName, as intended
