@@ -115,6 +115,42 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_ohlc_daily",
+    oracle=f"""
+SELECT user_id,
+       CAST(ts AS DATE) AS day,
+       {sql_round('arg_min(value, ts)', 4)} AS open_v,
+       {sql_round('MAX(value)', 4)} AS high_v,
+       {sql_round('MIN(value)', 4)} AS low_v,
+       {sql_round('arg_max(value, ts)', 4)} AS close_v,
+       COUNT(*) AS n_ticks
+FROM events
+GROUP BY user_id, CAST(ts AS DATE)
+""",
+    tags=("agg", "resample", "ohlc"),
+)
+def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-bar resampling — the inverse of the reference's pipeline
+    (which CONSUMES daily bars): raw events collapse to per-key daily
+    OHLC candles in ONE aggregate pass via min_by/max_by (no window, no
+    sort — partial-aggregable, so 100 TB of ticks reduce map-side).
+    Spark side keys min_by on (ts, event_id) for tie-robustness; the
+    oracle's plain arg_min(ts) agrees because (user_id, ts) is unique
+    in this data."""
+    ev = load_table(spark, sf_dir, "events")
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        round_half_up(F.min_by("value", tie), 4).alias("open_v"),
+        round_half_up(F.max("value"), 4).alias("high_v"),
+        round_half_up(F.min("value"), 4).alias("low_v"),
+        round_half_up(F.max_by("value", tie), 4).alias("close_v"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@register(
     "full_outer_year_reconcile",
     oracle="""
 WITH y99 AS (
