@@ -208,6 +208,92 @@ def full_outer_year_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_status_by_segment",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS n_pending,
+       {sql_round("SUM(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice ELSE 0 END)", 2)} AS open_value
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: order status pivoted into columns per market
+    segment. Uses an EXPLICIT pivot value list — without it Spark runs
+    an extra distinct pass over 100 TB just to discover the columns, and
+    the output schema becomes data-dependent (a deploy hazard). The
+    conditional-aggregation form is the same single-shuffle plan the
+    oracle spells out."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("val"),
+        )
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+        F.col("P_n").alias("n_pending"),
+        round_half_up(F.col("O_val"), 2).alias("open_value"),
+    )
+
+
+@register(
+    "corr_to_market",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS user_avg
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+), market AS (
+    SELECT CAST(ts AS DATE) AS day, AVG(value) AS mkt_avg
+    FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT d.user_id,
+       COUNT(*) AS n_days,
+       {sql_round('corr(d.user_avg, m.mkt_avg)', 3)} AS market_corr
+FROM daily d JOIN market m ON d.day = m.day
+GROUP BY d.user_id
+HAVING COUNT(*) >= 5
+""",
+    tags=("agg", "stats", "corr"),
+)
+def corr_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key correlation to the market aggregate (the beta/correlation
+    screen a bars engine runs across every symbol): two partial
+    aggregates, a broadcast-sized join on day, then `corr` — itself
+    partial-aggregable, so the whole plan is three map-side-reduced
+    shuffles of key-sized data, never raw ticks. Rounded to 3 places:
+    corr's running-moment accumulation order differs across engines in
+    the last few ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("user_avg")
+    )
+    market = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("mkt_avg")
+    )
+    return (
+        daily.join(F.broadcast(market), "day")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_half_up(F.corr("user_avg", "mkt_avg"), 3).alias("market_corr"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+
+
+@register(
     "union_all_tagged_events",
     oracle="""
 SELECT 'high' AS band, event_id, user_id, value FROM events WHERE value >= 90
