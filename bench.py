@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "text_quality_score",
     "text_fingerprint",
+    "contamination_check",
+    "resample_ohlc_daily",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "asof_join_marks",
