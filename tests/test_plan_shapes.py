@@ -87,3 +87,40 @@ def test_anti_and_semi_join_types(spark):
     assert "LeftSemi" in semi
     # the orders side is filtered before joining
     assert "EqualTo(o_orderpriority,1-URGENT)" in anti
+
+
+# Queries allowed to contain a BroadcastNestedLoopJoin: each crosses the
+# corpus against a SMALL broadcast side by design (ANN query sets /
+# centroid tables), so the NLJ's build side is O(k), not a fact table.
+_NLJ_ALLOWED = {
+    "dedup_embedding_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+}
+
+
+def test_no_query_plans_a_scale_hazard(spark):
+    """Global audit: no registered batch query may plan a cartesian
+    product, a row-at-a-time Python eval, or an unexpected broadcast
+    nested-loop join — the three shapes that melt at 100 TB."""
+    from stock_bars_data_engineering_project_spark.plans import get_queries
+
+    offenders = {}
+    for name, fn in get_queries().items():
+        if name.startswith("stream_"):
+            continue  # these execute a streaming drain on call
+        plan = _plan_of(fn(spark, "/root/testdata/sf0.001"))
+        bad = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def _plan_of(df):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
