@@ -208,6 +208,79 @@ def full_outer_year_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_2day",
+    oracle=f"""
+SELECT user_id, ts, value,
+       {sql_round('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW)''', 2)}
+           AS sum_2d,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW)
+           AS n_2d
+FROM events
+""",
+    tags=("window", "range"),
+)
+def window_range_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame — every row aggregates the trailing 2 days
+    of ITS OWN key, however many rows that is (the frame the reference's
+    ROWS-4 window approximates only because its bars are exactly daily).
+    Spark expresses interval ranges as rangeBetween over epoch MICROS —
+    integer-exact, matching the oracle's microsecond timestamp
+    arithmetic (epoch seconds would truncate sub-second components and
+    shift frame boundaries); ordering by a monotone transform of ts
+    keeps one shuffle + one sort for both window functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-2 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        round_half_up(F.sum("value").over(w), 2).alias("sum_2d"),
+        F.count(F.lit(1)).over(w).alias("n_2d"),
+    )
+
+
+@register(
+    "window_day_anchors",
+    oracle=f"""
+SELECT user_id, ts, value,
+       {sql_round('FIRST_VALUE(value) OVER w', 4)} AS day_open,
+       {sql_round('LAST_VALUE(value) OVER w', 4)} AS running_last,
+       {sql_round('NTH_VALUE(value, 2) OVER w', 4)} AS second_tick
+FROM events
+WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "anchors"),
+)
+def window_day_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value anchors within a (key, day) partition — the
+    intraday 'open so far / latest / second tick' markers. The explicit
+    growing ROWS frame makes last_value mean 'running last' identically
+    in both engines (the ANSI default frame would too, but implicitly);
+    tie-free ordering via event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        round_half_up(F.first("value").over(w), 4).alias("day_open"),
+        round_half_up(F.last("value").over(w), 4).alias("running_last"),
+        round_half_up(F.nth_value("value", 2).over(w), 4).alias("second_tick"),
+    )
+
+
+@register(
     "pivot_status_by_segment",
     oracle=f"""
 SELECT c.c_mktsegment,
