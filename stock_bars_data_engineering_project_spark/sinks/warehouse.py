@@ -143,9 +143,27 @@ class ParquetWarehouse:
         self._commit(table, version)
 
     def overwrite(
-        self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: tuple[str, ...] = (),
+        cluster_by: tuple[str, ...] = (),
+        n_files: int | None = None,
     ) -> None:
-        """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip."""
+        """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip.
+
+        ``cluster_by`` range-partitions and sorts the snapshot on the
+        given columns before writing: every data file then covers a
+        disjoint range, so a pushed-down predicate on the cluster key
+        skips whole files/row-groups via parquet min/max stats — the
+        poor man's Z-order, and the single biggest read-amplification
+        lever for time-filtered scans at 100 TB.
+        """
+        if cluster_by:
+            # explicit n_files pins the range-split width (AQE otherwise
+            # coalesces small data to one file, defeating the layout)
+            args = ([n_files] if n_files else []) + [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         version = self._write_snapshot(df, table, partition_by)
         self._commit(table, version)
 

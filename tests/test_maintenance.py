@@ -112,3 +112,33 @@ def test_merge_strict_rejects_drift(spark, tmp_path):
         raise
     except Exception:
         pass  # analysis error from unionByName, as intended
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered snapshots: each parquet file covers a disjoint
+    span of the cluster key, so min/max stats can skip whole files for
+    a key-range predicate."""
+    import pyarrow.parquet as pq
+
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    events = load_table(spark, SF_SMALL, "events")
+    wh.overwrite(
+        events.select("event_id", "value"), "t", cluster_by=("event_id",), n_files=4
+    )
+    ranges = []
+    for f in wh.data_files("t"):
+        meta = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)  # event_id
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually range-split into multiple files
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (at most touching) spans
+    # and the data survived intact
+    assert wh.read("t").count() == events.count()
