@@ -27,6 +27,7 @@ from ..operators.asof import asof_join
 from ..operators.contamination import contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
+from ..operators.ema import ewma_per_key
 from ..operators.dedup import (
     dedup_clusters,
     embedding_dup_pairs,
@@ -201,6 +202,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains (a~b~c without a~c) must cluster together in both."""
     pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
     return dedup_clusters(pairs)
+
+
+@register(
+    "ewma_per_user",
+    oracle=f"""
+WITH lists AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vals,
+           list(event_id ORDER BY ts, event_id) AS ids,
+           list(ts ORDER BY ts, event_id) AS tss
+    FROM events GROUP BY user_id
+), expanded AS (
+    SELECT user_id,
+           unnest(ids) AS event_id,
+           unnest(tss) AS ts,
+           unnest(vals) AS value,
+           unnest(list_transform(range(1, len(vals) + 1),
+               i -> list_reduce(vals[1:i], (acc, x) -> 0.9 * acc + 0.1 * x)))
+               AS ema_raw
+    FROM lists
+)
+SELECT user_id, event_id, ts, value,
+       {sql_round('ema_raw', 6)} AS ema
+FROM expanded
+""",
+    tags=("window", "ema", "pandas-udf"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponential moving average (alpha=0.1) — recursive state
+    SQL windows can't express, run as the engine's designed escape
+    hatch: Arrow-batched applyInPandas per key (vectorized ewm kernel,
+    never row-at-a-time Python). The oracle replays the identical
+    recursion with list_reduce prefix folds, so the sequential float
+    accumulation matches bit-for-bit before the shared HALF_UP round."""
+    events = load_table(spark, sf_dir, "events")
+    out = ewma_per_key(events, alpha=0.1)
+    return out.withColumn("ema", round_half_up(F.col("ema"), 6))
 
 
 @register(
