@@ -205,6 +205,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_roundtrip_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(j, '$.uid') AS BIGINT) AS uid,
+       json_extract_string(j, '$.meta.et') AS etype
+FROM (
+    SELECT event_id,
+           to_json(struct_pack(uid := user_id,
+                               meta := struct_pack(et := event_type))) AS j
+    FROM events
+)
+""",
+    tags=("json", "scalar"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (the reference parses API JSON in Python,
+    SURVEY §2.9 lists JSON-in-SQL as absent — a warehouse engine needs
+    it): serialize a nested struct to JSON, then extract typed scalars
+    back out with path expressions. Each engine round-trips through its
+    OWN serializer, so the comparison checks path-extraction semantics,
+    not byte formatting. Map-only, codegen'd — scan-speed at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.struct(F.col("event_type").alias("et")).alias("meta"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object(j, "$.uid").cast("bigint").alias("uid"),
+        F.get_json_object(j, "$.meta.et").alias("etype"),
+    )
+
+
+@register(
     "ewma_per_user",
     oracle=f"""
 WITH lists AS (

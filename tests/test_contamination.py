@@ -77,3 +77,24 @@ def test_interval_join_requires_same_user(spark):
         right_ts="ts",
     )
     assert got.count() == 0
+
+
+def test_ewma_matches_hand_computation(spark):
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(hours=i), v)
+        for i, v in enumerate([10.0, 20.0, 30.0, 40.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ema
+        for r in ewma_per_key(df, alpha=0.5).collect()
+    }
+    # y1=10, y2=.5*10+.5*20=15, y3=.5*15+.5*30=22.5, y4=.5*22.5+.5*40=31.25
+    assert got == {0: 10.0, 1: 15.0, 2: 22.5, 3: 31.25}
