@@ -205,6 +205,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_event_sequences",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM ranked
+WHERE rn <= 50
+GROUP BY user_id
+""",
+    tags=("sequence", "agg"),
+)
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-entity history construction (the behavioral-sequence
+    shape every event-history training pipeline needs): first 50 events
+    per user as a comma-joined type sequence. Order is made explicit —
+    collect_list alone has NO ordering guarantee after a shuffle, so the
+    list is collected as (ts, event_id, type) structs and array_sort'ed
+    (struct compare = lexicographic on fields) before projection. The
+    rank-filter prunes per-key history BEFORE collection (WindowGroupLimit),
+    bounding state at k rows per key regardless of key skew."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("seq"),
+        )
+    )
+
+
+@register(
     "json_roundtrip_extract",
     oracle="""
 SELECT event_id,
