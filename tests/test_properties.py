@@ -113,3 +113,97 @@ def test_word_shingles_count_law(spark, words, k):
     n_tokens = len(text.split(" "))  # split semantics: '' -> ['']
     assert len(row.sh) == max(0, n_tokens - k + 1)
     assert all(len(s.split(" ")) == k for s in row.sh)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_edges)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    from stock_bars_data_engineering_project_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+
+    # independent model: classic union-find with min-relabel
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_series, st.floats(min_value=0.01, max_value=0.99))
+def test_ewma_matches_python_recursion(spark, values, alpha):
+    from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key
+
+    rows = [(i, 1, BASE + timedelta(hours=i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ema for r in ewma_per_key(df, alpha=alpha).collect()
+    }
+    y = values[0]
+    want = {0: y}
+    for i, x in enumerate(values[1:], start=1):
+        y = (1 - alpha) * y + alpha * x
+        want[i] = y
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k] or abs(got[k] - want[k]) <= 1e-9 * max(
+            1.0, abs(want[k])
+        )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_events, _events)
+def test_interval_join_matches_bruteforce(spark, lefts, rights):
+    from stock_bars_data_engineering_project_spark.streaming.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, u, BASE + timedelta(minutes=m)) for i, (u, m) in enumerate(rights)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in interval_join(
+            ldf, rdf, key="user_id", left_ts="ts", right_ts="ts", max_lag="1 hour"
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lu, lm) in enumerate(lefts)
+        for ri, (ru, rm) in enumerate(rights)
+        if lu == ru and lm - 60 <= rm <= lm
+    }
+    assert got == want
