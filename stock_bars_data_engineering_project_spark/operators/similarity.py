@@ -137,6 +137,65 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means refinement of an initial (cid, cv) centroid table
+    — the iterative-algorithm shape expressed as pure DataFrame ops, no
+    driver-side math: per iteration one map-only assignment
+    (ivf_assign's broadcast argmin fold) and one mean-recompute
+    (posexplode components -> partial-agg avg per (cid, dim) ->
+    re-assemble, i.e. ONE shuffle of |corpus| x dim scalars). Empty
+    clusters keep their previous centroid. Lineage is truncated per
+    iteration so the plan doesn't nest with iteration count.
+
+    Converges in the usual k-means sense (inertia non-increasing —
+    pinned by test); intended to polish the deterministic stride seed
+    that ivf_topk starts from."""
+    cents = centroids.select("cid", as_double(F.col("cv")).alias("cv"))
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, vec_col, id_col)
+        comp = assigned.select(
+            "cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        new = (
+            comp.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+        )
+        cents = (
+            cents.select("cid", F.col("cv").alias("old"))
+            .join(new, "cid", "left")
+            .select("cid", F.coalesce(F.col("cv"), F.col("old")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> float:
+    """Sum of squared distances to assigned centroids — the quantity
+    Lloyd iterations must not increase."""
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+    cents = centroids.select(F.col("cid"), as_double(F.col("cv")).alias("cv"))
+    return (
+        assigned.join(F.broadcast(cents), "cid")
+        .select(l2sq(F.col("embedding"), F.col("cv")).alias("d2"))
+        .agg(F.sum("d2"))
+        .first()[0]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,6 +204,7 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into inverted lists by
     nearest centroid (deterministic centroid seed: every
@@ -154,8 +214,12 @@ def ivf_topk(
     The scale shape: assignment is map-only (see ivf_assign); the probe
     join keys on cid, so each query reads ~nprobe/K of the corpus
     instead of all of it — the classic IVF recall/cost dial."""
-    cent = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
     )
     assigned = ivf_assign(corpus, cent, vec_col, id_col)
     q = queries.select(

@@ -37,7 +37,7 @@ from ..operators.dedup import (
     simhash_fingerprints,
     simhash_pairs,
 )
-from ..operators.similarity import cosine_topk, ivf_topk, lsh_ann_topk
+from ..operators.similarity import cosine_topk, ivf_topk, kmeans_refine, lsh_ann_topk
 from ..sources.readers import load_table
 from .registry import register
 
@@ -764,6 +764,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, centroid_stride=125, nprobe=4
     )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register("ann_topk_ivf_trained", oracle=None, tags=("similarity", "ivf", "kmeans"))
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over k-means-REFINED centroids: the stride seed is
+    polished with two Lloyd iterations (pure DataFrame ops — broadcast
+    argmin assignment + one posexplode mean shuffle per iteration),
+    then the same nprobe search runs against the trained lists.
+    Iterative algorithm => rows-only check; the k-means laws (inertia
+    non-increasing, assignment-to-nearest) are pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    trained = kmeans_refine(emb, seed, n_iters=2)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=trained)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

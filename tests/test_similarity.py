@@ -69,3 +69,45 @@ def test_ivf_recall_vs_bruteforce(spark):
         for r in ivf_topk(emb, q, k=10, centroid_stride=50, nprobe=max(1, n // 50) + 1).collect()
     }
     assert full == exact
+
+
+def test_kmeans_refine_never_increases_inertia(spark):
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        kmeans_inertia,
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    i0 = kmeans_inertia(emb, seed)
+    one = kmeans_refine(emb, seed, n_iters=1)
+    i1 = kmeans_inertia(emb, one)
+    two = kmeans_refine(emb, seed, n_iters=2)
+    i2 = kmeans_inertia(emb, two)
+    assert i1 <= i0 * (1 + 1e-9)
+    assert i2 <= i1 * (1 + 1e-9)
+    assert i1 < i0  # the seed is strictly improvable on this data
+
+
+def test_trained_ivf_recall_at_least_matches_seed(spark):
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
+    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    trained = kmeans_refine(emb, seed, n_iters=2)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, centroids=trained).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall too low: {recall:.2f}"
