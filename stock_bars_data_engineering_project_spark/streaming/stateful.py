@@ -77,3 +77,58 @@ def first_seen_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# streaming EMA: per-key recursive state carried across micro-batches
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+EMA_STATE_SCHEMA = T.StructType([T.StructField("ema", T.DoubleType())])
+
+
+def _ewma_update(alpha: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Fold the batch slice (event-time sorted) into the carried EMA.
+        The recursion y_t = (1-a)y_{t-1} + a·x_t continues EXACTLY where
+        the previous micro-batch left off — the state store holds one
+        double per key, the streaming analog of operators/ema.py."""
+        y = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            emas = []
+            for x in pdf["value"]:
+                y = x if y is None else (1.0 - alpha) * y + alpha * x
+                emas.append(y)
+            pdf = pdf.assign(ema=emas)
+            yield pdf[["user_id", "event_id", "ts", "value", "ema"]]
+        if y is not None:
+            state.update((float(y),))
+
+    return fn
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Streaming per-key EMA: applyInPandasWithState carries the last
+    smoothed value per key across micro-batches, so a restarted or
+    long-running stream emits the same series the batch operator
+    (operators/ema.py) computes over the full history — pinned by test.
+    Correctness requires event-time-ordered arrival across batches
+    (guaranteed by an upstream watermark + sorted replay; within a batch
+    the slice is sorted here)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_update(alpha),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -99,3 +99,54 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ewma_continues_state_across_batches(spark, tmp_path):
+    """Two micro-batches (time-split files, maxFilesPerTrigger=1): the
+    state store must carry each key's EMA across the batch boundary so
+    the stream emits exactly the batch operator's series."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+    from stock_bars_data_engineering_project_spark.streaming.stateful import ewma_stream
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    expected = {
+        r.event_id: r.ema for r in ewma_per_key(events, alpha=0.3).collect()
+    }
+    cut = events.agg(F.expr("percentile(unix_micros(ts), 0.5D)")).first()[0]
+    src = str(tmp_path / "src")
+    events.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source orders oldest-first
+    events.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ewma_stream(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.ema for r in spark.table("ewma_stream_test").collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v)), k
