@@ -96,6 +96,7 @@ _NLJ_ALLOWED = {
     "dedup_embedding_pairs",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_ivf_trained",
     "ann_topk_lsh",
 }
 

@@ -35,6 +35,7 @@ from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa:
 from stock_bars_data_engineering_project_spark.operators.contamination import (  # noqa: E402
     contamination_overlap,
 )
+from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
 from stock_bars_data_engineering_project_spark.streaming.joins import interval_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.session import get_spark  # noqa: E402
@@ -107,6 +108,7 @@ def run(spark, path: str) -> dict[str, float]:
             docs.filter(F.col("doc_id") % 20 != 0),
             docs.filter(F.col("doc_id") % 20 == 0),
         ),
+        "ewma": lambda: ewma_per_key(events),
         "interval_join": lambda: interval_join(
             events.filter(F.col("event_type") == "purchase"),
             events.filter(F.col("event_type") == "view"),
