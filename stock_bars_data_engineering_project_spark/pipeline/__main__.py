@@ -25,9 +25,22 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--warehouse", default="/tmp/stock_bars_warehouse")
     ap.add_argument("--config", default=None, help="YAML config (PipelineConfig)")
+    ap.add_argument(
+        "--corpus",
+        metavar="SF_DIR",
+        default=None,
+        help="run the training-corpus preparation pipeline over SF_DIR instead",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stock-bars-pipeline")
+    if args.corpus:
+        from .corpus_pipeline import run_corpus_pipeline
+
+        counts = run_corpus_pipeline(spark, args.corpus, args.warehouse)
+        print(json.dumps({"pipeline": "corpus", "warehouse": args.warehouse, **counts}))
+        return
+
     cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
     wh = ParquetWarehouse(spark, args.warehouse)
     dim = (

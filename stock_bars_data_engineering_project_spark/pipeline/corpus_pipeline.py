@@ -1,0 +1,118 @@
+"""Training-corpus preparation pipeline — the composed product path.
+
+The reference's pipeline (stock_pipeline.py) shows the orchestration
+shape: extract -> transform -> load -> derived rebuild, checkpointed.
+This module applies the same shape to the engine's training-data
+operators, in the order a real corpus build runs them:
+
+    raw documents
+      1. exact dedup              (drop byte-identical copies)
+      2. near-dup dedup           (MinHash-LSH pairs -> connected
+                                   components -> keep cluster keepers)
+      3. benchmark decontamination (drop docs overlapping the eval split)
+      4. PII scrub                 (regex replace, audited)
+      5. quality gate              (composite score threshold)
+      6. stable train/val/test split
+      7. token counts + sequence packing per (split, source) shard
+      8. snapshot write, partitioned by split, + run-log row
+
+Every stage is a pure DataFrame transform from the operator library —
+the pipeline adds only ordering and bookkeeping, so it scales exactly
+as its operators do. Stage row counts are collected once per stage
+(driver-side scalars, the same pattern as the reference's A2 logging).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, token_count
+from ..operators.contamination import contamination_overlap
+from ..operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
+from ..operators.sampling import stable_split
+from ..sinks.warehouse import ParquetWarehouse
+from ..sources.readers import load_table
+
+_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    max_contamination: float = 0.5,
+    pack_budget: int = 2048,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run stages 1-7 and return (final corpus frame, per-stage counts).
+
+    The benchmark used for decontamination is the deterministic
+    doc_id % 20 == 0 slice (standing in for a real eval suite); those
+    docs never enter the training corpus themselves.
+    """
+    counts: dict[str, int] = {"raw": docs.count()}
+
+    deduped = exact_dedup(docs)
+    counts["exact_dedup"] = deduped.count()
+
+    clusters = dedup_clusters(minhash_lsh_pairs(deduped))
+    near_drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    deduped = deduped.join(near_drops, "doc_id", "left_anti")
+    counts["near_dedup"] = deduped.count()
+
+    benchmark = deduped.filter(F.col("doc_id") % 20 == 0)
+    corpus = deduped.filter(F.col("doc_id") % 20 != 0)
+    contaminated = (
+        contamination_overlap(corpus, benchmark)
+        .filter(F.col("contamination") > max_contamination)
+        .select("doc_id")
+    )
+    corpus = corpus.join(contaminated, "doc_id", "left_anti")
+    counts["decontaminated"] = corpus.count()
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    corpus = corpus.withColumn("text", scrubbed)
+
+    corpus = corpus.filter(quality_score(F.col("text")) >= min_quality)
+    counts["quality_gated"] = corpus.count()
+
+    corpus = stable_split(corpus)
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    corpus = (
+        corpus.withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / pack_budget).cast("long"),
+        )
+        .drop("cum")
+    )
+    counts["final"] = corpus.count()
+    return corpus, counts
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_root: str,
+    table: str = "training_corpus",
+    **kwargs,
+) -> dict[str, int]:
+    """End-to-end: prepare, snapshot-write partitioned by split, log."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus, counts = prepare_corpus(docs, **kwargs)
+    wh = ParquetWarehouse(spark, warehouse_root)
+    wh.overwrite(corpus, table, partition_by=("split",))
+    wh.log(
+        f"{table}_runs",
+        " -> ".join(f"{k}:{v}" for k, v in counts.items()),
+    )
+    return counts

@@ -1,0 +1,48 @@
+"""End-to-end corpus-preparation pipeline: monotone stage funnel,
+determinism across reruns, split integrity, warehouse landing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+    run_corpus_pipeline,
+)
+from stock_bars_data_engineering_project_spark.sinks.warehouse import ParquetWarehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    counts = run_corpus_pipeline(spark, SF, str(tmp_path))
+    # the funnel only ever removes documents, and each gate bites on this data
+    order = ["raw", "exact_dedup", "near_dedup", "decontaminated", "quality_gated"]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["raw"] > counts["decontaminated"]  # dedup+benchmark removal real
+    assert counts["final"] > 0
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    out = wh.read("training_corpus")
+    assert out.count() == counts["final"]
+    # split labels well-formed; benchmark slice never leaks into training
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert out.filter(F.col("doc_id") % 20 == 0).count() == 0
+    # PII scrub ran before landing
+    assert out.filter(F.col("text").rlike("@[a-z]+\\.")).count() == 0
+    # pack ids: non-negative, contiguous-from-zero per (split, source)
+    packs = out.groupBy("split", "source").agg(
+        F.min("pack_id").alias("lo"), F.countDistinct("pack_id").alias("n"),
+        F.max("pack_id").alias("hi"),
+    )
+    for r in packs.collect():
+        assert r.lo == 0 and r.hi == r.n - 1
+
+    # determinism: a second run lands an identical table (new snapshot)
+    counts2 = run_corpus_pipeline(spark, SF, str(tmp_path))
+    assert counts2 == counts
+    again = wh.read("training_corpus")
+    assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
+    # and the run log recorded both runs
+    assert wh.read("training_corpus_runs").count() == 2
