@@ -268,3 +268,53 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_memory(joined, "stream_interval_join", output_mode="append")
     return spark.table("stream_interval_join")
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_round('SUM(e.value)', 2)} AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00'
+GROUP BY c.c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a readStream event flow joined to a
+    static dimension (customer) inside the streaming query — the
+    standard per-batch broadcast enrichment (the static side needs no
+    watermark or state), then a windowless grouped aggregate drained in
+    complete mode. Oracle is the equivalent batch join+agg."""
+    import os
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    schema = batch.schema
+    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(src):
+        batch.write.mode("overwrite").parquet(src)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    events = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        events.join(customers, events.user_id == customers.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value_raw"),
+        )
+    )
+    run_stream_to_memory(agg, "stream_static_join", output_mode="complete")
+    return spark.table("stream_static_join").select(
+        "c_mktsegment",
+        "n_events",
+        F.round(F.col("sum_value_raw").cast("decimal(30,10)"), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
