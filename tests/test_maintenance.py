@@ -142,3 +142,30 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (at most touching) spans
     # and the data survived intact
     assert wh.read("t").count() == events.count()
+
+
+def test_crashed_write_leaves_readers_unaffected(spark, tmp_path):
+    """The commit protocol: a snapshot written but never committed (a
+    crashed writer) must be invisible — readers keep seeing the old
+    version until the pointer flips."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 100), "t")
+    # simulate a writer that died after writing files, before committing
+    wh._write_snapshot(spark.range(500, 600), "t")
+    assert wh.read("t").count() == 100
+    assert wh.read("t").agg(F.max("id")).first()[0] == 99
+    # the next successful write skips over the orphaned version number
+    wh.overwrite(spark.range(0, 7), "t")
+    assert wh.read("t").count() == 7
+
+
+def test_reader_pinned_before_overwrite_survives_flip(spark, tmp_path):
+    """Snapshot isolation: a DataFrame resolved against the old version
+    still collects correctly after a new version commits (old files are
+    immutable until vacuum)."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 50), "t")
+    pinned = wh.read("t")  # resolves v000001's file listing
+    wh.overwrite(spark.range(1000, 1010), "t")  # v000002 commits
+    assert pinned.count() == 50  # old snapshot intact
+    assert wh.read("t").count() == 10  # new readers see the flip
