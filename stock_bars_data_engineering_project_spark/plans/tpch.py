@@ -303,3 +303,115 @@ def intersect_purchase_view_users(spark: SparkSession, sf_dir: str) -> DataFrame
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
     views = ev.filter(F.col("event_type") == "view").select("user_id")
     return purchases.intersect(views)
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {sql_round("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers whose items
+    came back — 4-way join with the returnflag filter pushed into the
+    lineitem scan, grouped revenue, deterministic top-20. nation is
+    broadcast; the l⋈o⋈c chain is left to Catalyst/AQE."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round_half_up(F.sum(_revenue()), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+SELECT {sql_round('''100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+           / SUM(l.l_extendedprice * (1 - l.l_discount))''', 4)} AS promo_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+""",
+    tags=("join", "agg"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    of one month) — single joined pass, both numerator and denominator
+    from the same partial aggregation, no second scan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            round_half_up(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    oracle=f"""
+SELECT {sql_round("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+    tags=("join", "agg", "predicate"),
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction-of-conjunction brackets spanning
+    both join sides. Catalyst extracts the common join key and pushes
+    the side-local residuals (brand/size to the part scan, quantity to
+    the lineitem scan via OR-derivation); the cross-side OR evaluates
+    post-join in codegen — no fallback to a nested-loop plan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(bracket).agg(
+        round_half_up(F.sum(_revenue()), 2).alias("revenue")
+    )
