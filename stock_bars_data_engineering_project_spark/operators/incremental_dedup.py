@@ -1,0 +1,146 @@
+"""Incremental near-duplicate ingestion — dedup a NEW batch against an
+already-deduped corpus without recomputing the corpus.
+
+The batch analog of the reference's incremental upsert loop (SURVEY
+§2.8), applied to the dedup problem: at 100 TB you cannot re-shingle
+and re-hash the whole corpus per arriving batch. The corpus keeps a
+persisted MINHASH BAND INDEX — (doc_id, band_idx, band_key), a few
+short rows per document. A new batch then costs:
+
+  1. band keys for the batch only (the expensive hashing, batch-sized);
+  2. candidates = batch-bands ⋈ stored-index on (band_idx, band_key)
+     (shuffle keyed on band keys, both sides skinny)
+     plus in-batch bucket pairs;
+  3. exact-Jaccard verify — shingles re-derived for the batch and for
+     ONLY the matched corpus docs (a semi-join-sized re-read);
+  4. survivors append to the corpus, their band keys to the index.
+
+Within-batch duplicate chains collapse via connected components
+(dedup_clusters); batch docs matching any retained corpus doc drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks.warehouse import ParquetWarehouse
+from .dedup import (
+    _bucket_pairs,
+    _shingled,
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from ..functions.hashing import lsh_band_hashes, minhash_signature
+
+
+def band_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the persistable LSH fingerprint.
+    O(bands) short rows per doc; the full text never needs re-hashing
+    once indexed."""
+    sig = _shingled(df, text_col, id_col, k).select(
+        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band_idx", "band_key"),
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    threshold: float,
+    k: int,
+) -> DataFrame:
+    """Exact-Jaccard gate over (doc_a from left, doc_b from right)."""
+    sa = _shingled(left_docs, "text", "doc_id", k).select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = _shingled(right_docs, "text", "doc_id", k).select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.filter((inter / union) >= threshold).select("doc_a", "doc_b")
+
+
+def ingest_batch(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    new_docs: DataFrame,
+    corpus_table: str = "corpus_docs",
+    index_table: str = "corpus_bands",
+    threshold: float = 0.7,
+    k: int = 3,
+) -> dict[str, int]:
+    """Dedup ``new_docs`` against themselves AND the stored corpus, then
+    commit survivors + their band keys. Returns per-stage counts."""
+    counts = {"batch_raw": new_docs.count()}
+
+    batch = exact_dedup(new_docs)
+    if wh.exists(corpus_table):
+        corpus = wh.read(corpus_table)
+        # exact cross-batch: same content hash as any retained doc
+        batch = batch.join(
+            corpus.select(F.md5("text").alias("_h")).distinct(),
+            F.md5(batch["text"]) == F.col("_h"),
+            "left_anti",
+        )
+    counts["after_exact"] = batch.count()
+
+    if not wh.exists(corpus_table):
+        # first batch: standard in-batch near-dedup
+        clusters = dedup_clusters(minhash_lsh_pairs(batch, k=k, threshold=threshold))
+        drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+        survivors = batch.join(drops, "doc_id", "left_anti")
+        counts["survivors"] = survivors.count()
+        wh.overwrite(survivors, corpus_table)
+        wh.overwrite(band_index(survivors, k=k), index_table)
+        return counts
+
+    corpus = wh.read(corpus_table)
+    index = wh.read(index_table)
+    new_bands = band_index(batch, k=k)
+
+    # batch-vs-corpus candidates via the stored index (no corpus re-hash)
+    cand_bc = (
+        new_bands.alias("nb")
+        .join(
+            index.alias("ix"),
+            (F.col("nb.band_idx") == F.col("ix.band_idx"))
+            & (F.col("nb.band_key") == F.col("ix.band_key")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("doc_a"), F.col("ix.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    dup_of_corpus = (
+        _verify_pairs(cand_bc, batch, corpus, threshold, k)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    batch = batch.join(dup_of_corpus, "doc_id", "left_anti")
+    counts["after_corpus_neardup"] = batch.count()
+
+    # in-batch candidates among the remaining docs
+    remaining_bands = new_bands.join(batch.select("doc_id"), "doc_id", "left_semi")
+    cand_bb = _bucket_pairs(remaining_bands, ["band_idx", "band_key"], "doc_id").select(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b")
+    )
+    pairs_bb = _verify_pairs(cand_bb, batch, batch, threshold, k)
+    clusters = dedup_clusters(pairs_bb)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = batch.join(drops, "doc_id", "left_anti")
+    counts["survivors"] = survivors.count()
+
+    if counts["survivors"]:
+        wh.merge(survivors, corpus_table, keys=("doc_id",))
+        wh.append(band_index(survivors, k=k), index_table)
+    return counts

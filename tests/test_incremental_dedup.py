@@ -1,0 +1,92 @@
+"""Incremental near-dup ingestion against a persisted band index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.operators.incremental_dedup import (
+    ingest_batch,
+)
+from stock_bars_data_engineering_project_spark.sinks.warehouse import ParquetWarehouse
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls gently on the quiet green meadow beside the old stone bridge"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_ingest_drops_cross_batch_dups(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+
+    batch1 = _docs(
+        spark,
+        [
+            (1, BASE_TEXT),
+            (2, "completely different words about ships and harbors and tides"
+                " rolling past the lighthouse every single evening in autumn"),
+            (3, BASE_TEXT),  # exact dup of 1 within batch
+        ],
+    )
+    c1 = ingest_batch(spark, wh, batch1)
+    assert c1["survivors"] == 2  # 1 and 2; 3 collapsed
+
+    batch2 = _docs(
+        spark,
+        [
+            (10, BASE_TEXT),  # exact dup of retained doc 1
+            (11, BASE_TEXT.replace("lazy", "sleepy")),  # near-dup of doc 1
+            (12, "a wholly novel document mentioning telescopes comets and"
+                 " the slow drift of winter constellations over the valley"),
+            (13, "a wholly novel document mentioning telescopes comets and"
+                 " the slow drift of winter constellations over the valley at night"),
+            # 13 is a near-dup of 12 (within batch): keeper = 12
+        ],
+    )
+    c2 = ingest_batch(spark, wh, batch2)
+    assert c2["batch_raw"] == 4
+    assert c2["after_exact"] == 3  # 10 dropped via content hash
+    assert c2["after_corpus_neardup"] == 2  # 11 dropped via band index
+    assert c2["survivors"] == 1  # 12 kept, 13 clustered under it
+
+    corpus = wh.read("corpus_docs")
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert ids == {1, 2, 12}
+    # index covers exactly the retained docs
+    idx_ids = {r.doc_id for r in wh.read("corpus_bands").select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 12}
+
+
+def test_incremental_matches_full_dedup_on_chain_free_corpus(spark, tmp_path):
+    """When near-dup relations don't chain across batches through
+    dropped docs, two-batch ingestion must retain exactly the docs the
+    full-corpus dedup retains (keeper = lowest id, batch1 ids lower)."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    full = exact_dedup(docs)
+    clusters = dedup_clusters(minhash_lsh_pairs(full))
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    full_ids = {
+        r.doc_id for r in full.join(drops, "doc_id", "left_anti").collect()
+    }
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))
+    ingest_batch(spark, wh, docs.filter(F.col("doc_id") > half))
+    inc_ids = {r.doc_id for r in wh.read("corpus_docs").select("doc_id").collect()}
+
+    # incremental may keep a doc the full pass dropped only through a
+    # chain via a dropped doc; on this corpus the sets must agree
+    assert inc_ids == full_ids
