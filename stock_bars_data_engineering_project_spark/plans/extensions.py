@@ -257,6 +257,101 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.token,
+           {sql_round('tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))', 6)} AS tfidf
+    FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rank
+FROM (
+    SELECT doc_id, token, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, token) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF — the IR weighting
+    classic as three partial-aggregable passes (term frequency, document
+    frequency, corpus size) joined on the token, ranked per doc with a
+    WindowGroupLimit. The df table is token-cardinality-sized —
+    broadcastable against the exploded tf stream at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            round_half_up(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "calendar_features",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
+       CAST(CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS BOOLEAN)
+           AS is_month_end,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS days_since_epoch0
+FROM orders
+""",
+    tags=("scalar", "datetime"),
+)
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature extraction — the date-part menu feature
+    pipelines need, normalized to engine-portable definitions: ISO
+    day-of-week (Mon=1; Spark's dayofweek is Sun=1, so it's remapped),
+    month-end flag, day delta from a fixed epoch. Pure map-side codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    iso_dow = ((F.dayofweek(d) + 5) % 7 + 1).cast("int")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        iso_dow.alias("iso_dow"),
+        (d == F.last_day(d)).alias("is_month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch0"),
+    )
+
+
+@register(
     "json_roundtrip_extract",
     oracle="""
 SELECT event_id,
