@@ -367,6 +367,67 @@ def corr_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_explicit",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_round('SUM(o_totalprice)', 2)} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("agg", "groupingsets"),
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent single-dimension
+    aggregates in ONE scan+shuffle (map-side Expand), the grouping-set
+    form that is neither a rollup prefix chain nor the full cube
+    lattice. Executed via Spark SQL text — the same Catalyst path the
+    DataFrame cube/rollup APIs lower to."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {{r}} AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """.replace(
+            "{r}",
+            "CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE)",
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       {sql_round('100.0 * COUNT(*) / (SELECT COUNT(*) FROM events)', 4)} AS pct
+FROM events
+GROUP BY 1
+""",
+    tags=("agg", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width distribution histogram with percentage-of-total —
+    one partial-aggregable pass plus a broadcast scalar for the
+    denominator (never a second full scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.groupBy(F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n",
+            round_half_up(100.0 * F.col("n") / F.col("total"), 4).alias("pct"),
+        )
+    )
+
+
+@register(
     "union_all_tagged_events",
     oracle="""
 SELECT 'high' AS band, event_id, user_id, value FROM events WHERE value >= 90

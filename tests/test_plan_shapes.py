@@ -98,6 +98,10 @@ _NLJ_ALLOWED = {
     "ann_topk_ivf",
     "ann_topk_ivf_trained",
     "ann_topk_lsh",
+    # single-row scalar broadcasts (corpus size / global total) — the
+    # scalar-subquery pattern; the NLJ build side is exactly one row
+    "tfidf_top_terms",
+    "value_histogram",
 }
 
 
