@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "asof_join_marks",
+    "ewma_per_user",
+    "q10_returned_items",
+    "tfidf_top_terms",
     "incremental_merge_upsert",
 ]
 

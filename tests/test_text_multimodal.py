@@ -108,3 +108,29 @@ def test_resize_and_frame_sample_plumbing(spark):
     for rows in by_media.values():
         assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
         assert all(isinstance(r.frame_payload, (bytes, bytearray)) for r in rows)
+
+
+def test_extract_then_ann_search_composes(spark):
+    """The inference seam feeds similarity search directly: binary ->
+    mapInPandas features -> brute-force cosine top-k. Verifies the
+    schema contract between the two operator families end-to-end."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from stock_bars_data_engineering_project_spark.operators.similarity import cosine_topk
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    feats = extract_features(attach_binary_payload(docs)).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    out = cosine_topk(feats, feats.filter(F.col("vec_id") < 2), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r.vec_id != q for r in rows)
