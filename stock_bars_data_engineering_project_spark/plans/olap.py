@@ -367,6 +367,46 @@ def corr_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       {sql_round('l_quantity', 4)} AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price' AS metric,
+       {sql_round('l_extendedprice', 4)} AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+       {sql_round('l_discount', 4)} AS val
+FROM lineitem
+""",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the inverse of pivot_status_by_segment):
+    three measure columns melt into (metric, val) rows via the native
+    unpivot/melt operator — one Expand pass over the scan, never three
+    scans (which is what the portable UNION ALL oracle spells out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.melt(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="raw",
+    )
+    return melted.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_extendedprice", "price")
+        .otherwise("discount")
+        .alias("metric"),
+        round_half_up(F.col("raw"), 4).alias("val"),
+    )
+
+
+@register(
     "grouping_sets_explicit",
     oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
