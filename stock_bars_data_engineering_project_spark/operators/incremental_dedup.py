@@ -126,7 +126,11 @@ def ingest_batch(
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
-    batch = batch.join(dup_of_corpus, "doc_id", "left_anti")
+    # truncate lineage: the band-index join and verify shingling above
+    # must not recompute under the in-batch pass and the final merge
+    batch = batch.join(dup_of_corpus, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     counts["after_corpus_neardup"] = batch.count()
 
     # in-batch candidates among the remaining docs

@@ -59,7 +59,12 @@ def prepare_corpus(
     near_drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    deduped = deduped.join(near_drops, "doc_id", "left_anti")
+    # truncate lineage here: everything upstream (shingling, 16-seed
+    # MinHash, cluster iterations) would otherwise recompute on every
+    # later stage count
+    deduped = deduped.join(near_drops, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     counts["near_dedup"] = deduped.count()
 
     benchmark = deduped.filter(F.col("doc_id") % 20 == 0)
@@ -69,7 +74,9 @@ def prepare_corpus(
         .filter(F.col("contamination") > max_contamination)
         .select("doc_id")
     )
-    corpus = corpus.join(contaminated, "doc_id", "left_anti")
+    corpus = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     counts["decontaminated"] = corpus.count()
 
     scrubbed = F.regexp_replace(
