@@ -314,6 +314,14 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent wrong answers are worse than failure: if a component's
+        # diameter exceeds max_iters the labels are not yet minimal and
+        # "keeper" semantics would split one cluster into several.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations "
+            "(a duplicate chain longer than max_iters exists); raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

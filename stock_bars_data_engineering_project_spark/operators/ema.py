@@ -36,9 +36,12 @@ def ewma_per_key(
     (pandas ``ewm(adjust=False)`` semantics: y_1 = x_1). Emits the RAW
     double — cross-engine display rounding belongs to the caller
     (functions.scalars.round_half_up), not the kernel."""
+    # output types follow the INPUT schema for the pass-through columns
+    # (a string key or int tiebreak must not be force-cast to long)
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        f"{key} long, {tiebreak} long, {ts} timestamp, {value} double, "
-        f"{out_col} double"
+        f"{key} {in_types[key]}, {tiebreak} {in_types[tiebreak]}, "
+        f"{ts} {in_types[ts]}, {value} {in_types[value]}, {out_col} double"
     )
 
     def _fold(batches):

@@ -33,6 +33,7 @@ from .dedup import (
     minhash_lsh_pairs,
 )
 from ..functions.hashing import lsh_band_hashes, minhash_signature
+from ..functions.scalars import round_half_up
 
 
 def band_index(
@@ -67,7 +68,11 @@ def _verify_pairs(
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return joined.filter((inter / union) >= threshold).select("doc_a", "doc_b")
+    # same 4-decimal HALF_UP gate as minhash_lsh_pairs — an unrounded
+    # ratio would disagree with the full-dedup path on borderline pairs
+    return joined.filter(
+        round_half_up(inter / union, 4) >= threshold
+    ).select("doc_a", "doc_b")
 
 
 def ingest_batch(
@@ -106,7 +111,18 @@ def ingest_batch(
 
     corpus = wh.read(corpus_table)
     index = wh.read(index_table)
-    new_bands = band_index(batch, k=k)
+    # Self-heal: the corpus and index commit as two warehouse
+    # transactions; a crash between them leaves corpus docs unindexed
+    # (invisible to every future near-dup check). Reconcile up front —
+    # the missing set is empty in normal operation, batch-sized after a
+    # crash, never corpus-sized.
+    missing = corpus.join(
+        index.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    if missing.limit(1).count():
+        wh.append(band_index(missing, k=k), index_table)
+        index = wh.read(index_table)
+    new_bands = band_index(batch, k=k).localCheckpoint(eager=True)
 
     # batch-vs-corpus candidates via the stored index (no corpus re-hash)
     cand_bc = (
@@ -146,5 +162,10 @@ def ingest_batch(
 
     if counts["survivors"]:
         wh.merge(survivors, corpus_table, keys=("doc_id",))
-        wh.append(band_index(survivors, k=k), index_table)
+        # reuse the already-computed band keys (checkpointed above) —
+        # re-running band_index would pay the 16-seed hashing twice
+        survivor_bands = new_bands.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        wh.append(survivor_bands, index_table)
     return counts

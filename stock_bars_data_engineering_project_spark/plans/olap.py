@@ -312,12 +312,15 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("val"),
         )
     )
+    # coalesce to 0: a (segment, status) combination with no rows pivots
+    # to NULL, but the conditional-aggregate semantics (and the oracle)
+    # define it as zero
     return pivoted.select(
         "c_mktsegment",
-        F.col("O_n").alias("n_open"),
-        F.col("F_n").alias("n_filled"),
-        F.col("P_n").alias("n_pending"),
-        round_half_up(F.col("O_val"), 2).alias("open_value"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_pending"),
+        round_half_up(F.coalesce(F.col("O_val"), F.lit(0.0)), 2).alias("open_value"),
     )
 
 

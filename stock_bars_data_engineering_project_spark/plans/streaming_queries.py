@@ -26,6 +26,26 @@ from ..streaming.windows import (
 from .registry import register
 
 
+def _stage_events_dir(sf_dir: str, batch) -> str:
+    """Stage the filtered events as a parquet dir for readStream, keyed
+    by sf_dir. Re-stages when the SOURCE parquet is newer than the
+    staged copy — a stable cache name must not serve stale rows after
+    testdata regeneration."""
+    import os
+
+    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
+    source_file = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        try:
+            fresh = os.path.getmtime(src) >= os.path.getmtime(source_file)
+        except OSError:
+            fresh = False
+        if fresh:
+            return src
+    batch.write.mode("overwrite").parquet(src)
+    return src
+
+
 @register(
     "win_tumbling_daily",
     oracle=f"""
@@ -153,16 +173,11 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted in the state store. Drained with availableNow into a
     memory sink; the oracle is the batch gaps-free formulation
     (row_number = 1 per key by event time)."""
-    import os
-
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
-    # stable name: Python's str hash is per-process randomized, which would
-    # re-stage the directory every run
-    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
-    if not os.path.isdir(src):
-        batch.write.mode("overwrite").parquet(src)
+    schema = batch.schema
+    src = _stage_events_dir(sf_dir, batch)
     events = spark.readStream.schema(batch.schema).parquet(src)
     out = first_seen_per_key(events, key="user_id")
     run_stream_to_memory(out, "stream_stateful_dedup", output_mode="append")
@@ -187,18 +202,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark -> tumbling window agg -> availableNow drain into a memory
     sink; the returned table hash-matches the batch oracle (complete
     output mode => watermark drops nothing on a finite drain)."""
-    import os
-
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
     schema = batch.schema
-    # stage the (timestamp-normalized) events as a stream source dir
-    # stable name: Python's str hash is per-process randomized, which would
-    # re-stage the directory every run
-    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
-    if not os.path.isdir(src):
-        batch.write.mode("overwrite").parquet(src)
+    src = _stage_events_dir(sf_dir, batch)
     events = stream_events(spark, src, schema, watermark="1 hour")
     agg = (
         events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -250,9 +258,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
     schema = batch.schema
-    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
-    if not os.path.isdir(src):
-        batch.write.mode("overwrite").parquet(src)
+    src = _stage_events_dir(sf_dir, batch)
     purchases = stream_events(spark, src, schema, watermark="1 hour").filter(
         F.col("event_type") == "purchase"
     )
@@ -289,15 +295,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard per-batch broadcast enrichment (the static side needs no
     watermark or state), then a windowless grouped aggregate drained in
     complete mode. Oracle is the equivalent batch join+agg."""
-    import os
-
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
     schema = batch.schema
-    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
-    if not os.path.isdir(src):
-        batch.write.mode("overwrite").parquet(src)
+    src = _stage_events_dir(sf_dir, batch)
     customers = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )

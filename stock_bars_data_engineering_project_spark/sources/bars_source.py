@@ -243,7 +243,20 @@ class StockBarsStreamReader(DataSourceStreamReader):
         )
         return {"date": self._cursor.isoformat()}
 
+    def _advance_cursor(self, *offsets: dict) -> None:
+        # Restart safety: a fresh reader's in-memory cursor starts at
+        # start-1, which is BEHIND the checkpointed offset. Spark replays
+        # the logged (start, end) through partitions()/commit() on
+        # recovery, so the cursor catches up from those callbacks; until
+        # it does, a regressed latestOffset only yields one empty batch
+        # (read() guards lo > hi) — never re-emitted rows.
+        for off in offsets:
+            d = _dt.date.fromisoformat(off["date"])
+            if d > self._cursor:
+                self._cursor = d
+
     def partitions(self, start: dict, end: dict):
+        self._advance_cursor(start, end)
         return [
             _RangePartition(s, start["date"], end["date"]) for s in self.symbols
         ]
@@ -263,8 +276,9 @@ class StockBarsStreamReader(DataSourceStreamReader):
                 yield row
 
     def commit(self, end: dict) -> None:
-        # offsets are durable in Spark's offset log; nothing to clean up
-        pass
+        # offsets are durable in Spark's offset log; just keep the
+        # in-memory cursor monotone (see _advance_cursor)
+        self._advance_cursor(end)
 
 
 def _ship_package(spark) -> None:

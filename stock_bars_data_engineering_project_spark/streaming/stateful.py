@@ -101,18 +101,21 @@ def _ewma_update(alpha: float):
         the previous micro-batch left off — the state store holds one
         double per key, the streaming analog of operators/ema.py."""
         y = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            emas = []
-            for x in pdf["value"]:
-                y = x if y is None else (1.0 - alpha) * y + alpha * x
-                emas.append(y)
-            pdf = pdf.assign(ema=emas)
-            yield pdf[["user_id", "event_id", "ts", "value", "ema"]]
-        if y is not None:
-            state.update((float(y),))
+        # A key's micro-batch slice can arrive as MULTIPLE Arrow chunks
+        # (maxRecordsPerBatch) in arbitrary order; sorting per chunk
+        # would fold chunks out of event-time order. Concatenate the
+        # whole slice first — per-key state any stateful op holds anyway.
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            return
+        full = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        emas = []
+        for x in full["value"]:
+            y = x if y is None else (1.0 - alpha) * y + alpha * x
+            emas.append(y)
+        full = full.assign(ema=emas)
+        yield full[["user_id", "event_id", "ts", "value", "ema"]]
+        state.update((float(y),))
 
     return fn
 

@@ -98,3 +98,20 @@ def test_ewma_matches_hand_computation(spark):
     }
     # y1=10, y2=.5*10+.5*20=15, y3=.5*15+.5*30=22.5, y4=.5*22.5+.5*40=31.25
     assert got == {0: 10.0, 1: 15.0, 2: 22.5, 3: 31.25}
+
+
+def test_ewma_supports_string_keys(spark):
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("AAPL", 1, t0, 10.0), ("AAPL", 2, t0 + dt.timedelta(hours=1), 20.0)],
+        "symbol string, seq int, ts timestamp, value double",
+    )
+    got = ewma_per_key(
+        df, key="symbol", ts="ts", value="value", tiebreak="seq", alpha=0.5
+    ).collect()
+    assert {r.symbol for r in got} == {"AAPL"}
+    assert sorted(r.ema for r in got) == [10.0, 15.0]

@@ -71,3 +71,18 @@ def test_dedup_clusters_chains_transitively(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    from stock_bars_data_engineering_project_spark.operators.dedup import dedup_clusters
+
+    # a 7-node chain has diameter 6 > max_iters=2: silent wrong labels
+    # are forbidden — the operator must fail loudly instead
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "doc_a long, doc_b long"
+    )
+    try:
+        dedup_clusters(chain, max_iters=2)
+        raise AssertionError("expected RuntimeError for unconverged clustering")
+    except RuntimeError as e:
+        assert "did not converge" in str(e)

@@ -150,3 +150,46 @@ def test_streaming_ewma_continues_state_across_batches(spark, tmp_path):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v)), k
+
+
+def test_streaming_ewma_correct_across_small_arrow_chunks(spark, tmp_path):
+    """Force multi-chunk delivery of one key's micro-batch slice
+    (tiny maxRecordsPerBatch): the stateful fold must still process the
+    slice in event-time order."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key
+    from stock_bars_data_engineering_project_spark.streaming.stateful import ewma_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(minutes=i), float((i * 37) % 100))
+        for i in range(60)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    expected = {r.event_id: r.ema for r in ewma_per_key(events, alpha=0.3).collect()}
+
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)  # shuffled file order
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            ewma_stream(stream, alpha=0.3)
+            .writeStream.format("memory")
+            .queryName("ewma_chunked_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r.event_id: r.ema for r in spark.table("ewma_chunked_test").collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v)), k
