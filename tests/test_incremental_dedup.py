@@ -90,3 +90,30 @@ def test_incremental_matches_full_dedup_on_chain_free_corpus(spark, tmp_path):
     # incremental may keep a doc the full pass dropped only through a
     # chain via a dropped doc; on this corpus the sets must agree
     assert inc_ids == full_ids
+
+
+def test_index_self_heals_after_partial_commit(spark, tmp_path):
+    """Simulate a crash between the corpus merge and the index append:
+    the next ingest must reconcile the missing band keys so near-dups of
+    the unindexed doc are still caught."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    ingest_batch(spark, wh, _docs(spark, [(1, BASE_TEXT)]))
+
+    # doc 2 lands in the corpus but its band keys are "lost" (crash):
+    novel = ("all the ships sailed out beyond the grey harbor wall while "
+             "gulls wheeled slowly over the cold morning tide")
+    ingest_batch(spark, wh, _docs(spark, [(2, novel)]))
+    index = wh.read("corpus_bands")
+    wh.overwrite(index.filter(F.col("doc_id") != 2), "corpus_bands")
+
+    # a near-dup of doc 2 arrives; without healing it would be ingested
+    batch = _docs(spark, [(3, novel + " again tonight")])
+    counts = ingest_batch(spark, wh, batch)
+    assert counts["after_corpus_neardup"] == 0  # caught via healed index
+    ids = {r.doc_id for r in wh.read("corpus_docs").select("doc_id").collect()}
+    assert ids == {1, 2}
+    idx_ids = {
+        r.doc_id
+        for r in wh.read("corpus_bands").select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2}  # doc 2's bands restored
