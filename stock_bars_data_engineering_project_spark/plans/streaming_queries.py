@@ -320,3 +320,53 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, ts, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+""",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup: the staged events are fed TWICE (two
+    file copies — an at-least-once source) through
+    ``dropDuplicatesWithinWatermark`` on the event key; the drain must
+    emit every event exactly once, which is what the oracle (one clean
+    copy) asserts. The watermark bounds the dedup state's lifetime —
+    set generously here so no key expires mid-drain."""
+    import os
+    import shutil
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    schema = batch.schema
+    clean = _stage_events_dir(sf_dir, batch)
+    dup_src = clean + "_dup2"
+    if not os.path.isdir(dup_src) or (
+        os.path.getmtime(dup_src) < os.path.getmtime(clean)
+    ):
+        shutil.rmtree(dup_src, ignore_errors=True)
+        shutil.copytree(clean, dup_src)
+        for name in os.listdir(clean):  # second copy of every data file
+            if name.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(clean, name),
+                    os.path.join(dup_src, "copy2_" + name),
+                )
+    events = (
+        spark.readStream.schema(schema)
+        .parquet(dup_src)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_stream_to_memory(
+        events, "stream_dedup_within_watermark", output_mode="append"
+    )
+    return spark.table("stream_dedup_within_watermark").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
