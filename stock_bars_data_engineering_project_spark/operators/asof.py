@@ -60,6 +60,10 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(rtype).alias("_r"),
     )
+    # NULL event times never match under ASOF semantics (DuckDB agrees);
+    # unioned in, they would sort FIRST ascending and act as a predecessor
+    # of every left row
+    right = right.filter(F.col(right_on).isNotNull())
     r2 = right.select(
         *by,
         F.col(right_on).alias("_t"),

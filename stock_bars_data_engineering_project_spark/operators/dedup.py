@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
+    hamming,
     lsh_band_hashes,
     minhash_signature,
     simhash60,
@@ -178,6 +179,13 @@ def ngram_jaccard_pairs(
             inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         )
         inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        # Jaccard must be computed over the FILTERED shingle universe on
+        # BOTH sides: keeping the pre-drop n_sh would count dropped
+        # shingles in the union but never in the intersection, deflating
+        # scores (an exact duplicate could fall below threshold).
+        inv = inv.drop("n_sh").withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
     a = inv.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
@@ -248,9 +256,7 @@ def simhash_pairs(
         pairs.select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

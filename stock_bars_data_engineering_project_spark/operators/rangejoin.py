@@ -31,6 +31,14 @@ def range_join(
     """Equi-join-shaped interval join: rows of ``left`` matched to every
     ``right`` interval with ``lo <= on <= hi`` (inclusive both ends),
     optionally co-keyed on ``by`` columns."""
+    if how != "inner":
+        # the exact BETWEEN runs as a post-join FILTER, which would
+        # silently discard the null-padded rows an outer join exists to
+        # produce; support inner only rather than lie about outer
+        raise ValueError(
+            "range_join supports how='inner' only (the BETWEEN residual "
+            "is applied post-join and would drop outer null rows)"
+        )
     lb = left.withColumn(
         "_bucket", F.floor(F.unix_timestamp(F.col(on)) / bucket_seconds)
     )

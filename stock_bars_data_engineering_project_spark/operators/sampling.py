@@ -17,14 +17,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key: Column, n_buckets: int = 10_000) -> Column:
-    """Uniform bucket in [0, n_buckets) from the md5 of the key — the
-    first 12 hex chars (48 bits < 2^53, exact in every engine's integer
-    and double arithmetic) mod n_buckets."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("long")
-        % n_buckets
-    )
+def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
+    """Uniform bucket in [0, n_buckets) from the md5 of the (salted)
+    key — the first 12 hex chars (48 bits < 2^53, exact in every
+    engine's integer and double arithmetic) mod n_buckets.
+
+    ``salt`` keys the hash per PURPOSE: splitting and sampling with the
+    same unsalted hash compose degenerately (a 5%% sample keeps exactly
+    the lowest buckets, which all fall inside the train split's range —
+    sampling then splitting would yield 100%% train, empty val/test).
+    """
+    keyed = F.concat(F.lit(f"{salt}:"), key.cast("string")) if salt else key.cast("string")
+    return F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
+
+
+def _check_weights(weights: dict[str, float]) -> None:
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        # the last entry would silently absorb every leftover bucket
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
 
 
 def stable_split(
@@ -37,7 +48,8 @@ def stable_split(
     under corpus growth — new rows hash into splits without moving any
     existing row."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
-    bucket = hash_bucket(F.col(id_col))
+    _check_weights(weights)
+    bucket = hash_bucket(F.col(id_col), salt="split")
     expr = None
     hi = 0.0
     items = list(weights.items())
@@ -56,7 +68,9 @@ def deterministic_sample(
     under ``fraction``. Unlike ``df.sample`` this is reproducible across
     runs, engines, and partitionings, and a row's membership never flips
     when the corpus around it changes."""
-    return df.filter(hash_bucket(F.col(id_col)) < int(round(fraction * 10_000)))
+    return df.filter(
+        hash_bucket(F.col(id_col), salt="sample") < int(round(fraction * 10_000))
+    )
 
 
 def stratified_sample(
@@ -73,7 +87,7 @@ def stratified_sample(
     Row membership is stable under corpus growth and identical across
     engines and runs — re-weighting a mixture never reshuffles which
     rows the kept strata contribute."""
-    bucket = hash_bucket(F.col(id_col))
+    bucket = hash_bucket(F.col(id_col), salt="stratum")
     threshold = None
     for name, r in rates.items():
         t = int(round(r * 10_000))

@@ -24,9 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hamming
 from ..functions.scalars import round_half_up
 from ..functions.vectors import as_double, cosine, dot
 from ..sources.readers import balance
+from .skew import salted_topk
 
 
 def cosine_topk(
@@ -48,12 +50,13 @@ def cosine_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    # salted two-phase ranking: a plain window on query_id would pull
+    # EVERY scored corpus row of a query into one task; salting bounds
+    # per-task fan-in at k x n_salt rows per query (operators/skew.py)
+    out = salted_topk(
+        scored, keys=("query_id",), order_col="cos", tiebreak_col="vec_id", k=k
     )
+    return out.select("query_id", "vec_id", "cos", "rank")
 
 
 def _hyperplane(dim: int, plane_idx: int) -> F.Column:
@@ -74,6 +77,14 @@ def _hyperplane(dim: int, plane_idx: int) -> F.Column:
 def lsh_bucket(vec: F.Column, dim: int, n_planes: int = 8) -> F.Column:
     """Sign-pattern bucket id in [0, 2^n_planes)."""
     v = as_double(vec)
+    # dim mismatch must fail loudly: zip_with null-pads, the dot product
+    # goes NULL, and every vector would silently land in bucket 0 —
+    # degrading the "scale path" to a full cross join
+    v = F.when(
+        F.size(v) == dim, v
+    ).otherwise(
+        F.raise_error(F.lit(f"lsh_bucket: embedding dim != {dim}"))
+    )
     bucket = F.lit(0)
     for p in range(n_planes):
         sign = F.when(dot(v, _hyperplane(dim, p)) >= 0, F.lit(1)).otherwise(F.lit(0))
@@ -110,17 +121,24 @@ def ivf_assign(
             F.collect_list(F.struct(F.col("cid"), as_double(F.col("cv")).alias("cv")))
         ).alias("cents")
     )
-    best = F.aggregate(
+    # distances materialize ONCE per centroid (transform), then the
+    # argmin folds over (cid, d2) pairs — putting l2sq inside the fold's
+    # comparison AND its winning struct would evaluate the O(dim) fold
+    # twice per centroid (the hashing.py lambda-re-evaluation trap)
+    dists = F.transform(
         F.col("cents"),
+        lambda c: F.struct(
+            c["cid"].alias("cid"), l2sq(c["cv"], F.col("_v")).alias("d2")
+        ),
+    )
+    best = F.aggregate(
+        dists,
         F.struct(
             F.lit(None).cast("long").alias("cid"),
             F.lit(None).cast("double").alias("d2"),
         ),
         lambda acc, c: F.when(
-            acc["cid"].isNull() | (l2sq(c["cv"], F.col("_v")) < acc["d2"]),
-            F.struct(
-                c["cid"].alias("cid"), l2sq(c["cv"], F.col("_v")).alias("d2")
-            ),
+            acc["cid"].isNull() | (c["d2"] < acc["d2"]), c
         ).otherwise(acc),
     )
     slim = balance(
@@ -279,10 +297,7 @@ def lsh_ann_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .filter(
-            F.bit_count(
-                F.col("c_bucket").bitwiseXOR(F.col("q_bucket"))
-            )
-            <= probe_radius
+            hamming(F.col("c_bucket"), F.col("q_bucket")) <= probe_radius
         )
         .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )

@@ -618,7 +618,7 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM (
     SELECT doc_id,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
     FROM documents
 )
 """,
@@ -639,7 +639,7 @@ def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, source
 FROM (
     SELECT doc_id, source,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b,
+           ('0x' || substr(md5('stratum:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b,
            CASE WHEN source = 'src0' THEN 10000
                 WHEN source = 'src1' THEN 5000
                 WHEN source = 'src2' THEN 1000

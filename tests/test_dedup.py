@@ -86,3 +86,27 @@ def test_dedup_clusters_raises_when_unconverged(spark):
         raise AssertionError("expected RuntimeError for unconverged clustering")
     except RuntimeError as e:
         assert "did not converge" in str(e)
+
+
+def test_ngram_df_cap_keeps_exact_dup_pairs(spark):
+    """Jaccard under max_shingle_df must use the filtered shingle
+    universe on BOTH sides: identical docs sharing a hot (capped)
+    shingle must still score 1.0, not have the dropped shingle count
+    against the union only."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    hot = "x y z"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} alpha beta gamma delta"),
+            (2, f"{hot} alpha beta gamma delta"),  # identical to 1
+            (3, f"{hot} one two three four"),
+            (4, f"{hot} five six seven eight"),
+            (5, f"{hot} nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, max_shingle_df=3).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
