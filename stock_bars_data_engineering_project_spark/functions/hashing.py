@@ -97,19 +97,16 @@ def simhash60(toks: Column) -> Column:
     counters via ``zip_with`` — ``toks`` is evaluated once per row
     regardless of what expression produced it."""
     pow2 = lambda j: F.pow(F.lit(2.0), j)  # noqa: E731 — exact for 2^j
-    # hash once per token: two F.md5(t) references in one struct are
-    # NOT common-subexpression-eliminated inside HOF lambdas — route the
-    # single md5 through a one-element transform so both substrings read
-    # the same computed value
-    halves = lambda t: F.element_at(  # noqa: E731
-        F.transform(
-            F.array(F.md5(t)),
-            lambda m: F.struct(
-                F.conv(F.substring(m, 1, 7), 16, 10).cast("long").alias("h1"),
-                F.conv(F.substring(m, 8, 8), 16, 10).cast("long").alias("h2"),
-            ),
-        ),
-        1,
+    # Deliberately computes F.md5(t) twice (h1 and h2): hoisting the
+    # single md5 through a one-element transform + element_at was
+    # MEASURED 2x slower end-to-end (1.5s -> 3.0s, simhash_pairs at
+    # sf0.1) — the per-token array materialization costs more than a
+    # second md5 of a short token. The expensive-expression-in-lambda
+    # rule (module header) is about per-ELEMENT re-evaluation blowups;
+    # a fixed 2x on a cheap scalar is the better trade here.
+    halves = lambda t: F.struct(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5(t), 8, 8), 16, 10).cast("long").alias("h2"),
     )
     bit = lambda s, j: F.when(  # noqa: E731
         j < 32, F.floor(s["h2"] / pow2(j)).cast("long") % 2
