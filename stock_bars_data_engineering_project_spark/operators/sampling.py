@@ -102,3 +102,44 @@ def stratified_sample(
         else threshold.otherwise(int(round(default_rate * 10_000)))
     )
     return df.filter(bucket < thr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    n_tokens: Column,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget instead of sampling by rate — the
+    mixture dial training recipes actually specify ("20M tokens of books,
+    5M of web"). Documents are taken in stable hash order (salted
+    'budget' hash, doc_id tiebreak) until the stratum's cumulative token
+    count reaches its budget; the doc that crosses the boundary is kept
+    (budgets are floors, and membership stays stable as the corpus
+    grows — a new doc sorts into the sequence without evicting more
+    than the tail). One window per stratum partition — a single shuffle
+    keyed by stratum, running sum computed in order."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(hash_bucket(F.col(id_col), salt="budget"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = None
+    for name, b in budgets.items():
+        budget = (
+            F.when(F.col(stratum_col) == name, b)
+            if budget is None
+            else budget.when(F.col(stratum_col) == name, b)
+        )
+    budget = (
+        F.lit(default_budget) if budget is None else budget.otherwise(default_budget)
+    )
+    out = df.withColumn("_nt", n_tokens).withColumn("_cum", F.sum("_nt").over(w))
+    return (
+        out.filter(F.col("_cum") - F.col("_nt") < budget)
+        .drop("_nt", "_cum")
+    )

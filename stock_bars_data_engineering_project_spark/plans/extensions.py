@@ -257,6 +257,47 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_budget_mixture",
+    oracle="""
+WITH sized AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
+    FROM documents
+), running AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM sized
+)
+SELECT doc_id, source, n_tokens
+FROM running
+WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 20000
+                            WHEN source = 'src1' THEN 5000
+                            ELSE 1000 END
+""",
+    tags=("sampling", "mixture", "tokens"),
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture by TOKEN budget ("20k tokens of src0, 5k of
+    src1, 1k of the rest"): docs taken per source in salted-hash order
+    until the running token total crosses the budget floor. Membership
+    is stable under corpus growth; one shuffle keyed by source."""
+    from ..operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs,
+        budgets={"src0": 20_000, "src1": 5_000},
+        n_tokens=token_count(F.col("text")),
+        default_budget=1_000,
+    )
+    return out.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
