@@ -21,6 +21,8 @@ ties break identically in any engine — required for oracle hashing.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,19 +61,26 @@ def cosine_topk(
     return out.select("query_id", "vec_id", "cos", "rank")
 
 
-def _hyperplane(dim: int, plane_idx: int) -> F.Column:
-    """Deterministic pseudo-random hyperplane: component i is
-    ``(md5_byte(plane, i) / 255 - 0.5)`` — seedable, identical on every
-    executor and every engine, no RNG broadcast needed."""
-    comps = [
-        F.conv(F.substring(F.md5(F.lit(f"plane:{plane_idx}:{i}")), 1, 2), 16, 10).cast(
-            "double"
-        )
+def plane_components(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components: component i is
+    ``(md5_byte("plane:{p}:{i}") / 255 - 0.5)`` — seedable, identical in
+    any engine (the oracle SQL embeds the same doubles as literals; a
+    round-tripped repr parses to the identical IEEE double)."""
+    return [
+        int(hashlib.md5(f"plane:{plane_idx}:{i}".encode()).hexdigest()[:2], 16)
         / 255.0
         - 0.5
         for i in range(dim)
     ]
-    return F.array(*comps)
+
+
+def _hyperplane(dim: int, plane_idx: int) -> F.Column:
+    """One ArrayType literal per plane — O(1) expression-tree nodes
+    regardless of embedding dim. The previous form built ``dim`` md5/conv
+    expression columns per plane, which at dim 768-3072 blows up the plan
+    tree and whole-stage codegen; computing the (constant) md5 bytes
+    driver-side yields bit-identical values with a flat plan."""
+    return F.lit(plane_components(dim, plane_idx))
 
 
 def lsh_bucket(vec: F.Column, dim: int, n_planes: int = 8) -> F.Column:

@@ -42,12 +42,19 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def balance(df: DataFrame) -> DataFrame:
     """Spread rows across the session's default parallelism ahead of a
     CPU-heavy per-row stage (shingling, per-shingle hashing, regex
-    scoring). At cluster scale the file scan's splits usually provide
-    parallelism already, but a coarse upstream — one fat single-row-group
-    file, or a skewed post-filter remnant — starves every core but one;
-    a round-robin repartition of just the projected columns is the
-    standard fix and costs one narrow-payload shuffle."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    scoring) — but ONLY when the upstream is actually starved. A coarse
+    upstream — one fat single-row-group file, or a skewed post-filter
+    remnant — leaves every core but a few idle, and a round-robin
+    repartition of the projected columns is the standard fix. When the
+    scan already yields >= defaultParallelism splits (the normal case at
+    cluster scale, where 100 TB is hundreds of thousands of splits), an
+    unconditional repartition would round-robin-shuffle the whole input
+    for nothing, so it is skipped. The partition count probe is
+    metadata-only: it compiles the plan but runs no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

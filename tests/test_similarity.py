@@ -111,3 +111,27 @@ def test_trained_ivf_recall_at_least_matches_seed(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, f"trained-IVF recall too low: {recall:.2f}"
+
+
+def test_hyperplane_plan_bounded_at_dim_768(spark):
+    """lsh_bucket at transformer-scale dims must stay a flat plan: planes
+    are ArrayType literals (one node per plane), not dim x n_planes md5
+    expression columns. Pins both that it executes and that the analyzed
+    plan string does not scale with dim."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import lsh_bucket
+
+    df = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(767)),
+            lambda i: (F.col("id") + i).cast("double") % 7.0 - 3.0,
+        ).alias("embedding"),
+    )
+    out = df.select("vec_id", lsh_bucket(F.col("embedding"), 768, 8).alias("b"))
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(0 <= r.b < 256 for r in rows)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # 8 planes x 768 components as md5/conv expressions would be ~1 MB of
+    # plan text; literal arrays keep it in the tens of KB.
+    assert len(plan) < 200_000
