@@ -340,14 +340,66 @@ def embedding_dup_pairs(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs — brute force all-pairs baseline.
-    At scale, swap the cross join for the LSH bucketing in similarity.py;
-    semantics (the verified filter) stay identical."""
+    O(n^2) in corpus size: this is the RECALL ORACLE for tests, not the
+    production path. ``embedding_dup_pairs_blocked`` is the default at
+    scale (and the registered query)."""
     slim = balance(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     a = slim.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
     b = slim.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", round_half_up(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_dup_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, hyperplane-LSH blocked — the
+    scale path. Every vector gets a deterministic ``n_planes``-bit sign
+    bucket (similarity.lsh_bucket); a pair becomes a candidate iff the
+    buckets are within hamming distance 2, realized WITHOUT a self-join:
+    each vector emits its bucket plus the ``n_planes`` one-bit flips as
+    probe keys, and two key sets intersect exactly when
+    hamming(bucket_a, bucket_b) <= 2. Candidates then get the exact
+    cosine verify. Plan shape: one map-only bucket pass, one
+    (n_planes+1)-way key explode, one groupBy-expand over tiny buckets
+    (_bucket_pairs), two id-equi-joins to re-fetch vectors for the
+    candidate set only — no cross join anywhere, linear in corpus size
+    for bounded bucket occupancy.
+
+    The candidate rule is deterministic, so the DuckDB oracle replays it
+    exactly (same md5-derived plane literals, same hamming cut) — like
+    ann_topk_ivf, bucket membership itself is correctness-gated. Blocking
+    trades recall for scale: pairs at >= threshold whose buckets differ
+    by > 2 bits are not emitted (measured against the exact baseline in
+    tests/test_dedup.py)."""
+    from .similarity import lsh_bucket
+
+    slim = balance(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    bucketed = slim.select(
+        "_id", lsh_bucket(F.col("_v"), dim, n_planes).alias("_bucket")
+    )
+    probe_keys = F.array(
+        F.col("_bucket"),
+        *[F.col("_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    probed = bucketed.select("_id", F.explode(probe_keys).alias("_probe"))
+    pairs = _bucket_pairs(probed, ["_probe"], "_id")
+    va = slim.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    vb = slim.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", round_half_up(cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

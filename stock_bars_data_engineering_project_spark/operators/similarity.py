@@ -170,6 +170,7 @@ def kmeans_refine(
     n_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact_mean: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means refinement of an initial (cid, cv) centroid table
     — the iterative-algorithm shape expressed as pure DataFrame ops, no
@@ -182,17 +183,43 @@ def kmeans_refine(
 
     Converges in the usual k-means sense (inertia non-increasing —
     pinned by test); intended to polish the deterministic stride seed
-    that ivf_topk starts from."""
+    that ivf_topk starts from.
+
+    ``exact_mean=True`` computes each centroid mean as an id-ordered
+    sequential fold instead of ``F.avg`` — identical values up to float
+    associativity, but with a DETERMINISTIC accumulation order that a
+    SQL oracle can replay bit-for-bit (``list(x ORDER BY id)`` prefix
+    fold). The default partial-aggregated ``avg`` is the scale path (it
+    map-side-combines; the ordered fold collects per-(cid,dim) lists)."""
     cents = centroids.select("cid", as_double(F.col("cv")).alias("cv"))
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, vec_col, id_col)
         comp = assigned.select(
-            "cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+            "vec_id", "cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
         )
+        if exact_mean:
+            mean = (
+                comp.groupBy("cid", "pos")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("vec_id"), F.col("x")))
+                    ).alias("vx")
+                )
+                .select(
+                    "cid",
+                    "pos",
+                    (
+                        F.aggregate(
+                            F.col("vx"), F.lit(0.0), lambda a, s: a + s["x"]
+                        )
+                        / F.size("vx")
+                    ).alias("m"),
+                )
+            )
+        else:
+            mean = comp.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
         new = (
-            comp.groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
+            mean.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
         )

@@ -30,14 +30,20 @@ from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
 from ..operators.dedup import (
     dedup_clusters,
-    embedding_dup_pairs,
+    embedding_dup_pairs_blocked,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_pairs,
 )
-from ..operators.similarity import cosine_topk, ivf_topk, kmeans_refine, lsh_ann_topk
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    kmeans_refine,
+    lsh_ann_topk,
+    plane_components,
+)
 from ..sources.readers import load_table
 from .registry import register
 
@@ -593,25 +599,55 @@ list_reduce(list_prepend(CAST(0 AS DOUBLE),
 """
 
 
+def _lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int) -> str:
+    """DuckDB replay of similarity.lsh_bucket: the md5-derived plane
+    components are embedded as double literals (repr round-trips to the
+    identical IEEE double), and the dot product folds in index order
+    exactly like the Spark zip_with+aggregate — so the bucket id is
+    bit-identical across engines."""
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ",".join(repr(c) for c in plane_components(dim, p)) + "]"
+        dotp = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i] "
+            f"for i in range(1, len({vec_expr})+1)]), (x,y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dotp} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @register(
     "dedup_embedding_pairs",
     oracle=f"""
+WITH fp AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 64, 8)} AS bucket
+    FROM embeddings
+)
 SELECT id_a, id_b, cos
 FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {sql_round(_COS_DOUBLE, 4)} AS cos
-    FROM (SELECT vec_id, embedding AS va FROM embeddings) a
-    JOIN (SELECT vec_id, embedding AS vb FROM embeddings) b ON a.vec_id < b.vec_id
+    FROM (SELECT vec_id, embedding AS va, bucket FROM fp) a
+    JOIN (SELECT vec_id, embedding AS vb, bucket FROM fp) b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(a.bucket, b.bucket)) <= 2
 )
 WHERE cos >= 0.4
 """,
     tags=("dedup", "embedding"),
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.4), brute-force baseline;
-    double-promoted sequential-fold dot products match the oracle
-    bit-for-bit."""
-    return embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup pairs (>= 0.4), hyperplane-LSH blocked:
+    probe-key expansion captures exactly the pairs whose 8-bit sign
+    buckets are within hamming 2, then the exact cosine verify runs on
+    candidates only — no cross join (the brute-force baseline remains in
+    tests as the recall oracle). The DuckDB oracle replays the identical
+    deterministic bucketing, so the blocking itself — not just the
+    verified filter — is correctness-gated."""
+    return embedding_dup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), dim=64, n_planes=8
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -903,32 +939,146 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("ann_topk_ivf_trained", oracle=None, tags=("similarity", "ivf", "kmeans"))
+# squared-L2 between a raw float list `a` and an already-double list `b`,
+# index-ordered prefix fold — mirrors operators.similarity.l2sq exactly
+def _l2_fold(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[(CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i]) "
+        f"for i in range(1, len({a})+1)]), (x,y) -> x + y)"
+    )
+
+
+def _lloyd_iter_sql(prev: str, out: str) -> str:
+    """One deterministic Lloyd iteration as DuckDB CTEs: argmin
+    assignment (ties to lowest cid), id-ordered prefix-fold mean per
+    (cid, dim), empty clusters keep the previous centroid — the exact
+    replay of operators.similarity.kmeans_refine(exact_mean=True)."""
+    return f"""
+assign_{out} AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_l2_fold('e.embedding', 'c.cv')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {prev} c
+    ) WHERE rn = 1
+),
+comp_{out} AS (
+    SELECT vec_id, cid,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM assign_{out}
+),
+mean_{out} AS (
+    SELECT cid, pos,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY vec_id)),
+                       (a, b) -> a + b) / COUNT(*) AS m
+    FROM comp_{out} GROUP BY cid, pos
+),
+newc_{out} AS (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM mean_{out} GROUP BY cid
+),
+{out} AS (
+    SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN newc_{out} n ON n.cid = p.cid
+)"""
+
+
+@register(
+    "ann_topk_ivf_trained",
+    oracle=f"""
+WITH seed AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id % 125 = 0
+),
+{_lloyd_iter_sql('seed', 'cent_1')},
+{_lloyd_iter_sql('cent_1', 'cent_2')},
+final_assign AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_l2_fold('e.embedding', 'c.cv')}, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent_2 c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, q_vec, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_l2_fold('q.embedding', 'c.cv')}, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent_2 c WHERE q.vec_id < 5
+    ) WHERE rn <= 4
+),
+cand AS (
+    SELECT p.query_id, p.q_vec AS va, a.vec_id, a.embedding AS vb
+    FROM final_assign a JOIN probes p USING (cid)
+    WHERE a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM cand)
+) WHERE rank <= 10
+""",
+    tags=("similarity", "ivf", "kmeans"),
+)
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe over k-means-REFINED centroids: the stride seed is
     polished with two Lloyd iterations (pure DataFrame ops — broadcast
     argmin assignment + one posexplode mean shuffle per iteration),
-    then the same nprobe search runs against the trained lists.
-    Iterative algorithm => rows-only check; the k-means laws (inertia
-    non-increasing, assignment-to-nearest) are pinned in
-    tests/test_similarity.py."""
+    then the same nprobe search runs against the trained lists. Run in
+    ``exact_mean`` mode (id-ordered fold means) so every float in the
+    training loop is deterministic and the oracle replays the full two
+    iterations in SQL — assignment, means, empty-cluster carry, probe
+    lists and ranking all correctness-gated. The k-means laws (inertia
+    non-increasing, assignment-to-nearest) stay pinned in
+    tests/test_similarity.py for the scale-path avg mode."""
     emb = load_table(spark, sf_dir, "embeddings")
     seed = emb.filter(F.col("vec_id") % 125 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    trained = kmeans_refine(emb, seed, n_iters=2)
+    trained = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=trained)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
-@register("ann_topk_lsh", oracle=None, tags=("similarity", "lsh"))
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+WITH fp AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 64, 5)} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS va, bucket AS q_bucket
+    FROM fp WHERE vec_id < 5
+)
+SELECT query_id, vec_id, cos, rank
+FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM (
+        SELECT q.query_id, c.vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos
+        FROM (SELECT vec_id, embedding AS vb, bucket FROM fp) c
+        JOIN q ON c.vec_id != q.query_id
+              AND bit_count(xor(c.bucket, q.q_bucket)) <= 2
+    )
+)
+WHERE rank <= 10
+""",
+    tags=("similarity", "lsh"),
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH (5 planes, multi-probe
     radius 2 => ~50% candidate reduction). On THIS synthetic corpus the
     neighbors are near-orthogonal (cos ~0.4) so recall ~= bucket fraction
     — the adversarial case for LSH; on clustered real embeddings the same
-    config concentrates neighbors sharply. Recall floor is pinned by
-    tests/test_similarity.py rather than a SQL oracle."""
+    config concentrates neighbors sharply. The oracle replays the
+    deterministic md5-seeded buckets and the hamming<=2 probe ring in
+    SQL, so candidate membership AND ranking are correctness-gated (the
+    recall floor vs brute force stays pinned in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=5, probe_radius=2

@@ -110,3 +110,29 @@ def test_ngram_df_cap_keeps_exact_dup_pairs(spark):
     )
     pairs = ngram_jaccard_pairs(docs, max_shingle_df=3).collect()
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_embedding_blocked_is_subset_of_exact_with_identical_scores(spark):
+    """The LSH-blocked embedding pairs must be a subset of the exact
+    all-pairs result with bit-identical cosine scores — blocking may
+    lose recall (pairs in distant buckets) but must never invent a pair
+    or change a score. On the testdata corpus the blocked plan must also
+    retain a non-trivial fraction of the exact pairs."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_blocked,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cos for r in embedding_dup_pairs(emb).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_dup_pairs_blocked(emb, dim=64, n_planes=8).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, cos in blocked.items():
+        assert cos == exact[pair]
+    assert len(exact) == 0 or len(blocked) >= 0.2 * len(exact)

@@ -93,7 +93,6 @@ def test_anti_and_semi_join_types(spark):
 # corpus against a SMALL broadcast side by design (ANN query sets /
 # centroid tables), so the NLJ's build side is O(k), not a fact table.
 _NLJ_ALLOWED = {
-    "dedup_embedding_pairs",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",
