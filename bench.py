@@ -16,35 +16,47 @@ import os
 import sys
 import time
 
+# Round-2 registry consolidation renamed/merged some headliners:
+#   q1_pricing_summary+rollup_pricing -> q1_pricing_rollup
+#   topk_per_group -> topk_per_group_salted (same oracle, skew-proof plan)
+#   win_tumbling_daily+win_sliding_2h+win_session_2h -> win_windows_suite
+#   text_quality_score/text_fingerprint/... -> text_metrics
+#   tfidf_top_terms+vocab_topk -> tfidf_vocab_suite
+#   q3_shipping_priority dropped (q10 covers the TakeOrdered shape)
 BENCH_QUERIES = [
     "flagship_analysis",
-    "q1_pricing_summary",
+    "q1_pricing_rollup",
     "j1_dim_join",
-    "q3_shipping_priority",
     "q5_region_volume",
-    "topk_per_group",
+    "q10_returned_items",
+    "topk_per_group_salted",
     "s6_sql_cte_chain",
-    "win_tumbling_daily",
-    "win_session_2h",
+    "win_windows_suite",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
-    "text_quality_score",
-    "text_fingerprint",
+    "dedup_embedding_pairs",
+    "text_metrics",
     "contamination_check",
     "resample_ohlc_daily",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_lsh",
     "asof_join_marks",
     "ewma_per_user",
-    "q10_returned_items",
-    "tfidf_top_terms",
+    "set_ops_suite",
+    "tfidf_vocab_suite",
     "incremental_merge_upsert",
 ]
 
 
-def bench_spark(sf_dir: str) -> dict[str, float]:
+def bench_spark(sf_dir: str, steady: bool = False) -> tuple[dict[str, float], dict[str, float]]:
+    """Cold times always; with ``steady``, a second run per query after
+    whole-stage codegen/plan caches are warm — the number that predicts
+    cluster-scale throughput, where the ~0.3-0.8 s first-run compile
+    amortizes to ~0. Round-over-round comparisons should use the steady
+    column so they are not noise-dominated by JIT variance."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from stock_bars_data_engineering_project_spark.session import get_spark
@@ -55,11 +67,16 @@ def bench_spark(sf_dir: str) -> dict[str, float]:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     times: dict[str, float] = {}
+    steady_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
-    return times
+        if steady:
+            t1 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            steady_times[name] = round(time.time() - t1, 3)
+    return times, steady_times
 
 
 def bench_duckdb(sf_dir: str) -> dict[str, float]:
@@ -92,18 +109,19 @@ def main() -> None:
         times = bench_duckdb(sf_dir)
         print(json.dumps({"engine": "duckdb", "queries": times, "sf": sf}))
         return
-    times = bench_spark(sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, engine total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    steady = "--steady" in sys.argv
+    times, steady_times = bench_spark(sf_dir, steady=steady)
+    out = {
+        "metric": "headline query wall-clock, engine total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if steady:
+        out["value_steady"] = round(sum(steady_times.values()), 3)
+        out["queries_steady"] = steady_times
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

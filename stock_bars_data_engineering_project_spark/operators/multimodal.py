@@ -66,12 +66,35 @@ def attach_binary_payload(
     )
 
 
+def _pil():
+    """Import-gated Pillow (same pattern as sources.bars_source's
+    import-gated ``requests``): returns the Image module when the codec
+    is installed, None in codec-less environments. Called inside the
+    mapInPandas closures so each executor resolves it locally."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    return Image
+
+
 def decode_image_stub(payload: bytes) -> "object":
-    """The real-decoder seam. A production build replaces this body with
-    ``PIL.Image.open(io.BytesIO(payload))`` (or ffmpeg for video); the
-    container has no image libs, so the plumbing is tested through
-    :func:`fake_feature_extractor` instead."""
+    """The codec-less seam: raises where a decoder would run. Kept so
+    the no-codec path fails loudly instead of fabricating pixels."""
     raise NotImplementedError("image codec not available in this environment")
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real-decoder entry: ``PIL.Image.open`` when Pillow is installed
+    (import-gated, executor-local), else the stub's loud
+    ``NotImplementedError``. The deterministic fake feature extractor
+    remains the tested fallback for the plumbing."""
+    Image = _pil()
+    if Image is None:
+        return decode_image_stub(payload)
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_feature_extractor(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -114,16 +137,33 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """mapInPandas resize stage. The pixel work is the decoder seam
-    (``decode_image_stub``); the deterministic stand-in keeps the payload
-    bytes and stamps the target geometry, so schema/batching/partition
-    behavior — the Spark-side contract — is real and tested. A production
-    build swaps the loop body for PIL ``Image.resize`` and re-encodes
-    the payload."""
+    """mapInPandas resize stage. When Pillow is installed (import-gated,
+    resolved per executor) each payload is decoded, resized, and
+    re-encoded PNG; in codec-less environments the deterministic
+    stand-in keeps the payload bytes and stamps the target geometry, so
+    schema/batching/partition behavior — the Spark-side contract — is
+    real and tested either way. Payloads that fail to decode (the
+    stand-in corpus is not real PNG bytes) fall back to the stamp path
+    per row rather than failing the batch."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+        import io
+
+        def _one(payload):
+            if Image is None or payload is None:
+                return payload
+            try:
+                img = Image.open(io.BytesIO(payload))
+                buf = io.BytesIO()
+                img.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+            except Exception:
+                return payload
+
         for pdf in batches:
             out = pdf.copy()
+            out["payload"] = out["payload"].map(_one)
             out["resized_width"] = width
             out["resized_height"] = height
             yield out

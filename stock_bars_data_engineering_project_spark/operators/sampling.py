@@ -123,6 +123,14 @@ def token_budget_sample(
     keyed by stratum, running sum computed in order."""
     from pyspark.sql import Window
 
+    # fail loudly rather than silently overwrite-and-drop caller data
+    # (the same guard pattern the window helpers use for _salt/_rn)
+    for c in ("_nt", "_cum"):
+        if c in df.columns:
+            raise ValueError(
+                f"token_budget_sample: input already has a column named {c!r}; "
+                "rename it before sampling"
+            )
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(hash_bucket(F.col(id_col), salt="budget"), F.col(id_col))

@@ -28,13 +28,13 @@ from ..operators.contamination import contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
+from ..functions.hashing import simhash60
 from ..operators.dedup import (
     dedup_clusters,
     embedding_dup_pairs_blocked,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_fingerprints,
     simhash_pairs,
 )
 from ..operators.similarity import (
@@ -262,49 +262,12 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_budget_mixture",
-    oracle="""
-WITH sized AS (
-    SELECT doc_id, source,
-           len(string_split(text, ' ')) AS n_tokens,
-           ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
-    FROM documents
-), running AS (
-    SELECT doc_id, source, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-    FROM sized
-)
-SELECT doc_id, source, n_tokens
-FROM running
-WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 20000
-                            WHEN source = 'src1' THEN 5000
-                            ELSE 1000 END
-""",
-    tags=("sampling", "mixture", "tokens"),
-)
-def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus mixture by TOKEN budget ("20k tokens of src0, 5k of
-    src1, 1k of the rest"): docs taken per source in salted-hash order
-    until the running token total crosses the budget floor. Membership
-    is stable under corpus growth; one shuffle keyed by source."""
-    from ..operators.sampling import token_budget_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = token_budget_sample(
-        docs,
-        budgets={"src0": 20_000, "src1": 5_000},
-        n_tokens=token_count(F.col("text")),
-        default_budget=1_000,
-    )
-    return out.select(
-        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
-    )
+# token_budget_mixture was consolidated into sampling_splits_suite
+# (its 'budget' arm).
 
 
 @register(
-    "tfidf_top_terms",
+    "tfidf_vocab_suite",
     oracle=f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -319,23 +282,40 @@ WITH toks AS (
            {sql_round('tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))', 6)} AS tfidf
     FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
 )
-SELECT doc_id, token, tfidf, rank
+SELECT 'tfidf' AS tag, doc_id, term, score, rank
 FROM (
-    SELECT doc_id, token, tfidf,
+    SELECT doc_id, token AS term, tfidf AS score,
            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
                 ORDER BY tfidf DESC, token) AS INT) AS rank
     FROM scored
 )
 WHERE rank <= 3
-""",
-    tags=("text", "tfidf"),
+UNION ALL
+SELECT 'vocab' AS tag, CAST(NULL AS BIGINT) AS doc_id, term,
+       CAST(n AS DOUBLE) AS score, rank
+FROM (
+    SELECT token AS term, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank
+    FROM (
+        SELECT lower(t.token) AS token, COUNT(*) AS n
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token != ''
+        GROUP BY lower(t.token)
+    )
 )
-def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 terms by smoothed TF-IDF — the IR weighting
-    classic as three partial-aggregable passes (term frequency, document
-    frequency, corpus size) joined on the token, ranked per doc with a
-    WindowGroupLimit. The df table is token-cardinality-sized —
-    broadcastable against the exploded tf stream at any corpus scale."""
+WHERE rank <= 100
+""",
+    tags=("text", "tfidf", "vocab"),
+)
+def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-statistics suite in one result: (a) per-document top-3 terms
+    by smoothed TF-IDF — term frequency, document frequency, and corpus
+    size as three partial-aggregable passes joined on the token, ranked
+    per doc with a WindowGroupLimit (the df table is
+    token-cardinality-sized, broadcastable at any corpus scale); (b) the
+    corpus vocabulary top-100 by count (canonical explode + partial-agg
+    wordcount — map-side combine absorbs Zipf skew before the shuffle).
+    Tagged UNION of the two ranked arms."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -353,85 +333,41 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
-    return (
+    tfidf_arm = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
-    )
-
-
-@register(
-    "calendar_features",
-    oracle="""
-SELECT o_orderkey,
-       CAST(o_orderdate AS DATE) AS order_date,
-       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
-       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
-       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
-       CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
-       CAST(CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS BOOLEAN)
-           AS is_month_end,
-       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
-           AS days_since_epoch0
-FROM orders
-""",
-    tags=("scalar", "datetime"),
-)
-def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar feature extraction — the date-part menu feature
-    pipelines need, normalized to engine-portable definitions: ISO
-    day-of-week (Mon=1; Spark's dayofweek is Sun=1, so it's remapped),
-    month-end flag, day delta from a fixed epoch. Pure map-side codegen."""
-    o = load_table(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    iso_dow = ((F.dayofweek(d) + 5) % 7 + 1).cast("int")
-    return o.select(
-        "o_orderkey",
-        d.alias("order_date"),
-        F.year(d).cast("int").alias("yr"),
-        F.quarter(d).cast("int").alias("qtr"),
-        F.month(d).cast("int").alias("mon"),
-        iso_dow.alias("iso_dow"),
-        (d == F.last_day(d)).alias("is_month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("date"))
-        .cast("bigint")
-        .alias("days_since_epoch0"),
-    )
-
-
-@register(
-    "json_roundtrip_extract",
-    oracle="""
-SELECT event_id,
-       CAST(json_extract(j, '$.uid') AS BIGINT) AS uid,
-       json_extract_string(j, '$.meta.et') AS etype
-FROM (
-    SELECT event_id,
-           to_json(struct_pack(uid := user_id,
-                               meta := struct_pack(et := event_type))) AS j
-    FROM events
-)
-""",
-    tags=("json", "scalar"),
-)
-def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON functions (the reference parses API JSON in Python,
-    SURVEY §2.9 lists JSON-in-SQL as absent — a warehouse engine needs
-    it): serialize a nested struct to JSON, then extract typed scalars
-    back out with path expressions. Each engine round-trips through its
-    OWN serializer, so the comparison checks path-extraction semantics,
-    not byte formatting. Map-only, codegen'd — scan-speed at 100 TB."""
-    ev = load_table(spark, sf_dir, "events")
-    j = F.to_json(
-        F.struct(
-            F.col("user_id").alias("uid"),
-            F.struct(F.col("event_type").alias("et")).alias("meta"),
+        .select(
+            F.lit("tfidf").alias("tag"),
+            "doc_id",
+            F.col("token").alias("term"),
+            F.col("tfidf").alias("score"),
+            "rank",
         )
     )
-    return ev.select(
-        "event_id",
-        F.get_json_object(j, "$.uid").cast("bigint").alias("uid"),
-        F.get_json_object(j, "$.meta.et").alias("etype"),
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    wv = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab_arm = (
+        counts.withColumn("rank", F.row_number().over(wv).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.lit("vocab").alias("tag"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.col("token").alias("term"),
+            F.col("n").cast("double").alias("score"),
+            "rank",
+        )
+    )
+    return tfidf_arm.unionByName(vocab_arm)
+
+
+# calendar_features was consolidated into p1_rename_project (its date-
+# part columns); json_roundtrip_extract into x6_checkpoint_date_slice
+# (its uid/etype round-trip columns) — both in plans/parity.py.
 
 
 @register(
@@ -471,41 +407,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("ema", round_half_up(F.col("ema"), 6))
 
 
-@register(
-    "text_repetition_ratio",
-    oracle=f"""
-WITH g AS (
-    SELECT doc_id,
-           [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams
-    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-    WHERE len(l) >= 2
-)
-SELECT doc_id,
-       len(grams) AS n_grams,
-       {sql_round('1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)', 4)}
-           AS dup_ratio
-FROM g
-""",
-    tags=("text", "quality"),
-)
-def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition (Gopher-style quality filter): fraction
-    of 2-gram occurrences that are repeats of an earlier 2-gram in the
-    same document. Pure per-row expression work — map-only, no shuffle,
-    whole-stage codegen; the shape that runs at scan speed on 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    grams = word_shingles(F.col("text"), 2)
-    return (
-        docs.select("doc_id", grams.alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select(
-            "doc_id",
-            F.size("grams").cast("bigint").alias("n_grams"),
-            round_half_up(
-                1.0 - F.size(F.array_distinct("grams")) / F.size("grams"), 4
-            ).alias("dup_ratio"),
-        )
-    )
+# text_repetition_ratio was consolidated into text_metrics (its n_grams
+# and dup_ratio columns, NULL for sub-2-token docs).
 
 
 @register(
@@ -551,18 +454,9 @@ CAST(list_sum([CASE WHEN list_sum(list_transform(toks,
 """
 
 
-@register(
-    "dedup_simhash_fingerprints",
-    oracle=f"""
-SELECT doc_id, {_SIMHASH_SQL} AS simhash
-FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-""",
-    tags=("dedup", "hash"),
-)
-def q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 60-bit SimHash fingerprint (MD5-derived bit votes) —
-    bit-identical across engines."""
-    return simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+# dedup_simhash_fingerprints was consolidated into text_metrics (the
+# per-document 60-bit fingerprint rides as its `simhash` column);
+# the pairing/blocking stage keeps its own query below.
 
 
 @register(
@@ -687,33 +581,19 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stable_split_assignment",
+    "sampling_splits_suite",
     oracle="""
-SELECT doc_id,
+SELECT 'split' AS tag, doc_id,
        CASE WHEN b < 9000 THEN 'train'
             WHEN b < 9500 THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END AS label
 FROM (
     SELECT doc_id,
            ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
     FROM documents
 )
-""",
-    tags=("sampling",),
-)
-def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test assignment by content-hash
-    bucket — stable under corpus growth (rows never migrate between
-    splits on refresh), identical in any engine, map-only at any scale.
-    The RNG-free answer to train/test leakage on refresh."""
-    docs = load_table(spark, sf_dir, "documents")
-    return stable_split(docs, id_col="doc_id").select("doc_id", "split")
-
-
-@register(
-    "stratified_mixture_sample",
-    oracle="""
-SELECT doc_id, source
+UNION ALL
+SELECT 'stratified' AS tag, doc_id, source AS label
 FROM (
     SELECT doc_id, source,
            ('0x' || substr(md5('stratum:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b,
@@ -724,43 +604,60 @@ FROM (
     FROM documents
 )
 WHERE b < thr
-""",
-    tags=("sampling", "mixture"),
+UNION ALL
+SELECT 'budget' AS tag, doc_id, source AS label
+FROM (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 10000 AS b
+        FROM documents
+    )
 )
-def q_stratified_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-mixture sampling: keep 100% of src0, 50% of src1, 10% of
-    src2, 25% of everything else — per-stratum deterministic hash-bucket
-    thresholds, map-only at any scale, stable under corpus growth. The
-    dial a training pipeline turns to re-weight data sources without
-    reshuffling previously kept rows."""
+WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 20000
+                            WHEN source = 'src1' THEN 5000
+                            ELSE 1000 END
+""",
+    tags=("sampling", "mixture", "tokens"),
+)
+def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic sampling family in one tagged result, all
+    stable under corpus growth and RNG-free (per-purpose salted hash
+    buckets — unsalted hashes compose degenerately, see
+    operators/sampling.py): (a) 90/5/5 train/val/test assignment by
+    content-hash bucket — map-only, no row ever migrates on refresh;
+    (b) per-stratum rate mixture (100% src0 / 50% src1 / 10% src2 / 25%
+    rest) — map-only threshold on the salted bucket; (c) per-stratum
+    TOKEN-budget mixture (20k/5k/1k floors) — docs taken in salted-hash
+    order until the running token total crosses the budget, one shuffle
+    keyed by stratum."""
+    from ..operators.sampling import token_budget_sample
+
     docs = load_table(spark, sf_dir, "documents")
-    out = stratified_sample(
+    split_arm = stable_split(docs, id_col="doc_id").select(
+        F.lit("split").alias("tag"), "doc_id", F.col("split").alias("label")
+    )
+    strat_arm = stratified_sample(
         docs,
         rates={"src0": 1.0, "src1": 0.5, "src2": 0.1},
         stratum_col="source",
         id_col="doc_id",
         default_rate=0.25,
-    )
-    return out.select("doc_id", "source")
+    ).select(F.lit("stratified").alias("tag"), "doc_id", F.col("source").alias("label"))
+    budget_arm = token_budget_sample(
+        docs,
+        budgets={"src0": 20_000, "src1": 5_000},
+        n_tokens=token_count(F.col("text")),
+        default_budget=1_000,
+    ).select(F.lit("budget").alias("tag"), "doc_id", F.col("source").alias("label"))
+    return split_arm.unionByName(strat_arm).unionByName(budget_arm)
 
 
-@register(
-    "snapshot_diff_docs",
-    oracle="""
-SELECT doc_id, text FROM documents
-EXCEPT
-SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
-""",
-    tags=("setop", "incremental"),
-)
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff via EXCEPT: which documents are new relative to the
-    prior corpus snapshot (simulated as 'everything but every 10th
-    doc'). The set-op shape behind incremental training-data refreshes;
-    Catalyst plans it as a left-anti hash join."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    prior = docs.filter(F.col("doc_id") % 10 != 0)
-    return docs.subtract(prior)
+# snapshot_diff_docs (EXCEPT) was consolidated into set_ops_suite
+# (plans/tpch.py) as its 'except_new_docs' arm.
 
 
 # ---------------------------------------------------------------------------
@@ -1096,52 +993,6 @@ _STOP_RATIO_SQL = (
 )
 
 
-@register(
-    "text_token_stats",
-    oracle=f"""
-SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens,
-       length(text) AS n_chars,
-       {sql_round("CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE) / len(string_split(text, ' '))", 4)} AS mean_word_len
-FROM documents
-""",
-    tags=("text",),
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + shape stats per document — pure codegen'd
-    expressions, no shuffle at any scale."""
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-        round_half_up(mean_word_len(t), 4).alias("mean_word_len"),
-    )
-
-
-@register(
-    "text_lang_id",
-    oracle=f"""
-SELECT doc_id, lang,
-       CASE WHEN {_STOP_RATIO_SQL} >= 0.03 THEN 'en' ELSE 'unknown' END AS pred_lang,
-       {sql_round(_STOP_RATIO_SQL, 4)} AS stop_ratio
-FROM documents
-""",
-    tags=("text",),
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID via closed-class function-word density."""
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        "lang",
-        lang_id(t).alias("pred_lang"),
-        round_half_up(stopword_ratio(t), 4).alias("stop_ratio"),
-    )
-
-
 _PUNCT_RATIO_SQL = (
     "CAST(length(regexp_replace(text, '[a-zA-Z0-9" + "\\s" + "]', '', 'g')) AS DOUBLE)"
     " / length(text)"
@@ -1153,78 +1004,76 @@ _QUALITY_SQL = sql_round(
     4,
 )
 
-
-@register(
-    "text_quality_score",
-    oracle="SELECT doc_id, " + _QUALITY_SQL + " AS quality FROM documents",
-    tags=("text",),
+_DUP_RATIO_SQL = sql_round(
+    "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4
 )
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score: length credit + prose-likeness (low punct
-    density) + function-word density."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
 @register(
-    "text_bpe_token_count",
-    oracle="""
+    "text_metrics",
+    oracle=f"""
 SELECT doc_id,
-       len(string_split(text, ' ')) AS ws_tokens,
+       len(toks) AS n_tokens,
+       length(text) AS n_chars,
+       {sql_round("CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)", 4)} AS mean_word_len,
+       lang,
+       CASE WHEN {_STOP_RATIO_SQL} >= 0.03 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       {sql_round(_STOP_RATIO_SQL, 4)} AS stop_ratio,
+       {_QUALITY_SQL} AS quality,
        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
-            + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpe_ish_tokens
-FROM documents
-""",
-    tags=("text",),
+            + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpe_ish_tokens,
+       CASE WHEN len(grams) > 0 THEN CAST(len(grams) AS BIGINT) END AS n_grams,
+       CASE WHEN len(grams) > 0 THEN {_DUP_RATIO_SQL} END AS dup_ratio,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint,
+       {_SIMHASH_SQL} AS simhash
+FROM (
+    SELECT doc_id, text, lang,
+           string_split(text, ' ') AS toks,
+           [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams
+    FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS l FROM documents)
 )
-def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-word-ish token load estimate: alnum word splits + one token
-    per punctuation char — tracks LLM tokenizer counts far closer than
-    whitespace counts. Pure codegen'd regex, no shuffle."""
+""",
+    tags=("text", "quality", "hash"),
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis panel in ONE map-only pass: token
+    counting + shape stats, heuristic language ID (closed-class
+    function-word density), composite quality score (length credit +
+    prose-likeness + stopword density), BPE-ish sub-word token load
+    (alnum splits + one token per punctuation char), Gopher-style 2-gram
+    repetition ratio (NULL for sub-2-token docs), the order-sensitive
+    poly-31 rolling fingerprint, and the 60-bit MD5 SimHash fingerprint.
+    All codegen'd built-in expressions over one scan — no shuffle, no
+    Python, scan-speed at 100 TB; every column bit-matched against the
+    DuckDB replay."""
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    grams = word_shingles(t, 2)
+    has_grams = F.size(grams) > 0
     return d.select(
         "doc_id",
-        token_count(t).alias("ws_tokens"),
+        token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        round_half_up(mean_word_len(t), 4).alias("mean_word_len"),
+        "lang",
+        lang_id(t).alias("pred_lang"),
+        round_half_up(stopword_ratio(t), 4).alias("stop_ratio"),
+        quality_score(t).alias("quality"),
         bpe_ish_token_count(t).cast("long").alias("bpe_ish_tokens"),
+        F.when(has_grams, F.size(grams).cast("bigint")).alias("n_grams"),
+        F.when(
+            has_grams,
+            round_half_up(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4),
+        ).alias("dup_ratio"),
+        rolling_fingerprint(t).alias("fingerprint"),
+        simhash60(tokens(t)).alias("simhash"),
     )
 
 
-@register(
-    "vocab_topk",
-    oracle="""
-SELECT token, n, rank
-FROM (
-    SELECT token, n,
-           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank
-    FROM (
-        SELECT lower(t.token) AS token, COUNT(*) AS n
-        FROM documents, unnest(string_split(text, ' ')) AS t(token)
-        WHERE t.token != ''
-        GROUP BY lower(t.token)
-    )
-)
-WHERE rank <= 100
-""",
-    tags=("text", "vocab"),
-)
-def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: explode tokens -> hash-aggregate counts ->
-    global top-100 (deterministic (count desc, token) order). The
-    explode+partial-agg shape is the canonical wordcount; at 100 TB the
-    map-side combine absorbs Zipf skew before the shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 100)
-    )
+# vocab_topk was consolidated into tfidf_vocab_suite (its 'vocab' arm).
 
 
 @register(
@@ -1304,23 +1153,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_fingerprint",
-    oracle="""
-SELECT doc_id,
-       list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
-FROM documents
-""",
-    tags=("text", "hash"),
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint (poly-31 mod
-    2^31-1) — identical integer fold in both engines."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+# text_fingerprint was consolidated into text_metrics (its `fingerprint`
+# column — same poly-31 rolling hash).
 
 
 # ---------------------------------------------------------------------------

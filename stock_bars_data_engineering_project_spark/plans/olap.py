@@ -48,28 +48,76 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "percentiles_by_segment",
+    "stats_suite",
     oracle=f"""
-SELECT c.c_mktsegment,
-       {sql_round('quantile_cont(o.o_totalprice, 0.25)', 4)} AS p25,
-       {sql_round('quantile_cont(o.o_totalprice, 0.5)', 4)} AS p50,
-       {sql_round('quantile_cont(o.o_totalprice, 0.9)', 4)} AS p90,
-       {sql_round('MAX(o.o_totalprice)', 2)} AS max_price
-FROM orders o
-JOIN customer c ON c.c_custkey = o.o_custkey
-GROUP BY c.c_mktsegment
-""",
-    tags=("agg", "stats"),
+WITH seg AS (
+    SELECT c.c_mktsegment,
+           {sql_round('quantile_cont(o.o_totalprice, 0.25)', 4)} AS p25,
+           {sql_round('quantile_cont(o.o_totalprice, 0.5)', 4)} AS p50,
+           {sql_round('quantile_cont(o.o_totalprice, 0.9)', 4)} AS p90,
+           {sql_round('MAX(o.o_totalprice)', 2)} AS max_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+),
+daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS user_avg
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+market AS (
+    SELECT CAST(ts AS DATE) AS day, AVG(value) AS mkt_avg
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+mkt AS (
+    SELECT d.user_id,
+           COUNT(*) AS n_days,
+           {sql_round('corr(d.user_avg, m.mkt_avg)', 3)} AS market_corr
+    FROM daily d JOIN market m ON d.day = m.day
+    GROUP BY d.user_id
+    HAVING COUNT(*) >= 5
+),
+hist AS (
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {sql_round('100.0 * COUNT(*) / (SELECT COUNT(*) FROM events)', 4)} AS pct
+    FROM events
+    GROUP BY 1
 )
-def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated per-group percentiles of order value by market
-    segment (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear
-    interpolation). Exact is the correctness baseline; the 100 TB path
-    swaps `approx_percentile` (t-digest sketch, mergeable map-side) —
-    the error of that swap is bounded in tests/test_stats.py."""
+SELECT 'percentiles' AS tag, c_mktsegment AS group_key, 'p25' AS metric, p25 AS value FROM seg
+UNION ALL
+SELECT 'percentiles', c_mktsegment, 'p50', p50 FROM seg
+UNION ALL
+SELECT 'percentiles', c_mktsegment, 'p90', p90 FROM seg
+UNION ALL
+SELECT 'percentiles', c_mktsegment, 'max_price', max_price FROM seg
+UNION ALL
+SELECT 'corr', CAST(user_id AS VARCHAR), 'n_days', CAST(n_days AS DOUBLE) FROM mkt
+UNION ALL
+SELECT 'corr', CAST(user_id AS VARCHAR), 'market_corr', market_corr FROM mkt
+UNION ALL
+SELECT 'histogram', CAST(bucket AS VARCHAR), 'n', CAST(n AS DOUBLE) FROM hist
+UNION ALL
+SELECT 'histogram', CAST(bucket AS VARCHAR), 'pct', pct FROM hist
+""",
+    tags=("agg", "stats", "corr", "histogram"),
+)
+def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics family as one long-format (tag, group_key, metric,
+    value) result: (a) exact interpolated per-segment percentiles of
+    order value (Spark `percentile` ≡ DuckDB `quantile_cont`; exact is
+    the correctness baseline — the 100 TB path swaps `approx_percentile`,
+    a mergeable t-digest, with its error bounded in tests/test_stats.py);
+    (b) per-key correlation to the market aggregate — two partial
+    aggregates, a broadcast join on day, then partial-aggregable `corr`,
+    so the plan shuffles key-sized data, never raw ticks (rounded to 3:
+    running-moment accumulation order differs in the last ulps);
+    (c) a fixed-width value histogram with percent-of-total — one
+    partial-aggregable pass plus a broadcast scalar denominator.
+    Melted JVM-side (Expand), tagged UNION — still three partial
+    aggregates and zero extra scans."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return (
+    seg = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
@@ -79,38 +127,128 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+    seg_arm = seg.melt(
+        ids=["c_mktsegment"],
+        values=["p25", "p50", "p90", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("percentiles").alias("tag"),
+        F.col("c_mktsegment").alias("group_key"),
+        "metric",
+        "value",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("user_avg")
+    )
+    market = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("mkt_avg")
+    )
+    mkt = (
+        daily.join(F.broadcast(market), "day")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_days"),
+            round_half_up(F.corr("user_avg", "mkt_avg"), 3).alias("market_corr"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+    mkt_arm = mkt.melt(
+        ids=["user_id"],
+        values=["n_days", "market_corr"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("corr").alias("tag"),
+        F.col("user_id").cast("string").alias("group_key"),
+        "metric",
+        "value",
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    hist = (
+        ev.groupBy(F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.col("n").cast("double").alias("n"),
+            round_half_up(100.0 * F.col("n") / F.col("total"), 4).alias("pct"),
+        )
+    )
+    hist_arm = hist.melt(
+        ids=["bucket"],
+        values=["n", "pct"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("histogram").alias("tag"),
+        F.col("bucket").cast("string").alias("group_key"),
+        "metric",
+        "value",
+    )
+    return seg_arm.unionByName(mkt_arm).unionByName(hist_arm)
 
 
 @register(
-    "window_rank_family",
-    oracle="""
-SELECT user_id, event_id, value,
-       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
-       CAST(NTILE(4) OVER w AS INT) AS quartile,
-       CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cume_bps
+    "window_functions_suite",
+    oracle=f"""
+SELECT user_id, event_id, ts, value,
+       CAST(DENSE_RANK() OVER wr AS BIGINT) AS drank,
+       CAST(NTILE(4) OVER wr AS INT) AS quartile,
+       CAST(FLOOR(CUME_DIST() OVER wr * 10000) AS BIGINT) AS cume_bps,
+       {sql_round('SUM(value) OVER wt', 2)} AS sum_2d,
+       COUNT(*) OVER wt AS n_2d,
+       {sql_round('FIRST_VALUE(value) OVER wd', 4)} AS day_open,
+       {sql_round('LAST_VALUE(value) OVER wd', 4)} AS running_last,
+       {sql_round('NTH_VALUE(value, 2) OVER wd', 4)} AS second_tick
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+WINDOW wr AS (PARTITION BY user_id ORDER BY value DESC, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW),
+       wd AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
-    tags=("window", "rank"),
+    tags=("window", "rank", "range", "anchors"),
 )
-def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rank-family windows the reference lacks — dense_rank, ntile,
-    cume_dist — all over ONE partition/order spec so Catalyst plans a
-    single exchange + sort for the three functions. Ordering made
-    tie-free with the event_id tiebreak (cross-engine determinism);
-    cume_dist scaled to integer basis points to avoid double-hash
-    divergence."""
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function menu beyond the reference's lag/avg/stddev,
+    one row per event with three frame specs: (a) rank family —
+    dense_rank, ntile, cume_dist over one partition/order spec (one
+    exchange+sort for all three; tie-free via event_id; cume_dist scaled
+    to integer basis points to avoid double-hash divergence, FLOOR
+    explicit because Spark's double->bigint cast truncates while
+    DuckDB's rounds); (b) time-based RANGE frame — trailing 2 days of
+    the row's own key, expressed as rangeBetween over epoch MICROS
+    (integer-exact; epoch seconds would truncate sub-second components
+    and shift frame boundaries); (c) intraday anchors —
+    first/last/nth_value in a growing (key, day) ROWS frame, so
+    last_value means 'running last' identically in both engines."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-2 * 86400 * 1_000_000, 0)
+    )
+    wd = (
+        Window.partitionBy("user_id", F.to_date("ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return ev.select(
         "user_id",
         "event_id",
+        "ts",
         "value",
-        F.dense_rank().over(w).cast("bigint").alias("drank"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        # FLOOR on both sides: Spark's double->bigint cast truncates while
-        # DuckDB's rounds, so the truncation is made explicit
-        F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cume_bps"),
+        F.dense_rank().over(wr).cast("bigint").alias("drank"),
+        F.ntile(4).over(wr).cast("int").alias("quartile"),
+        F.floor(F.cume_dist().over(wr) * 10000).cast("bigint").alias("cume_bps"),
+        round_half_up(F.sum("value").over(wt), 2).alias("sum_2d"),
+        F.count(F.lit(1)).over(wt).alias("n_2d"),
+        round_half_up(F.first("value").over(wd), 4).alias("day_open"),
+        round_half_up(F.last("value").over(wd), 4).alias("running_last"),
+        round_half_up(F.nth_value("value", 2).over(wd), 4).alias("second_tick"),
     )
 
 
@@ -207,77 +345,8 @@ def full_outer_year_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_range_2day",
-    oracle=f"""
-SELECT user_id, ts, value,
-       {sql_round('''SUM(value) OVER (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW)''', 2)}
-           AS sum_2d,
-       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW)
-           AS n_2d
-FROM events
-""",
-    tags=("window", "range"),
-)
-def window_range_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-based RANGE frame — every row aggregates the trailing 2 days
-    of ITS OWN key, however many rows that is (the frame the reference's
-    ROWS-4 window approximates only because its bars are exactly daily).
-    Spark expresses interval ranges as rangeBetween over epoch MICROS —
-    integer-exact, matching the oracle's microsecond timestamp
-    arithmetic (epoch seconds would truncate sub-second components and
-    shift frame boundaries); ordering by a monotone transform of ts
-    keeps one shuffle + one sort for both window functions."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-2 * 86400 * 1_000_000, 0)
-    )
-    return ev.select(
-        "user_id",
-        "ts",
-        "value",
-        round_half_up(F.sum("value").over(w), 2).alias("sum_2d"),
-        F.count(F.lit(1)).over(w).alias("n_2d"),
-    )
-
-
-@register(
-    "window_day_anchors",
-    oracle=f"""
-SELECT user_id, ts, value,
-       {sql_round('FIRST_VALUE(value) OVER w', 4)} AS day_open,
-       {sql_round('LAST_VALUE(value) OVER w', 4)} AS running_last,
-       {sql_round('NTH_VALUE(value, 2) OVER w', 4)} AS second_tick
-FROM events
-WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-""",
-    tags=("window", "anchors"),
-)
-def window_day_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last/nth_value anchors within a (key, day) partition — the
-    intraday 'open so far / latest / second tick' markers. The explicit
-    growing ROWS frame makes last_value mean 'running last' identically
-    in both engines (the ANSI default frame would too, but implicitly);
-    tie-free ordering via event_id."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id", F.to_date("ts"))
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "ts",
-        "value",
-        round_half_up(F.first("value").over(w), 4).alias("day_open"),
-        round_half_up(F.last("value").over(w), 4).alias("running_last"),
-        round_half_up(F.nth_value("value", 2).over(w), 4).alias("second_tick"),
-    )
+# window_range_2day and window_day_anchors were consolidated into
+# window_functions_suite (round-2 registry consolidation).
 
 
 @register(
@@ -324,49 +393,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corr_to_market",
-    oracle=f"""
-WITH daily AS (
-    SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS user_avg
-    FROM events GROUP BY user_id, CAST(ts AS DATE)
-), market AS (
-    SELECT CAST(ts AS DATE) AS day, AVG(value) AS mkt_avg
-    FROM events GROUP BY CAST(ts AS DATE)
-)
-SELECT d.user_id,
-       COUNT(*) AS n_days,
-       {sql_round('corr(d.user_avg, m.mkt_avg)', 3)} AS market_corr
-FROM daily d JOIN market m ON d.day = m.day
-GROUP BY d.user_id
-HAVING COUNT(*) >= 5
-""",
-    tags=("agg", "stats", "corr"),
-)
-def corr_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key correlation to the market aggregate (the beta/correlation
-    screen a bars engine runs across every symbol): two partial
-    aggregates, a broadcast-sized join on day, then `corr` — itself
-    partial-aggregable, so the whole plan is three map-side-reduced
-    shuffles of key-sized data, never raw ticks. Rounded to 3 places:
-    corr's running-moment accumulation order differs across engines in
-    the last few ulps."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.avg("value").alias("user_avg")
-    )
-    market = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.avg("value").alias("mkt_avg")
-    )
-    return (
-        daily.join(F.broadcast(market), "day")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            round_half_up(F.corr("user_avg", "mkt_avg"), 3).alias("market_corr"),
-        )
-        .filter(F.col("n_days") >= 5)
-    )
+# corr_to_market was consolidated into stats_suite (its 'corr' arm).
 
 
 @register(
@@ -409,85 +436,9 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "grouping_sets_explicit",
-    oracle=f"""
-SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n_orders,
-       {sql_round('SUM(o_totalprice)', 2)} AS sum_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-""",
-    tags=("agg", "groupingsets"),
-)
-def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — two independent single-dimension
-    aggregates in ONE scan+shuffle (map-side Expand), the grouping-set
-    form that is neither a rollup prefix chain nor the full cube
-    lattice. Executed via Spark SQL text — the same Catalyst path the
-    DataFrame cube/rollup APIs lower to."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders,
-               {{r}} AS sum_price
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """.replace(
-            "{r}",
-            "CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(30,10)), 2) AS DOUBLE)",
-        )
-    )
-
-
-@register(
-    "value_histogram",
-    oracle=f"""
-SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
-       COUNT(*) AS n,
-       {sql_round('100.0 * COUNT(*) / (SELECT COUNT(*) FROM events)', 4)} AS pct
-FROM events
-GROUP BY 1
-""",
-    tags=("agg", "histogram"),
-)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width distribution histogram with percentage-of-total —
-    one partial-aggregable pass plus a broadcast scalar for the
-    denominator (never a second full scan)."""
-    ev = load_table(spark, sf_dir, "events")
-    total = ev.agg(F.count(F.lit(1)).alias("total"))
-    return (
-        ev.groupBy(F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            "n",
-            round_half_up(100.0 * F.col("n") / F.col("total"), 4).alias("pct"),
-        )
-    )
-
-
-@register(
-    "union_all_tagged_events",
-    oracle="""
-SELECT 'high' AS band, event_id, user_id, value FROM events WHERE value >= 90
-UNION ALL
-SELECT 'error' AS band, event_id, user_id, value FROM events WHERE event_type = 'error'
-""",
-    tags=("setop",),
-)
-def union_all_tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL with a provenance tag — bag semantics (a row matching
-    both arms appears twice), the standard multi-source concatenation.
-    Plans as a no-shuffle Union of two pushed-down scans."""
-    ev = load_table(spark, sf_dir, "events")
-    high = ev.filter(F.col("value") >= 90).select(
-        F.lit("high").alias("band"), "event_id", "user_id", "value"
-    )
-    err = ev.filter(F.col("event_type") == "error").select(
-        F.lit("error").alias("band"), "event_id", "user_id", "value"
-    )
-    return high.unionByName(err)
+# grouping_sets_explicit was consolidated out (round-2): the grouping-
+# set lattice is driver-checked via cube_order_counts (full CUBE) and
+# q1_pricing_rollup (ROLLUP); the SQL-text Catalyst path stays checked
+# via s6_sql_cte_chain. value_histogram lives on as stats_suite's
+# 'histogram' arm; union_all_tagged_events' tagged-UNION shape is now
+# load-bearing inside every *_suite query.

@@ -34,55 +34,9 @@ def _revenue():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-@register(
-    "q3_shipping_priority",
-    oracle=f"""
-SELECT l.l_orderkey,
-       {sql_round("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
-       CAST(o.o_orderdate AS DATE) AS order_date,
-       o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '2000-01-01 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, l.l_orderkey
-LIMIT 10
-""",
-    tags=("join", "agg", "topk", "bench"),
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way fact⋈fact⋈dim join, filtered on all three
-    inputs, grouped revenue, global top-10. Filters sit on each scan
-    (pushed to parquet), the customer join pre-filters orders before the
-    expensive lineitem join, and the final top-10 is a TakeOrdered (no
-    global sort materialization). Deterministic tiebreak on l_orderkey
-    so LIMIT picks identical rows in both engines."""
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
-    )
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("2000-01-01 00:00:00").cast("timestamp")
-    )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round_half_up(F.sum(_revenue()), 2).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.to_date("o_orderdate").alias("order_date"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
-        .limit(10)
-    )
+# q3_shipping_priority was consolidated out of the registry (round-2):
+# its join-filter-group-TopN shape is fully covered by q10_returned_items
+# (same TakeOrderedAndProject plan, one more join) and q5/q18.
 
 
 @register(
@@ -183,34 +137,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_customers_no_urgent",
+    "set_ops_suite",
     oracle="""
-SELECT c.c_custkey, c.c_name, c.c_mktsegment
+SELECT 'anti_no_urgent' AS tag, c.c_custkey AS id
 FROM customer c
 WHERE NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
-""",
-    tags=("join", "anti"),
-)
-def anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: customers with no urgent order — NOT EXISTS as a
-    LEFT ANTI hash join (one pass, no driver-side set). The orders side
-    is filtered before the join so only urgent keys are shuffled/hashed."""
-    c = load_table(spark, sf_dir, "customer")
-    urgent = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return c.join(
-        urgent, c.c_custkey == urgent.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "semi_customers_recent_urgent",
-    oracle="""
-SELECT c.c_custkey, c.c_name
+UNION ALL
+SELECT 'semi_recent_urgent' AS tag, c.c_custkey AS id
 FROM customer c
 WHERE EXISTS (
     SELECT 1 FROM orders o
@@ -218,21 +154,67 @@ WHERE EXISTS (
       AND o.o_orderpriority = '1-URGENT'
       AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
 )
-""",
-    tags=("join", "semi"),
+UNION ALL
+SELECT 'intersect_purchase_view' AS tag, id FROM (
+    SELECT user_id AS id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id AS id FROM events WHERE event_type = 'view'
 )
-def semi_customers_recent_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-join: customers with a recent urgent order — EXISTS as a
-    LEFT SEMI join; emits each matching customer once without
-    materializing the match multiplicity (no post-join distinct)."""
+UNION ALL
+SELECT 'except_new_docs' AS tag, id FROM (
+    SELECT doc_id AS id FROM (
+        SELECT doc_id, text FROM documents
+        EXCEPT
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+    )
+)
+""",
+    tags=("join", "anti", "semi", "setop"),
+)
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operation / existential-join family in one tagged result:
+    (a) anti-join — customers with no urgent order, NOT EXISTS planned
+    as a LEFT ANTI hash join with the orders side filtered before the
+    join so only urgent keys shuffle; (b) semi-join — customers with a
+    recent urgent order, EXISTS as LEFT SEMI (each match emitted once,
+    no post-join distinct); (c) ANSI INTERSECT (distinct semantics) —
+    users who both purchased and viewed; (d) EXCEPT — the snapshot diff
+    behind incremental training-data refreshes (docs new relative to a
+    prior snapshot), planned as a left-anti hash join."""
     c = load_table(spark, sf_dir, "customer")
-    recent = load_table(spark, sf_dir, "orders").filter(
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    anti = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select(F.lit("anti_no_urgent").alias("tag"), F.col("c_custkey").alias("id"))
+    )
+    recent = orders.filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
     )
-    return c.join(
-        recent, c.c_custkey == recent.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
+    semi = (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_semi")
+        .select(
+            F.lit("semi_recent_urgent").alias("tag"), F.col("c_custkey").alias("id")
+        )
+    )
+    inter = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "view").select("user_id"))
+        .select(
+            F.lit("intersect_purchase_view").alias("tag"),
+            F.col("user_id").alias("id"),
+        )
+    )
+    prior = docs.filter(F.col("doc_id") % 10 != 0)
+    diff = docs.subtract(prior).select(
+        F.lit("except_new_docs").alias("tag"), F.col("doc_id").alias("id")
+    )
+    return anti.unionByName(semi).unionByName(inter).unionByName(diff)
 
 
 @register(
@@ -285,24 +267,8 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "intersect_purchase_view_users",
-    oracle="""
-SELECT user_id FROM events WHERE event_type = 'purchase'
-INTERSECT
-SELECT user_id FROM events WHERE event_type = 'view'
-""",
-    tags=("setop",),
-)
-def intersect_purchase_view_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set intersection (ANSI INTERSECT = distinct semantics): users who
-    both purchased and viewed. Planned as a distinct + semi-join-style
-    hash intersect — complements snapshot_diff_docs' EXCEPT to round out
-    the set-operation surface."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    views = ev.filter(F.col("event_type") == "view").select("user_id")
-    return purchases.intersect(views)
+# intersect_purchase_view_users was consolidated into set_ops_suite
+# (its 'intersect_purchase_view' arm).
 
 
 @register(
@@ -349,60 +315,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q14_promo_share",
+    "promo_bracket_revenue",
     oracle=f"""
-SELECT {sql_round('''100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-           / SUM(l.l_extendedprice * (1 - l.l_discount))''', 4)} AS promo_pct
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
-  AND l.l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+SELECT 'promo_pct' AS metric, (
+    SELECT {sql_round('''100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount))''', 4)}
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '2000-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '2000-04-01 00:00:00'
+) AS value
+UNION ALL
+SELECT 'bracket_revenue' AS metric, (
+    SELECT {sql_round("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)}
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+) AS value
 """,
-    tags=("join", "agg"),
+    tags=("join", "agg", "predicate"),
 )
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
-    of one month) — single joined pass, both numerator and denominator
-    from the same partial aggregation, no second scan."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
+def promo_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 + Q19 shapes as one two-row (metric, value) result:
+    (a) conditional-aggregate ratio — promo revenue share of one month,
+    numerator and denominator from the same partial aggregation, no
+    second scan; (b) disjunction-of-conjunction brackets spanning both
+    join sides — Catalyst extracts the common join key and pushes the
+    side-local residuals (brand/size to the part scan, quantity to the
+    lineitem scan via OR-derivation); the cross-side OR evaluates
+    post-join in codegen, no nested-loop fallback."""
+    l14 = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("2000-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .agg(
-            round_half_up(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
-        )
+    promo_row = (
+        l14.join(p, l14.l_partkey == p.p_partkey)
+        .agg(round_half_up(100.0 * F.sum(promo) / F.sum(rev), 4).alias("value"))
+        .select(F.lit("promo_pct").alias("metric"), "value")
     )
-
-
-@register(
-    "q19_bracket_revenue",
-    oracle=f"""
-SELECT {sql_round("SUM(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
-FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey
-WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
-   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
-       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
-   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
-       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
-""",
-    tags=("join", "agg", "predicate"),
-)
-def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: disjunction-of-conjunction brackets spanning
-    both join sides. Catalyst extracts the common join key and pushes
-    the side-local residuals (brand/size to the part scan, quantity to
-    the lineitem scan via OR-derivation); the cross-side OR evaluates
-    post-join in codegen — no fallback to a nested-loop plan."""
     l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
     j = l.join(p, l.l_partkey == p.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
@@ -412,6 +372,9 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 50)
            & F.col("l_quantity").between(20, 40))
     )
-    return j.filter(bracket).agg(
-        round_half_up(F.sum(_revenue()), 2).alias("revenue")
+    bracket_row = (
+        j.filter(bracket)
+        .agg(round_half_up(F.sum(_revenue()), 2).alias("value"))
+        .select(F.lit("bracket_revenue").alias("metric"), "value")
     )
+    return promo_row.unionByName(bracket_row)

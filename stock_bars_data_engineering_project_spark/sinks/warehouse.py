@@ -28,6 +28,7 @@ MERGE degenerates to on any engine when the target isn't partitioned.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -70,6 +71,44 @@ class ParquetWarehouse:
         )
 
     # -- snapshot machinery -------------------------------------------------
+
+    @contextlib.contextmanager
+    def _write_lock(self, table: str):
+        """Per-table writer mutex for the read->snapshot->commit span.
+
+        Two concurrent writers would otherwise both read the same
+        ``_LATEST``, compute the same next version, and the second
+        pointer flip would silently discard the first writer's committed
+        rows (lost update — the reference's PostgreSQL store is
+        transactional here). An ``O_CREAT|O_EXCL`` lock file makes the
+        claim atomic on POSIX filesystems; contention raises rather than
+        blocks (writers in this engine are pipeline steps, not ad-hoc
+        user sessions, so a concurrent writer is a bug to surface). A
+        crashed writer leaves a stale lock: surfaced in the error with
+        its pid so an operator can remove it — the same manual-unlock
+        tradeoff as a stale Delta _delta_log lock on non-transactional
+        stores.
+        """
+        tdir = self.table_path(table)
+        os.makedirs(tdir, exist_ok=True)
+        lock = os.path.join(tdir, "._writer_lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            with contextlib.suppress(OSError):
+                holder = open(lock).read().strip() or "unknown"
+            raise RuntimeError(
+                f"concurrent writer on table {table!r} (lock held by pid "
+                f"{holder}); single-writer-per-table is the contract — if "
+                f"the holder crashed, remove {lock}"
+            ) from None
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)
 
     def _latest_version(self, table: str) -> str | None:
         try:
@@ -135,12 +174,13 @@ class ParquetWarehouse:
         unchanged... at scale, swap this for a manifest that references
         prior files instead of copying (noted TODO; semantics identical).
         """
-        if self.exists(table):
-            df = self.read(table).unionByName(
-                df, allowMissingColumns=allow_schema_drift
-            )
-        version = self._write_snapshot(df, table, partition_by)
-        self._commit(table, version)
+        with self._write_lock(table):
+            if self.exists(table):
+                df = self.read(table).unionByName(
+                    df, allowMissingColumns=allow_schema_drift
+                )
+            version = self._write_snapshot(df, table, partition_by)
+            self._commit(table, version)
 
     def overwrite(
         self,
@@ -164,8 +204,9 @@ class ParquetWarehouse:
             # coalesces small data to one file, defeating the layout)
             args = ([n_files] if n_files else []) + [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
-        version = self._write_snapshot(df, table, partition_by)
-        self._commit(table, version)
+        with self._write_lock(table):
+            version = self._write_snapshot(df, table, partition_by)
+            self._commit(table, version)
 
     def create_as(self, df: DataFrame, table: str) -> None:
         """K4: CTAS — the analysis table's drop+create
@@ -196,29 +237,30 @@ class ParquetWarehouse:
         from ..operators.merge import upsert_frames
 
         src = source.dropDuplicates(list(keys))
-        if not self.exists(table):
-            version = self._write_snapshot(src, table, partition_by)
-            self._commit(table, version)
-            return
+        with self._write_lock(table):
+            if not self.exists(table):
+                version = self._write_snapshot(src, table, partition_by)
+                self._commit(table, version)
+                return
 
-        target = self.read(table)
-        if partition_by and set(partition_by) <= set(src.columns):
-            # partition-pruned rewrite: only partitions present in the batch
-            parts = src.select(*partition_by).distinct()
-            touched = target.join(
-                F.broadcast(parts), on=list(partition_by), how="left_semi"
-            )
-            untouched = target.join(
-                F.broadcast(parts), on=list(partition_by), how="left_anti"
-            )
-            merged = untouched.unionByName(
-                upsert_frames(touched, src, keys, allow_schema_drift),
-                allowMissingColumns=allow_schema_drift,
-            )
-        else:
-            merged = upsert_frames(target, src, keys, allow_schema_drift)
-        version = self._write_snapshot(merged, table, partition_by)
-        self._commit(table, version)
+            target = self.read(table)
+            if partition_by and set(partition_by) <= set(src.columns):
+                # partition-pruned rewrite: only partitions in the batch
+                parts = src.select(*partition_by).distinct()
+                touched = target.join(
+                    F.broadcast(parts), on=list(partition_by), how="left_semi"
+                )
+                untouched = target.join(
+                    F.broadcast(parts), on=list(partition_by), how="left_anti"
+                )
+                merged = untouched.unionByName(
+                    upsert_frames(touched, src, keys, allow_schema_drift),
+                    allowMissingColumns=allow_schema_drift,
+                )
+            else:
+                merged = upsert_frames(target, src, keys, allow_schema_drift)
+            version = self._write_snapshot(merged, table, partition_by)
+            self._commit(table, version)
 
     # -- table maintenance (beyond the reference; required at 100 TB) -------
 
@@ -253,15 +295,16 @@ class ParquetWarehouse:
         Runs as an ordinary snapshot write + pointer flip, so readers
         see either the old or the compacted snapshot, never a mix.
         """
-        total = sum(os.path.getsize(f) for f in self.data_files(table))
-        df = self.read(table)
-        if partition_by:
-            df = df.repartition(*[F.col(c) for c in partition_by])
-        else:
-            n = max(1, -(-total // target_file_bytes))  # ceil div
-            df = df.repartition(n)
-        version = self._write_snapshot(df, table, partition_by)
-        self._commit(table, version)
+        with self._write_lock(table):
+            total = sum(os.path.getsize(f) for f in self.data_files(table))
+            df = self.read(table)
+            if partition_by:
+                df = df.repartition(*[F.col(c) for c in partition_by])
+            else:
+                n = max(1, -(-total // target_file_bytes))  # ceil div
+                df = df.repartition(n)
+            version = self._write_snapshot(df, table, partition_by)
+            self._commit(table, version)
 
     def vacuum(self, table: str, keep_last: int = 2) -> None:
         """Drop snapshot directories older than the newest ``keep_last``,

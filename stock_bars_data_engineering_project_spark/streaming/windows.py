@@ -51,8 +51,13 @@ def sliding_agg(
     """Overlapping windows — each event lands in duration/slide windows."""
     return (
         df.groupBy(F.window(ts, duration, slide).alias("win"), *keys)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("win.start").alias("window_start"), *keys, "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), *keys, "n_events", "sum_value"
+        )
     )
 
 

@@ -28,7 +28,7 @@ def test_dim_join_is_broadcast(spark):
 
 
 def test_pricing_filter_pushed_to_scan(spark):
-    plan = _plan(spark, "q1_pricing_summary")
+    plan = _plan(spark, "q1_pricing_rollup")
     assert "LessThanOrEqual(l_shipdate" in plan  # reaches PushedFilters
 
 
@@ -46,8 +46,10 @@ def test_flagship_windows_share_one_sort(spark):
 
 
 def test_topk_uses_window_group_limit(spark):
-    plan = _plan(spark, "topk_per_group")
-    assert "WindowGroupLimit" in plan  # rank filter pruned before full sort
+    # the rank<=3 filter inside tfidf_vocab_suite must be pruned into a
+    # per-partition top-k before any full sort materializes
+    plan = _plan(spark, "tfidf_vocab_suite")
+    assert "WindowGroupLimit" in plan
 
 
 def test_metadata_projection_prunes_columns(spark):
@@ -57,9 +59,9 @@ def test_metadata_projection_prunes_columns(spark):
     assert "lang" not in plan.split("ReadSchema")[1][:200]
 
 
-def test_q3_topk_avoids_global_sort(spark):
-    plan = _plan(spark, "q3_shipping_priority")
-    # top-10 planned as TakeOrderedAndProject, not a full sort + limit
+def test_q10_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "q10_returned_items")
+    # top-20 planned as TakeOrderedAndProject, not a full sort + limit
     assert "TakeOrderedAndProject" in plan
 
 
@@ -81,12 +83,11 @@ def test_q18_aggregates_before_join(spark):
 
 
 def test_anti_and_semi_join_types(spark):
-    anti = _plan(spark, "anti_customers_no_urgent")
-    semi = _plan(spark, "semi_customers_recent_urgent")
-    assert "LeftAnti" in anti
-    assert "LeftSemi" in semi
+    plan = _plan(spark, "set_ops_suite")
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
     # the orders side is filtered before joining
-    assert "EqualTo(o_orderpriority,1-URGENT)" in anti
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
 
 
 # Queries allowed to contain a BroadcastNestedLoopJoin: each crosses the
@@ -99,8 +100,9 @@ _NLJ_ALLOWED = {
     "ann_topk_lsh",
     # single-row scalar broadcasts (corpus size / global total) — the
     # scalar-subquery pattern; the NLJ build side is exactly one row
-    "tfidf_top_terms",
-    "value_histogram",
+    "tfidf_vocab_suite",
+    "stats_suite",
+    "a_scan_aggregates",
 }
 
 

@@ -53,3 +53,119 @@ def test_stable_split_deterministic_and_stable(spark):
     # sample is a strict subset rule, consistent with buckets
     s = deterministic_sample(docs, 0.25)
     assert 0.15 < s.count() / docs.count() < 0.35
+
+
+def _budget_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, n long")
+
+
+def test_token_budget_edges(spark):
+    """token_budget_sample edge cases (ADVICE round 1): a zero budget
+    takes nothing from a stratum, unlisted strata fall to
+    default_budget, and the document that CROSSES the budget boundary
+    is kept (budgets are floors)."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a", 40) for i in range(10)] + [(i + 100, "b", 40) for i in range(10)]
+    docs = _budget_docs(spark, rows)
+
+    # zero budget for 'a', zero default for unlisted 'b' -> empty
+    none = token_budget_sample(
+        docs, budgets={"a": 0}, n_tokens=F.col("n"), default_budget=0
+    )
+    assert none.count() == 0
+
+    # budget 100 with 40-token docs: 40+40 < 100 <= 40+40+40 -> the
+    # crossing third doc is kept, the fourth is not
+    some = token_budget_sample(
+        docs, budgets={"a": 100}, n_tokens=F.col("n"), default_budget=0
+    ).collect()
+    assert len(some) == 3
+    assert all(r.source == "a" for r in some)
+
+    # unlisted stratum takes from default_budget
+    dflt = token_budget_sample(
+        docs, budgets={"a": 0}, n_tokens=F.col("n"), default_budget=100
+    ).collect()
+    assert len(dflt) == 3
+    assert all(r.source == "b" for r in dflt)
+
+
+def test_token_budget_membership_stable_under_growth(spark):
+    """Adding new documents must never evict a previously kept doc
+    except by pushing the tail boundary — i.e. kept-set changes are
+    limited to docs whose salted-hash order position moved past the
+    budget, and any doc kept after growth that existed before was
+    either kept before or sits where a new doc displaced the tail."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    base_rows = [(i, "a", 10) for i in range(50)]
+    grown_rows = base_rows + [(i + 1000, "a", 10) for i in range(20)]
+    kept_base = {
+        r.doc_id
+        for r in token_budget_sample(
+            _budget_docs(spark, base_rows), budgets={"a": 200},
+            n_tokens=F.col("n"), default_budget=0,
+        ).collect()
+    }
+    kept_grown = {
+        r.doc_id
+        for r in token_budget_sample(
+            _budget_docs(spark, grown_rows), budgets={"a": 200},
+            n_tokens=F.col("n"), default_budget=0,
+        ).collect()
+    }
+    # same budget, same doc size -> same kept count; old docs that stay
+    # kept keep their membership, and every change is explained by new
+    # docs hashing ahead of the old tail
+    assert len(kept_grown) == len(kept_base)
+    old_docs_grown = {d for d in kept_grown if d < 1000}
+    assert old_docs_grown <= kept_base
+
+
+def test_token_budget_raises_on_temp_column_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5, 0)], "doc_id long, source string, n long, _cum long"
+    )
+    with pytest.raises(ValueError, match="_cum"):
+        token_budget_sample(docs, budgets={"a": 10}, n_tokens=F.col("n"))
+
+
+def test_warehouse_write_lock_blocks_second_writer(spark, tmp_path):
+    """Concurrent-writer guard (ADVICE round 1): a held lock makes the
+    second writer fail loudly instead of silently losing the first
+    writer's rows; the lock clears after a successful write."""
+    import os
+
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.sinks import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(5).select(F.col("id").alias("k"))
+    wh.overwrite(df, "t")  # lock taken and released
+
+    lock = os.path.join(wh.table_path("t"), "._writer_lock")
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("99999")
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        wh.append(df, "t")
+    os.remove(lock)
+    wh.append(df, "t")  # works again once the stale lock is cleared
+    assert wh.read("t").count() == 10

@@ -193,3 +193,65 @@ def test_streaming_ewma_correct_across_small_arrow_chunks(spark, tmp_path):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v)), k
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment (registry entry consolidated out in
+    round 2 — pinned here instead): a readStream event flow joined to a
+    static dimension inside the streaming query, drained in complete
+    mode, must equal the batch join+agg."""
+    events = load_table(spark, SF, "events")
+    customers = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.join(customers, stream.user_id == customers.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    run_stream_to_memory(agg, "t_stream_static", output_mode="complete")
+    got = {
+        r.c_mktsegment: (r.n_events, round(r.sv, 6))
+        for r in spark.table("t_stream_static").collect()
+    }
+    want = {
+        r.c_mktsegment: (r.n_events, round(r.sv, 6))
+        for r in events.join(
+            customers, events.user_id == customers.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over an at-least-once source
+    (every data file fed twice) must emit each event exactly once
+    (registry entry consolidated out in round 2 — pinned here)."""
+    import shutil, os
+
+    events = load_table(spark, SF, "events").filter(F.col("event_id") < 300)
+    clean = str(tmp_path / "clean")
+    events.coalesce(1).write.parquet(clean)
+    dup = str(tmp_path / "dup")
+    shutil.copytree(clean, dup)
+    for name in os.listdir(clean):
+        if name.endswith(".parquet"):
+            shutil.copy(os.path.join(clean, name), os.path.join(dup, "copy2_" + name))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(dup)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    run_stream_to_memory(stream, "t_dedup_wm", output_mode="append")
+    got = sorted(r.event_id for r in spark.table("t_dedup_wm").collect())
+    want = sorted(r.event_id for r in events.collect())
+    assert got == want

@@ -134,3 +134,26 @@ def test_extract_then_ann_search_composes(spark):
     for q, rows in by_q.items():
         assert len(rows) == 5
         assert all(r.vec_id != q for r in rows)
+
+
+def test_decode_image_gates_on_pil():
+    """decode_image uses the real codec when Pillow is importable and
+    falls through to the loud stub otherwise — never fabricated pixels."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        _pil,
+        decode_image,
+    )
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+    else:
+        import io
+
+        Image = _pil()
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 4)).save(buf, format="PNG")
+        img = decode_image(buf.getvalue())
+        assert img.size == (4, 4)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from stock_bars_data_engineering_project_spark.operators.asof import asof_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa: E402
+    embedding_dup_pairs_blocked,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -53,9 +54,11 @@ def stage(spark, scale: int) -> str:
         return out
     docs = load_table(spark, SF_DIR, "documents")
     events = load_table(spark, SF_DIR, "events")
+    emb = load_table(spark, SF_DIR, "embeddings")
     n_docs = docs.count()
     n_events = events.count()
-    d_parts, e_parts = [], []
+    n_emb = emb.count()
+    d_parts, e_parts, v_parts = [], [], []
     for k in range(scale):
         rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
         d_parts.append(
@@ -73,20 +76,36 @@ def stage(spark, scale: int) -> str:
                 "value",
             )
         )
+        # component rotation: norm-preserving, decorrelates replicas so
+        # near-dup pair structure grows linearly, not quadratically
+        r = k % 64
+        v_parts.append(
+            emb.select(
+                (F.col("vec_id") + k * n_emb).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
+                ).alias("embedding"),
+            )
+        )
     d = d_parts[0]
     for p in d_parts[1:]:
         d = d.unionByName(p)
     ev = e_parts[0]
     for p in e_parts[1:]:
         ev = ev.unionByName(p)
+    vv = v_parts[0]
+    for p in v_parts[1:]:
+        vv = vv.unionByName(p)
     d.write.mode("overwrite").parquet(os.path.join(out, "documents"))
     ev.write.mode("overwrite").parquet(os.path.join(out, "events"))
+    vv.write.mode("overwrite").parquet(os.path.join(out, "embeddings"))
     return out
 
 
 def run(spark, path: str) -> dict[str, float]:
     docs = spark.read.parquet(os.path.join(path, "documents"))
     events = spark.read.parquet(os.path.join(path, "events"))
+    emb = spark.read.parquet(os.path.join(path, "embeddings"))
     marks = events.groupBy(
         "user_id", F.window("ts", "1 hour")["start"].alias("mark_ts")
     ).agg(F.sum("value").alias("mark_value"))
@@ -103,6 +122,9 @@ def run(spark, path: str) -> dict[str, float]:
         "tumbling_agg": lambda: tumbling_agg(events, duration="1 day"),
         "salted_topk": lambda: salted_topk(
             events, ("user_id",), "value", "event_id", k=3, n_salt=8
+        ),
+        "embedding_blocked": lambda: embedding_dup_pairs_blocked(
+            emb, dim=64, n_planes=8
         ),
         "contamination": lambda: contamination_overlap(
             docs.filter(F.col("doc_id") % 20 != 0),
