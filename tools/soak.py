@@ -102,7 +102,7 @@ def stage(spark, scale: int) -> str:
     return out
 
 
-def run(spark, path: str) -> dict[str, float]:
+def run(spark, path: str, scale: int = 1) -> dict[str, float]:
     docs = spark.read.parquet(os.path.join(path, "documents"))
     events = spark.read.parquet(os.path.join(path, "events"))
     emb = spark.read.parquet(os.path.join(path, "embeddings"))
@@ -123,8 +123,13 @@ def run(spark, path: str) -> dict[str, float]:
         "salted_topk": lambda: salted_topk(
             events, ("user_id",), "value", "event_id", k=3, n_salt=8
         ),
+        # LSH blocking must grow its bucket space with the corpus — at a
+        # FIXED n_planes the hamming ring admits a fixed FRACTION of all
+        # pairs (quadratic growth); +2 planes per corpus doubling keeps
+        # expected bucket occupancy flat, which is exactly how the
+        # operator is meant to be configured at 100 TB.
         "embedding_blocked": lambda: embedding_dup_pairs_blocked(
-            emb, dim=64, n_planes=8
+            emb, dim=64, n_planes=8 + 2 * max(0, scale.bit_length() - 1)
         ),
         "contamination": lambda: contamination_overlap(
             docs.filter(F.col("doc_id") % 20 != 0),
@@ -153,7 +158,7 @@ def main() -> None:
     results: dict[int, dict[str, float]] = {}
     for s in scales:
         path = stage(spark, s)
-        results[s] = run(spark, path)
+        results[s] = run(spark, path, scale=s)
         print(json.dumps({"scale": s, "times": results[s]}), flush=True)
     base = results[scales[0]]
     summary = {}
