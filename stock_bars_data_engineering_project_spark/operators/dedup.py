@@ -11,9 +11,10 @@ Scale shapes (the part that matters at 100 TB):
     groups are tiny by construction, the hashing stage is scanned exactly
     once (a self-join would recompute it per side), and candidate pairs
     are then verified with exact Jaccard.
-  * ngram_jaccard: inverted-index join on shingle (pairs sharing >= 1
-    shingle), count-intersections aggregate — the standard
-    all-pairs-similarity shape (cf. Vernica et al.); hot shingles are the
+  * ngram_jaccard: inverted-index join on shingle, count-intersections
+    aggregate — the standard all-pairs-similarity shape (cf. Vernica et
+    al.), with an optional Chaudhuri-style prefix-filtered index (exact,
+    pinned equivalent) for postings-bound corpora; hot shingles are the
     skew hazard -> drop ubiquitous shingles (document-frequency cap)
     exactly as real pipelines do.
   * simhash: 60-bit fingerprint per doc, pairs blocked on any matching
@@ -164,45 +165,118 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.7,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via an inverted-index join — finds
-    EVERY pair with overlap >= 1 shingle, then filters on the exact score
-    (no LSH recall loss). ``max_shingle_df`` drops shingles appearing in
-    more than N docs (stop-shingles), the standard skew guard.
+    """Exact all-pairs n-gram Jaccard — no LSH recall loss.
+
+    Default path: full inverted index — every pair sharing >= 1 shingle
+    meets in the postings join and the intersection is COUNTED inside
+    the (partial-aggregable) groupBy, so no shingle array is ever
+    re-fetched. MEASURED the faster shape on this corpus at every scale
+    tried (x16 replication: 9.3s vs 19.9s steady) because the verify is
+    free and the join stays aggregate-bound.
+
+    ``prefix_filter=True`` (Chaudhuri/Vernica SSJoin prefix filtering):
+    sort each doc's distinct shingles under one global total order (md5
+    — deterministic, no statistics pass) and index ONLY the first
+    ``|d| - ceil(t*|d|) + 1``. Jaccard >= t forces an intersection of
+    >= ceil(t*max(|A|,|B|)) shingles, so prefixes must intersect under
+    any common order — candidates are COMPLETE, then an exact full-set
+    verify (array_intersect) restores exact scores; equivalence of the
+    two paths is pinned in tests. At t=0.7 the index holds ~0.3 of the
+    postings: the shape to switch to when the POSTINGS JOIN itself is
+    the bottleneck (very long documents or heavy cross-doc shingle
+    sharing, where df^2 join fan-out dwarfs the per-candidate verify).
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (stop-shingles), the standard skew guard; it CHANGES semantics
+    (Jaccard over the capped universe) and composes with either path.
     """
     shingled = _shingled(df, text_col, id_col, k)
-    inv = shingled.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    )
     if max_shingle_df is not None:
+        inv_all = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
         hot = (
-            inv.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+            inv_all.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         )
-        inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        hot_arr = F.broadcast(
+            hot.agg(F.collect_set("shingle").alias("_hot"))
+        )
         # Jaccard must be computed over the FILTERED shingle universe on
-        # BOTH sides: keeping the pre-drop n_sh would count dropped
-        # shingles in the union but never in the intersection, deflating
-        # scores (an exact duplicate could fall below threshold).
-        inv = inv.drop("n_sh").withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        # BOTH sides: keeping dropped shingles in the union but never in
+        # the intersection would deflate scores (an exact duplicate
+        # could fall below threshold).
+        shingled = shingled.crossJoin(hot_arr).select(
+            "doc_id",
+            F.array_except(F.col("shingles"), F.col("_hot")).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+    if not prefix_filter:
+        inv = shingled.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
         )
-    a = inv.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+        a = inv.select(
+            F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+        )
+        b = inv.select(
+            F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+        )
+        pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = round_half_up(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
+        )
+        return (
+            pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    # prefix path: md5-sorted shingles, index the first n - ceil(t*n) + 1
+    ordered = shingled.select(
+        "doc_id",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.struct(F.md5(s).alias("h"), s.alias("s")),
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("shingles"),
     )
-    b = inv.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    # epsilon guards the ceil when t*n is mathematically integral but the
+    # double product rounds a hair high — a too-SHORT prefix loses pairs
+    # (breaks exactness), a hair-long one only adds candidates
+    prefix_len = (
+        F.size("shingles")
+        - F.ceil(F.size("shingles") * F.lit(threshold) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    inv = ordered.select(
+        "doc_id",
+        F.explode(F.slice(F.col("shingles"), 1, prefix_len)).alias("shingle"),
     )
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = round_half_up(
-        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4
-    )
+    sa = ordered.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        pairs.withColumn("jaccard", jac)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", round_half_up(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -136,3 +136,27 @@ def test_embedding_blocked_is_subset_of_exact_with_identical_scores(spark):
     for pair, cos in blocked.items():
         assert cos == exact[pair]
     assert len(exact) == 0 or len(blocked) >= 0.2 * len(exact)
+
+
+def test_ngram_prefix_filter_is_exact(spark):
+    """The prefix-filtered inverted index must return EXACTLY the same
+    pairs and scores as the full inverted index (candidate completeness
+    of the |d| - ceil(t|d|) + 1 prefix under a common md5 order), across
+    thresholds including ones where t*|d| is integral."""
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.5, 0.7, 0.8):
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pref == full, f"threshold {t}"
