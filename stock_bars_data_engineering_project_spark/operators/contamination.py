@@ -34,7 +34,11 @@ def contamination_overlap(
     Output: (doc_id, n_shingles, n_overlap, contamination) where
     contamination = n_overlap / n_shingles rounded to 4 places.
     """
-    shingled = corpus.select(
+    from ..sources.readers import balance
+
+    # shingling is the per-row CPU here; balance() guards against a
+    # coarse upstream (one row-group) serializing it on one core
+    shingled = balance(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_shingles(F.col(text_col), k)).alias("shingles"),
     ).filter(F.size("shingles") > 0)

@@ -1046,10 +1046,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alnum splits + one token per punctuation char), Gopher-style 2-gram
     repetition ratio (NULL for sub-2-token docs), the order-sensitive
     poly-31 rolling fingerprint, and the 60-bit MD5 SimHash fingerprint.
-    All codegen'd built-in expressions over one scan — no shuffle, no
-    Python, scan-speed at 100 TB; every column bit-matched against the
-    DuckDB replay."""
-    d = load_table(spark, sf_dir, "documents")
+    All codegen'd built-in expressions over one balanced scan — no
+    Python; ``balance`` matters here: the per-row CPU (regex trees +
+    60-bit votes) is the whole cost, and a single-row-group parquet
+    file would otherwise execute on one core (measured 3.0s vs 5.7s at
+    sf0.1). Every column bit-matched against the DuckDB replay."""
+    from ..sources.readers import balance
+
+    d = balance(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     grams = word_shingles(t, 2)
     has_grams = F.size(grams) > 0

@@ -160,3 +160,4 @@ def test_ngram_prefix_filter_is_exact(spark):
             ).collect()
         }
         assert pref == full, f"threshold {t}"
+
