@@ -31,13 +31,21 @@ def main() -> None:
         default=None,
         help="run the training-corpus preparation pipeline over SF_DIR instead",
     )
+    ap.add_argument(
+        "--export-jsonl",
+        metavar="DIR",
+        default=None,
+        help="with --corpus: also deliver the train split as gzip JSONL shards",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stock-bars-pipeline")
     if args.corpus:
         from .corpus_pipeline import run_corpus_pipeline
 
-        counts = run_corpus_pipeline(spark, args.corpus, args.warehouse)
+        counts = run_corpus_pipeline(
+            spark, args.corpus, args.warehouse, export_jsonl_dir=args.export_jsonl
+        )
         print(json.dumps({"pipeline": "corpus", "warehouse": args.warehouse, **counts}))
         return
 

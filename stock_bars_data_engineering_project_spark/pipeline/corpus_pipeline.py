@@ -111,13 +111,23 @@ def run_corpus_pipeline(
     sf_dir: str,
     warehouse_root: str,
     table: str = "training_corpus",
+    export_jsonl_dir: str | None = None,
     **kwargs,
 ) -> dict[str, int]:
-    """End-to-end: prepare, snapshot-write partitioned by split, log."""
+    """End-to-end: prepare, snapshot-write partitioned by split, log —
+    and, when ``export_jsonl_dir`` is set, deliver the train split as
+    gzip JSONL shards (the interchange format the training stack pulls;
+    sinks/export.py)."""
     docs = load_table(spark, sf_dir, "documents")
     corpus, counts = prepare_corpus(docs, **kwargs)
     wh = ParquetWarehouse(spark, warehouse_root)
     wh.overwrite(corpus, table, partition_by=("split",))
+    if export_jsonl_dir:
+        from ..sinks.export import export_jsonl
+
+        train = wh.read(table).filter("split = 'train'")
+        export_jsonl(train, export_jsonl_dir, n_shards=8)
+        counts["exported_train"] = train.count()
     wh.log(
         f"{table}_runs",
         " -> ".join(f"{k}:{v}" for k, v in counts.items()),

@@ -120,3 +120,37 @@ def read_csv_dim(spark: SparkSession, path: str, schema: str | None = None) -> D
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | T.StructType | None = None
+) -> DataFrame:
+    """Newline-delimited JSON reader — the interchange format most LLM
+    training corpora arrive in (one document object per line, optionally
+    gzip-sharded; Spark's json source handles both transparently and
+    splits uncompressed shards by line).
+
+    Pass an explicit ``schema`` in production: without one Spark runs an
+    extra full inference pass over 100 TB just to discover the columns,
+    and the result schema becomes data-dependent (the same deploy hazard
+    the explicit pivot value list avoids). ``mode=PERMISSIVE`` with a
+    ``_corrupt_record`` column keeps a bad line from failing a 10^9-line
+    ingest — corrupt rows land in the audit column instead."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        # the corrupt-record column must exist in the schema to be kept
+        if "_corrupt_record" not in [f.name for f in schema.fields]:
+            schema = schema.add("_corrupt_record", T.StringType())
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (column
+    projection and predicate pushdown reach the stripe level), for
+    interop with Hive-era warehouses."""
+    return spark.read.orc(path)

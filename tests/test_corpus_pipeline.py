@@ -46,3 +46,25 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert again.exceptAll(out).count() == 0 and out.exceptAll(again).count() == 0
     # and the run log recorded both runs
     assert wh.read("training_corpus_runs").count() == 2
+
+
+def test_corpus_pipeline_exports_train_jsonl(spark, tmp_path):
+    """--export-jsonl delivers exactly the train split as gzip shards."""
+    import glob
+    import os
+
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import read_jsonl
+
+    out = str(tmp_path / "jsonl")
+    counts = run_corpus_pipeline(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "wh"),
+        export_jsonl_dir=out,
+    )
+    shards = glob.glob(os.path.join(out, "part-*.json.gz"))
+    assert len(shards) == 8
+    back = read_jsonl(spark, out)
+    assert back.count() == counts["exported_train"] > 0
+    assert set(r.split for r in back.select("split").distinct().collect()) == {"train"}
