@@ -10,7 +10,7 @@ transplanted onto ``events(user_id, ts, value)``; relational operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up, sql_round

@@ -161,3 +161,42 @@ def test_ngram_prefix_filter_is_exact(spark):
         }
         assert pref == full, f"threshold {t}"
 
+
+
+def test_embedding_blocked_candidates_equal_hamming_ring(spark):
+    """Property pin for the canonical-group pair emission: for several
+    n_planes, the blocked operator at threshold -1 (verify always
+    passes) must return EXACTLY the pairs whose buckets are within
+    hamming distance 2 — each emitted once (no duplicates lost or
+    invented by the min-shared-key rule)."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        embedding_dup_pairs_blocked,
+    )
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        lsh_bucket,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for n_planes in (5, 8):
+        blocked = embedding_dup_pairs_blocked(
+            emb, threshold=-1.0, dim=64, n_planes=n_planes
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in blocked}
+        assert len(got) == len(blocked)  # no duplicate emissions
+        buckets = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id", lsh_bucket(F.col("embedding"), 64, n_planes).alias("b")
+            ).collect()
+        }
+        ids = sorted(buckets)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(buckets[a] ^ buckets[b]).count("1") <= 2
+        }
+        assert got == want, f"n_planes={n_planes}"
