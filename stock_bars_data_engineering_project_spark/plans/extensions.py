@@ -1097,10 +1097,13 @@ FROM documents
 )
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass: email/phone patterns replaced with typed tags —
-    pure codegen'd regex, no shuffle, with a per-doc audit delta. (The
+    pure codegen'd regex with a per-doc audit delta, balanced so the
+    regex CPU parallelizes even off a single-row-group file. (The
     pattern list is the seam; production plugs a fuller ruleset into
     the same shape.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.readers import balance
+
+    docs = balance(load_table(spark, sf_dir, "documents"))
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
     scrubbed = F.regexp_replace(
