@@ -95,6 +95,10 @@ class ParquetWarehouse:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            # The holder may release (delete) the lock between our failed
+            # O_EXCL claim and this diagnostic read; default first so the
+            # message never references an unbound name in that race.
+            holder = "unknown"
             with contextlib.suppress(OSError):
                 holder = open(lock).read().strip() or "unknown"
             raise RuntimeError(
