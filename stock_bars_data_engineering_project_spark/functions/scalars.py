@@ -41,3 +41,38 @@ def guarded_ratio(numerator: Column, denominator: Column, scale: int = 3) -> Col
     ``round(num / nullif(den, 0), scale)`` — rounded FIRST, before any
     downstream use (the 5-row stddev runs over this rounded value)."""
     return round_half_up(numerator / nullif_zero(denominator), scale)
+
+
+def event_micros(df, col: str) -> Column:
+    """Epoch-microseconds ordering key for a timestamp column, robust to
+    the physical flavor the source delivers. Parquet event-time columns
+    arrive either as TIMESTAMP (instant; ``unix_micros`` applies
+    directly) or TIMESTAMP_NTZ (naive wall time — ``unix_micros``
+    rejects it), and which one a given snapshot of the data uses is a
+    writer detail this engine must not depend on. The NTZ branch is
+    pure timestamp arithmetic against the naive epoch — no timezone
+    enters at any point, so the result is identical on any session
+    timezone. RANGE window frames and sort keys built on this stay
+    integer-exact to the microsecond either way."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
+def as_event_time(df, col: str):
+    """Return ``df`` with ``col`` usable as a Structured Streaming event
+    time: ``withWatermark`` requires TIMESTAMP proper, so a TIMESTAMP_NTZ
+    column (naive wall time, UTC by this dataset's convention) is
+    reinterpreted as a UTC instant via ``to_utc_timestamp(col, 'UTC')``
+    — an expression whose result does not depend on the session
+    timezone, unlike a bare cast. TIMESTAMP columns pass through
+    untouched."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+    return df

@@ -32,7 +32,17 @@ def upsert_frames(
     NULL on new rows. Key columns must exist on both sides regardless.
     Default is strict — silent drift is a bug in most pipelines.
     """
-    src = source.dropDuplicates(list(keys))
-    on = [src[k].eqNullSafe(target[k]) for k in keys]
-    kept = target.join(src, on=on, how="left_anti")
+    from pyspark.sql import functions as F
+
+    # Explicit aliases: target and source often share lineage (an
+    # incremental re-extract of the same table), and attribute-based
+    # join conditions on shared lineage degrade into trivially-true
+    # self-comparisons. Name-qualified columns resolve unambiguously.
+    src = source.dropDuplicates(list(keys)).alias("__upsert_src")
+    tgt = target.alias("__upsert_tgt")
+    on = [
+        F.col(f"__upsert_src.{k}").eqNullSafe(F.col(f"__upsert_tgt.{k}"))
+        for k in keys
+    ]
+    kept = tgt.join(src, on=on, how="left_anti")
     return kept.unionByName(src, allowMissingColumns=allow_schema_drift)

@@ -350,10 +350,16 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Distributed top-k FIRST (TakeOrderedAndProject: per-partition
+    # top-100 then a 100-row merge on the driver side of the exchange),
+    # then rank the surviving 100 rows. Ranking the full vocabulary
+    # through a no-partition window would funnel every distinct token
+    # (~100M at corpus scale) into one task.
     wv = Window.orderBy(F.col("n").desc(), F.col("token"))
     vocab_arm = (
-        counts.withColumn("rank", F.row_number().over(wv).cast("int"))
-        .filter(F.col("rank") <= 100)
+        counts.orderBy(F.col("n").desc(), "token")
+        .limit(100)
+        .withColumn("rank", F.row_number().over(wv).cast("int"))
         .select(
             F.lit("vocab").alias("tag"),
             F.lit(None).cast("bigint").alias("doc_id"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import round_half_up, sql_round
+from ..functions.scalars import event_micros, round_half_up, sql_round
 from ..sources.readers import load_table
 from .registry import register
 
@@ -82,6 +82,14 @@ hist AS (
            {sql_round('100.0 * COUNT(*) / (SELECT COUNT(*) FROM events)', 4)} AS pct
     FROM events
     GROUP BY 1
+),
+sketch AS (
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct_users,
+           1.0 AS hll_within_5pct,
+           1.0 AS p50_within_1pct
+    FROM events
+    GROUP BY event_type
 )
 SELECT 'percentiles' AS tag, c_mktsegment AS group_key, 'p25' AS metric, p25 AS value FROM seg
 UNION ALL
@@ -98,6 +106,12 @@ UNION ALL
 SELECT 'histogram', CAST(bucket AS VARCHAR), 'n', CAST(n AS DOUBLE) FROM hist
 UNION ALL
 SELECT 'histogram', CAST(bucket AS VARCHAR), 'pct', pct FROM hist
+UNION ALL
+SELECT 'sketch', event_type, 'exact_distinct_users', exact_distinct_users FROM sketch
+UNION ALL
+SELECT 'sketch', event_type, 'hll_within_5pct', hll_within_5pct FROM sketch
+UNION ALL
+SELECT 'sketch', event_type, 'p50_within_1pct', p50_within_1pct FROM sketch
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -187,7 +201,56 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
-    return seg_arm.unionByName(mkt_arm).unionByName(hist_arm)
+    # Sketch arm: the 100 TB operating point replaces exact DISTINCT and
+    # exact percentile with mergeable sketches (HLL++, t-digest) — a
+    # single combinable pass with bounded state instead of a shuffle of
+    # every distinct value. Oracle-pairing an approximation directly
+    # would be flaky by construction, so the CONTRACT is what's checked:
+    # the exact value (both engines) plus within-tolerance flags that
+    # collapse to 1.0 when the sketch honors its error bound (HLL at
+    # rsd=0.01 given 5%, t-digest at accuracy=10k given 1%) and
+    # hash-mismatch against the oracle's literal 1.0 when it doesn't.
+    sketch = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("double").alias("exact_distinct_users"),
+        F.approx_count_distinct("user_id", rsd=0.01)
+        .cast("double")
+        .alias("_hll"),
+        F.expr("percentile(value, 0.5D)").alias("_p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
+    )
+    sketch = sketch.select(
+        "event_type",
+        "exact_distinct_users",
+        F.when(
+            F.abs(F.col("_hll") - F.col("exact_distinct_users"))
+            / F.col("exact_distinct_users")
+            <= 0.05,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("hll_within_5pct"),
+        F.when(
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+            <= F.greatest(F.abs(F.col("_p50_exact")) * 0.01, F.lit(1e-9)),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("p50_within_1pct"),
+    )
+    sketch_arm = sketch.melt(
+        ids=["event_type"],
+        values=["exact_distinct_users", "hll_within_5pct", "p50_within_1pct"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("sketch").alias("tag"),
+        F.col("event_type").alias("group_key"),
+        "metric",
+        "value",
+    )
+    return (
+        seg_arm.unionByName(mkt_arm).unionByName(hist_arm).unionByName(sketch_arm)
+    )
 
 
 @register(
@@ -228,7 +291,7 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     wt = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(event_micros(ev, "ts"))
         .rangeBetween(-2 * 86400 * 1_000_000, 0)
     )
     wd = (

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import round_half_up
+from ..functions.scalars import as_event_time, round_half_up
 
 
 def tumbling_agg(
@@ -95,10 +95,11 @@ def stream_events(
     """``readStream`` over a parquet directory with an event-time
     watermark — late data beyond ``watermark`` is dropped and state for
     closed windows is reclaimed (the streaming analog of the reference's
-    overlap-inclusive re-read, SURVEY C4)."""
-    return (
-        spark.readStream.schema(schema).parquet(src_dir).withWatermark(ts, watermark)
-    )
+    overlap-inclusive re-read, SURVEY C4). ``withWatermark`` requires
+    TIMESTAMP proper, so a TIMESTAMP_NTZ event-time column is first
+    reinterpreted as a UTC instant (:func:`as_event_time`)."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    return as_event_time(stream, ts).withWatermark(ts, watermark)
 
 
 def run_stream_to_memory(

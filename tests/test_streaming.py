@@ -121,15 +121,14 @@ def test_streaming_ewma_continues_state_across_batches(spark, tmp_path):
     expected = {
         r.event_id: r.ema for r in ewma_per_key(events, alpha=0.3).collect()
     }
-    cut = events.agg(F.expr("percentile(unix_micros(ts), 0.5D)")).first()[0]
+    from stock_bars_data_engineering_project_spark.functions.scalars import event_micros
+
+    micros = event_micros(events, "ts")
+    cut = events.agg(F.percentile(micros, F.lit(0.5))).first()[0]
     src = str(tmp_path / "src")
-    events.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    events.filter(micros <= cut).coalesce(1).write.mode("append").parquet(src)
     _time.sleep(1.1)  # distinct mtimes: file source orders oldest-first
-    events.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    events.filter(micros > cut).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -245,9 +244,10 @@ def test_dedup_within_watermark_exactly_once(spark, tmp_path):
         if name.endswith(".parquet"):
             shutil.copy(os.path.join(clean, name), os.path.join(dup, "copy2_" + name))
 
+    from stock_bars_data_engineering_project_spark.functions.scalars import as_event_time
+
     stream = (
-        spark.readStream.schema(events.schema)
-        .parquet(dup)
+        as_event_time(spark.readStream.schema(events.schema).parquet(dup), "ts")
         .withWatermark("ts", "30 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )

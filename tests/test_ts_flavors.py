@@ -1,0 +1,92 @@
+"""Timestamp-flavor robustness: NTZ vs LTZ event-time columns.
+
+The physical flavor of the testdata's timestamp columns is a writer
+detail that has CHANGED between driver rounds — TIMESTAMP(NANOS)-as-long
+in rounds 1-2, TIMESTAMP_NTZ since round 4 — and the round-3 flip broke
+two registered queries (`unix_micros` and `withWatermark` both reject
+NTZ). These tests rewrite the sf0.001 tables with every timestamp column
+converted to TIMESTAMP (instant, naive-as-UTC) and pin that the
+flavor-sensitive queries return byte-identical results on both flavors,
+so the next flip is caught locally instead of by the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stock_bars_data_engineering_project_spark.plans import get_queries
+from stock_bars_data_engineering_project_spark.sources.readers import TESTDATA_TABLES
+
+SRC = "/root/testdata/sf0.001"
+
+# The queries whose plans touch event-time columns in flavor-sensitive
+# ways: range-frame epoch ordering, watermarked streaming, pushdown
+# through the scan, window/date bucketing.
+FLAVOR_SENSITIVE = (
+    "window_functions_suite",
+    "win_windows_suite",
+    "f2_incremental_range",
+    "flagship_analysis",
+    "resample_ohlc_daily",
+    "incremental_merge_upsert",
+)
+
+
+def _norm(v):
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(str(_norm(x)) for x in v) + "]"
+    return v
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    rows = df.collect()
+    out = [tuple(_norm(r[c]) for c in cols) for r in rows]
+    return sorted(out, key=repr)
+
+
+@pytest.fixture(scope="module")
+def ltz_dir(spark, tmp_path_factory):
+    """sf0.001 rewritten with every TIMESTAMP_NTZ column converted to a
+    TIMESTAMP instant (naive wall time reinterpreted as UTC — the
+    dataset convention, independent of session timezone)."""
+    out = str(tmp_path_factory.mktemp("ltz_testdata"))
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        proj = [
+            F.to_utc_timestamp(f.name, "UTC").alias(f.name)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*proj).write.parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("name", FLAVOR_SENSITIVE)
+def test_query_is_flavor_invariant(spark, ltz_dir, name):
+    fn = get_queries()[name]
+    got_src = _multiset(fn(spark, SRC))
+    got_ltz = _multiset(fn(spark, ltz_dir))
+    assert got_src == got_ltz, f"{name} diverges between NTZ and LTZ inputs"
+
+
+def test_stream_stateful_dedup_runs_on_both_flavors(spark, ltz_dir):
+    """The streaming drain (withWatermark path) must at least run and
+    agree on both flavors — this is the exact query the round-3 flavor
+    flip killed."""
+    fn = get_queries()["stream_stateful_dedup"]
+    got_src = _multiset(fn(spark, SRC).select("first_event_id"))
+    got_ltz = _multiset(fn(spark, ltz_dir).select("first_event_id"))
+    assert got_src == got_ltz
