@@ -75,7 +75,11 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
 
 
 def _bucket_pairs(
-    df: DataFrame, keys: list[str], id_col: str, payload_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    payload_cols: tuple[str, ...] = (),
+    pair_pred=None,
 ) -> DataFrame:
     """Distinct ordered id pairs that share a bucket key — via ONE
     groupBy + in-bucket pair expansion instead of a self-join. A
@@ -85,6 +89,19 @@ def _bucket_pairs(
     by construction for LSH-style keys, so the in-bucket expansion never
     goes quadratic globally; a pathological all-identical corpus is
     quadratic in ANY pairing scheme.
+
+    ``pair_pred(a, b)`` (struct Columns with fields id, *payload_cols)
+    is applied between the bucket expansion and the distinct-pair
+    shuffle. When the verify predicate is payload-computable (hamming
+    over fingerprint payloads), this collapses the candidate set before
+    it ever shuffles: dropDuplicates then carries only verified pairs
+    (hundreds) instead of every co-bucketed candidate (hundreds of
+    thousands when the corpus is block-collision-heavy — short texts
+    collide on 15-bit simhash blocks far more than long ones). The
+    filter runs ROW-level after the explode — whole-stage-codegen
+    territory — NOT inside the array expression: higher-order-function
+    lambdas evaluate interpreted per element, and measured 4x slower
+    than the codegen'd row filter on the same corpus.
 
     Returns struct columns ``a``/``b`` with fields (id, *payload_cols),
     ordered ``a.id < b.id``.
@@ -104,11 +121,12 @@ def _bucket_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
+    exploded = buckets.select(F.explode(combos).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+    if pair_pred is not None:
+        exploded = exploded.filter(pair_pred(F.col("a"), F.col("b")))
+    return exploded.dropDuplicates(["a", "b"])
 
 
 def minhash_lsh_pairs(
@@ -325,14 +343,21 @@ def simhash_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    pairs = _bucket_pairs(blocked, ["block_idx", "block_val"], "doc_id", ("simhash",))
-    return (
-        pairs.select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+    # hamming <= k verified INSIDE the bucket expansion: the distinct-
+    # pair shuffle then sees only true near-dups, not every block
+    # collision (277k collisions vs 512 survivors on the sf0.1 corpus)
+    pairs = _bucket_pairs(
+        blocked,
+        ["block_idx", "block_val"],
+        "doc_id",
+        ("simhash",),
+        pair_pred=lambda a, b: hamming(a["simhash"], b["simhash"])
+        <= F.lit(max_hamming),
+    )
+    return pairs.select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
     )
 
 
