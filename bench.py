@@ -109,7 +109,10 @@ def main() -> None:
         times = bench_duckdb(sf_dir)
         print(json.dumps({"engine": "duckdb", "queries": times, "sf": sf}))
         return
-    steady = "--steady" in sys.argv
+    # steady (second-run, codegen amortized) is ON by default so every
+    # driver-recorded BENCH file carries the signal round-over-round
+    # comparisons should use; --cold-only restores the single-run mode.
+    steady = "--cold-only" not in sys.argv
     times, steady_times = bench_spark(sf_dir, steady=steady)
     out = {
         "metric": "headline query wall-clock, engine total",

@@ -1,0 +1,86 @@
+"""Z-order (Morton) clustering key — multi-dimensional data skipping.
+
+``overwrite(cluster_by=...)`` range-partitions + sorts lexicographically:
+file min/max stats stay tight for the LEADING column only — a predicate
+on the second column still touches every file. Interleaving the bits of
+several columns' normalized positions gives every interleaved dimension
+partial locality: sorting by the Morton value places rows so that each
+data file covers a small hyper-rectangle of the key space, and parquet
+min/max footer stats then skip files for predicates on ANY of the
+z-dimensions. This is the same layout lever Delta/Iceberg expose as
+``ZORDER BY`` / sort-order transforms, built here from plain Column
+expressions (shift/mask arithmetic — whole-stage codegen, no UDF).
+
+Normalization maps each column to an integer grid via min/max scaling
+(one cheap agg at write time). Value skew degrades grid-cell occupancy,
+not correctness — stats-based skipping only needs monotonicity of the
+per-file bounding boxes, and a skew-robust variant just swaps the
+scaler for approx-quantile boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .scalars import event_micros
+
+BITS = 8  # 256 grid cells per dimension; 2-3 dims -> 16-24 bit z-values
+
+
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Numeric view of a z-dimension. Timestamps go through
+    ``event_micros`` (flavor-robust, and ANSI mode disallows a direct
+    timestamp->numeric cast)."""
+    if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType)):
+        return event_micros(df, c).cast("double")
+    return F.col(c).cast("double")
+
+
+def _grid_position(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Scale a numeric/timestamp column to an integer in [0, 2^bits)."""
+    n = F.lit((1 << bits) - 1)
+    x = col.cast("double")
+    lo_d, hi_d = lo.cast("double"), hi.cast("double")
+    span = F.nullif(hi_d - lo_d, F.lit(0.0))
+    pos = F.floor((x - lo_d) / span * (n + 1))
+    return F.least(F.greatest(F.coalesce(pos, F.lit(0)), F.lit(0)), n).cast("long")
+
+
+def _interleave(positions: list[Column], bits: int) -> Column:
+    """Morton-interleave: bit i of dim d lands at position i*ndims + d."""
+    ndims = len(positions)
+    z = F.lit(0).cast("long")
+    for d, p in enumerate(positions):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(p, i).bitwiseAND(F.lit(1)), i * ndims + d
+                )
+            )
+    return z
+
+
+def with_zorder_key(
+    df: DataFrame, cols: tuple[str, ...], key_col: str = "_zorder", bits: int = BITS
+) -> DataFrame:
+    """Append the Morton key for ``cols`` (numeric/timestamp). One
+    min/max aggregate over the batch (a single combinable pass — at
+    write time this is noise next to the write itself), then pure
+    bit arithmetic per row."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(_as_double(df, c)).alias(f"_lo_{c}"),
+                 F.max(_as_double(df, c)).alias(f"_hi_{c}")]
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    positions = [
+        _grid_position(
+            _as_double(df, c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits
+        )
+        for c in cols
+    ]
+    out = out.withColumn(key_col, _interleave(positions, bits))
+    drop = [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols]
+    return out.drop(*drop)

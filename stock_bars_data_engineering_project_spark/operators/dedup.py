@@ -152,13 +152,29 @@ def minhash_lsh_pairs(
     # times, which blocks CollapseProject from inlining the (expensive)
     # per-shingle hashing into the band expressions — it runs once/row
     sig = shingled.select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        minhash_signature(F.col("shingles")).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
+        "n_sh",
         F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band_idx", "band_key"),
     )
-    pairs = _bucket_pairs(banded, ["band_idx", "band_key"], "doc_id")
+    # length filter (lossless): jaccard >= t forces the smaller shingle
+    # set to be >= t of the larger (|A∩B| <= min <= max <= |A∪B|), so
+    # size-ratio violations can be dropped BEFORE the distinct-pair
+    # shuffle and the shingle-array verify join — the standard prefix/
+    # length prune from the similarity-join literature, carried as an
+    # 8-byte bucket payload
+    pairs = _bucket_pairs(
+        banded,
+        ["band_idx", "band_key"],
+        "doc_id",
+        ("n_sh",),
+        pair_pred=lambda a, b: F.least(a["n_sh"], b["n_sh"])
+        >= F.lit(threshold) * F.greatest(a["n_sh"], b["n_sh"]),
+    )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     cand = (
@@ -242,6 +258,13 @@ def ngram_jaccard_pairs(
         pairs = (
             a.join(b, "shingle")
             .filter(F.col("doc_a") < F.col("doc_b"))
+            # lossless length prune ahead of the pair-count aggregate:
+            # a size-ratio below the threshold already caps jaccard
+            # under it, so those rows never enter the groupBy shuffle
+            .filter(
+                F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b")
+            )
             .groupBy("doc_a", "doc_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("inter"))
         )

@@ -192,6 +192,7 @@ class ParquetWarehouse:
         table: str,
         partition_by: tuple[str, ...] = (),
         cluster_by: tuple[str, ...] = (),
+        zorder_by: tuple[str, ...] = (),
         n_files: int | None = None,
     ) -> None:
         """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip.
@@ -200,9 +201,27 @@ class ParquetWarehouse:
         given columns before writing: every data file then covers a
         disjoint range, so a pushed-down predicate on the cluster key
         skips whole files/row-groups via parquet min/max stats — the
-        poor man's Z-order, and the single biggest read-amplification
-        lever for time-filtered scans at 100 TB.
+        single biggest read-amplification lever for time-filtered scans
+        at 100 TB. Lexicographic, so only the LEADING column's file
+        stats stay tight.
+
+        ``zorder_by`` (mutually exclusive) clusters on the Morton
+        interleaving of 2-3 columns instead: each file covers a small
+        hyper-rectangle of the key space, so min/max skipping works for
+        predicates on ANY of the z-dimensions (functions/zorder.py).
         """
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
+        if zorder_by:
+            from ..functions.zorder import with_zorder_key
+
+            df = with_zorder_key(df, zorder_by)
+            args = ([n_files] if n_files else []) + [F.col("_zorder")]
+            df = (
+                df.repartitionByRange(*args)
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
         if cluster_by:
             # explicit n_files pins the range-split width (AQE otherwise
             # coalesces small data to one file, defeating the layout)

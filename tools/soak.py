@@ -45,7 +45,15 @@ from stock_bars_data_engineering_project_spark.streaming.windows import tumbling
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/soak_data"
-VOWELS = "aeiou"
+# Per-replica Caesar rotation of the full alphabet: a bijection on
+# characters, so within-replica shingle-set Jaccard (and thus the
+# operator's work per replica) is preserved EXACTLY, while replicas
+# share no shingles at all — 26 distinct states, so pair structure
+# grows linearly through x16/x32. (The earlier vowel-only rotation had
+# 5 states: at x8, replicas k and k+5 were verbatim copies and the
+# cross-replica pair space grew quadratically by construction — a soak
+# artifact, not an operator property.)
+ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 
 
 def stage(spark, scale: int) -> str:
@@ -60,11 +68,11 @@ def stage(spark, scale: int) -> str:
     n_emb = emb.count()
     d_parts, e_parts, v_parts = [], [], []
     for k in range(scale):
-        rot = VOWELS[k % 5 :] + VOWELS[: k % 5]
+        rot = ALPHABET[k % 26 :] + ALPHABET[: k % 26]
         d_parts.append(
             docs.select(
                 (F.col("doc_id") + k * n_docs).alias("doc_id"),
-                F.translate(F.col("text"), VOWELS, rot).alias("text"),
+                F.translate(F.col("text"), ALPHABET, rot).alias("text"),
             )
         )
         e_parts.append(
