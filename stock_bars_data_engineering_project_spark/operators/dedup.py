@@ -342,29 +342,44 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs, Manku-style blocking: split the 60-bit
-    fingerprint into 4 x 15-bit blocks; pigeonhole says hamming <= 3
-    over 4 blocks => at least one block identical, so blocking on any
-    matching (block_idx, block_value) is lossless — and with 2^15
-    values per block the buckets stay tiny at corpus scale (a 16-bit
-    hash would give only 16 values per block and quadratic buckets).
-    The fingerprint (an int64) rides along as bucket payload, so the
-    token-hashing stage runs once and no re-join is needed for the
-    exact hamming check."""
+    """SimHash near-dup pairs, Manku-style TWO-LEVEL pigeonhole blocking.
+
+    Level 1: split the 60-bit fingerprint into 4 x 15-bit blocks —
+    hamming <= 3 over 4 blocks forces at least one block identical.
+    Level 2 (the fixed-bucket-space fix): GIVEN the matched block, the
+    remaining 45 bits still carry <= 3 errors, so splitting them into 4
+    sub-blocks (12+11+11+11) forces one sub-block identical too. Keying
+    buckets on (block, block_val, sub, sub_val) is therefore still
+    candidate-complete for hamming <= 3, while the key space grows from
+    4*2^15 to 16*2^26. With single-level blocking the bucket COUNT is
+    fixed, so occupancy grows linearly with the corpus and candidate
+    pairs quadratically — measured super-linear on the x16 -> x32 soak
+    (28 s -> 63 s for 2x docs); two-level keeps expected occupancy near
+    zero through x32 at the cost of 16 explode rows per doc instead
+    of 4. The fingerprint (an int64) rides along as bucket payload, so
+    the token-hashing stage runs once and the exact hamming check needs
+    no re-join."""
     fp = simhash_fingerprints(df, text_col, id_col)
-    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    bb, nb = SIMHASH_BLOCK_BITS, SIMHASH_BLOCKS
+    mask = (1 << bb) - 1
+    sub_widths = (12, 11, 11, 11)  # 45 remainder bits
+    keys = []
+    for i in range(nb):
+        block_val = F.shiftright(F.col("simhash"), i * bb).bitwiseAND(F.lit(mask))
+        # remainder: all fingerprint bits except block i, packed low
+        low = F.col("simhash").bitwiseAND(F.lit((1 << (bb * i)) - 1))
+        high = F.shiftright(F.col("simhash"), bb * (i + 1))
+        rem = low.bitwiseOR(F.shiftleft(high, bb * i))
+        off = 0
+        for w in sub_widths:
+            sub_val = F.shiftright(rem, off).bitwiseAND(F.lit((1 << w) - 1))
+            off += w
+            # one long key: block value in the high bits, sub value low
+            keys.append(F.shiftleft(block_val, 12).bitwiseOR(sub_val))
     blocked = fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), i * SIMHASH_BLOCK_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(SIMHASH_BLOCKS)
-                ]
-            )
-        ).alias("block_idx", "block_val"),
+        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
     )
     # hamming <= k verified INSIDE the bucket expansion: the distinct-
     # pair shuffle then sees only true near-dups, not every block

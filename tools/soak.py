@@ -45,15 +45,15 @@ from stock_bars_data_engineering_project_spark.streaming.windows import tumbling
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/soak_data"
-# Per-replica Caesar rotation of the full alphabet: a bijection on
-# characters, so within-replica shingle-set Jaccard (and thus the
-# operator's work per replica) is preserved EXACTLY, while replicas
-# share no shingles at all — 26 distinct states, so pair structure
-# grows linearly through x16/x32. (The earlier vowel-only rotation had
-# 5 states: at x8, replicas k and k+5 were verbatim copies and the
-# cross-replica pair space grew quadratically by construction — a soak
-# artifact, not an operator property.)
-ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+# Per-replica token suffixing: every word gets the replica index
+# appended — a bijection on the token alphabet, so within-replica
+# shingle/fingerprint structure (and thus the operator's work per
+# replica) is preserved EXACTLY, while replicas share no tokens at all,
+# for ANY replica count. (Earlier schemes rotated characters: vowel
+# rotation had 5 states and Caesar 26, so at x8/x32 some replicas were
+# verbatim copies and the cross-replica pair space grew quadratically
+# by construction — a soak artifact, not an operator property.)
+TOKEN_RE = "([a-z0-9]+)"
 
 
 def stage(spark, scale: int) -> str:
@@ -68,11 +68,12 @@ def stage(spark, scale: int) -> str:
     n_emb = emb.count()
     d_parts, e_parts, v_parts = [], [], []
     for k in range(scale):
-        rot = ALPHABET[k % 26 :] + ALPHABET[: k % 26]
         d_parts.append(
             docs.select(
                 (F.col("doc_id") + k * n_docs).alias("doc_id"),
-                F.translate(F.col("text"), ALPHABET, rot).alias("text"),
+                F.regexp_replace(F.col("text"), TOKEN_RE, f"$1q{k}").alias(
+                    "text"
+                ),
             )
         )
         e_parts.append(
