@@ -1,23 +1,19 @@
-"""Bucketed (hash-clustered) tables: shuffle-free joins and aggregates.
+"""Bucketed managed tables — shuffle-free co-located joins.
 
-The reference's only join shuffles nothing because pandas holds both
-sides in driver memory (/root/reference/etl_project/assets/assets.py:93-102);
-at 100 TB the equivalent lever is paying the hash-partition ONCE at
-write time. ``bucketBy(n, key)`` hash-clusters every file of the table
-by the key; Catalyst then knows the on-disk distribution and plans
-joins between co-bucketed tables and aggregations on the bucket key
-with NO Exchange — the scan itself satisfies the required
-distribution. For a fact table joined daily on the same key (orders ⋈
-lineitem on orderkey, events aggregated by user), this converts the
-single most expensive recurring shuffle into a one-time write cost.
+The reference delegates all join execution to PostgreSQL
+(/root/reference/etl_project/assets/assets.py:93-102 does the one join
+in pandas; everything else is server-side SQL). At 100 TB the dominant
+join cost in Spark is the shuffle of both fact sides; the Spark-native
+answer is bucketing: write both tables hash-clustered on the join key
+into the same number of buckets, and Catalyst's bucketed scan feeds a
+sort-merge join with NO Exchange on either side — the shuffle is paid
+once at write time and amortized over every subsequent join.
 
-Catalog note: bucket metadata lives in the session catalog
-(``saveAsTable``), not in the parquet files — Spark's own limitation,
-identical on a cluster metastore. The data files are plain parquet and
-remain readable path-wise; only the no-shuffle planning needs the
-catalog entry. ``sortBy`` additionally orders within each bucket file,
-so merge joins skip their sort and min/max row-group stats stay tight
-for pushed-down range predicates.
+This is Spark's `bucketBy` + `saveAsTable` (managed catalog tables;
+plain `.parquet()` paths cannot carry bucket metadata). Bucket counts
+must match (or divide evenly, with
+``spark.sql.bucketing.coalesceBucketsInJoin.enabled``) for the
+exchange-free plan to apply.
 """
 
 from __future__ import annotations
@@ -28,29 +24,33 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    keys: tuple[str, ...],
-    n_buckets: int = 8,
-    sort_by: tuple[str, ...] = (),
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
 ) -> None:
-    """Persist ``df`` hash-clustered into ``n_buckets`` per-key buckets.
+    """Write ``df`` as a managed parquet table hash-bucketed on
+    ``bucket_cols``. ``sort_cols`` additionally sorts within each bucket
+    file, which lets the bucketed sort-merge join skip its Sort node too
+    (and gives parquet min/max pruning on the sort key).
 
-    ``n_buckets`` sizes the parallelism floor for every downstream
-    shuffle-free stage — at cluster scale pick it like you'd pick
-    ``shuffle.partitions`` for this table's joins (hundreds to
-    thousands); both join sides must match bucket count and keys for
-    the exchange to be elided.
+    Sizing rule at scale: pick ``n_buckets`` so one bucket of the LARGER
+    table is a few hundred MB (bucket = unit of join parallelism; too
+    few buckets caps parallelism, too many makes small files).
     """
-    writer = (
-        df.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(n_buckets, *keys)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
     )
-    if sort_by:
-        writer = writer.sortBy(*sort_by)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
 
 
-def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
-    """Scan a bucketed table — distribution metadata rides along from
-    the catalog, which is what lets Catalyst skip the Exchange."""
-    return spark.table(table)
+def co_bucketed_join(
+    spark: SparkSession, left: str, right: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two tables previously written by ``write_bucketed`` on their
+    bucket key. With matching bucket counts Catalyst plans a sort-merge
+    join whose children are bucketed scans — `.explain` shows no
+    Exchange above either scan (asserted in tests/test_bucketed.py).
+    """
+    return spark.table(left).join(spark.table(right), on=on, how=how)

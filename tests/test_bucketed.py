@@ -1,5 +1,8 @@
 """Bucketed-table planning: the write-once shuffle must be elided from
-every downstream join/aggregate on the bucket key."""
+every downstream join AND aggregation on the bucket key. (The
+co-bucketed join's no-Exchange pin also lives in test_maintenance.py;
+this file adds the aggregation path, the bucketed-scan metadata, and
+result equality vs the plain-join plan.)"""
 
 from __future__ import annotations
 
@@ -10,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stock_bars_data_engineering_project_spark.sinks.bucketed import (
-    read_bucketed,
+    co_bucketed_join,
     write_bucketed,
 )
 from stock_bars_data_engineering_project_spark.sources.readers import load_table
@@ -39,29 +42,30 @@ def _conf(spark, key, value):
 def bucketed_tables(spark):
     orders = load_table(spark, SF, "orders")
     lineitem = load_table(spark, SF, "lineitem")
-    write_bucketed(orders, "b_orders", ("o_orderkey",), 8, ("o_orderkey",))
-    write_bucketed(lineitem, "b_lineitem", ("l_orderkey",), 8, ("l_orderkey",))
+    write_bucketed(orders, "bt_orders", ("o_orderkey",), 8, ("o_orderkey",))
+    write_bucketed(lineitem, "bt_lineitem", ("l_orderkey",), 8, ("l_orderkey",))
     yield
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
 
 
-def test_cobucketed_join_plans_no_exchange(spark, bucketed_tables):
+def test_cobucketed_join_scans_carry_bucket_metadata(spark, bucketed_tables):
     with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
-        j = read_bucketed(spark, "b_orders").join(
-            read_bucketed(spark, "b_lineitem"),
+        j = spark.table("bt_orders").join(
+            spark.table("bt_lineitem"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         plan = _plan(j)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan
-    # both scans carry the bucket metadata
     assert plan.count("Bucketed: true") == 2
 
 
 def test_bucket_key_aggregate_plans_no_exchange(spark, bucketed_tables):
+    # bucketing satisfies the aggregation's clustered distribution too —
+    # a daily groupBy on the bucket key never shuffles the fact table
     agg = (
-        read_bucketed(spark, "b_lineitem")
+        spark.table("bt_lineitem")
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -80,10 +84,11 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     bucketed = (
-        read_bucketed(spark, "b_orders")
-        .join(
-            read_bucketed(spark, "b_lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+        co_bucketed_join(
+            spark,
+            "bt_orders",
+            "bt_lineitem",
+            on=[F.col("o_orderkey") == F.col("l_orderkey")],
         )
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("n"))
