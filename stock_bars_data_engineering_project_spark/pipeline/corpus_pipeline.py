@@ -84,8 +84,19 @@ def prepare_corpus(
     )
     corpus = corpus.withColumn("text", scrubbed)
 
-    corpus = corpus.filter(quality_score(F.col("text")) >= min_quality)
-    counts["quality_gated"] = corpus.count()
+    # quality_gated rides the FINAL count's job as an observe() metric:
+    # from here to the end the frame is a linear chain consumed exactly
+    # once, so the observation is correct and saves one full pass over
+    # the corpus (the earlier funnel stages are each consumed twice in
+    # their job — pair-generation + anti-join — where an observed count
+    # would double-fire, so those keep explicit counts on checkpointed
+    # frames).
+    from pyspark.sql import Observation
+
+    quality_obs = Observation("quality_gated")
+    corpus = corpus.filter(quality_score(F.col("text")) >= min_quality).observe(
+        quality_obs, F.count(F.lit(1)).alias("n")
+    )
 
     corpus = stable_split(corpus)
     w = (
@@ -102,7 +113,9 @@ def prepare_corpus(
         )
         .drop("cum")
     )
-    counts["final"] = corpus.count()
+    final_n = corpus.count()  # triggers the chain; resolves the observation
+    counts["quality_gated"] = int(quality_obs.get["n"])
+    counts["final"] = final_n
     return corpus, counts
 
 
