@@ -255,3 +255,73 @@ def test_dedup_within_watermark_exactly_once(spark, tmp_path):
     got = sorted(r.event_id for r in spark.table("t_dedup_wm").collect())
     want = sorted(r.event_id for r in events.collect())
     assert got == want
+
+
+def test_stream_outer_interval_join_matches_batch_in_closed_region(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched left rows are
+    emitted only when the watermark closes their match window, so an
+    availableNow drain equals the batch left-outer join everywhere the
+    final watermark has passed — compare on that closed region (the
+    tail, still inside an open window at end of input, is exactly the
+    part a real stream would emit on the next batch)."""
+    from stock_bars_data_engineering_project_spark.streaming.joins import (
+        interval_join_outer,
+    )
+
+    events = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    purchases_s = stream_events(spark, src, events.schema, watermark="1 hour").filter(
+        F.col("event_type") == "purchase"
+    )
+    views_s = stream_events(spark, src, events.schema, watermark="1 hour").filter(
+        F.col("event_type") == "view"
+    )
+    out = interval_join_outer(
+        purchases_s, views_s, key="user_id", left_ts="ts", right_ts="ts",
+        max_lag="1 hour",
+    ).select("l_event_id", "r_event_id")
+    run_stream_to_memory(out, "t_outer_ij", output_mode="append")
+    got = spark.table("t_outer_ij")
+
+    from stock_bars_data_engineering_project_spark.functions.scalars import (
+        as_event_time,
+    )
+
+    batch = as_event_time(events, "ts")
+    purchases_b = batch.filter(F.col("event_type") == "purchase")
+    views_b = batch.filter(F.col("event_type") == "view")
+    want = interval_join_outer(
+        purchases_b, views_b, key="user_id", left_ts="ts", right_ts="ts",
+        max_lag="1 hour",
+    ).select("l_event_id", "l_ts", "r_event_id")
+
+    # closed region: watermark delay + match window behind max event time
+    hi = batch.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cut = hi - datetime.timedelta(hours=2)
+    want_closed = want.filter(F.col("l_ts") < F.lit(cut)).drop("l_ts")
+
+    left_ids = {
+        r.l_event_id
+        for r in purchases_b.filter(F.col("ts") < F.lit(cut))
+        .select(F.col("event_id").alias("l_event_id"))
+        .collect()
+    }
+    got_pairs = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in got.collect()
+        if r.l_event_id in left_ids
+    )
+    want_pairs = sorted(
+        (r.l_event_id, r.r_event_id) for r in want_closed.collect()
+    )
+    assert got_pairs == want_pairs
+    # the outer semantics actually bit: some purchases had no view match
+    assert any(rid is None for _, rid in want_pairs)
