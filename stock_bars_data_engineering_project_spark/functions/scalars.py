@@ -67,12 +67,16 @@ def as_event_time(df, col: str):
     """Return ``df`` with ``col`` usable as a Structured Streaming event
     time: ``withWatermark`` requires TIMESTAMP proper, so a TIMESTAMP_NTZ
     column (naive wall time, UTC by this dataset's convention) is
-    reinterpreted as a UTC instant via ``to_utc_timestamp(col, 'UTC')``
-    — an expression whose result does not depend on the session
-    timezone, unlike a bare cast. TIMESTAMP columns pass through
-    untouched."""
+    reinterpreted as a UTC instant via
+    ``timestamp_micros(event_micros(...))`` — naive-epoch arithmetic
+    followed by an epoch-instant constructor, neither of which consults
+    the session timezone. (``to_utc_timestamp(ntz, 'UTC')`` does NOT
+    have that property: its implicit NTZ->TIMESTAMP cast uses the
+    session timezone and the 'UTC' conversion is then a no-op, i.e. it
+    equals the bare cast — verified empirically on a non-UTC session.)
+    TIMESTAMP columns pass through untouched."""
     from pyspark.sql import types as T
 
     if isinstance(df.schema[col].dataType, T.TimestampNTZType):
-        return df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
+        return df.withColumn(col, F.timestamp_micros(event_micros(df, col)))
     return df

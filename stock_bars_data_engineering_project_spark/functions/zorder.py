@@ -40,10 +40,12 @@ def _as_double(df: DataFrame, c: str) -> Column:
 
 def _grid_position(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Scale a numeric/timestamp column to an integer in [0, 2^bits)."""
+    from .scalars import nullif_zero
+
     n = F.lit((1 << bits) - 1)
     x = col.cast("double")
     lo_d, hi_d = lo.cast("double"), hi.cast("double")
-    span = F.nullif(hi_d - lo_d, F.lit(0.0))
+    span = nullif_zero(hi_d - lo_d)
     pos = F.floor((x - lo_d) / span * (n + 1))
     return F.least(F.greatest(F.coalesce(pos, F.lit(0)), F.lit(0)), n).cast("long")
 

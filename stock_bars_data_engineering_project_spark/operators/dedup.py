@@ -166,14 +166,19 @@ def minhash_lsh_pairs(
     # size-ratio violations can be dropped BEFORE the distinct-pair
     # shuffle and the shingle-array verify join — the standard prefix/
     # length prune from the similarity-join literature, carried as an
-    # 8-byte bucket payload
+    # 8-byte bucket payload. The emit contract downstream is the
+    # ROUNDED jaccard >= t (round_half_up to 4), so the prune must keep
+    # pairs whose true J sits within half an ulp-at-scale-4 below t
+    # (J = 0.69995 rounds to 0.7000 and must be emitted); the 1e-3
+    # slack covers that boundary band plus double-repr of t, and only
+    # admits extra candidates — never drops one.
     pairs = _bucket_pairs(
         banded,
         ["band_idx", "band_key"],
         "doc_id",
         ("n_sh",),
         pair_pred=lambda a, b: F.least(a["n_sh"], b["n_sh"])
-        >= F.lit(threshold) * F.greatest(a["n_sh"], b["n_sh"]),
+        >= F.lit(threshold - 1e-3) * F.greatest(a["n_sh"], b["n_sh"]),
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -260,10 +265,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("doc_a") < F.col("doc_b"))
             # lossless length prune ahead of the pair-count aggregate:
             # a size-ratio below the threshold already caps jaccard
-            # under it, so those rows never enter the groupBy shuffle
+            # under it, so those rows never enter the groupBy shuffle.
+            # 1e-3 slack: the emit contract is ROUNDED jaccard >= t
+            # (half-up at 4 decimals), so true J in [t - 5e-5, t) must
+            # survive the prune — slack only admits extra candidates.
             .filter(
                 F.least("n_a", "n_b")
-                >= F.lit(threshold) * F.greatest("n_a", "n_b")
+                >= F.lit(threshold - 1e-3) * F.greatest("n_a", "n_b")
             )
             .groupBy("doc_a", "doc_b", "n_a", "n_b")
             .agg(F.count(F.lit(1)).alias("inter"))

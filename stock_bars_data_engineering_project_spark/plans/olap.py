@@ -218,10 +218,15 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5D)").alias("_p50_exact"),
         F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
     )
+    # zero/NULL guards: a group with no non-NULL users has exact = 0 and
+    # the HLL trivially agrees (flag 1.0, matching the oracle literal) —
+    # without the guard the 0/0 ratio is NULL and the flag would
+    # collapse to 0.0; same for an all-NULL value column at the median
     sketch = sketch.select(
         "event_type",
         "exact_distinct_users",
-        F.when(
+        F.when(F.col("exact_distinct_users") == 0.0, 1.0)
+        .when(
             F.abs(F.col("_hll") - F.col("exact_distinct_users"))
             / F.col("exact_distinct_users")
             <= 0.05,
@@ -230,6 +235,9 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("hll_within_5pct"),
         F.when(
+            F.col("_p50_exact").isNull() & F.col("_p50_approx").isNull(), 1.0
+        )
+        .when(
             F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
             <= F.greatest(F.abs(F.col("_p50_exact")) * 0.01, F.lit(1e-9)),
             1.0,

@@ -22,8 +22,9 @@ def interval_join(
     left_ts: str,
     right_ts: str,
     max_lag: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` and ``right`` on ``key`` where the right event
+    """Join ``left`` and ``right`` on ``key`` where the right event
     happened within ``[left_ts - max_lag, left_ts]``. Works identically
     on batch DataFrames and on watermarked streams (callers apply
     ``withWatermark`` on each stream; the range predicate below is what
@@ -43,7 +44,7 @@ def interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
     )
-    return lt.join(rt, cond, "inner")
+    return lt.join(rt, cond, how)
 
 
 def interval_join_outer(
@@ -66,18 +67,6 @@ def interval_join_outer(
     query. On a finite availableNow drain the result equals the batch
     left-outer interval join, which is what the oracle computes.
     """
-    lk, rk = f"l_{key}", f"r_{key}"
-    lt = left.select(
-        F.col(key).alias(lk),
-        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    return interval_join(
+        left, right, key, left_ts, right_ts, max_lag, how="left_outer"
     )
-    rt = right.select(
-        F.col(key).alias(rk),
-        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
-    )
-    cond = (
-        (F.col(lk) == F.col(rk))
-        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {max_lag}"))
-        & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
-    )
-    return lt.join(rt, cond, "left_outer")

@@ -60,12 +60,17 @@ def _multiset(df):
 def ltz_dir(spark, tmp_path_factory):
     """sf0.001 rewritten with every TIMESTAMP_NTZ column converted to a
     TIMESTAMP instant (naive wall time reinterpreted as UTC — the
-    dataset convention, independent of session timezone)."""
+    dataset convention, via session-timezone-independent epoch
+    arithmetic, the same construction as ``as_event_time``)."""
+    from stock_bars_data_engineering_project_spark.functions.scalars import (
+        event_micros,
+    )
+
     out = str(tmp_path_factory.mktemp("ltz_testdata"))
     for t in TESTDATA_TABLES:
         df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
         proj = [
-            F.to_utc_timestamp(f.name, "UTC").alias(f.name)
+            F.timestamp_micros(event_micros(df, f.name)).alias(f.name)
             if isinstance(f.dataType, T.TimestampNTZType)
             else F.col(f.name)
             for f in df.schema.fields
