@@ -95,3 +95,45 @@ def test_stream_stateful_dedup_runs_on_both_flavors(spark, ltz_dir):
     got_src = _multiset(fn(spark, SRC).select("first_event_id"))
     got_ltz = _multiset(fn(spark, ltz_dir).select("first_event_id"))
     assert got_src == got_ltz
+
+
+def test_event_time_mapping_is_session_tz_independent(spark):
+    """The NTZ -> instant mapping must not move when the session
+    timezone does. (The tempting to_utc_timestamp(ntz, 'UTC') fails
+    this: its implicit cast consults the session tz — found and fixed
+    by review; this test keeps it fixed.)"""
+    from stock_bars_data_engineering_project_spark.functions.scalars import (
+        as_event_time,
+        event_micros,
+    )
+
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet")).select(
+        "event_id", "ts"
+    )
+    if not isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        pytest.skip("testdata flavor is not NTZ this round")
+
+    def instants():
+        conv = as_event_time(ev, "ts")
+        return {
+            r.event_id: r.micros
+            for r in conv.select(
+                "event_id", F.unix_micros("ts").alias("micros")
+            ).collect()
+        }
+
+    naive = {
+        r.event_id: r.micros
+        for r in ev.select(
+            "event_id", event_micros(ev, "ts").alias("micros")
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = instants()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = instants()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == ny == naive
