@@ -17,6 +17,14 @@ short rows per document. A new batch then costs:
 
 Within-batch duplicate chains collapse via connected components
 (dedup_clusters); batch docs matching any retained corpus doc drop.
+
+Contract: ``doc_id`` identifies immutable content (content-addressed or
+append-only ids, the norm for corpus ingestion). Re-ingesting an
+existing doc_id with DIFFERENT text updates the corpus row via merge
+but leaves the old content's band rows in the index — stale candidates
+that waste verify work and never self-heal (the heal only detects
+absent ids). Mutable-content ingestion needs a delete-then-insert index
+maintenance step this module deliberately does not pay for.
 """
 
 from __future__ import annotations
@@ -58,13 +66,22 @@ def _verify_pairs(
     threshold: float,
     k: int,
 ) -> DataFrame:
-    """Exact-Jaccard gate over (doc_a from left, doc_b from right)."""
-    sa = _shingled(left_docs, "text", "doc_id", k).select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = _shingled(right_docs, "text", "doc_id", k).select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    """Exact-Jaccard gate over (doc_a from left, doc_b from right).
+
+    Each side is SEMI-JOINED to the candidate ids BEFORE shingling:
+    Catalyst will not push an equi-join below the expensive
+    word_shingles projection, so without the pre-filter a tiny batch
+    would re-shingle the entire corpus side — the exact cost this
+    module's band index exists to avoid. With it, shingling is
+    candidate-set-sized on both sides."""
+    la = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    lb = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    sa = _shingled(
+        left_docs.join(la, "doc_id", "left_semi"), "text", "doc_id", k
+    ).select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = _shingled(
+        right_docs.join(lb, "doc_id", "left_semi"), "text", "doc_id", k
+    ).select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -89,8 +106,8 @@ def ingest_batch(
     counts = {"batch_raw": new_docs.count()}
 
     batch = exact_dedup(new_docs)
-    if wh.exists(corpus_table):
-        corpus = wh.read(corpus_table)
+    corpus = wh.read(corpus_table) if wh.exists(corpus_table) else None
+    if corpus is not None:
         # exact cross-batch: same content hash as any retained doc
         batch = batch.join(
             corpus.select(F.md5("text").alias("_h")).distinct(),
@@ -99,7 +116,7 @@ def ingest_batch(
         )
     counts["after_exact"] = batch.count()
 
-    if not wh.exists(corpus_table):
+    if corpus is None:
         # first batch: standard in-batch near-dedup
         clusters = dedup_clusters(minhash_lsh_pairs(batch, k=k, threshold=threshold))
         drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
@@ -108,20 +125,30 @@ def ingest_batch(
         wh.overwrite(survivors, corpus_table)
         wh.overwrite(band_index(survivors, k=k), index_table)
         return counts
-
-    corpus = wh.read(corpus_table)
-    index = wh.read(index_table)
     # Self-heal: the corpus and index commit as two warehouse
     # transactions; a crash between them leaves corpus docs unindexed
-    # (invisible to every future near-dup check). Reconcile up front —
-    # the missing set is empty in normal operation, batch-sized after a
-    # crash, never corpus-sized.
-    missing = corpus.join(
-        index.select("doc_id").distinct(), "doc_id", "left_anti"
-    )
-    if missing.limit(1).count():
-        wh.append(band_index(missing, k=k), index_table)
-        index = wh.read(index_table)
+    # (invisible to every future near-dup check) — or, after a
+    # first-batch crash, no index table at all. Reconcile up front: the
+    # missing set is empty in normal operation, batch-sized after a
+    # crash, corpus-sized only in the missing-table case (a full index
+    # rebuild, which is exactly first-batch cost).
+    if wh.exists(index_table):
+        missing = corpus.join(
+            wh.read(index_table).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        # Gate the heal on the missing docs' BANDS being non-empty, not
+        # on the doc set: documents shorter than k words shingle to
+        # nothing and can never be indexed, so they sit in the missing
+        # set forever — an append gated on them would rewrite the index
+        # snapshot every batch while adding zero rows.
+        fresh = band_index(missing, k=k)
+        if fresh.limit(1).count():
+            wh.append(fresh, index_table)
+    else:
+        wh.overwrite(band_index(corpus, k=k), index_table)
+    index = wh.read(index_table)
     new_bands = band_index(batch, k=k).localCheckpoint(eager=True)
 
     # batch-vs-corpus candidates via the stored index (no corpus re-hash)

@@ -21,10 +21,13 @@ def upsert_frames(
     source: DataFrame,
     keys: tuple[str, ...],
     allow_schema_drift: bool = False,
+    source_unique: bool = False,
 ) -> DataFrame:
     """Rows of ``source`` win on key collision; target rows without a
     colliding key survive. Source is deduped on the keys first (Q6 — the
-    reference's one-statement-one-key contract, made explicit).
+    reference's one-statement-one-key contract, made explicit) unless
+    the caller vouches with ``source_unique=True`` (it already deduped —
+    skipping the redundant key-shuffle of the batch).
 
     With ``allow_schema_drift`` the union tolerates asymmetric columns
     (Delta-style additive schema evolution): columns new in the source
@@ -38,7 +41,9 @@ def upsert_frames(
     # incremental re-extract of the same table), and attribute-based
     # join conditions on shared lineage degrade into trivially-true
     # self-comparisons. Name-qualified columns resolve unambiguously.
-    src = source.dropDuplicates(list(keys)).alias("__upsert_src")
+    if not source_unique:
+        source = source.dropDuplicates(list(keys))
+    src = source.alias("__upsert_src")
     tgt = target.alias("__upsert_tgt")
     on = [
         F.col(f"__upsert_src.{k}").eqNullSafe(F.col(f"__upsert_tgt.{k}"))

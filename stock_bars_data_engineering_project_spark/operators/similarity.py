@@ -150,11 +150,26 @@ def ivf_assign(
             acc["cid"].isNull() | (c["d2"] < acc["d2"]), c
         ).otherwise(acc),
     )
+    # NULL / dim-mismatched vectors must fail loudly, same contract as
+    # lsh_bucket: l2sq over a bad vector goes NULL, the argmin fold's
+    # first iteration would then keep the FIRST centroid (acc.cid is
+    # null -> take c) and every later `c.d2 < NULL` comparison keeps it
+    # — silently assigning garbage to the lowest cid.
+    dim_of = F.size(as_double(F.col("_v")))
+    cent_dim = F.size(F.element_at(F.col("cents"), 1)["cv"])
     slim = balance(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     )
     return (
         slim.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_v",
+            F.when(dim_of == cent_dim, F.col("_v")).otherwise(
+                F.raise_error(
+                    F.lit("ivf_assign: embedding NULL or dim != centroid dim")
+                )
+            ),
+        )
         .withColumn("_best", best)
         .select(
             "vec_id",
@@ -298,11 +313,12 @@ def ivf_topk(
     scored = cand.withColumn(
         "cos", round_half_up(cosine(F.col("q_vec"), F.col("embedding")), 6)
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    # salted two-phase ranking, same as cosine_topk: with large inverted
+    # lists a plain per-query window funnels every candidate of a query
+    # into one task — the exact skew wall the brute-force path was
+    # hardened against; result identical (exact top-k, tie-free order)
+    return salted_topk(scored, ("query_id",), "cos", "vec_id", k).select(
+        "query_id", "vec_id", "cos", "rank"
     )
 
 
@@ -337,9 +353,9 @@ def lsh_ann_topk(
         )
         .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+    # salted ranking: the bucket ring admits a fixed fraction of the
+    # corpus per query, so the per-query candidate set scales with the
+    # corpus — rank it with bounded per-task fan-in (see cosine_topk)
+    return salted_topk(cand, ("query_id",), "cos", "vec_id", k).select(
+        "query_id", "vec_id", "cos", "rank"
     )

@@ -267,8 +267,19 @@ class ParquetWarehouse:
                 return
 
             target = self.read(table)
-            if partition_by and set(partition_by) <= set(src.columns):
-                # partition-pruned rewrite: only partitions in the batch
+            if (
+                partition_by
+                and set(partition_by) <= set(src.columns)
+                and set(partition_by) <= set(keys)
+            ):
+                # Partition-pruned rewrite: only partitions in the batch.
+                # SOUND ONLY when the partition columns are part of the
+                # merge key: otherwise a key whose partition value
+                # changed (id=1 moving from date D1 to D2) leaves its
+                # old row in an untouched partition, and the anti-join
+                # (which only sees touched partitions) cannot evict it —
+                # the table would then hold the key twice. Non-key
+                # partitioning falls through to the full-table merge.
                 parts = src.select(*partition_by).distinct()
                 touched = target.join(
                     F.broadcast(parts), on=list(partition_by), how="left_semi"
@@ -277,11 +288,15 @@ class ParquetWarehouse:
                     F.broadcast(parts), on=list(partition_by), how="left_anti"
                 )
                 merged = untouched.unionByName(
-                    upsert_frames(touched, src, keys, allow_schema_drift),
+                    upsert_frames(
+                        touched, src, keys, allow_schema_drift, source_unique=True
+                    ),
                     allowMissingColumns=allow_schema_drift,
                 )
             else:
-                merged = upsert_frames(target, src, keys, allow_schema_drift)
+                merged = upsert_frames(
+                    target, src, keys, allow_schema_drift, source_unique=True
+                )
             version = self._write_snapshot(merged, table, partition_by)
             self._commit(table, version)
 
@@ -319,11 +334,14 @@ class ParquetWarehouse:
         see either the old or the compacted snapshot, never a mix.
         """
         with self._write_lock(table):
-            total = sum(os.path.getsize(f) for f in self.data_files(table))
             df = self.read(table)
             if partition_by:
                 df = df.repartition(*[F.col(c) for c in partition_by])
             else:
+                # size the file count from actual bytes — only needed on
+                # this branch; stat-walking a large snapshot while
+                # holding the writer lock is not free
+                total = sum(os.path.getsize(f) for f in self.data_files(table))
                 n = max(1, -(-total // target_file_bytes))  # ceil div
                 df = df.repartition(n)
             version = self._write_snapshot(df, table, partition_by)

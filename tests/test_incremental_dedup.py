@@ -117,3 +117,34 @@ def test_index_self_heals_after_partial_commit(spark, tmp_path):
         for r in wh.read("corpus_bands").select("doc_id").distinct().collect()
     }
     assert idx_ids == {1, 2}  # doc 2's bands restored
+
+
+def test_ingest_recovers_from_missing_index_table(spark, tmp_path):
+    """Crash window: corpus snapshot committed, index write never
+    happened. The next ingest must rebuild the index from the corpus and
+    still drop near-dups against it — not raise."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    c1 = ingest_batch(spark, wh, _docs(spark, [(1, BASE_TEXT)]))
+    assert c1["survivors"] == 1
+    wh.drop("corpus_bands")  # simulate the crash-after-corpus-commit state
+
+    near = BASE_TEXT.replace("quick", "swift")
+    c2 = ingest_batch(spark, wh, _docs(spark, [(2, near)]))
+    assert c2["survivors"] == 0  # near-dup of doc 1, caught via rebuilt index
+    assert wh.exists("corpus_bands")
+    assert wh.read("corpus_bands").select("doc_id").distinct().count() == 1
+
+
+def test_sub_k_word_doc_does_not_churn_index_versions(spark, tmp_path):
+    """A corpus doc shorter than k words can never be indexed; the
+    self-heal must not rewrite the index snapshot for it on every
+    ingest."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    ingest_batch(
+        spark, wh, _docs(spark, [(1, BASE_TEXT), (2, "hi")])
+    )  # doc 2: 1 word -> no shingles, unindexable
+    v1 = wh._latest_version("corpus_bands")
+    # a batch that adds nothing new to the index
+    c = ingest_batch(spark, wh, _docs(spark, [(3, BASE_TEXT)]))
+    assert c["survivors"] == 0
+    assert wh._latest_version("corpus_bands") == v1

@@ -119,3 +119,24 @@ def test_log_appends(spark, wh):
     wh.log("meta", "run two")
     msgs = [r.log_message for r in wh.read("meta").collect()]
     assert sorted(msgs) == ["run one", "run two"]
+
+
+def test_merge_key_moving_partitions_does_not_duplicate(spark, wh):
+    """A key whose partition value changes between batches must end up
+    with exactly ONE row (source wins): the partition-pruned rewrite is
+    only sound when partition columns are part of the merge key, so this
+    shape must take the full-table merge path."""
+    wh.merge(
+        _df(spark, [("TSLA", "d1", 1.0)]),
+        "t",
+        keys=("stock",),
+        partition_by=("timestamp",),
+    )
+    wh.merge(
+        _df(spark, [("TSLA", "d2", 9.0)]),
+        "t",
+        keys=("stock",),
+        partition_by=("timestamp",),
+    )
+    rows = [(r.stock, r.timestamp, r.close) for r in wh.read("t").collect()]
+    assert rows == [("TSLA", "d2", 9.0)]
