@@ -52,8 +52,19 @@ def ewma_per_key(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ema = pdf.groupby(key, sort=False)[value].transform(
-                lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+            # ExponentialMovingWindowGroupby: ONE Cython call per batch.
+            # transform(lambda s: s.ewm(...)) would re-enter Python and
+            # build a Series per key run — per-key overhead in exactly
+            # the loop this operator exists to keep constant-per-batch.
+            # The groupby-ewm result is (key, original-index)-indexed in
+            # group-major order; dropping the key level and sorting the
+            # original index restores row alignment.
+            ema = (
+                pdf.groupby(key, sort=False)[value]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .droplevel(0)
+                .sort_index()
             )
             first_key = pdf[key].iloc[0]
             if carry_key is not None and first_key == carry_key:

@@ -112,10 +112,12 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
-def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched, payload dropped on
     output (features replace bytes — the shuffle downstream moves 16
-    doubles per row, not megabytes of media)."""
+    doubles per row, not megabytes of media). Batch sizing is governed
+    by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — there is
+    deliberately no per-call knob."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,6 +166,18 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
         for pdf in batches:
             out = pdf.copy()
             out["payload"] = out["payload"].map(_one)
+            # metadata must describe the bytes in THIS row, not the
+            # pre-resize input: a re-encode changes both; downstream
+            # exact dedup keys on content_md5 and size-aware batching
+            # reads byte_len, so stale values corrupt both
+            if "byte_len" in out.columns:
+                out["byte_len"] = out["payload"].map(
+                    lambda p: len(p) if p is not None else None
+                )
+            if "content_md5" in out.columns:
+                out["content_md5"] = out["payload"].map(
+                    lambda p: hashlib.md5(p).hexdigest() if p is not None else None
+                )
             out["resized_width"] = width
             out["resized_height"] = height
             yield out
@@ -192,13 +206,21 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_payload": []}
-            for _, r in pdf.iterrows():
-                payload = r["payload"] or b""
+            # plain-scalar zip, not iterrows: boxing a pandas Series per
+            # row to read two columns is the per-row overhead this
+            # Arrow-batched design exists to avoid
+            for media_id, payload in zip(
+                pdf["media_id"].values, pdf["payload"].values
+            ):
+                payload = payload or b""
                 step = max(1, len(payload) // n_frames)
                 for i in range(n_frames):
-                    rows["media_id"].append(r["media_id"])
+                    rows["media_id"].append(media_id)
                     rows["frame_idx"].append(i)
-                    rows["frame_payload"].append(payload[i * step : (i + 1) * step])
+                    # the LAST frame runs to the end: len % n_frames
+                    # tail bytes belong to a frame, not the void
+                    end = (i + 1) * step if i < n_frames - 1 else len(payload)
+                    rows["frame_payload"].append(payload[i * step : end])
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -68,9 +68,19 @@ def deterministic_sample(
     under ``fraction``. Unlike ``df.sample`` this is reproducible across
     runs, engines, and partitionings, and a row's membership never flips
     when the corpus around it changes."""
+    _check_rate("fraction", fraction)
     return df.filter(
         hash_bucket(F.col(id_col), salt="sample") < int(round(fraction * 10_000))
     )
+
+
+def _check_rate(name: str, rate: float) -> None:
+    """Rates are probabilities. A typo'd percentage (10 for 10%) would
+    otherwise silently sample at 100% and a negative rate silently drop
+    the stratum — same fail-loudly stance as stable_split's weight
+    check."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"{name} must be in [0, 1], got {rate}")
 
 
 def stratified_sample(
@@ -87,6 +97,9 @@ def stratified_sample(
     Row membership is stable under corpus growth and identical across
     engines and runs — re-weighting a mixture never reshuffles which
     rows the kept strata contribute."""
+    _check_rate("default_rate", default_rate)
+    for name, r in rates.items():
+        _check_rate(f"rates[{name!r}]", r)
     bucket = hash_bucket(F.col(id_col), salt="stratum")
     threshold = None
     for name, r in rates.items():

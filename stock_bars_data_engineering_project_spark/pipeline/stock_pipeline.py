@@ -169,7 +169,17 @@ def run(
         if checkpoint is not None:
             # C4/Q9: restart FROM the checkpoint DATE (inclusive — the
             # string slice stock_bars.py:43) to re-read possibly-late bars;
-            # the keyed merge makes the overlap idempotent.
+            # the keyed merge makes the overlap idempotent. That
+            # idempotency is load-method-specific: a plain append would
+            # re-insert the whole overlap day on every run (the
+            # reference's PG INSERT would raise on the duplicate PKs —
+            # fail as loudly here instead of silently double-counting).
+            if cfg.load_method == "insert":
+                raise ValueError(
+                    "incremental runs re-read the checkpoint day; "
+                    "load_method='insert' would duplicate it — use "
+                    "'upsert' (reference default) or 'overwrite'"
+                )
             start = checkpoint[:10]
             info["mode"] = "incremental"
             raw = extract_bars(spark, symbols, start, options=cfg.extra_source_options)
@@ -184,13 +194,23 @@ def run(
             )
         df = transform_bars(raw, dim)
         load_bars(wh, df, cfg.table, cfg.load_method)
-        info["rows"] = wh.read(cfg.table).count()  # A2 (logged metric)
-        # A1: the single driver-side scalar — new high watermark
-        latest = wh.read(cfg.table).agg(F.max("timestamp")).first()[0]
-        if latest is not None:
-            save_checkpoint(
-                wh, cfg.table, latest.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+        # A2 row count + A1 watermark in ONE scan. The watermark string
+        # is formatted JVM-SIDE (session timezone, pinned UTC): a
+        # collected TimestampType renders through the DRIVER's local
+        # timezone, so strftime on it would mislabel the wall time with
+        # 'Z' whenever driver tz != session tz — shifting the next
+        # incremental window and silently skipping late bars.
+        n_rows, latest = (
+            wh.read(cfg.table)
+            .agg(
+                F.count(F.lit(1)),
+                F.date_format(F.max("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"),
             )
+            .first()
+        )
+        info["rows"] = n_rows
+        if latest is not None:
+            save_checkpoint(wh, cfg.table, latest + "Z")
         wh.log(cfg.log_table, f"pipeline {info['mode']} load ok: {info['rows']} rows")
     except Exception as e:  # noqa: BLE001 — mirrors reference control flow
         err = e
