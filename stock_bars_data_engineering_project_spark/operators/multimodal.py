@@ -48,11 +48,17 @@ FEATURE_DIM = 16
 
 
 def attach_binary_payload(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Wrap rows into the media schema, using utf-8 bytes of ``text_col``
     as a stand-in payload (deterministic; real pipelines read the bytes
-    from object storage)."""
+    from object storage). ``passthrough`` appends extra source columns
+    unchanged — THE definition of the payload/byte_len/content_md5
+    triple lives here; query-layer consumers project from this rather
+    than restating the expressions."""
     payload = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col).alias("media_id"),
@@ -63,6 +69,7 @@ def attach_binary_payload(
         F.lit(None).cast("int").alias("meta_width"),
         F.lit(None).cast("int").alias("meta_height"),
         F.lit(None).cast("int").alias("meta_duration_ms"),
+        *[F.col(c) for c in passthrough],
     )
 
 

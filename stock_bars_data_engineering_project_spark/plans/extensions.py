@@ -1190,11 +1190,14 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary column plumbing: payload bytes + content hash +
     typed metadata travel together (the decode/feature path is
     operators/multimodal.py, exercised by tests)."""
+    from ..operators.multimodal import attach_binary_payload
+
     d = load_table(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "utf-8")
-    return d.select(
-        "doc_id",
-        F.octet_length(payload).cast("long").alias("byte_len"),
-        F.md5(payload).alias("content_md5"),
+    # one definition of the payload triple (operators/multimodal.py);
+    # column pruning drops the unused payload bytes from the scan
+    return attach_binary_payload(d, passthrough=("source",)).select(
+        F.col("media_id").alias("doc_id"),
+        "byte_len",
+        "content_md5",
         F.col("source").alias("media_source"),
     )
