@@ -73,12 +73,12 @@ def quality_score(text: Column) -> Column:
     """Composite document-quality score in [0,1]:
     length credit (saturates at 100 tokens) + prose-likeness (low
     punctuation density) + function-word density (saturates at 10%)."""
+    from .scalars import round_half_up
+
     length_credit = F.least(F.lit(1.0), token_count(text) / 100.0)
     prose = 1.0 - F.least(F.lit(1.0), punct_ratio(text) * 5.0)
     stop = F.least(F.lit(1.0), stopword_ratio(text) * 10.0)
-    return F.round(
-        (0.4 * length_credit + 0.3 * prose + 0.3 * stop).cast("decimal(30,10)"), 4
-    ).cast("double")
+    return round_half_up(0.4 * length_credit + 0.3 * prose + 0.3 * stop, 4)
 
 
 def rolling_fingerprint(text: Column) -> Column:

@@ -45,7 +45,16 @@ def asof_join(
     """
     right_on = right_on or on
     by = tuple(by)
-    rval_cols = [c for c in right.columns if c not in by]
+    # When both sides share the event-time column name (the defaulted
+    # right_on path), the right's copy is the join coordinate, not a
+    # payload — emitting it would always clash with left's column, so it
+    # is excluded (pandas merge_asof resolves the same collision by
+    # suffixing; rename the right column first if its value is needed).
+    rval_cols = [
+        c
+        for c in right.columns
+        if c not in by and not (c == right_on and right_on in left.columns)
+    ]
     clash = set(rval_cols) & set(left.columns)
     if clash:
         raise ValueError(f"rename right columns clashing with left: {sorted(clash)}")

@@ -242,9 +242,11 @@ def s2_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "s6_sql_cte_chain",
-    oracle="""
+# ONE query text for both engines: the same ANSI `WITH` chain runs
+# verbatim under Catalyst (spark.sql) and DuckDB (oracle). Two hand-kept
+# copies differing only in the expanded rounding idiom had to stay
+# bit-identical by discipline; a shared string cannot drift.
+_S6_SQL = """
 WITH order_value AS (
     SELECT o_custkey, o_totalprice,
            CAST(o_orderdate AS DATE) AS order_date
@@ -258,31 +260,21 @@ WITH order_value AS (
 SELECT o_custkey, order_date, o_totalprice,
        {round_expr} AS running_spend
 FROM running
-""".format(round_expr=sql_round("running_spend", 2)),
+""".format(round_expr=sql_round("running_spend", 2))
+
+
+@register(
+    "s6_sql_cte_chain",
+    oracle=_S6_SQL,
     tags=("sql", "cte", "window"),
 )
 def s6_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: arbitrary SQL text executed by the engine (extract_from_query,
     assets.py:146-147) with §2.7's chained-CTE composition — same WITH
-    clause Catalyst inlines and optimizes as one plan."""
+    clause Catalyst inlines and optimizes as one plan, and the SAME text
+    is the DuckDB oracle."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        WITH order_value AS (
-            SELECT o_custkey, o_totalprice,
-                   CAST(o_orderdate AS DATE) AS order_date
-            FROM orders
-        ), running AS (
-            SELECT o_custkey, order_date, o_totalprice,
-                   SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY order_date, o_totalprice
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
-            FROM order_value
-        )
-        SELECT o_custkey, order_date, o_totalprice,
-               CAST(ROUND(CAST(running_spend AS DECIMAL(30,10)), 2) AS DOUBLE) AS running_spend
-        FROM running
-        """
-    )
+    return spark.sql(_S6_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -68,8 +68,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             # integer div: float division loses precision on epoch-nanos
-            # (~1.7e18 > 2^53) and rounds, while DuckDB truncates
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # (~1.7e18 > 2^53) and rounds, while DuckDB truncates.
+            # Target type is TIMESTAMP_NTZ via pure naive-epoch
+            # arithmetic — the same type the micros flavor delivers —
+            # so to_date/date_format consumers are session-timezone
+            # independent on BOTH flavors. (timestamp_micros() yields an
+            # instant TimestampType: under a non-UTC driver session its
+            # to_date shifts a day relative to the DuckDB oracle.)
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
@@ -93,7 +105,11 @@ def load_events_since(
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(raw.schema["ts"].dataType, T.LongType):
         raw = raw.filter(F.col("ts") >= F.lit(nanos)).withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, `ts` div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     else:
         raw = raw.filter(F.col("ts") >= F.lit(watermark_utc).cast("timestamp"))

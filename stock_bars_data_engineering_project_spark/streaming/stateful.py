@@ -23,10 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# output: the first-seen event per key
+# output: the first-seen event's fields (the key field is prepended
+# per call with the caller's key name and type)
 DEDUP_OUTPUT_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType()),
         T.StructField("first_ts", T.TimestampType()),
         T.StructField("first_event_id", T.LongType()),
         T.StructField("first_value", T.DoubleType()),
@@ -35,44 +35,58 @@ DEDUP_OUTPUT_SCHEMA = T.StructType(
 DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
-def _first_seen(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit the key's first event (by event time, event_id tiebreak) the
-    first time the key appears; afterwards the state swallows every later
-    arrival. Within one micro-batch the slice is sorted explicitly —
-    micro-batch row order is not event-time order."""
-    if state.exists:
-        return
-    first = None
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        cand = pdf.sort_values(["ts", "event_id"]).iloc[0]
-        if first is None or (cand.ts, cand.event_id) < (first.ts, first.event_id):
-            first = cand
-    if first is None:
-        return
-    state.update((True,))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "first_ts": [first.ts],
-            "first_event_id": [first.event_id],
-            "first_value": [first.value],
-        }
-    )
-
-
 def first_seen_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
     """Keyed first-seen dedup as a custom stateful operator: one output
     row per key, ever — the pattern behind streaming entity resolution
     and exactly-once side-effect gating. ``NoTimeout`` keeps keys
     forever; swap to ``EventTimeTimeout`` + ``state.setTimeoutTimestamp``
-    to age keys out under a watermark (bounded state at 100 TB/day)."""
+    to age keys out under a watermark (bounded state at 100 TB/day).
+
+    ``key`` may be any column of the stream — the output's first field
+    takes its name and type (the ts/event_id/value event columns are
+    required; they define "first"). Earlier revisions hardcoded
+    user_id's name AND LongType in the output schema, so a non-default
+    key either crashed at Arrow serialization or silently mislabeled
+    the column."""
+    out_schema = T.StructType(
+        [T.StructField(key, events.schema[key].dataType)]
+        + list(DEDUP_OUTPUT_SCHEMA.fields)
+    )
+
+    def _first_seen(
+        key_t: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # Emit the key's first event (by event time, event_id tiebreak)
+        # the first time the key appears; afterwards the state swallows
+        # every later arrival. Within one micro-batch the slice is
+        # sorted explicitly — micro-batch order is not event-time order.
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            cand = pdf.sort_values(["ts", "event_id"]).iloc[0]
+            if first is None or (cand.ts, cand.event_id) < (
+                first.ts,
+                first.event_id,
+            ):
+                first = cand
+        if first is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {
+                key: [key_t[0]],
+                "first_ts": [first.ts],
+                "first_event_id": [first.event_id],
+                "first_value": [first.value],
+            }
+        )
+
     return events.groupBy(key).applyInPandasWithState(
         _first_seen,
-        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

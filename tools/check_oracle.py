@@ -17,9 +17,11 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# single source of truth for the table list — a second copy here would
+# silently desynchronize when a table is added
+from stock_bars_data_engineering_project_spark.sources.readers import (  # noqa: E402
+    TESTDATA_TABLES as TABLES,
+)
 
 
 def _norm_cell(v):
@@ -56,6 +58,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a typo'd query name must fail the gate, not shrink it to a green
+    # zero-query run
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
 
     con = duckdb.connect()
     for t in TABLES:
