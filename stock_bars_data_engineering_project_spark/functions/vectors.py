@@ -19,9 +19,17 @@ def as_double(vec: Column) -> Column:
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold sum — same accumulation order as the oracle's
-    index-ordered list_sum, so doubles match exactly."""
+    index-ordered list_sum, so doubles match exactly. Promotes both
+    sides itself: the module contract ("all math promotes to double
+    FIRST") must hold for every entry point, not only cosine — a caller
+    handing raw ``array<float>`` would otherwise accumulate float32
+    products that diverge from the oracle in the rounded digits. The
+    double promotion of an already-double array folds away in Catalyst,
+    so pre-cast callers pay nothing."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
@@ -30,5 +38,4 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    a, b = as_double(a), as_double(b)
     return dot(a, b) / (norm(a) * norm(b))

@@ -39,6 +39,16 @@ def range_join(
             "range_join supports how='inner' only (the BETWEEN residual "
             "is applied post-join and would drop outer null rows)"
         )
+    # Column names shared between the two frames (beyond the join keys)
+    # would make the unqualified BETWEEN references below ambiguous —
+    # fail with the precondition spelled out instead of Spark's
+    # AMBIGUOUS_REFERENCE (or a silent wrong-side resolution).
+    overlap = (set(left.columns) & set(right.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"range_join requires disjoint non-key column names; rename on "
+            f"one side: {sorted(overlap)}"
+        )
     lb = left.withColumn(
         "_bucket", F.floor(F.unix_timestamp(F.col(on)) / bucket_seconds)
     )

@@ -26,14 +26,19 @@ from ..streaming.windows import (
 from .registry import register
 
 
-def _stage_events_dir(sf_dir: str, batch) -> str:
+def _stage_events_dir(sf_dir: str, batch, tag: str = "") -> str:
     """Stage the filtered events as a parquet dir for readStream, keyed
-    by sf_dir. Re-stages when the SOURCE parquet is newer than the
-    staged copy — a stable cache name must not serve stale rows after
-    testdata regeneration."""
+    by (sf_dir, tag). ``tag`` must identify the FILTER that produced the
+    batch — the mtime check below only detects testdata regeneration,
+    so two callers staging different predicates under one key would
+    silently serve each other stale rows. Re-stages when the SOURCE
+    parquet is newer than the staged copy."""
     import os
 
-    src = os.path.join("/tmp", "stream_src_" + sf_dir.strip("/").replace("/", "_"))
+    src = os.path.join(
+        "/tmp",
+        "stream_src_" + sf_dir.strip("/").replace("/", "_") + ("_" + tag if tag else ""),
+    )
     source_file = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         try:
@@ -181,8 +186,7 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
-    schema = batch.schema
-    src = _stage_events_dir(sf_dir, batch)
+    src = _stage_events_dir(sf_dir, batch, tag="ge20240125")
     events = spark.readStream.schema(batch.schema).parquet(src)
     out = first_seen_per_key(events, key="user_id")
     run_stream_to_memory(out, "stream_stateful_dedup", output_mode="append")
@@ -219,15 +223,13 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + event-time range predicate bounding both join states,
     append-mode drain. A finite availableNow drain emits exactly the
     batch interval join, which is what the oracle computes."""
-    import os
-
     from ..streaming.joins import interval_join
 
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
     schema = batch.schema
-    src = _stage_events_dir(sf_dir, batch)
+    src = _stage_events_dir(sf_dir, batch, tag="ge20240125")
     purchases = stream_events(spark, src, schema, watermark="1 hour").filter(
         F.col("event_type") == "purchase"
     )

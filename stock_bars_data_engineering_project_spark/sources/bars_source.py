@@ -232,6 +232,12 @@ class StockBarsStreamReader(DataSourceStreamReader):
         )
         self.seed = int(options.get("seed", "42"))
         self.batch_days = int(options.get("batch_days", "7"))
+        # same option contract as the batch reader: live=true polls the
+        # REST source per micro-batch range (import-gated; deterministic
+        # synth fallback), anything else replays the synthetic walk.
+        # Silently ignoring the option would hand a user who configured
+        # live ingestion a fake random walk with an identical schema.
+        self.live = options.get("live", "false").lower() == "true"
         self._cursor = self.start - _dt.timedelta(days=1)
 
     def initialOffset(self) -> dict:
@@ -265,6 +271,23 @@ class StockBarsStreamReader(DataSourceStreamReader):
         lo = _dt.date.fromisoformat(partition.start) + _dt.timedelta(days=1)
         hi = _dt.date.fromisoformat(partition.end)
         if lo > hi:
+            return
+        if self.live:
+            bars = fetch_bars_rest(
+                [partition.symbol], lo.isoformat(), hi.isoformat()
+            ).get(partition.symbol, [])
+            for b in bars:
+                yield (
+                    partition.symbol,
+                    b.get("c"),
+                    b.get("h"),
+                    b.get("l"),
+                    b.get("n"),
+                    b.get("o"),
+                    b.get("t"),
+                    b.get("v"),
+                    b.get("vw"),
+                )
             return
         # Replay the walk from series start and slice the batch's range:
         # the geometric walk chains day-to-day, so starting a fresh walk

@@ -23,15 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# output: the first-seen event's fields (the key field is prepended
-# per call with the caller's key name and type)
-DEDUP_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("first_ts", T.TimestampType()),
-        T.StructField("first_event_id", T.LongType()),
-        T.StructField("first_value", T.DoubleType()),
-    ]
-)
+# output: the first-seen event's fields (the key and event-time fields
+# are built per call from the INPUT schema — a hardcoded TimestampType
+# would localize a TIMESTAMP_NTZ wall time through the session timezone
+# on the way out of Arrow, the session-tz dependence the engine pins
+# against elsewhere)
+_DEDUP_TAIL_FIELDS = [
+    T.StructField("first_event_id", T.LongType()),
+    T.StructField("first_value", T.DoubleType()),
+]
 DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
 
 
@@ -47,10 +47,20 @@ def first_seen_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
     required; they define "first"). Earlier revisions hardcoded
     user_id's name AND LongType in the output schema, so a non-default
     key either crashed at Arrow serialization or silently mislabeled
-    the column."""
+    the column; ``first_ts`` likewise inherits the input ts type.
+
+    "First" is exact within one drain batch (the slice is sorted); a
+    key whose events SPAN micro-batches emits the earliest event of the
+    first batch it appears in — append mode cannot retract. For global
+    first across unordered multi-batch arrival, delay emission under a
+    watermark (EventTimeTimeout) instead; the availableNow single-batch
+    drain the oracle checks has no such split."""
     out_schema = T.StructType(
-        [T.StructField(key, events.schema[key].dataType)]
-        + list(DEDUP_OUTPUT_SCHEMA.fields)
+        [
+            T.StructField(key, events.schema[key].dataType),
+            T.StructField("first_ts", events.schema["ts"].dataType),
+        ]
+        + _DEDUP_TAIL_FIELDS
     )
 
     def _first_seen(
@@ -94,16 +104,23 @@ def first_seen_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
 
 
 # streaming EMA: per-key recursive state carried across micro-batches
-EMA_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("ema", T.DoubleType()),
-    ]
-)
 EMA_STATE_SCHEMA = T.StructType([T.StructField("ema", T.DoubleType())])
+
+
+def _ema_out_schema(events: DataFrame) -> T.StructType:
+    """Output mirrors the input's own key/ts/value types (ts especially:
+    TIMESTAMP_NTZ in, TIMESTAMP_NTZ out — a hardcoded instant type would
+    localize wall times through the session timezone)."""
+    it = {f.name: f.dataType for f in events.schema.fields}
+    return T.StructType(
+        [
+            T.StructField("user_id", it["user_id"]),
+            T.StructField("event_id", it["event_id"]),
+            T.StructField("ts", it["ts"]),
+            T.StructField("value", it["value"]),
+            T.StructField("ema", T.DoubleType()),
+        ]
+    )
 
 
 def _ewma_update(alpha: float):
@@ -144,7 +161,7 @@ def ewma_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
     the slice is sorted here)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _ewma_update(alpha),
-        outputStructType=EMA_OUTPUT_SCHEMA,
+        outputStructType=_ema_out_schema(events),
         stateStructType=EMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
