@@ -325,3 +325,56 @@ def test_stream_outer_interval_join_matches_batch_in_closed_region(spark, tmp_pa
     assert got_pairs == want_pairs
     # the outer semantics actually bit: some purchases had no view match
     assert any(rid is None for _, rid in want_pairs)
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB streaming-state path swaps the in-memory HDFS-backed
+    state store for RocksDB (bounded heap, spill-to-disk state). The
+    custom stateful operator must behave identically on it."""
+    from stock_bars_data_engineering_project_spark.streaming.stateful import (
+        first_seen_per_key,
+    )
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = first_seen_per_key(stream, key="user_id")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_first_seen_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+    got = {
+        r.user_id: r.first_event_id
+        for r in spark.table("t_first_seen_rocks").collect()
+    }
+    want = {
+        r.user_id: r.event_id
+        for r in events.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
