@@ -35,8 +35,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, dot
 
 
-def _suffstats_schema(dim: int) -> str:
-    return "n long, colsum array<double>, gram array<double>"
+_SUFFSTATS_SCHEMA = "n long, colsum array<double>, gram array<double>"
 
 
 def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
@@ -67,7 +66,7 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
                 {"n": [n], "colsum": [s.tolist()], "gram": [g.ravel().tolist()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(_partial, schema=_suffstats_schema(dim))
+    parts = df.select(vec_col).mapInPandas(_partial, schema=_SUFFSTATS_SCHEMA)
     # element-wise array sums across the (one-row-per-partition) stats:
     # explode to (idx, value) and sum per idx — thousands of rows total,
     # one tiny shuffle regardless of corpus size
@@ -80,6 +79,10 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
         .orderBy("i")
         .collect()
     )
+    if not summed:
+        raise ValueError(
+            "covariance_stats: no embedding rows (empty input frame)"
+        )
     n_total = int(summed[0].nn)  # sum of per-partition counts
     flat = np.array([r.v for r in summed])
     colsum, gram = flat[:dim], flat[dim:].reshape(dim, dim)

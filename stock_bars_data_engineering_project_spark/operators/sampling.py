@@ -28,7 +28,16 @@ def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
     sampling then splitting would yield 100%% train, empty val/test).
     """
     keyed = F.concat(F.lit(f"{salt}:"), key.cast("string")) if salt else key.cast("string")
-    return F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
+    bucket = F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
+    # A NULL key hashes to NULL, and NULL propagates differently through
+    # each consumer (filters silently DROP the row, a when-chain's
+    # otherwise() routes it to the LAST split — NULL-id docs would
+    # concentrate in the test split). One loud failure here keeps every
+    # sibling operator consistent with the module's fail-fast stance.
+    return F.when(
+        key.isNull(),
+        F.raise_error(F.lit("hash_bucket: NULL id — clean or filter ids first")),
+    ).otherwise(bucket)
 
 
 def _check_weights(weights: dict[str, float]) -> None:

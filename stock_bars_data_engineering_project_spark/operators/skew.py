@@ -36,6 +36,16 @@ def salted_topk(
     """Exact per-key top-k with bounded per-task fan-in. The ordering is
     (order_col, tiebreak_col) and must be tie-free — same contract as
     any deterministic ranking (README: correctness model)."""
+    # fail loudly on working-column collisions: withColumn would
+    # overwrite a caller's _salt/_rn/rank and drop() would then delete
+    # their data from the output (same contract as sampling's _nt/_cum
+    # guard)
+    clash = {"_salt", "_rn", "rank"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"salted_topk writes columns {sorted(clash)} — rename them on "
+            "the input first"
+        )
     order = (
         [F.col(order_col).desc(), F.col(tiebreak_col)]
         if descending

@@ -113,7 +113,14 @@ def prepare_corpus(
         )
         .drop("cum")
     )
-    final_n = corpus.count()  # triggers the chain; resolves the observation
+    # Materialize ONCE: the scrub/score/split/pack tail is the most
+    # expensive stage chain; counting it and then letting the caller's
+    # snapshot write recompute it would run that tail twice. The eager
+    # checkpoint runs the chain (firing the observation), the count is
+    # then a cheap pass over checkpointed partitions, and the caller's
+    # write reuses them too.
+    corpus = corpus.localCheckpoint(eager=True)
+    final_n = corpus.count()
     counts["quality_gated"] = int(quality_obs.get["n"])
     counts["final"] = final_n
     return corpus, counts

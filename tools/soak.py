@@ -57,9 +57,20 @@ TOKEN_RE = "([a-z0-9]+)"
 
 
 def stage(spark, scale: int) -> str:
+    if scale > 64:
+        # the embedding perturbation is a component rotation mod 64:
+        # replicas k and k+64 would be verbatim copies, and cross-replica
+        # pair growth would go quadratic by construction — the exact soak
+        # artifact the perturbations exist to prevent
+        raise ValueError("soak scales > 64 exceed the embedding-rotation period")
     out = os.path.join(WORK, f"x{scale}")
-    if os.path.isdir(out):
+    # completion marker, not bare isdir: the directory exists from the
+    # first parquet write, so an interrupted staging (or one from an
+    # older perturbation scheme) must not be mistaken for a complete one
+    done = os.path.join(out, "_STAGED")
+    if os.path.isfile(done):
         return out
+    shutil.rmtree(out, ignore_errors=True)
     docs = load_table(spark, SF_DIR, "documents")
     events = load_table(spark, SF_DIR, "events")
     emb = load_table(spark, SF_DIR, "embeddings")
@@ -108,6 +119,8 @@ def stage(spark, scale: int) -> str:
     d.write.mode("overwrite").parquet(os.path.join(out, "documents"))
     ev.write.mode("overwrite").parquet(os.path.join(out, "events"))
     vv.write.mode("overwrite").parquet(os.path.join(out, "embeddings"))
+    with open(done, "w") as f:
+        f.write("ok")
     return out
 
 
