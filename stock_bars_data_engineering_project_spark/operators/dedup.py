@@ -74,6 +74,31 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     ).filter(F.size("shingles") > 0)
 
 
+def _bucket_combos(df: DataFrame, keys: list[str], item):
+    """The shared in-bucket ordered-pair expansion: groupBy the bucket
+    keys, collect the sorted item set, and build the a<b combination
+    array. Consumers explode ``combos`` and apply their OWN dedup
+    strategy (``_bucket_pairs``: filter + dropDuplicates; the blocked
+    embedding path: canonical-group emission) — keeping the expansion
+    expression in one place so a fix to its evaluation trade-offs (see
+    the interpreted-lambda note in ``_bucket_pairs``) cannot drift."""
+    buckets = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_set(item)).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets, combos
+
+
 def _bucket_pairs(
     df: DataFrame,
     keys: list[str],
@@ -107,20 +132,7 @@ def _bucket_pairs(
     ordered ``a.id < b.id``.
     """
     item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
-    buckets = (
-        df.groupBy(*keys)
-        .agg(F.array_sort(F.collect_set(item)).alias("items"))
-        .filter(F.size("items") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size("items")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    buckets, combos = _bucket_combos(df, keys, item)
     exploded = buckets.select(F.explode(combos).alias("p")).select(
         F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
@@ -144,8 +156,13 @@ def minhash_lsh_pairs(
     candidate set: only docs agreeing on an entire band ever meet. The
     bucket aggregation (vs. a band self-join) computes the per-shingle
     minhash signatures exactly once and never shuffles the shingle
-    arrays with the band keys — the verify join re-derives shingles only
-    for the (tiny) candidate set's rows.
+    arrays with the band keys. The verify joins stream the full shingled
+    relation on each side (the candidate-id filter does not push below
+    the shingling projection), so shingling itself runs once per verify
+    side — what stays candidate-sized is the SHUFFLE/JOIN payload, the
+    part that dominates at scale. (Incremental ingestion's verify
+    semi-joins the docs to the candidate ids first and re-shingles only
+    those — see operators/incremental_dedup.py.)
     """
     shingled = _shingled(df, text_col, id_col, k)
     # signature in its own select: lsh_band_hashes references it `bands`
@@ -297,12 +314,15 @@ def ngram_jaccard_pairs(
             lambda x: x["s"],
         ).alias("shingles"),
     )
-    # epsilon guards the ceil when t*n is mathematically integral but the
-    # double product rounds a hair high — a too-SHORT prefix loses pairs
-    # (breaks exactness), a hair-long one only adds candidates
+    # Two deliberate slacks, both one-sided (a longer prefix only adds
+    # candidates, never drops one): 1e-3 mirrors the other prune sites —
+    # the emit contract is ROUNDED jaccard >= t, so true J in
+    # [t - 5e-5, t) must still produce a candidate, which the raw-t
+    # prefix length cannot guarantee; 1e-9 guards the ceil when t*n is
+    # mathematically integral but the double product rounds a hair high.
     prefix_len = (
         F.size("shingles")
-        - F.ceil(F.size("shingles") * F.lit(threshold) - F.lit(1e-9))
+        - F.ceil(F.size("shingles") * F.lit(threshold - 1e-3) - F.lit(1e-9))
         + 1
     ).cast("int")
     inv = ordered.select(
@@ -367,6 +387,14 @@ def simhash_pairs(
     of 4. The fingerprint (an int64) rides along as bucket payload, so
     the token-hashing stage runs once and the exact hamming check needs
     no re-join."""
+    if max_hamming > SIMHASH_BLOCKS - 1:
+        # pigeonhole over 4 blocks only guarantees a shared block for
+        # hamming <= 3; a larger bound would silently lose pairs whose
+        # errors spread one-per-block
+        raise ValueError(
+            f"simhash blocking is candidate-complete only for "
+            f"max_hamming <= {SIMHASH_BLOCKS - 1}, got {max_hamming}"
+        )
     fp = simhash_fingerprints(df, text_col, id_col)
     bb, nb = SIMHASH_BLOCK_BITS, SIMHASH_BLOCKS
     mask = (1 << bb) - 1
@@ -433,6 +461,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        # truncate lineage BEFORE iterating: `pairs` usually arrives as
+        # the un-materialized LSH pipeline (shingle -> 16-hash -> band ->
+        # verify), and every propagation round joins against edges — the
+        # loop checkpoints the labels, but without this the other join
+        # input re-runs the whole hashing DAG once per round
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -541,20 +575,7 @@ def embedding_dup_pairs_blocked(
         "_id", "_bucket", F.explode(probe_keys).alias("_probe")
     )
     item = F.struct(F.col("_id").alias("id"), F.col("_bucket").alias("bucket"))
-    groups = (
-        probed.groupBy("_probe")
-        .agg(F.array_sort(F.collect_set(item)).alias("items"))
-        .filter(F.size("items") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size("items")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    groups, combos = _bucket_combos(probed, ["_probe"], item)
     pairs = groups.select("_probe", F.explode(combos).alias("p"))
     # Canonical-group filter instead of a dropDuplicates shuffle: a
     # hamming-0 pair co-occurs in all n_planes+1 key groups, a
