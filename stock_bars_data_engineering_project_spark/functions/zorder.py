@@ -71,6 +71,13 @@ def with_zorder_key(
     min/max aggregate over the batch (a single combinable pass — at
     write time this is noise next to the write itself), then pure
     bit arithmetic per row."""
+    working = {key_col, *(f"_lo_{c}" for c in cols), *(f"_hi_{c}" for c in cols)}
+    clash = working & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_zorder_key working columns collide with input columns: "
+            f"{sorted(clash)}; rename them or pass a different key_col"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(_as_double(df, c)).alias(f"_lo_{c}"),

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    SIMHASH_BITS,
     SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
     hamming,
@@ -398,7 +399,14 @@ def simhash_pairs(
     fp = simhash_fingerprints(df, text_col, id_col)
     bb, nb = SIMHASH_BLOCK_BITS, SIMHASH_BLOCKS
     mask = (1 << bb) - 1
-    sub_widths = (12, 11, 11, 11)  # 45 remainder bits
+    # 45 remainder bits split into 4 sub-blocks; derived-constant guard:
+    # a change to SIMHASH_BITS/SIMHASH_BLOCK_BITS without updating these
+    # widths would silently lose candidate pairs
+    sub_widths = (12, 11, 11, 11)
+    assert sum(sub_widths) == SIMHASH_BITS - SIMHASH_BLOCK_BITS, (
+        "simhash sub_widths must cover every remainder bit exactly"
+    )
+    assert len(sub_widths) == SIMHASH_BLOCKS
     keys = []
     for i in range(nb):
         block_val = F.shiftright(F.col("simhash"), i * bb).bitwiseAND(F.lit(mask))

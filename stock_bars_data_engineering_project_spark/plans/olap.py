@@ -208,16 +208,45 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be flaky by construction, so the CONTRACT is what's checked:
     # the exact value (both engines) plus within-tolerance flags that
     # collapse to 1.0 when the sketch honors its error bound (HLL at
-    # rsd=0.01 given 5%, t-digest at accuracy=10k given 1%) and
-    # hash-mismatch against the oracle's literal 1.0 when it doesn't.
+    # rsd=0.01 given a 5% value band; the percentile sketch at
+    # accuracy=10k given its RANK guarantee, checked against the
+    # returned element's exact rank — see below) and hash-mismatch
+    # against the oracle's literal 1.0 when it doesn't.
     sketch = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("double").alias("exact_distinct_users"),
         F.approx_count_distinct("user_id", rsd=0.01)
         .cast("double")
         .alias("_hll"),
-        F.expr("percentile(value, 0.5D)").alias("_p50_exact"),
         F.percentile_approx("value", 0.5, 10000).alias("_p50_approx"),
+        F.count("value").alias("_n_vals"),
     )
+    # GK/KLL-style sketches bound RANK error (<= n/accuracy), not value
+    # error — a distribution sparse around the median can put a large
+    # value gap between adjacent ranks, so a value-tolerance flag is
+    # corpus-dependent by construction. Check the sketch's actual
+    # contract instead: compute the returned element's exact rank
+    # interval [rank_lo+1, rank_hi] (ties widen it) with one extra
+    # pre-aggregated pass over events joined to the broadcast 5-row
+    # sketch, and flag 1.0 iff that interval comes within
+    # n/accuracy (+1 element of boundary-convention slack) of the
+    # target rank n/2. Second scan of events is fine here: this suite
+    # is a verification surface, not a production pattern.
+    ranks = (
+        ev.join(
+            F.broadcast(sketch.select("event_type", "_p50_approx")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("value") < F.col("_p50_approx")).cast("long")
+            ).alias("_rank_lo"),
+            F.sum(
+                (F.col("value") <= F.col("_p50_approx")).cast("long")
+            ).alias("_rank_hi"),
+        )
+    )
+    sketch = sketch.join(F.broadcast(ranks), "event_type", "left")
     # zero/NULL guards: a group with no non-NULL users has exact = 0 and
     # the HLL trivially agrees (flag 1.0, matching the oracle literal) —
     # without the guard the 0/0 ratio is NULL and the flag would
@@ -234,12 +263,16 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("hll_within_5pct"),
-        F.when(
-            F.col("_p50_exact").isNull() & F.col("_p50_approx").isNull(), 1.0
-        )
+        F.when(F.col("_p50_approx").isNull(), 1.0)
         .when(
-            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
-            <= F.greatest(F.abs(F.col("_p50_exact")) * 0.01, F.lit(1e-9)),
+            (
+                F.col("_rank_hi").cast("double")
+                >= F.col("_n_vals") / 2.0 - F.col("_n_vals") / 10000.0 - 1.0
+            )
+            & (
+                F.col("_rank_lo").cast("double") + 1.0
+                <= F.col("_n_vals") / 2.0 + F.col("_n_vals") / 10000.0 + 1.0
+            ),
             1.0,
         )
         .otherwise(0.0)

@@ -48,8 +48,12 @@ WORK = "/tmp/soak_data"
 # Per-replica token suffixing: every word gets the replica index
 # appended — a bijection on the token alphabet, so within-replica
 # shingle/fingerprint structure (and thus the operator's work per
-# replica) is preserved EXACTLY, while replicas share no tokens at all,
-# for ANY replica count. (Earlier schemes rotated characters: vowel
+# replica) is preserved EXACTLY, while replicas share no lowercase/digit
+# tokens at all, for ANY replica count. Carve-out: tokens with no
+# [a-z0-9] character (all-caps acronyms, punctuation runs) miss the
+# suffix regex and stay byte-identical across replicas; the synthetic
+# documents corpus is lowercase-word dominated, so the residual
+# cross-replica sharing is negligible. (Earlier schemes rotated: vowel
 # rotation had 5 states and Caesar 26, so at x8/x32 some replicas were
 # verbatim copies and the cross-replica pair space grew quadratically
 # by construction — a soak artifact, not an operator property.)
