@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "contamination_check",
     "resample_ohlc_daily",
     "ann_topk_bruteforce",
-    "ann_topk_ivf",
+    "ann_topk_ivf_suite",
     "ann_topk_lsh",
     "asof_join_marks",
     "ewma_per_user",

@@ -111,6 +111,10 @@ def fit_pca(
         "mean": mean,
         "eigenvalues": vals[order],
         "components": comps,
+        # trace of the covariance (= total variance = sum of ALL
+        # eigenvalues) — carried so callers can bound the top-k
+        # explained variance without a second stats pass
+        "total_variance": float(np.trace(cov)),
     }
 
 

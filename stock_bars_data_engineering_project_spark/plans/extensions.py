@@ -796,9 +796,7 @@ list_reduce(list_prepend(CAST(0 AS DOUBLE),
 """
 
 
-@register(
-    "ann_topk_ivf",
-    oracle=f"""
+_IVF_STRIDE_SQL = f"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 125 = 0
 ),
@@ -826,20 +824,7 @@ SELECT query_id, vec_id, cos, rank FROM (
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
     FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM cand)
 ) WHERE rank <= 10
-""",
-    tags=("similarity", "ivf"),
-)
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: map-only coarse quantization against a
-    broadcast centroid array (every 125th vector), nprobe=4 inverted
-    lists probed per query, exact cosine rank within candidates. The
-    oracle replays the identical quantizer, so list membership — not
-    just the final ranking — is correctness-gated."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, centroid_stride=125, nprobe=4
-    )
-    return out.withColumn("rank", F.col("rank").cast("int"))
+"""
 
 
 # squared-L2 between a raw float list `a` and an already-double list `b`,
@@ -887,9 +872,7 @@ newc_{out} AS (
 )"""
 
 
-@register(
-    "ann_topk_ivf_trained",
-    oracle=f"""
+_IVF_TRAINED_SQL = f"""
 WITH seed AS (
     SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
     FROM embeddings WHERE vec_id % 125 = 0
@@ -923,27 +906,53 @@ SELECT query_id, vec_id, cos, rank FROM (
                 ORDER BY cos DESC, vec_id) AS INT) AS rank
     FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM cand)
 ) WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_topk_ivf_suite",
+    oracle=f"""
+SELECT 'stride' AS variant, query_id, vec_id, cos, rank
+FROM ({_IVF_STRIDE_SQL})
+UNION ALL
+SELECT 'trained' AS variant, query_id, vec_id, cos, rank
+FROM ({_IVF_TRAINED_SQL})
 """,
     tags=("similarity", "ivf", "kmeans"),
 )
-def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe over k-means-REFINED centroids: the stride seed is
-    polished with two Lloyd iterations (pure DataFrame ops — broadcast
-    argmin assignment + one posexplode mean shuffle per iteration),
-    then the same nprobe search runs against the trained lists. Run in
-    ``exact_mean`` mode (id-ordered fold means) so every float in the
-    training loop is deterministic and the oracle replays the full two
-    iterations in SQL — assignment, means, empty-cluster carry, probe
-    lists and ranking all correctness-gated. The k-means laws (inertia
-    non-increasing, assignment-to-nearest) stay pinned in
-    tests/test_similarity.py for the scale-path avg mode."""
+def q_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both IVF variants in one variant-tagged row (consolidated from
+    ann_topk_ivf + ann_topk_ivf_trained to free a registry slot; each
+    arm's full semantics stay individually correctness-gated):
+
+    - `stride`: map-only coarse quantization against a broadcast
+      centroid array (every 125th vector), nprobe=4 inverted lists
+      probed per query, exact cosine rank within candidates. The oracle
+      replays the identical quantizer, so list membership — not just
+      the final ranking — is gated.
+    - `trained`: the stride seed polished with two Lloyd iterations
+      (pure DataFrame ops — broadcast argmin assignment + one
+      posexplode mean shuffle per iteration), then the same nprobe
+      search against the trained lists. Run in ``exact_mean`` mode
+      (id-ordered fold means) so every float in the training loop is
+      deterministic and the oracle replays the full two iterations in
+      SQL — assignment, means, empty-cluster carry, probe lists and
+      ranking all gated. The k-means laws (inertia non-increasing,
+      assignment-to-nearest) stay pinned in tests/test_similarity.py
+      for the scale-path avg mode."""
     emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
     seed = emb.filter(F.col("vec_id") % 125 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    trained = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
-    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=trained)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+    trained_c = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
+    trained = ivf_topk(emb, queries, k=10, centroids=trained_c)
+    return (
+        stride.withColumn("variant", F.lit("stride"))
+        .unionByName(trained.withColumn("variant", F.lit("trained")))
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
 
 
 @register(
@@ -1014,6 +1023,23 @@ _DUP_RATIO_SQL = sql_round(
     "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4
 )
 
+# PII scrub (email/phone -> typed tags), shared by the Spark and DuckDB
+# sides of text_metrics; the pattern list is the seam — production plugs
+# a fuller ruleset into the same shape
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(text, "
+    f"'{_EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{_PHONE_RE}', '<PHONE>', 'g')"
+)
+
+
+def _scrubbed(t):
+    return F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
 
 @register(
     "text_metrics",
@@ -1034,7 +1060,9 @@ SELECT doc_id,
            list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint,
-       {_SIMHASH_SQL} AS simhash
+       {_SIMHASH_SQL} AS simhash,
+       {_SCRUB_SQL} AS scrubbed,
+       CAST(length(text) - length({_SCRUB_SQL}) AS BIGINT) AS delta_chars
 FROM (
     SELECT doc_id, text, lang,
            string_split(text, ' ') AS toks,
@@ -1051,7 +1079,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     prose-likeness + stopword density), BPE-ish sub-word token load
     (alnum splits + one token per punctuation char), Gopher-style 2-gram
     repetition ratio (NULL for sub-2-token docs), the order-sensitive
-    poly-31 rolling fingerprint, and the 60-bit MD5 SimHash fingerprint.
+    poly-31 rolling fingerprint, the 60-bit MD5 SimHash fingerprint,
+    and the PII scrub pass (email/phone -> typed tags + audit delta).
     All codegen'd built-in expressions over one balanced scan — no
     Python; ``balance`` matters here: the per-row CPU (regex trees +
     60-bit votes) is the whole cost, and a single-row-group parquet
@@ -1080,46 +1109,17 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         rolling_fingerprint(t).alias("fingerprint"),
         simhash60(tokens(t)).alias("simhash"),
+        _scrubbed(t).alias("scrubbed"),
+        (F.length(t) - F.length(_scrubbed(t))).cast("long").alias("delta_chars"),
     )
 
 
 # vocab_topk was consolidated into tfidf_vocab_suite (its 'vocab' arm).
 
 
-@register(
-    "text_scrub",
-    oracle="""
-SELECT doc_id,
-       regexp_replace(
-           regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-           '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g') AS scrubbed,
-       CAST(length(text) - length(
-           regexp_replace(
-               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-               '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g')) AS BIGINT) AS delta_chars
-FROM documents
-""",
-    tags=("text", "compliance"),
-)
-def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub pass: email/phone patterns replaced with typed tags —
-    pure codegen'd regex with a per-doc audit delta, balanced so the
-    regex CPU parallelizes even off a single-row-group file. (The
-    pattern list is the seam; production plugs a fuller ruleset into
-    the same shape.)"""
-    from ..sources.readers import balance
-
-    docs = balance(load_table(spark, sf_dir, "documents"))
-    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
-    )
-    return docs.select(
-        "doc_id",
-        scrubbed.alias("scrubbed"),
-        (F.length("text") - F.length(scrubbed)).cast("long").alias("delta_chars"),
-    )
+# text_scrub was consolidated into text_metrics (its `scrubbed` /
+# `delta_chars` columns — same codegen'd regex pass over the same
+# balanced scan), freeing a registry slot for the round-5 scale rows.
 
 
 @register(

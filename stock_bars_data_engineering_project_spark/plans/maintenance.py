@@ -1,0 +1,325 @@
+"""Driver rows for the round-4 scale components that previously had
+only pytest pins: incremental rollup maintenance, incremental
+band-index dedup, and distributed PCA. Each row's contract is the
+component's core invariant — fold ≡ recompute, two-batch ≡ full, and
+the PCA laws over exactly-replayable moments — expressed so DuckDB can
+replay (or pin as a literal flag) every output cell.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up, sql_round
+from ..operators.pca import fit_pca, project
+from ..operators.rollup import merge_rollups, rollup_increment, rollup_metrics
+from ..sources.readers import load_table
+from .extensions import _JACCARD, _SH_CTE
+from .registry import register
+
+
+def _py_round_half_up(x: float, scale: int) -> float:
+    """Driver-side twin of functions.scalars.round_half_up for model
+    scalars that are numpy floats before they become literals."""
+    q = Decimal(10) ** -scale
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_maintenance",
+    oracle=f"""
+WITH agg AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_rows,
+           {sql_round('SUM(value) / COUNT(*)', 4)} AS avg_value,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, value) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, value DESC) AS rn_close
+    FROM events
+)
+SELECT a.user_id, a.day, a.n_rows, a.avg_value,
+       o.value AS open_v, a.high_v, a.low_v, c.value AS close_v
+FROM agg a
+JOIN ranked o ON o.user_id = a.user_id AND o.day = a.day AND o.rn_open = 1
+JOIN ranked c ON c.user_id = a.user_id AND c.day = a.day AND c.rn_close = 1
+""",
+    tags=("rollup", "incremental"),
+)
+def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the events
+    stream arrives as three batches; each batch folds into per-
+    (user, day) mergeable state (count/sum/min/max + (ts, value)
+    struct-extrema for open/close) and the states combine by
+    re-aggregation. The oracle recomputes the same rollup DIRECTLY over
+    the union, so the row gates the maintenance invariant — fold of
+    batches ≡ one aggregation — cross-engine, not just cross-run. The
+    reference's analog is its full refresh (SURVEY Q8, DROP + CTAS per
+    run); this is the 100 TB replacement. Open/close tie-break on
+    equal ts is (ts, value) lexicographic on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = rollup_increment(batches[0], keys=("user_id",))
+    for b in batches[1:]:
+        state = merge_rollups(state, rollup_increment(b, keys=("user_id",)))
+    m = rollup_metrics(state)
+    return m.select(
+        "user_id",
+        "day",
+        "n_rows",
+        round_half_up(F.col("avg_value"), 4).alias("avg_value"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental band-index dedup (operators/incremental_dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_two_batch",
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+sig AS (
+    SELECT doc_id, shingles,
+           [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
+            for s in {list(range(16))}] AS sig
+    FROM sh
+),
+band AS (
+    SELECT doc_id, b.b AS band_idx,
+           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '')) AS band_key
+    FROM sig, (SELECT unnest([0,1,2,3]) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b, {sql_round(_JACCARD, 4)} AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.7
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+    UNION
+    SELECT doc_a AS src, doc_a AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_b AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+exact AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+)
+SELECT e.doc_id, md5(e.text) AS content_md5
+FROM exact e LEFT JOIN clusters c ON c.doc_id = e.doc_id
+WHERE c.cluster_id IS NULL OR c.cluster_id = e.doc_id
+""",
+    tags=("dedup", "incremental"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental band-index ingestion ≡ full-corpus dedup
+    (operators/incremental_dedup.py): the corpus arrives as two
+    doc_id-median-split batches; batch 1 dedups in-batch and persists a
+    MinHash band index, batch 2 dedups against the STORED index without
+    re-hashing the corpus, and the retained set must equal what one
+    full-corpus exact + MinHash-LSH + cluster pass retains (keeper =
+    lowest id; batch-1 ids are lower, so cross-batch keepers agree —
+    the recursive-CTE oracle recomputes the full pass from scratch,
+    signatures included). Writes its working corpus/index tables to a
+    fresh temp warehouse per invocation.
+
+    The exact-Jaccard verify gate rounds to the same 4 decimals as the
+    oracle; near-dup relations that chain ONLY through a dropped doc
+    across batches could legitimately diverge (see
+    tests/test_incremental_dedup.py) — on the driver corpora they do
+    not, which is exactly what this row checks."""
+    import tempfile
+
+    from ..operators.incremental_dedup import ingest_batch
+    from ..sinks.warehouse import ParquetWarehouse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="inc_dedup_row_"))
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))
+    ingest_batch(spark, wh, docs.filter(F.col("doc_id") > half))
+    corpus = wh.read("corpus_docs")
+    return corpus.select("doc_id", F.md5("text").alias("content_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+_PCA_K = 8
+_PCA_DIM = 64
+_PCA_LAW_METRICS = (
+    "proj_mean_zero",
+    "proj_var_eq_eigenvalue",
+    "whitened_unit_var",
+)
+_PCA_MODEL_FLAGS = (
+    "eigen_descending",
+    "eigen_sum_le_total",
+    "orthonormal",
+    "sign_convention",
+)
+
+
+@register(
+    "pca_project",
+    oracle=f"""
+WITH comp AS (
+    SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM embeddings
+),
+dimstats AS (
+    SELECT pos, avg(x) AS m, avg(x * x) - avg(x) * avg(x) AS vp
+    FROM comp GROUP BY pos
+)
+SELECT CAST(-1 AS INT) AS component, 'n_rows' AS metric,
+       CAST((SELECT COUNT(*) FROM embeddings) AS DOUBLE) AS value
+UNION ALL
+SELECT -1, 'total_variance', (SELECT {sql_round('SUM(vp)', 6)} FROM dimstats)
+UNION ALL
+SELECT -1, 'mean_sq_norm', (SELECT {sql_round('SUM(m * m)', 6)} FROM dimstats)
+UNION ALL
+SELECT -1, m, 1.0
+FROM (SELECT unnest({list(_PCA_MODEL_FLAGS)}) AS m)
+UNION ALL
+SELECT CAST(i AS INT), m, 1.0
+FROM (SELECT unnest(range(0, {_PCA_K})) AS i)
+CROSS JOIN (SELECT unnest({list(_PCA_LAW_METRICS)}) AS m)
+""",
+    tags=("pca", "embeddings"),
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA gate (operators/pca.py). The eigensolve is a
+    driver-side d x d step no SQL engine replays, so the row checks the
+    two halves separately, melted to (component, metric, value):
+
+    - REPLAYABLE MOMENTS (hash-compared against DuckDB's own
+      recomputation): row count, total variance (= trace of the
+      covariance the per-partition Gram reduction produced) and the
+      squared norm of the mean vector, both rounded to 6 dp — if the
+      distributed sufficient-statistics pass dropped a partition or
+      mis-ordered a dimension, these diverge.
+    - PCA LAWS as flags that must collapse to the oracle's literal 1.0:
+      per component, the PROJECTED data (a separate distributed
+      codegen pass over the broadcast component literals) has mean ~0,
+      variance equal to the component's eigenvalue, and unit variance
+      after whitening; for the model, eigenvalues are descending, their
+      top-k sum is bounded by the total variance, the component matrix
+      is orthonormal, and the deterministic sign convention holds.
+      Tolerances are relative 1e-6 — far above fp noise, far below any
+      real defect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=_PCA_K, dim=_PCA_DIM)
+
+    projected = project(
+        project(emb, model, out_col="pca"), model, out_col="wpca", whiten=True
+    )
+    comp_stats = (
+        projected.select(F.posexplode(F.arrays_zip("pca", "wpca")).alias("i", "s"))
+        .select("i", F.col("s.pca").alias("x"), F.col("s.wpca").alias("w"))
+        .groupBy("i")
+        .agg(
+            F.avg("x").alias("m"),
+            F.var_pop("x").alias("v"),
+            F.var_pop("w").alias("vw"),
+        )
+    )
+    eigen = spark.createDataFrame(
+        [(i, float(ev)) for i, ev in enumerate(model["eigenvalues"])],
+        "i int, ev double",
+    )
+    flags = comp_stats.join(F.broadcast(eigen), "i").select(
+        F.col("i").alias("component"),
+        F.when(
+            F.abs(F.col("m")) <= F.sqrt(F.abs(F.col("ev"))) * 1e-6 + 1e-9, 1.0
+        )
+        .otherwise(0.0)
+        .alias("proj_mean_zero"),
+        F.when(
+            F.abs(F.col("v") - F.col("ev"))
+            <= F.greatest(F.col("ev"), F.lit(1e-12)) * 1e-6 + 1e-9,
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("proj_var_eq_eigenvalue"),
+        F.when(F.col("ev") > 0, F.abs(F.col("vw") - 1.0) <= 1e-6)
+        .otherwise(F.abs(F.col("vw")) <= 1e-12)
+        .cast("double")
+        .alias("whitened_unit_var"),
+    )
+    law_arm = flags.melt(
+        ids=["component"],
+        values=list(_PCA_LAW_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+    # driver-side model scalars + flags (d x d — sanctioned scale)
+    import numpy as np
+
+    comps = model["components"]
+    evs = model["eigenvalues"]
+    n, mean = model["n"], model["mean"]
+    total_var = model["total_variance"]
+    gram_ok = np.abs(comps @ comps.T - np.eye(_PCA_K)).max() <= 1e-8
+    sign_ok = all(
+        comps[i, int(np.abs(comps[i]).argmax())] > 0 for i in range(_PCA_K)
+    )
+    desc_ok = all(evs[i] >= evs[i + 1] - 1e-12 for i in range(_PCA_K - 1))
+    sum_ok = float(np.sum(evs)) <= total_var * (1 + 1e-9) + 1e-9
+    model_rows = [
+        (-1, "n_rows", float(n)),
+        (-1, "total_variance", _py_round_half_up(total_var, 6)),
+        (-1, "mean_sq_norm", _py_round_half_up(float(np.dot(mean, mean)), 6)),
+        (-1, "eigen_descending", 1.0 if desc_ok else 0.0),
+        (-1, "eigen_sum_le_total", 1.0 if sum_ok else 0.0),
+        (-1, "orthonormal", 1.0 if gram_ok else 0.0),
+        (-1, "sign_convention", 1.0 if sign_ok else 0.0),
+    ]
+    model_arm = spark.createDataFrame(
+        model_rows, "component int, metric string, value double"
+    )
+    return law_arm.unionByName(model_arm)

@@ -152,42 +152,68 @@ def p1_rename_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F1 / F2: equality + watermark-range predicates (utilities.py:11-15,
-# stock_bars.py:51-57) — both push down to the parquet scan
+# F1 / F2 / X6: equality + watermark-range predicates (utilities.py:11-15,
+# stock_bars.py:51-57, both pushed down to the parquet scan) and the
+# checkpoint date slice + JSON round-trip scalars (stock_bars.py:43)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "f1_filter_eq",
-    oracle="SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'",
-    tags=("filter",),
-)
-def f1_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: equality predicate (checkpoint lookup shape, utilities.py:11-15).
-    `.explain` shows the predicate in PushedFilters on the parquet scan."""
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-
-
-@register(
-    "f2_incremental_range",
+    "fx_filter_scalar_suite",
     oracle="""
-SELECT event_id, user_id, ts, event_type, value
-FROM events
-WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-""",
-    tags=("filter", "incremental"),
+SELECT event_id, user_id, ts, event_type, value,
+       substr(CAST(ts AS VARCHAR), 1, 10) AS checkpoint_date,
+       CAST(json_extract(j, '$.uid') AS BIGINT) AS uid,
+       json_extract_string(j, '$.meta.et') AS etype
+FROM (
+    SELECT event_id, user_id, ts, event_type, value,
+           to_json(struct_pack(uid := user_id,
+                               meta := struct_pack(et := event_type))) AS j
+    FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'
 )
-def f2_incremental_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2: the incremental high-watermark predicate (checkpoint date pushed
-    into the source, stock_bars.py:51-57) — Q9's overlap-inclusive `>=`.
-    Pushed down to the parquet scan as an epoch-nanos long comparison
-    (see readers.load_events_since); on date-partitioned storage this is
-    partition pruning."""
+""",
+    tags=("filter", "incremental", "scalar", "json"),
+)
+def fx_filter_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+X6 on one events scan (consolidated to free registry slots
+    for the round-5 scale components; each semantic is still
+    individually driver-verified through this row):
+
+    - F1: equality predicate (checkpoint lookup shape,
+      utilities.py:11-15);
+    - F2: the incremental high-watermark predicate (checkpoint date
+      pushed into the source, stock_bars.py:51-57) — Q9's
+      overlap-inclusive `>=`, pushed down to the parquet scan (see
+      readers.load_events_since); on date-partitioned storage this is
+      partition pruning. Both predicates land in PushedFilters
+      (pinned in test_plan_shapes).
+    - X6: `last_checkpoint[:10]` — ISO-timestamp string sliced to its
+      date prefix (stock_bars.py:43) — plus the JSON round-trip columns
+      (SURVEY §2.9): a nested struct serialized to JSON, typed scalars
+      extracted back by path; each engine round-trips through its OWN
+      serializer, so the compare checks path-extraction semantics, not
+      byte formatting. Map-only, codegen'd."""
     events = load_events_since(spark, sf_dir, "2024-01-15 00:00:00")
-    return events.select("event_id", "user_id", "ts", "event_type", "value")
+    ev = events.filter(F.col("event_type") == "purchase")
+    j = F.to_json(
+        F.struct(
+            F.col("user_id").alias("uid"),
+            F.struct(F.col("event_type").alias("et")).alias("meta"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.substring(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), 1, 10).alias(
+            "checkpoint_date"
+        ),
+        F.get_json_object(j, "$.uid").cast("bigint").alias("uid"),
+        F.get_json_object(j, "$.meta.et").alias("etype"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -277,51 +303,10 @@ def s6_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_S6_SQL)
 
 
-# ---------------------------------------------------------------------------
-# X6: string slice of a rendered timestamp (stock_bars.py:43)
-# ---------------------------------------------------------------------------
 
 
-@register(
-    "x6_checkpoint_date_slice",
-    oracle="""
-SELECT event_id,
-       substr(CAST(ts AS VARCHAR), 1, 10) AS checkpoint_date,
-       CAST(json_extract(j, '$.uid') AS BIGINT) AS uid,
-       json_extract_string(j, '$.meta.et') AS etype
-FROM (
-    SELECT event_id, ts,
-           to_json(struct_pack(uid := user_id,
-                               meta := struct_pack(et := event_type))) AS j
-    FROM events
-)
-""",
-    tags=("scalar", "json"),
-)
-def x6_checkpoint_date_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6: `last_checkpoint[:10]` — ISO-timestamp string sliced to its date
-    prefix (stock_bars.py:43), the reference's checkpoint-to-start-date
-    conversion. Also carries the JSON round-trip columns (the reference
-    parses API JSON in Python, SURVEY §2.9 lists JSON-in-SQL as absent):
-    a nested struct serialized to JSON, typed scalars extracted back by
-    path — each engine round-trips through its OWN serializer, so the
-    compare checks path-extraction semantics, not byte formatting.
-    Map-only, codegen'd."""
-    events = load_table(spark, sf_dir, "events")
-    j = F.to_json(
-        F.struct(
-            F.col("user_id").alias("uid"),
-            F.struct(F.col("event_type").alias("et")).alias("meta"),
-        )
-    )
-    return events.select(
-        "event_id",
-        F.substring(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), 1, 10).alias(
-            "checkpoint_date"
-        ),
-        F.get_json_object(j, "$.uid").cast("bigint").alias("uid"),
-        F.get_json_object(j, "$.meta.et").alias("etype"),
-    )
+# x6_checkpoint_date_slice was consolidated into fx_filter_scalar_suite
+# (its checkpoint_date / uid / etype columns — same expressions).
 
 
 # ---------------------------------------------------------------------------

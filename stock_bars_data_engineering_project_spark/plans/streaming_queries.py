@@ -247,9 +247,67 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_interval_join")
 
 
+@register(
+    "stream_outer_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       v.event_id AS view_id
+FROM events p
+LEFT JOIN events v
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND v.ts >= TIMESTAMP '2024-01-25 00:00:00'
+ AND v.ts >= p.ts - INTERVAL '1 hour'
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
+  AND p.ts <  TIMESTAMP '2024-01-30 00:00:00'
+""",
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the
+    semantically hard streaming case: an unmatched purchase cannot be
+    emitted on arrival (a matching view may still come), so the engine
+    buffers it in state and emits the null-padded row only once the
+    WATERMARK passes the end of its match window. The left side is
+    bounded to ts < 01-30 so every held row's window closes strictly
+    below the drain's final watermark (max event time minus the 1h
+    delay — the corpus runs to 01-30 ~23:xx at every SF), making the
+    availableNow drain deterministic and equal to the batch left-outer
+    interval join the oracle computes — null emissions included, which
+    is precisely what the inner-join row cannot check."""
+    from ..streaming.joins import interval_join_outer
+
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    )
+    schema = batch.schema
+    src = _stage_events_dir(sf_dir, batch, tag="ge20240125")
+    purchases = (
+        stream_events(spark, src, schema, watermark="1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp"))
+    )
+    views = stream_events(spark, src, schema, watermark="1 hour").filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join_outer(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts", max_lag="1 hour"
+    ).select(
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("r_event_id").alias("view_id"),
+    )
+    run_stream_to_memory(joined, "stream_outer_interval_join", output_mode="append")
+    return spark.table("stream_outer_interval_join")
+
+
 # stream_static_join and stream_dedup_within_watermark were
 # consolidated out of the registry (round-2): the stream-static
 # broadcast enrichment and dropDuplicatesWithinWatermark semantics stay
 # pinned by tests/test_streaming.py (stream == batch, across restart
-# and duplicated-source feeds); the registry keeps two real readStream
-# drains for the driver (stateful dedup, interval join).
+# and duplicated-source feeds); the registry keeps three real
+# readStream drains for the driver (stateful dedup, inner interval
+# join, outer interval join with watermark-closed null emission).

@@ -33,8 +33,11 @@ def test_pricing_filter_pushed_to_scan(spark):
 
 
 def test_incremental_range_pushed_as_nanos(spark):
-    plan = _plan(spark, "f2_incremental_range")
+    # both the F2 watermark range AND the F1 equality predicate must
+    # reach the parquet scan's PushedFilters
+    plan = _plan(spark, "fx_filter_scalar_suite")
     assert "GreaterThanOrEqual(ts," in plan
+    assert "EqualTo(event_type,purchase)" in plan
 
 
 def test_flagship_windows_share_one_sort(spark):
@@ -95,8 +98,7 @@ def test_anti_and_semi_join_types(spark):
 # centroid tables), so the NLJ's build side is O(k), not a fact table.
 _NLJ_ALLOWED = {
     "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_ivf_trained",
+    "ann_topk_ivf_suite",
     "ann_topk_lsh",
     # single-row scalar broadcasts (corpus size / global total) — the
     # scalar-subquery pattern; the NLJ build side is exactly one row

@@ -30,7 +30,7 @@ SRC = "/root/testdata/sf0.001"
 FLAVOR_SENSITIVE = (
     "window_functions_suite",
     "win_windows_suite",
-    "f2_incremental_range",
+    "fx_filter_scalar_suite",
     "flagship_analysis",
     "resample_ohlc_daily",
     "incremental_merge_upsert",
