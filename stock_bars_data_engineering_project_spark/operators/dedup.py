@@ -443,7 +443,32 @@ def simhash_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def _materialize_rounds(df: DataFrame, durable: bool) -> DataFrame:
+    """Per-round materialization for iterative algorithms.
+
+    ``localCheckpoint`` stores blocks on executors WITHOUT lineage — the
+    fast default for local/interactive runs, but on a real cluster a
+    lost executor kills the job mid-iteration (no lineage to recompute
+    from). ``durable=True`` switches to reliable ``checkpoint()``, which
+    writes each round to the fault-tolerant checkpoint directory
+    (HDFS/S3 on a cluster) so iteration survives executor loss; set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to reap
+    superseded round files. The 100 TB posture is durable; the local
+    default keeps tests fast."""
+    if durable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "durable checkpointing requires "
+                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iters: int = 20, durable: bool | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs -> duplicate clusters:
     every doc labeled with the smallest doc_id reachable through the
     pair graph (the canonical keeper). THE dedup endgame — pairwise
@@ -462,7 +487,22 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     Input: pairs with columns doc_a, doc_b. Output: (doc_id, cluster_id)
     for every doc that appears in some pair; singleton docs are their
     own cluster by definition and need no row.
+
+    ``durable`` selects the per-round materialization (see
+    ``_materialize_rounds``): False = executor-local blocks (fast,
+    dies with an executor), True = reliable ``checkpoint()`` to the
+    fault-tolerant checkpoint dir (the cluster posture). Default reads
+    the ``spark.dedupClusters.durableCheckpoint`` session conf
+    (``"true"``/``"false"``, absent = false) so deployments flip the
+    mode without threading a flag through every call site.
     """
+    if durable is None:
+        durable = (
+            pairs.sparkSession.conf.get(
+                "spark.dedupClusters.durableCheckpoint", "false"
+            ).lower()
+            == "true"
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -474,8 +514,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # verify), and every propagation round joins against edges — the
         # loop checkpoints the labels, but without this the other join
         # input re-runs the whole hashing DAG once per round
-        .localCheckpoint(eager=True)
     )
+    edges = _materialize_rounds(edges, durable)
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
@@ -497,7 +537,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # Materialize once (truncating lineage), then run the convergence
         # check against the checkpointed data — checking before
         # checkpointing would compute the round twice.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _materialize_rounds(new_labels, durable)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

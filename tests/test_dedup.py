@@ -73,6 +73,36 @@ def test_dedup_clusters_chains_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_durable_checkpoint_mode(spark, tmp_path):
+    """Cluster-safe iteration: durable=True must (a) refuse to run
+    without a fault-tolerant checkpoint dir, (b) produce identical
+    clusters to the local mode once one is set, (c) be selectable via
+    the session conf instead of the parameter."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        try:
+            dedup_clusters(pairs, durable=True)
+            raise AssertionError("expected ValueError without checkpoint dir")
+        except ValueError as e:
+            assert "setCheckpointDir" in str(e)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, durable=True).collect()}
+    assert got == want
+
+    spark.conf.set("spark.dedupClusters.durableCheckpoint", "true")
+    try:
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert got == want
+    finally:
+        spark.conf.unset("spark.dedupClusters.durableCheckpoint")
+
+
 def test_dedup_clusters_raises_when_unconverged(spark):
     from stock_bars_data_engineering_project_spark.operators.dedup import dedup_clusters
 

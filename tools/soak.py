@@ -9,9 +9,18 @@ Replicas are perturbed so the workload grows REALISTICALLY:
   * events: timestamps shifted by a day per replica and ids offset, so
     keys/windows grow linearly.
 
-Usage: python tools/soak.py [scales ...] (default 1 2 4 8)
-Writes one JSON line per (operator, scale) and a final summary of the
-runtime ratio vs. the linear ideal.
+Usage: python tools/soak.py [--isolated] [--ops a,b,c] [scales ...]
+(default scales 1 2 4 8). Writes one JSON line per (operator, scale)
+and a final summary of the runtime ratio vs. the linear ideal.
+
+``--isolated`` runs each scale in its OWN subprocess JVM with
+min-of-3 per operator (vs min-of-2 in-session): a long-lived local[32]
+session accumulates heap pressure, and its multi-second full-GC pauses
+land on whichever scale happens to be running — the round-4 embedding
+curve (9.2 s at x2 vs 3.5 s at x16) was exactly that artifact. Use
+isolated mode for any curve that feeds a scaling decision.
+``--ops`` limits the measured operators (staging still writes all
+tables).
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from stock_bars_data_engineering_project_spark.operators.asof import asof_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa: E402
+    dedup_clusters,
     embedding_dup_pairs_blocked,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -128,7 +138,13 @@ def stage(spark, scale: int) -> str:
     return out
 
 
-def run(spark, path: str, scale: int = 1) -> dict[str, float]:
+def run(
+    spark,
+    path: str,
+    scale: int = 1,
+    ops_filter: set[str] | None = None,
+    repeats: int = 2,
+) -> dict[str, float]:
     docs = spark.read.parquet(os.path.join(path, "documents"))
     events = spark.read.parquet(os.path.join(path, "events"))
     emb = spark.read.parquet(os.path.join(path, "embeddings"))
@@ -162,6 +178,11 @@ def run(spark, path: str, scale: int = 1) -> dict[str, float]:
             docs.filter(F.col("doc_id") % 20 == 0),
         ),
         "ewma": lambda: ewma_per_key(events),
+        # label propagation over the verified near-dup pair graph —
+        # O(component diameter) rounds of join+agg on the (corpus-small)
+        # edge set; the iterative rounds execute eagerly inside the
+        # lambda (per-round checkpoints), so the timing covers them
+        "dedup_clusters": lambda: dedup_clusters(minhash_lsh_pairs(docs)),
         "interval_join": lambda: interval_join(
             events.filter(F.col("event_type") == "purchase"),
             events.filter(F.col("event_type") == "view"),
@@ -172,11 +193,13 @@ def run(spark, path: str, scale: int = 1) -> dict[str, float]:
     }
     times = {}
     for name, fn in ops.items():
-        # min of two runs: a long local[32] session takes occasional
+        if ops_filter is not None and name not in ops_filter:
+            continue
+        # min of N runs: a long local[32] session takes occasional
         # multi-second full-GC pauses (48 GiB single-JVM heap) that
         # would otherwise read as scaling regressions
         best = None
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.time()
             fn().write.mode("overwrite").format("noop").save()
             t = time.time() - t0
@@ -185,14 +208,53 @@ def run(spark, path: str, scale: int = 1) -> dict[str, float]:
     return times
 
 
+def _parse_args(argv: list[str]):
+    isolated = "--isolated" in argv
+    single = "--single" in argv
+    ops_filter = None
+    rest = []
+    it = iter(a for a in argv if a not in ("--isolated", "--single"))
+    for a in it:
+        if a == "--ops":
+            ops_filter = set(next(it).split(","))
+        else:
+            rest.append(int(a))
+    return isolated, single, ops_filter, rest
+
+
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
-    spark = get_spark("soak")
+    isolated, single, ops_filter, scales = _parse_args(sys.argv[1:])
+    scales = scales or [1, 2, 4, 8]
+
+    if single:
+        # child mode: one scale in a fresh JVM, min-of-3, leave staging
+        # in place for sibling children
+        spark = get_spark("soak")
+        path = stage(spark, scales[0])
+        times = run(spark, path, scale=scales[0], ops_filter=ops_filter, repeats=3)
+        print(json.dumps({"scale": scales[0], "times": times}), flush=True)
+        return
+
     results: dict[int, dict[str, float]] = {}
-    for s in scales:
-        path = stage(spark, s)
-        results[s] = run(spark, path, scale=s)
-        print(json.dumps({"scale": s, "times": results[s]}), flush=True)
+    if isolated:
+        import subprocess
+
+        for s in scales:
+            cmd = [sys.executable, os.path.abspath(__file__), "--single", str(s)]
+            if ops_filter:
+                cmd += ["--ops", ",".join(sorted(ops_filter))]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, check=True
+            ).stdout
+            line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+            results[s] = json.loads(line)["times"]
+            print(json.dumps({"scale": s, "times": results[s]}), flush=True)
+    else:
+        spark = get_spark("soak")
+        for s in scales:
+            path = stage(spark, s)
+            results[s] = run(spark, path, scale=s, ops_filter=ops_filter)
+            print(json.dumps({"scale": s, "times": results[s]}), flush=True)
     base = results[scales[0]]
     summary = {}
     for op in base:
