@@ -26,7 +26,7 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -106,6 +106,8 @@ def _bucket_pairs(
     id_col: str,
     payload_cols: tuple[str, ...] = (),
     pair_pred=None,
+    pred_keys: tuple[str, ...] = (),
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct ordered id pairs that share a bucket key — via ONE
     groupBy + in-bucket pair expansion instead of a self-join. A
@@ -129,17 +131,27 @@ def _bucket_pairs(
     lambdas evaluate interpreted per element, and measured 4x slower
     than the codegen'd row filter on the same corpus.
 
+    ``pred_keys`` names bucket-key columns to pass to ``pair_pred`` as
+    extra positional Columns — a predicate that can decide, from the
+    payloads plus the bucket key, that THIS bucket is the pair's one
+    canonical emission site makes the output distinct by construction;
+    such callers pass ``distinct=False`` and skip the distinct-pair
+    shuffle entirely.
+
     Returns struct columns ``a``/``b`` with fields (id, *payload_cols),
     ordered ``a.id < b.id``.
     """
     item = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
     buckets, combos = _bucket_combos(df, keys, item)
-    exploded = buckets.select(F.explode(combos).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
+    exploded = buckets.select(
+        *[F.col(k) for k in pred_keys], F.explode(combos).alias("p")
+    ).select(*pred_keys, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     if pair_pred is not None:
-        exploded = exploded.filter(pair_pred(F.col("a"), F.col("b")))
-    return exploded.dropDuplicates(["a", "b"])
+        exploded = exploded.filter(
+            pair_pred(F.col("a"), F.col("b"), *[F.col(k) for k in pred_keys])
+        )
+    exploded = exploded.select("a", "b")
+    return exploded.dropDuplicates(["a", "b"]) if distinct else exploded
 
 
 def minhash_lsh_pairs(
@@ -365,13 +377,108 @@ def simhash_fingerprints(
     )
 
 
+# 45 remainder bits split into 4 sub-blocks; derived-constant guard: a
+# change to SIMHASH_BITS/SIMHASH_BLOCK_BITS without updating these
+# widths would silently lose candidate pairs
+_SIMHASH_SUB_WIDTHS = (12, 11, 11, 11)
+assert sum(_SIMHASH_SUB_WIDTHS) == SIMHASH_BITS - SIMHASH_BLOCK_BITS, (
+    "simhash sub_widths must cover every remainder bit exactly"
+)
+assert len(_SIMHASH_SUB_WIDTHS) == SIMHASH_BLOCKS
+
+
+def _simhash_block_pieces(col: Column):
+    """Yield (flat_idx, block_val, sub_val) Column triples for every
+    (block i, sub-block j) of a 60-bit fingerprint — THE one definition
+    of the two-level split, shared by the bucket keys and the canonical
+    first-match index so they cannot drift."""
+    bb = SIMHASH_BLOCK_BITS
+    mask = (1 << bb) - 1
+    for i in range(SIMHASH_BLOCKS):
+        block_val = F.shiftright(col, i * bb).bitwiseAND(F.lit(mask))
+        # remainder: all fingerprint bits except block i, packed low
+        low = col.bitwiseAND(F.lit((1 << (bb * i)) - 1))
+        high = F.shiftright(col, bb * (i + 1))
+        rem = low.bitwiseOR(F.shiftleft(high, bb * i))
+        off = 0
+        for j, w in enumerate(_SIMHASH_SUB_WIDTHS):
+            sub_val = F.shiftright(rem, off).bitwiseAND(F.lit((1 << w) - 1))
+            off += w
+            yield i * SIMHASH_BLOCKS + j, block_val, sub_val
+
+
+def _simhash_first_match_idx(x: Column, y: Column) -> Column:
+    """The smallest flat (block, sub) index where two fingerprints agree
+    on BOTH the block and the sub-block — pure bit arithmetic over
+    x XOR y (a piece matches iff its bits of the diff are all zero).
+    Every hamming<=3 pair has at least one such index (the two-level
+    pigeonhole), so emitting a pair ONLY from that bucket makes the
+    pair output distinct by construction — no duplicate emissions to
+    shuffle, no distinct-pair stage at all."""
+    diff = x.bitwiseXOR(y)
+    expr = None
+    for flat, block_d, sub_d in _simhash_block_pieces(diff):
+        cond = (block_d == 0) & (sub_d == 0)
+        expr = F.when(cond, flat) if expr is None else expr.when(cond, flat)
+    return expr.otherwise(-1)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Blocking + verify over precomputed (doc_id, simhash) rows — see
+    ``simhash_pairs``; split out so completeness can be pinned against
+    brute force on synthetic fingerprints without text hashing."""
+    if max_hamming > SIMHASH_BLOCKS - 1:
+        # pigeonhole over 4 blocks only guarantees a shared block for
+        # hamming <= 3; a larger bound would silently lose pairs whose
+        # errors spread one-per-block
+        raise ValueError(
+            f"simhash blocking is candidate-complete only for "
+            f"max_hamming <= {SIMHASH_BLOCKS - 1}, got {max_hamming}"
+        )
+    keys = [
+        # one long key: block value in the high bits, sub value low
+        F.shiftleft(block_val, 12).bitwiseOR(sub_val)
+        for _, block_val, sub_val in _simhash_block_pieces(F.col("simhash"))
+    ]
+    blocked = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
+    )
+    # hamming <= k verified INSIDE the bucket expansion: the shuffle
+    # after it sees only true near-dups, not every block collision
+    # (277k collisions vs 512 survivors on the sf0.1 corpus); the
+    # first-match-index check makes each pair's emission unique across
+    # the 16 buckets it may share, so no distinct stage follows
+    pairs = _bucket_pairs(
+        blocked,
+        ["block_idx", "block_val"],
+        "doc_id",
+        ("simhash",),
+        pair_pred=lambda a, b, block_idx: (
+            hamming(a["simhash"], b["simhash"]) <= F.lit(max_hamming)
+        )
+        & (_simhash_first_match_idx(a["simhash"], b["simhash"]) == block_idx),
+        pred_keys=("block_idx",),
+        distinct=False,
+    )
+    return pairs.select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs, Manku-style TWO-LEVEL pigeonhole blocking.
+    """SimHash near-dup pairs, Manku-style TWO-LEVEL pigeonhole blocking
+    with canonical single-bucket emission.
 
     Level 1: split the 60-bit fingerprint into 4 x 15-bit blocks —
     hamming <= 3 over 4 blocks forces at least one block identical.
@@ -387,60 +494,13 @@ def simhash_pairs(
     zero through x32 at the cost of 16 explode rows per doc instead
     of 4. The fingerprint (an int64) rides along as bucket payload, so
     the token-hashing stage runs once and the exact hamming check needs
-    no re-join."""
-    if max_hamming > SIMHASH_BLOCKS - 1:
-        # pigeonhole over 4 blocks only guarantees a shared block for
-        # hamming <= 3; a larger bound would silently lose pairs whose
-        # errors spread one-per-block
-        raise ValueError(
-            f"simhash blocking is candidate-complete only for "
-            f"max_hamming <= {SIMHASH_BLOCKS - 1}, got {max_hamming}"
-        )
+    no re-join. A verified pair can co-bucket in up to all 16 keys; it
+    is emitted ONLY from its first matching (block, sub) index
+    (map-side bit math over the XOR), so the former distinct-pair
+    shuffle — up to 16x the true pair count on collision-heavy
+    corpora — is gone entirely."""
     fp = simhash_fingerprints(df, text_col, id_col)
-    bb, nb = SIMHASH_BLOCK_BITS, SIMHASH_BLOCKS
-    mask = (1 << bb) - 1
-    # 45 remainder bits split into 4 sub-blocks; derived-constant guard:
-    # a change to SIMHASH_BITS/SIMHASH_BLOCK_BITS without updating these
-    # widths would silently lose candidate pairs
-    sub_widths = (12, 11, 11, 11)
-    assert sum(sub_widths) == SIMHASH_BITS - SIMHASH_BLOCK_BITS, (
-        "simhash sub_widths must cover every remainder bit exactly"
-    )
-    assert len(sub_widths) == SIMHASH_BLOCKS
-    keys = []
-    for i in range(nb):
-        block_val = F.shiftright(F.col("simhash"), i * bb).bitwiseAND(F.lit(mask))
-        # remainder: all fingerprint bits except block i, packed low
-        low = F.col("simhash").bitwiseAND(F.lit((1 << (bb * i)) - 1))
-        high = F.shiftright(F.col("simhash"), bb * (i + 1))
-        rem = low.bitwiseOR(F.shiftleft(high, bb * i))
-        off = 0
-        for w in sub_widths:
-            sub_val = F.shiftright(rem, off).bitwiseAND(F.lit((1 << w) - 1))
-            off += w
-            # one long key: block value in the high bits, sub value low
-            keys.append(F.shiftleft(block_val, 12).bitwiseOR(sub_val))
-    blocked = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
-    )
-    # hamming <= k verified INSIDE the bucket expansion: the distinct-
-    # pair shuffle then sees only true near-dups, not every block
-    # collision (277k collisions vs 512 survivors on the sf0.1 corpus)
-    pairs = _bucket_pairs(
-        blocked,
-        ["block_idx", "block_val"],
-        "doc_id",
-        ("simhash",),
-        pair_pred=lambda a, b: hamming(a["simhash"], b["simhash"])
-        <= F.lit(max_hamming),
-    )
-    return pairs.select(
-        F.col("a.id").alias("doc_a"),
-        F.col("b.id").alias("doc_b"),
-        hamming(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
-    )
+    return simhash_pairs_from_fingerprints(fp, max_hamming)
 
 
 def _materialize_rounds(df: DataFrame, durable: bool) -> DataFrame:

@@ -73,6 +73,45 @@ def test_dedup_clusters_chains_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_simhash_blocking_complete_vs_bruteforce(spark):
+    """Candidate-completeness + emission-uniqueness of the two-level
+    pigeonhole with canonical single-bucket emission, pinned against
+    brute force on synthetic fingerprints: seeded random 60-bit values
+    plus planted <=3-bit perturbations (including errors spread one per
+    block — the pigeonhole's worst case) and a >3-bit control. The
+    blocked output must equal ALL hamming<=3 pairs exactly, with no
+    duplicate emissions (the operator no longer runs a distinct)."""
+    import random
+
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        simhash_pairs_from_fingerprints,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.getrandbits(60)) for i in range(60)]
+    base = rows[0][1]
+    rows += [
+        (100, base ^ 0b1),  # hamming 1
+        (101, base ^ (1 << 59) ^ (1 << 30)),  # hamming 2, far-apart bits
+        # hamming 3 spread across three DIFFERENT 15-bit blocks — only
+        # the remaining clean block (+ its clean sub) can catch it
+        (102, base ^ (1 << 2) ^ (1 << 17) ^ (1 << 32)),
+        (103, base ^ 0b1111),  # hamming 4: must NOT pair with base
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = simhash_pairs_from_fingerprints(fp).collect()
+    got_pairs = {(r.doc_a, r.doc_b): r.hamming for r in got}
+    assert len(got) == len(got_pairs), "duplicate pair emissions"
+    want = {}
+    for i, (ida, fa) in enumerate(rows):
+        for idb, fb in rows[i + 1 :]:
+            h = bin(fa ^ fb).count("1")
+            if h <= 3:
+                lo, hi = min(ida, idb), max(ida, idb)
+                want[(lo, hi)] = h
+    assert got_pairs == want
+
+
 def test_dedup_clusters_durable_checkpoint_mode(spark, tmp_path):
     """Cluster-safe iteration: durable=True must (a) refuse to run
     without a fault-tolerant checkpoint dir, (b) produce identical

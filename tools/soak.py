@@ -211,19 +211,20 @@ def run(
 def _parse_args(argv: list[str]):
     isolated = "--isolated" in argv
     single = "--single" in argv
+    keep = "--keep" in argv  # leave /tmp staging for iterative re-runs
     ops_filter = None
     rest = []
-    it = iter(a for a in argv if a not in ("--isolated", "--single"))
+    it = iter(a for a in argv if a not in ("--isolated", "--single", "--keep"))
     for a in it:
         if a == "--ops":
             ops_filter = set(next(it).split(","))
         else:
             rest.append(int(a))
-    return isolated, single, ops_filter, rest
+    return isolated, single, keep, ops_filter, rest
 
 
 def main() -> None:
-    isolated, single, ops_filter, scales = _parse_args(sys.argv[1:])
+    isolated, single, keep, ops_filter, scales = _parse_args(sys.argv[1:])
     scales = scales or [1, 2, 4, 8]
 
     if single:
@@ -266,7 +267,8 @@ def main() -> None:
             "vs_linear": round(results[top][op] / ideal, 2) if ideal > 0 else None,
         }
     print(json.dumps({"summary": summary, "scales": scales}))
-    shutil.rmtree(WORK, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":
