@@ -51,12 +51,27 @@ BENCH_QUERIES = [
 ]
 
 
+STEADY_REPEATS = 2
+
+METHODOLOGY = (
+    "cold = first execution per query in a warmed session (plan compile "
+    "+ codegen included); steady = min of the next "
+    f"{STEADY_REPEATS} executions with an explicit JVM System.gc() "
+    "before each query's runs, so one query's heap garbage cannot land "
+    "as a full-GC pause inside another's timing — the min-of-N + gc "
+    "fence is what makes round-over-round steady deltas decision-grade "
+    "on a long-lived 48 GiB local[32] JVM"
+)
+
+
 def bench_spark(sf_dir: str, steady: bool = False) -> tuple[dict[str, float], dict[str, float]]:
-    """Cold times always; with ``steady``, a second run per query after
-    whole-stage codegen/plan caches are warm — the number that predicts
-    cluster-scale throughput, where the ~0.3-0.8 s first-run compile
-    amortizes to ~0. Round-over-round comparisons should use the steady
-    column so they are not noise-dominated by JIT variance."""
+    """Cold times always; with ``steady``, the min of two further runs
+    per query after whole-stage codegen/plan caches are warm — the
+    number that predicts cluster-scale throughput, where the
+    ~0.3-0.8 s first-run compile amortizes to ~0. A System.gc() fence
+    before each query keeps cross-query GC pollution out of the
+    timings (see METHODOLOGY, carried in the output payload).
+    Round-over-round comparisons should use the steady column."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from stock_bars_data_engineering_project_spark.session import get_spark
@@ -69,13 +84,18 @@ def bench_spark(sf_dir: str, steady: bool = False) -> tuple[dict[str, float], di
     times: dict[str, float] = {}
     steady_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
         if steady:
-            t1 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            steady_times[name] = round(time.time() - t1, 3)
+            best = None
+            for _ in range(STEADY_REPEATS):
+                t1 = time.time()
+                qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+                t = time.time() - t1
+                best = t if best is None else min(best, t)
+            steady_times[name] = round(best, 3)
     return times, steady_times
 
 
@@ -124,6 +144,7 @@ def main() -> None:
     if steady:
         out["value_steady"] = round(sum(steady_times.values()), 3)
         out["queries_steady"] = steady_times
+        out["methodology"] = METHODOLOGY
     print(json.dumps(out))
 
 

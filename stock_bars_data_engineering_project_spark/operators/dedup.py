@@ -367,14 +367,58 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document 60-bit SimHash fingerprint."""
+    """Per-document 60-bit SimHash fingerprint, explode + codegen
+    aggregation.
+
+    Bit-identical to the per-row ``simhash60`` expression (pinned in
+    test_dedup), but restructured for throughput: higher-order-function
+    lambdas (aggregate/transform/zip_with) evaluate INTERPRETED per
+    array element — measured ~94 us/doc at the x64 soak scale, the
+    whole cost of the dedup pipeline. Here each token becomes a row
+    (explode_outer keeps token-less docs), the per-token md5 runs ONCE
+    as a codegen expression, and the 60 vote counters are plain
+    SUM(CASE) aggregates — everything inside WholeStageCodegen.
+    Measured ~3x faster at the x64 soak scale (fingerprints 30.1 s ->
+    10.8 s, full simhash_pairs 34.1 s -> ~5 s warm-JVM) and
+    work-linear per doubling. The groupBy(doc_id) introduces one
+    shuffle the old map-only plan didn't have, but a doc's votes all
+    sit in one partition, so the map-side partial aggregate collapses
+    them to ONE row per doc before it moves — n skinny rows, nothing
+    like the token volume."""
     slim = balance(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     )
-    return slim.select(
-        "doc_id",
-        simhash60(tokens(F.col("_text"))).alias("simhash"),
+    tok = slim.select(
+        "doc_id", F.explode_outer(tokens(F.col("_text"))).alias("_tok")
     )
+    # same h1/h2 split as simhash60: md5 prefix 60 bits as two
+    # double-exact halves (28 high via h1, 32 low via h2)
+    h1 = F.conv(F.substring(F.md5("_tok"), 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("_tok"), 8, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
+
+    def vote(j: int) -> Column:
+        src, off = ("_h2", j) if j < 32 else ("_h1", j - 32)
+        b = F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+        # NULL token row = doc with an empty/null token array: zero
+        # votes, every bit sum stays 0 -> fingerprint 0, exactly what
+        # simhash60's fold over an empty array produces
+        return (
+            F.when(b.isNull(), F.lit(0))
+            .when(b == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+
+    agg = tok.groupBy("doc_id").agg(
+        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+    )
+    fingerprint = None
+    for j in range(SIMHASH_BITS):
+        piece = F.when(
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = piece if fingerprint is None else fingerprint.bitwiseOR(piece)
+    return agg.select("doc_id", fingerprint.alias("simhash"))
 
 
 # 45 remainder bits split into 4 sub-blocks; derived-constant guard: a

@@ -73,6 +73,31 @@ def test_dedup_clusters_chains_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_simhash_fingerprints_match_per_row_expression(spark):
+    """The explode+codegen-aggregate fingerprint path must be
+    bit-identical to the per-row simhash60 HOF expression (which
+    text_metrics and the DuckDB oracle still use), including the
+    empty/null/whitespace-token edge docs."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.hashing import simhash60
+    from stock_bars_data_engineering_project_spark.functions.text import tokens
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        simhash_fingerprints,
+    )
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [(90, ""), (91, None), (92, "solo"), (93, "a  b")],
+            "doc_id long, text string",
+        )
+    )
+    old = docs.select("doc_id", simhash60(tokens(F.col("text"))).alias("want"))
+    got = simhash_fingerprints(docs)
+    assert old.count() == got.count()
+    assert old.join(got, "doc_id").filter("want <> simhash").count() == 0
+
+
 def test_simhash_blocking_complete_vs_bruteforce(spark):
     """Candidate-completeness + emission-uniqueness of the two-level
     pigeonhole with canonical single-bucket emission, pinned against
