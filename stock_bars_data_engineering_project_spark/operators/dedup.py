@@ -33,9 +33,9 @@ from ..functions.hashing import (
     SIMHASH_BITS,
     SIMHASH_BLOCK_BITS,
     SIMHASH_BLOCKS,
+    MINHASH_SIGS,
     hamming,
     lsh_band_hashes,
-    minhash_signature,
     simhash60,
 )
 from ..functions.scalars import round_half_up
@@ -62,6 +62,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, n_sigs: int = MINHASH_SIGS
+) -> DataFrame:
+    """(doc_id, n_sh, sig) from a ``_shingled`` frame — explode +
+    codegen aggregation, bit-identical to the per-row
+    ``minhash_signature`` fold (pinned in test_dedup).
+
+    Same restructuring as ``simhash_fingerprints``: the HOF fold
+    evaluates its 16-md5 lambda body interpreted per shingle; here each
+    shingle becomes a row, the 16 seeded md5s are codegen expressions,
+    and the signature is 16 MIN() aggregates (plus COUNT for the
+    length-prune payload) — whole-stage codegen end to end, one
+    partial-aggregated row per doc into the shuffle. Measured ~2-4x at
+    the x64 soak scale (minhash_lsh_pairs 12.2 s warm-JVM vs 27-48 s
+    for the HOF fold in the round-4 isolated soak)."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("_sh"))
+    ex = ex.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("_sh"))).alias(f"_h{s}")
+            for s in range(n_sigs)
+        ],
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(n_sigs)],
+    )
+    return agg.select(
+        "doc_id",
+        "n_sh",
+        F.array(*[F.col(f"_m{s}") for s in range(n_sigs)]).alias("sig"),
     )
 
 
@@ -178,14 +212,10 @@ def minhash_lsh_pairs(
     those — see operators/incremental_dedup.py.)
     """
     shingled = _shingled(df, text_col, id_col, k)
-    # signature in its own select: lsh_band_hashes references it `bands`
-    # times, which blocks CollapseProject from inlining the (expensive)
-    # per-shingle hashing into the band expressions — it runs once/row
-    sig = shingled.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        minhash_signature(F.col("shingles")).alias("sig"),
-    )
+    # codegen explode+agg signatures (see minhash_signatures); the agg
+    # output is materialized ahead of the band expressions, so the
+    # per-shingle hashing runs exactly once per doc
+    sig = minhash_signatures(shingled)
     banded = sig.select(
         "doc_id",
         "n_sh",

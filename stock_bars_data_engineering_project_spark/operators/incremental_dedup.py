@@ -39,8 +39,9 @@ from .dedup import (
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signatures,
 )
-from ..functions.hashing import lsh_band_hashes, minhash_signature
+from ..functions.hashing import lsh_band_hashes
 from ..functions.scalars import round_half_up
 
 
@@ -50,9 +51,7 @@ def band_index(
     """(doc_id, band_idx, band_key) — the persistable LSH fingerprint.
     O(bands) short rows per doc; the full text never needs re-hashing
     once indexed."""
-    sig = _shingled(df, text_col, id_col, k).select(
-        "doc_id", minhash_signature(F.col("shingles")).alias("sig")
-    )
+    sig = minhash_signatures(_shingled(df, text_col, id_col, k))
     return sig.select(
         "doc_id",
         F.posexplode(lsh_band_hashes(F.col("sig"))).alias("band_idx", "band_key"),

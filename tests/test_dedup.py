@@ -98,6 +98,36 @@ def test_simhash_fingerprints_match_per_row_expression(spark):
     assert old.join(got, "doc_id").filter("want <> simhash").count() == 0
 
 
+def test_minhash_signatures_match_per_row_expression(spark):
+    """The explode+codegen-aggregate signature path must be
+    bit-identical (per seed, per doc) to the per-row minhash_signature
+    HOF fold the DuckDB oracle replays."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.hashing import (
+        minhash_signature,
+    )
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        _shingled,
+        minhash_signatures,
+    )
+
+    sh = _shingled(_docs(spark), "text", "doc_id", 3)
+    old = sh.select(
+        "doc_id",
+        F.size("shingles").alias("want_n"),
+        minhash_signature(F.col("shingles")).alias("want"),
+    )
+    got = minhash_signatures(sh)
+    assert old.count() == got.count()
+    bad = (
+        old.join(got, "doc_id")
+        .filter("want_n <> n_sh OR to_json(want) <> to_json(sig)")
+        .count()
+    )
+    assert bad == 0
+
+
 def test_simhash_blocking_complete_vs_bruteforce(spark):
     """Candidate-completeness + emission-uniqueness of the two-level
     pigeonhole with canonical single-bucket emission, pinned against
