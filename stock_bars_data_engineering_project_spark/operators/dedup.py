@@ -36,7 +36,6 @@ from ..functions.hashing import (
     MINHASH_SIGS,
     hamming,
     lsh_band_hashes,
-    simhash60,
 )
 from ..functions.scalars import round_half_up
 from ..functions.text import tokens, word_shingles
@@ -430,9 +429,11 @@ def simhash_fingerprints(
     def vote(j: int) -> Column:
         src, off = ("_h2", j) if j < 32 else ("_h1", j - 32)
         b = F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
-        # NULL token row = doc with an empty/null token array: zero
-        # votes, every bit sum stays 0 -> fingerprint 0, exactly what
-        # simhash60's fold over an empty array produces
+        # NULL hash = the explode_outer row of a NULL-text doc (split
+        # of non-null text never yields an empty array, so that is the
+        # only way a NULL lands here): zero votes, and the _ntok guard
+        # below turns the whole fingerprint NULL to match simhash60's
+        # fold over a NULL token array
         return (
             F.when(b.isNull(), F.lit(0))
             .when(b == 1, F.lit(1))
@@ -440,7 +441,8 @@ def simhash_fingerprints(
         )
 
     agg = tok.groupBy("doc_id").agg(
-        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(SIMHASH_BITS)]
+        F.count("_h1").alias("_ntok"),
+        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(SIMHASH_BITS)],
     )
     fingerprint = None
     for j in range(SIMHASH_BITS):
@@ -448,7 +450,15 @@ def simhash_fingerprints(
             F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = piece if fingerprint is None else fingerprint.bitwiseOR(piece)
-    return agg.select("doc_id", fingerprint.alias("simhash"))
+    # NULL text -> NULL fingerprint, exactly like the per-row simhash60
+    # over tokens(NULL); NULL fingerprints then never pair downstream
+    # (NULL bucket values survive to the expansion, but the hamming
+    # predicate is NULL there and the filter drops the pair — the same
+    # way the old path behaved)
+    return agg.select(
+        "doc_id",
+        F.when(F.col("_ntok") > 0, fingerprint).alias("simhash"),
+    )
 
 
 # 45 remainder bits split into 4 sub-blocks; derived-constant guard: a

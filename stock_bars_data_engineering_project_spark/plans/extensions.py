@@ -85,12 +85,12 @@ _JACCARD = (
     " - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))))"
 )
 
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_SH_CTE},
-sig AS (
+# sig -> band -> cand: the MD5 MinHash signatures, the 4-band keys and
+# the in-bucket candidate pairs — ONE definition shared by every oracle
+# that replays the LSH scheme (dedup_minhash_lsh, dedup_minhash_clusters,
+# plans/maintenance's incremental-dedup row), so a constant or formula
+# change cannot silently fork them.
+_SIG_BAND_CAND_CTES = f"""sig AS (
     SELECT doc_id, shingles,
            [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
             for s in {list(range(16))}] AS sig
@@ -106,7 +106,14 @@ cand AS (
     FROM band a
     JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
-)
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SH_CTE},
+{_SIG_BAND_CAND_CTES}
 SELECT doc_a, doc_b, jaccard
 FROM (
     SELECT c.doc_a, c.doc_b, {sql_round(_JACCARD, 4)} AS jaccard
@@ -154,23 +161,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_clusters",
     oracle=f"""
 WITH RECURSIVE {_SH_CTE},
-sig AS (
-    SELECT doc_id, shingles,
-           [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
-            for s in {list(range(16))}] AS sig
-    FROM sh
-),
-band AS (
-    SELECT doc_id, b.b AS band_idx,
-           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '')) AS band_key
-    FROM sig, (SELECT unnest([0,1,2,3]) AS b) b
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a
-    JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-),
+{_SIG_BAND_CAND_CTES},
 pairs AS (
     SELECT doc_a, doc_b FROM (
         SELECT c.doc_a, c.doc_b, {_JACCARD} AS jaccard

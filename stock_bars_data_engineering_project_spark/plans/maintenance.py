@@ -17,7 +17,7 @@ from ..functions.scalars import round_half_up, sql_round
 from ..operators.pca import fit_pca, project
 from ..operators.rollup import merge_rollups, rollup_increment, rollup_metrics
 from ..sources.readers import load_table
-from .extensions import _JACCARD, _SH_CTE
+from .extensions import _JACCARD, _SH_CTE, _SIG_BAND_CAND_CTES
 from .registry import register
 
 
@@ -98,23 +98,7 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_dedup_two_batch",
     oracle=f"""
 WITH RECURSIVE {_SH_CTE},
-sig AS (
-    SELECT doc_id, shingles,
-           [list_min(list_transform(shingles, x -> md5(s::VARCHAR || ':' || x)))
-            for s in {list(range(16))}] AS sig
-    FROM sh
-),
-band AS (
-    SELECT doc_id, b.b AS band_idx,
-           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '')) AS band_key
-    FROM sig, (SELECT unnest([0,1,2,3]) AS b) b
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a
-    JOIN band b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-),
+{_SIG_BAND_CAND_CTES},
 pairs AS (
     SELECT doc_a, doc_b FROM (
         SELECT c.doc_a, c.doc_b, {sql_round(_JACCARD, 4)} AS jaccard
@@ -170,13 +154,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across batches could legitimately diverge (see
     tests/test_incremental_dedup.py) — on the driver corpora they do
     not, which is exactly what this row checks."""
+    import os
+    import shutil
     import tempfile
 
     from ..operators.incremental_dedup import ingest_batch
     from ..sinks.warehouse import ParquetWarehouse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="inc_dedup_row_"))
+    # The returned DataFrame lazily reads the working warehouse, so the
+    # dir can't be removed inside this call; instead all invocations
+    # share one root and each new one reaps its predecessors — bounded
+    # leftovers (exactly one corpus+index) instead of unbounded growth
+    # across repeated parity/bench runs.
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_inc_dedup_rows")
+    os.makedirs(root, exist_ok=True)
+    for stale in os.listdir(root):
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") > half))

@@ -231,11 +231,16 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n/accuracy (+1 element of boundary-convention slack) of the
     # target rank n/2. Second scan of events is fine here: this suite
     # is a verification surface, not a production pattern.
-    ranks = (
-        ev.join(
-            F.broadcast(sketch.select("event_type", "_p50_approx")),
-            "event_type",
+    # eqNullSafe join: groupBy keeps a NULL event_type group, and a
+    # null-unsafe equi-join would drop it here, leaving NULL ranks that
+    # collapse its flag to 0.0 against the oracle's literal 1.0
+    approx = F.broadcast(
+        sketch.select(
+            F.col("event_type").alias("_et"), "_p50_approx"
         )
+    )
+    ranks = (
+        ev.join(approx, ev["event_type"].eqNullSafe(approx["_et"]))
         .groupBy("event_type")
         .agg(
             F.sum(
@@ -246,7 +251,14 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_rank_hi"),
         )
     )
-    sketch = sketch.join(F.broadcast(ranks), "event_type", "left")
+    ranks = ranks.select(
+        F.col("event_type").alias("_ret"), "_rank_lo", "_rank_hi"
+    )
+    sketch = sketch.join(
+        F.broadcast(ranks),
+        sketch["event_type"].eqNullSafe(ranks["_ret"]),
+        "left",
+    ).drop("_ret")
     # zero/NULL guards: a group with no non-NULL users has exact = 0 and
     # the HLL trivially agrees (flag 1.0, matching the oracle literal) —
     # without the guard the 0/0 ratio is NULL and the flag would

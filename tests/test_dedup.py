@@ -95,7 +95,10 @@ def test_simhash_fingerprints_match_per_row_expression(spark):
     old = docs.select("doc_id", simhash60(tokens(F.col("text"))).alias("want"))
     got = simhash_fingerprints(docs)
     assert old.count() == got.count()
-    assert old.join(got, "doc_id").filter("want <> simhash").count() == 0
+    # null-SAFE comparison: `want <> simhash` is NULL (filtered away)
+    # when either side is NULL, which would silently pass exactly the
+    # NULL-text divergence this test exists to pin
+    assert old.join(got, "doc_id").filter("NOT (want <=> simhash)").count() == 0
 
 
 def test_minhash_signatures_match_per_row_expression(spark):
@@ -126,6 +129,16 @@ def test_minhash_signatures_match_per_row_expression(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_simhash_null_text_docs_never_pair(spark):
+    """Two NULL-text docs have NULL fingerprints and must NOT be
+    emitted as a hamming-0 pair (the 0-fingerprint regression a
+    null-blind equality check would hide)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello world")], "doc_id long, text string"
+    )
+    assert simhash_pairs(docs).count() == 0
 
 
 def test_simhash_blocking_complete_vs_bruteforce(spark):
@@ -167,7 +180,7 @@ def test_simhash_blocking_complete_vs_bruteforce(spark):
     assert got_pairs == want
 
 
-def test_dedup_clusters_durable_checkpoint_mode(spark, tmp_path):
+def test_dedup_clusters_durable_checkpoint_mode(spark):
     """Cluster-safe iteration: durable=True must (a) refuse to run
     without a fault-tolerant checkpoint dir, (b) produce identical
     clusters to the local mode once one is set, (c) be selectable via
@@ -179,13 +192,27 @@ def test_dedup_clusters_durable_checkpoint_mode(spark, tmp_path):
     )
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
+    # The refusal contract is order-dependent (setCheckpointDir has no
+    # unset): assert it when this test runs before anything set a dir,
+    # and make the skip VISIBLE rather than silent otherwise.
     if spark.sparkContext.getCheckpointDir() is None:
         try:
             dedup_clusters(pairs, durable=True)
             raise AssertionError("expected ValueError without checkpoint dir")
         except ValueError as e:
             assert "setCheckpointDir" in str(e)
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    else:  # pragma: no cover - depends on test ordering
+        import warnings
+
+        warnings.warn("checkpoint dir already set; refusal branch not exercised")
+    # a stable dir, NOT pytest's function-scoped tmp_path: the session
+    # outlives this test and would otherwise point its checkpoint dir at
+    # a deleted directory for the rest of the suite
+    import tempfile
+
+    spark.sparkContext.setCheckpointDir(
+        tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, durable=True).collect()}
     assert got == want
 

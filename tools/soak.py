@@ -13,12 +13,15 @@ Usage: python tools/soak.py [--isolated] [--ops a,b,c] [scales ...]
 (default scales 1 2 4 8). Writes one JSON line per (operator, scale)
 and a final summary of the runtime ratio vs. the linear ideal.
 
-``--isolated`` runs each scale in its OWN subprocess JVM with
-min-of-3 per operator (vs min-of-2 in-session): a long-lived local[32]
-session accumulates heap pressure, and its multi-second full-GC pauses
-land on whichever scale happens to be running — the round-4 embedding
-curve (9.2 s at x2 vs 3.5 s at x16) was exactly that artifact. Use
-isolated mode for any curve that feeds a scaling decision.
+``--isolated`` runs each scale in its OWN subprocess JVM with one
+untimed warm-up pass of every measured op followed by min-of-2: a
+long-lived local[32] session accumulates heap pressure whose
+multi-second full-GC pauses land on whichever scale happens to be
+running — the round-4 embedding curve (9.2 s at x2 vs 3.5 s at x16)
+was exactly that artifact — while a COLD fresh JVM runs its first
+heavy job 3-6x slower until C2 compiles the eval paths, which
+min-of-N of the same query does not recover. Use isolated mode for
+any curve that feeds a scaling decision.
 ``--ops`` limits the measured operators (staging still writes all
 tables).
 """
@@ -228,7 +231,13 @@ def _parse_args(argv: list[str]):
     it = iter(a for a in argv if a not in ("--isolated", "--single", "--keep"))
     for a in it:
         if a == "--ops":
-            ops_filter = set(next(it).split(","))
+            try:
+                ops_filter = set(next(it).split(","))
+            except StopIteration:
+                raise SystemExit(
+                    "usage: soak.py [--isolated] [--keep] "
+                    "[--ops a,b,c] [scales ...] (--ops needs a value)"
+                ) from None
         else:
             rest.append(int(a))
     return isolated, single, keep, ops_filter, rest
@@ -239,8 +248,8 @@ def main() -> None:
     scales = scales or [1, 2, 4, 8]
 
     if single:
-        # child mode: one scale in a fresh JVM, min-of-3, leave staging
-        # in place for sibling children
+        # child mode: one scale in a fresh JVM, warm-up pass then
+        # min-of-2, leave staging in place for sibling children
         spark = get_spark("soak")
         path = stage(spark, scales[0])
         times = run(
