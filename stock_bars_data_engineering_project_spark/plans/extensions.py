@@ -24,6 +24,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.asof import asof_join
+from ..operators.chunking import chunk_documents
 from ..operators.contamination import contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
@@ -1113,11 +1114,17 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # balanced scan), freeing a registry slot for the round-5 scale rows.
 
 
+# Chunking parameters for the suite's `chunk` arm: stride 12 gives the
+# ~30-40-token testdata docs a few overlapping windows each.
+_CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
 @register(
     "pack_sequences",
-    oracle="""
-SELECT doc_id, source, n_tokens,
-       CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS pack_id
+    oracle=f"""
+SELECT 'pack' AS tag, doc_id, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS idx,
+       CAST(n_tokens AS BIGINT) AS n_tokens, source AS part
 FROM (
     SELECT doc_id, source, n_tokens,
            SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -1125,17 +1132,36 @@ FROM (
     FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
           FROM documents)
 )
+UNION ALL
+SELECT 'chunk' AS tag, doc_id, i AS idx,
+       CAST(len(l[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(l[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+           AS part
+FROM (
+    SELECT doc_id, l,
+           unnest(range(greatest(1, CAST(ceil((len(l) - {_CHUNK_OVERLAP})
+               / {_CHUNK_STRIDE}.0) AS BIGINT)))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+)
 """,
-    tags=("text", "packing"),
+    tags=("text", "packing", "chunking"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: assign documents to fixed token-budget packs
-    (2048) by running-total binning per source shard — the greedy
-    pre-tokenization packing step of LLM training. Partitioned by
-    source so the running sum parallelizes across shards (a single
-    global ordering would serialize at 100 TB); pack_id is keyed off
-    the budget floor of the preceding cumulative total, so a document
-    that crosses the boundary starts its pack."""
+    """Training-prep suite over documents, tag-unioned:
+
+    - `pack`: assign documents to fixed token-budget packs (2048) by
+      running-total binning per source shard — the greedy
+      pre-tokenization packing step of LLM training. Partitioned by
+      source so the running sum parallelizes across shards (a single
+      global ordering would serialize at 100 TB); pack idx is keyed off
+      the budget floor of the preceding cumulative total, so a document
+      that crosses the boundary starts its pack.
+    - `chunk`: sliding token windows (size 16, overlap 4) per document
+      — the context-window splitting step (operators/chunking.py:
+      map-only sequence+explode+slice, coverage-complete, oracle
+      replays the identical slicing arithmetic so window membership
+      AND text are both gated)."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("source")
@@ -1143,18 +1169,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     n = token_count(F.col("text"))
-    return (
+    pack = (
         docs.select("doc_id", "source", n.alias("n_tokens"))
         .withColumn("cum", F.sum("n_tokens").over(w))
         .select(
+            F.lit("pack").alias("tag"),
             "doc_id",
-            "source",
-            "n_tokens",
             F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
             .cast("long")
-            .alias("pack_id"),
+            .alias("idx"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("source").alias("part"),
         )
     )
+    chunk = chunk_documents(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).select(
+        F.lit("chunk").alias("tag"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("idx"),
+        F.col("chunk_tokens").cast("long").alias("n_tokens"),
+        F.col("chunk_text").alias("part"),
+    )
+    return pack.unionByName(chunk)
 
 
 # text_fingerprint was consolidated into text_metrics (its `fingerprint`
