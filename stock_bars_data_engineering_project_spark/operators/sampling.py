@@ -173,3 +173,67 @@ def token_budget_sample(
         out.filter(F.col("_cum") - F.col("_nt") < budget)
         .drop("_nt", "_cum")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 1024,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort
+    barrier: every row gets a content-addressed ``order_key`` (md5 of
+    the seeded id) and a ``shard`` (the key's top 48 bits mod
+    ``n_shards``). Reading shards ``0..n-1``, each sorted by
+    ``order_key``, replays one fixed pseudorandom permutation of the
+    corpus — the data-order shuffle LLM training needs, reproducible
+    across runs, engines, and partitionings.
+
+    Scale shape: assignment is map-only; materializing the order is
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions`` — one
+    shuffle whose largest sort is corpus/n_shards rows. A global
+    ``ORDER BY rand(seed)`` would funnel 100 TB through a single range
+    sort and tie the order to the engine's RNG; this never sorts more
+    than a shard and no step depends on Spark internals. Reseeding
+    (epoch number in ``seed``) yields an independent permutation.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    for c in ("order_key", "shard"):
+        if c in df.columns:
+            raise ValueError(
+                f"shuffle_shards: input already has a column named {c!r}; "
+                "rename it before shuffling"
+            )
+    key = F.md5(F.concat(F.lit(f"shuffle:{seed}:"), F.col(id_col).cast("string")))
+    order_key = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit("shuffle_shards: NULL id — clean or filter ids first")),
+    ).otherwise(key)
+    shard = (F.conv(F.substring(key, 1, 12), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    return df.withColumn("order_key", order_key).withColumn("shard", shard)
+
+
+def write_shuffled(
+    df: DataFrame, path: str, id_col: str = "doc_id", n_shards: int = 1024,
+    seed: str = "",
+) -> None:
+    """Materialize the :func:`shuffle_shards` order as a sharded parquet
+    layout: one shuffle to co-locate each shard, an in-partition sort,
+    and a partitioned write. A trainer streaming ``shard=0,1,...`` in
+    filename order (parquet preserves row order within a file) sees the
+    deterministic global permutation."""
+    (
+        shuffle_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+        .repartition(n_shards, "shard")
+        # the shard prefix matters: the parquet writer requires rows
+        # sorted by the partition column and INSERTS ITS OWN (unstable)
+        # sort when the incoming ordering doesn't already satisfy it —
+        # sorting by order_key alone gets visibly re-permuted on write
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -618,8 +618,15 @@ FROM (
 WHERE cum - n_tokens < CASE WHEN source = 'src0' THEN 20000
                             WHEN source = 'src1' THEN 5000
                             ELSE 1000 END
+UNION ALL
+SELECT 'shard' AS tag, doc_id,
+       CAST(('0x' || substr(k, 1, 12))::BIGINT % 16 AS VARCHAR) || '#' || k AS label
+FROM (
+    SELECT doc_id, md5('shuffle:ep0:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+)
 """,
-    tags=("sampling", "mixture", "tokens"),
+    tags=("sampling", "mixture", "tokens", "shuffle"),
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic sampling family in one tagged result, all
@@ -631,8 +638,13 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest) — map-only threshold on the salted bucket; (c) per-stratum
     TOKEN-budget mixture (20k/5k/1k floors) — docs taken in salted-hash
     order until the running token total crosses the budget, one shuffle
-    keyed by stratum."""
-    from ..operators.sampling import token_budget_sample
+    keyed by stratum; (d) the deterministic training-order shuffle
+    (operators/sampling.py shuffle_shards): shard + order key as one
+    label so the oracle gates the full permutation, not just shard
+    membership — 16 shards, epoch seed 'ep0', map-only assignment (the
+    materialized layout is write_shuffled; ordering law pinned in
+    tests/test_properties.py)."""
+    from ..operators.sampling import shuffle_shards, token_budget_sample
 
     docs = load_table(spark, sf_dir, "documents")
     split_arm = stable_split(docs, id_col="doc_id").select(
@@ -651,7 +663,18 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens=token_count(F.col("text")),
         default_budget=1_000,
     ).select(F.lit("budget").alias("tag"), "doc_id", F.col("source").alias("label"))
-    return split_arm.unionByName(strat_arm).unionByName(budget_arm)
+    shard_arm = shuffle_shards(docs, id_col="doc_id", n_shards=16, seed="ep0").select(
+        F.lit("shard").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.col("shard").cast("string"), F.lit("#"), F.col("order_key")
+        ).alias("label"),
+    )
+    return (
+        split_arm.unionByName(strat_arm)
+        .unionByName(budget_arm)
+        .unionByName(shard_arm)
+    )
 
 
 # snapshot_diff_docs (EXCEPT) was consolidated into set_ops_suite
