@@ -114,3 +114,36 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
     return F.filter(acc, lambda x: x.isNotNull())
+
+
+def top_gram_share(grams: Column) -> Column:
+    """Fraction of the gram stream taken by its single most frequent
+    gram — the Gopher-style "top n-gram fraction" repetition filter
+    (dup_ratio catches BREADTH of repetition; this catches one phrase
+    looping). NULL-safe only in the sense the caller gates on
+    ``size(grams) > 0``, like dup_ratio.
+
+    O(n log n) map-only: sort the array, then one fold tracking the
+    longest run of equal adjacent elements (the max multiplicity).
+    Counts are integers, so any engine computing multiplicity any other
+    way (the oracle uses an O(n^2) count-max over distincts) agrees
+    exactly; only the final division is FP."""
+    run = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return run["best"] / F.size(grams)

@@ -359,3 +359,169 @@ def lsh_ann_topk(
     return salted_topk(cand, ("query_id",), "cos", "vec_id", k).select(
         "query_id", "vec_id", "cos", "rank"
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    stride: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic product-quantization codebook: split the dim-`dim`
+    space into ``m`` contiguous subspaces and take every ``stride``-th
+    corpus vector's subvectors as the codewords (the same RNG-free
+    seeding rule as IVF's stride centroids, so the oracle can replay
+    codeword identity exactly; a Lloyd polish per subspace would slot in
+    like kmeans_refine but is deliberately omitted from the gated path).
+
+    Returns ONE row {cb: array<struct<s,j,cw>>} sorted by (s, j) —
+    m x K codewords of dim/m doubles, a few hundred KB at production K,
+    broadcast to every task."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cw = corpus.filter(F.col(id_col) % stride == 0).select(
+        (F.col(id_col) / stride).cast("long").alias("j"),
+        as_double(F.col(vec_col)).alias("cv"),
+    )
+    subs = cw.select(
+        "j",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long"))
+        ).alias("s"),
+        "cv",
+    ).select(
+        "s",
+        "j",
+        F.slice(F.col("cv"), (F.col("s") * sub + 1).cast("int"), sub).alias("cw"),
+    )
+    return subs.agg(
+        F.array_sort(F.collect_list(F.struct("s", "j", "cw"))).alias("cb")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    stride: int = 32,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's scoring half): encode every
+    corpus vector as ``m`` codeword ids (its compressed representation —
+    m bytes/vector at K<=256 instead of 4*dim, the asymmetric-distance
+    trick of Jegou et al.'s PQ paper), score candidates by ADC table
+    lookups only, then exact-cosine rerank the top ``rerank``.
+
+    Scale shape: encoding is one map-only pass against the broadcast
+    codebook (argmin fold per subspace, ties to the lowest codeword id);
+    the ADC scan touches ONLY the m-byte codes plus a broadcast
+    per-query lookup table (m x K partial dot products) — the full
+    vectors are read again just for the |queries| x rerank survivors,
+    fetched by a broadcast semi-join. No shuffle anywhere except the
+    bounded salted ranking. FP determinism: subspace partials are
+    looked up in subspace order and left-folded from 0.0, matching the
+    oracle's fixed-order sum, so ADC scores are bit-identical."""
+    sub = dim // m
+    cb_row = pq_codebook(corpus, m, dim, stride, vec_col, id_col)
+    s_range = F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long"))
+
+    def sub_slice(v, s):
+        return F.slice(v, (s * sub + 1).cast("int"), sub)
+
+    # per-row encode: for each subspace, fold argmin over that
+    # subspace's codewords (cb is (s,j)-sorted, filter preserves order).
+    # Distances materialize once per codeword (transform) before the
+    # fold — the lambda-re-evaluation trap ivf_assign documents.
+    codes_expr = F.transform(
+        s_range,
+        lambda s: F.aggregate(
+            F.transform(
+                F.filter(F.col("cb"), lambda c: c["s"] == s),
+                lambda c: F.struct(
+                    c["j"].alias("j"),
+                    l2sq(c["cw"], sub_slice(F.col("_v"), s)).alias("d2"),
+                ),
+            ),
+            F.struct(
+                F.lit(None).cast("long").alias("j"),
+                F.lit(None).cast("double").alias("d2"),
+            ),
+            lambda acc, c: F.when(
+                acc["j"].isNull() | (c["d2"] < acc["d2"]), c
+            ).otherwise(acc),
+        )["j"],
+    )
+    # NULL/short vectors would silently encode to codeword 0 via the
+    # null-poisoned fold — same loud contract as ivf_assign
+    guarded_v = F.when(
+        F.size(F.col("_v")) == dim, F.col("_v")
+    ).otherwise(F.raise_error(F.lit(f"pq_topk: embedding NULL or dim != {dim}")))
+    corpus_codes = (
+        balance(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("_v")
+            )
+        )
+        .crossJoin(F.broadcast(cb_row))
+        .withColumn("_v", guarded_v)
+        .select("vec_id", codes_expr.alias("codes"))
+    )
+
+    # per-query ADC lookup table tq[s][j] = <q_sub(s), cw(s,j)> — the
+    # nested-array layout makes each scan lookup O(1) element_at
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    qt = (
+        q.crossJoin(F.broadcast(cb_row))
+        .withColumn(
+            "tq",
+            F.transform(
+                s_range,
+                lambda s: F.transform(
+                    F.filter(F.col("cb"), lambda c: c["s"] == s),
+                    lambda c: dot(sub_slice(F.col("q_vec"), s), c["cw"]),
+                ),
+            ),
+        )
+        .select("query_id", "tq")
+    )
+
+    approx = F.aggregate(
+        s_range,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("tq"), (s + 1).cast("int")),
+            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    adc = (
+        corpus_codes.crossJoin(F.broadcast(qt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("approx", round_half_up(approx, 6))
+    )
+    cand = salted_topk(adc, ("query_id",), "approx", "vec_id", rerank).select(
+        "query_id", "vec_id"
+    )
+
+    # rerank: fetch full vectors for the |queries| x rerank survivors
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )

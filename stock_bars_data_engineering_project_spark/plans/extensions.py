@@ -20,6 +20,7 @@ from ..functions.text import (
     rolling_fingerprint,
     stopword_ratio,
     token_count,
+    top_gram_share,
     word_shingles,
     tokens,
 )
@@ -44,6 +45,7 @@ from ..operators.similarity import (
     kmeans_refine,
     lsh_ann_topk,
     plane_components,
+    pq_topk,
 )
 from ..sources.readers import load_table
 from .registry import register
@@ -842,6 +844,15 @@ SELECT query_id, vec_id, cos, rank FROM (
 """
 
 
+# index-ordered dot-product prefix fold over two double lists — mirrors
+# functions.vectors.dot exactly (left fold from 0.0)
+def _dot_fold(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[{a}[i] * {b}[i] for i in range(1, len({a})+1)]), (x,y) -> x + y)"
+    )
+
+
 # squared-L2 between a raw float list `a` and an already-double list `b`,
 # index-ordered prefix fold — mirrors operators.similarity.l2sq exactly
 def _l2_fold(a: str, b: str) -> str:
@@ -924,6 +935,71 @@ SELECT query_id, vec_id, cos, rank FROM (
 """
 
 
+# Product quantization replay: stride-seeded codebooks (m=4 subspaces of
+# 16 dims, every 32nd vector's subvectors), argmin encode (ties to the
+# lowest codeword), ADC scoring via the fixed-order subspace-partial sum
+# (s = 0..3 left-associated, bit-matching the Spark fold from 0.0), top-32
+# candidates by rounded approx score, exact-cosine rerank to top-10 —
+# the full mirror of operators.similarity.pq_topk.
+_PQ_SQL = f"""
+WITH cw AS (
+    SELECT t.s, CAST(e.vec_id / 32 AS BIGINT) AS j,
+           [CAST(x AS DOUBLE) for x in e.embedding[t.s*16+1 : t.s*16+16]] AS cw
+    FROM embeddings e CROSS JOIN range(4) AS t(s)
+    WHERE e.vec_id % 32 = 0
+),
+subv AS (
+    SELECT e.vec_id, t.s,
+           [CAST(x AS DOUBLE) for x in e.embedding[t.s*16+1 : t.s*16+16]] AS v
+    FROM embeddings e CROSS JOIN range(4) AS t(s)
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT sv.vec_id, sv.s, c.j,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
+                   ORDER BY {_l2_fold('sv.v', 'c.cw')}, c.j) AS rn
+        FROM subv sv JOIN cw c ON sv.s = c.s
+    ) WHERE rn = 1
+),
+qt AS (
+    SELECT sv.vec_id AS query_id, sv.s, c.j, {_dot_fold('sv.v', 'c.cw')} AS t
+    FROM subv sv JOIN cw c ON sv.s = c.s
+    WHERE sv.vec_id < 5
+),
+adc AS (
+    SELECT qt.query_id, co.vec_id,
+           {sql_round(
+               "MAX(CASE WHEN co.s = 0 THEN qt.t END)"
+               " + MAX(CASE WHEN co.s = 1 THEN qt.t END)"
+               " + MAX(CASE WHEN co.s = 2 THEN qt.t END)"
+               " + MAX(CASE WHEN co.s = 3 THEN qt.t END)", 6)} AS approx
+    FROM codes co JOIN qt ON qt.s = co.s AND qt.j = co.code
+    WHERE co.vec_id != qt.query_id
+    GROUP BY qt.query_id, co.vec_id
+),
+cands AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx DESC, vec_id) AS rn
+        FROM adc
+    ) WHERE rn <= 32
+),
+pairs AS (
+    SELECT cands.query_id, cands.vec_id, q.embedding AS va, c.embedding AS vb
+    FROM cands
+    JOIN embeddings q ON q.vec_id = cands.query_id
+    JOIN embeddings c ON c.vec_id = cands.vec_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM pairs)
+) WHERE rank <= 10
+"""
+
+
 @register(
     "ann_topk_ivf_suite",
     oracle=f"""
@@ -932,6 +1008,9 @@ FROM ({_IVF_STRIDE_SQL})
 UNION ALL
 SELECT 'trained' AS variant, query_id, vec_id, cos, rank
 FROM ({_IVF_TRAINED_SQL})
+UNION ALL
+SELECT 'pq' AS variant, query_id, vec_id, cos, rank
+FROM ({_PQ_SQL})
 """,
     tags=("similarity", "ivf", "kmeans"),
 )
@@ -954,7 +1033,15 @@ def q_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SQL — assignment, means, empty-cluster carry, probe lists and
       ranking all gated. The k-means laws (inertia non-increasing,
       assignment-to-nearest) stay pinned in tests/test_similarity.py
-      for the scale-path avg mode."""
+      for the scale-path avg mode.
+    - `pq`: product quantization (operators/similarity.py pq_topk) —
+      stride-seeded codebooks over 4 subspaces, map-only argmin encode
+      to m codeword ids per vector, ADC scan over the codes with a
+      broadcast per-query lookup table, exact-cosine rerank of the
+      top-32. The oracle replays codebooks, codes, the fixed-order ADC
+      sum, the candidate cut AND the rerank, so the compressed
+      representation itself is correctness-gated (recall floor vs
+      brute force pinned in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
@@ -963,9 +1050,11 @@ def q_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trained_c = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
     trained = ivf_topk(emb, queries, k=10, centroids=trained_c)
+    pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
     return (
         stride.withColumn("variant", F.lit("stride"))
         .unionByName(trained.withColumn("variant", F.lit("trained")))
+        .unionByName(pq.withColumn("variant", F.lit("pq")))
         .withColumn("rank", F.col("rank").cast("int"))
     )
 
@@ -1071,6 +1160,10 @@ SELECT doc_id,
             + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS bpe_ish_tokens,
        CASE WHEN len(grams) > 0 THEN CAST(len(grams) AS BIGINT) END AS n_grams,
        CASE WHEN len(grams) > 0 THEN {_DUP_RATIO_SQL} END AS dup_ratio,
+       CASE WHEN len(grams) > 0 THEN {sql_round(
+           "CAST(list_aggregate(list_transform(list_distinct(grams),"
+           " g -> len(list_filter(grams, x -> x = g))), 'max') AS DOUBLE)"
+           " / len(grams)", 4)} END AS top_gram_ratio,
        list_reduce(
            list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
@@ -1093,7 +1186,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     function-word density), composite quality score (length credit +
     prose-likeness + stopword density), BPE-ish sub-word token load
     (alnum splits + one token per punctuation char), Gopher-style 2-gram
-    repetition ratio (NULL for sub-2-token docs), the order-sensitive
+    repetition ratios (dup_ratio = repeated-gram breadth, top_gram_ratio
+    = single-phrase looping share; both NULL for sub-2-token docs), the
+    order-sensitive
     poly-31 rolling fingerprint, the 60-bit MD5 SimHash fingerprint,
     and the PII scrub pass (email/phone -> typed tags + audit delta).
     All codegen'd built-in expressions over one balanced scan — no
@@ -1122,6 +1217,9 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_grams,
             round_half_up(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4),
         ).alias("dup_ratio"),
+        F.when(has_grams, round_half_up(top_gram_share(grams), 4)).alias(
+            "top_gram_ratio"
+        ),
         rolling_fingerprint(t).alias("fingerprint"),
         simhash60(tokens(t)).alias("simhash"),
         _scrubbed(t).alias("scrubbed"),

@@ -135,3 +135,77 @@ def test_hyperplane_plan_bounded_at_dim_768(spark):
     # 8 planes x 768 components as md5/conv expressions would be ~1 MB of
     # plan text; literal arrays keep it in the tens of KB.
     assert len(plan) < 200_000
+
+
+def test_pq_codes_shape_and_range(spark):
+    """Every vector encodes to m codeword ids, each a valid codebook
+    entry of its own subspace."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        pq_codebook,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_codebook(emb, m=4, dim=64, stride=16).first().cb
+    n_codes = len({(c.s, c.j) for c in cb})
+    assert n_codes == len(cb)  # (s, j) unique
+    ks = {}
+    for c in cb:
+        ks.setdefault(c.s, set()).add(c.j)
+        assert len(c.cw) == 16
+    assert set(ks) == {0, 1, 2, 3}
+    # stride seeding: same K codewords in every subspace
+    assert len({frozenset(v) for v in ks.values()}) == 1
+
+
+def test_pq_rerank_cosines_are_exact(spark):
+    """The returned cos is the EXACT cosine (rerank output), so every
+    (query, vec) row must agree with the brute-force score for that
+    pair — PQ may pick different neighbors, never different scores."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id): r.cos
+        for r in cosine_topk(emb, q, k=1000).collect()
+    }
+    for r in pq_topk(emb, q, k=10, stride=16).collect():
+        assert exact[(r.query_id, r.vec_id)] == r.cos
+
+
+def test_pq_recall_dial(spark):
+    """Near-orthogonal random vectors are PQ's adversarial case
+    (quantization error ~ signal, same caveat as the LSH floor), so pin
+    the property that matters: recall is monotone in the rerank depth —
+    the cost dial works — and clears a floor once the depth amortizes
+    the ADC error (measured 0.48/0.64 at 64/96 on this corpus)."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    recalls = []
+    for rr in (32, 96):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in pq_topk(emb, q, k=10, stride=16, rerank=rr).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls[0] <= recalls[1], f"rerank dial not monotone: {recalls}"
+    assert recalls[1] >= 0.5, f"PQ recall too low at depth 96: {recalls[1]:.2f}"
+
+
+def test_pq_null_embedding_fails_loudly(spark):
+    import pytest as _pytest
+
+    from stock_bars_data_engineering_project_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    bad = spark.createDataFrame(
+        [(9999, None)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(bad)
+    with _pytest.raises(Exception, match="pq_topk"):
+        pq_topk(corpus, emb.filter(F.col("vec_id") < 2), stride=16).collect()

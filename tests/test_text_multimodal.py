@@ -157,3 +157,34 @@ def test_decode_image_gates_on_pil():
         Image.new("RGB", (4, 4)).save(buf, format="PNG")
         img = decode_image(buf.getvalue())
         assert img.size == (4, 4)
+
+
+def test_top_gram_share_matches_counter(spark):
+    """Sorted-run fold == Counter().most_common(1) multiplicity."""
+    from collections import Counter
+
+    from stock_bars_data_engineering_project_spark.functions.text import (
+        top_gram_share,
+        word_shingles,
+    )
+
+    texts = [
+        "a b a b a b a b",          # one looping bigram
+        "x y z w v u",              # all distinct
+        "spam spam spam spam spam", # identical gram stream
+        "p q",                      # single gram
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.share
+        for r in df.select(
+            "doc_id", top_gram_share(word_shingles(F.col("text"), 2)).alias("share")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        want = Counter(grams).most_common(1)[0][1] / len(grams)
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
