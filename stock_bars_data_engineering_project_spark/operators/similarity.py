@@ -378,7 +378,14 @@ def pq_codebook(
 
     Returns ONE row {cb: array<struct<s,j,cw>>} sorted by (s, j) —
     m x K codewords of dim/m doubles, a few hundred KB at production K,
-    broadcast to every task."""
+    broadcast to every task.
+
+    K = |corpus| / stride, so a FIXED stride is only right at fixed
+    corpus size (this suite's case). Production holds K constant
+    (classically 256, one byte per code) by scaling stride with the
+    corpus — the same bounded-parameter policy as the LSH soak's
+    scaled plane count; encode cost is then O(N * K * dim), linear in
+    the corpus, never O(N^2 / stride)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -430,23 +437,48 @@ def pq_topk(
     oracle's fixed-order sum, so ADC scores are bit-identical."""
     sub = dim // m
     cb_row = pq_codebook(corpus, m, dim, stride, vec_col, id_col)
-    s_range = F.sequence(F.lit(0).cast("long"), F.lit(m - 1).cast("long"))
 
-    def sub_slice(v, s):
-        return F.slice(v, (s * sub + 1).cast("int"), sub)
+    # m and sub are PYTHON constants, so the inner distance/dot loops
+    # unroll into flat expression trees instead of nested HOF lambdas
+    # (zip_with + per-element aggregate evaluate interpreted inside a
+    # higher-order function — measured ~4x slower for the encode, the
+    # same finding that moved the simhash/minhash hashing to codegen).
+    # Left-associated sums keep bit-identical FP accumulation with both
+    # the fold form and the oracle's list_reduce.
+    def unrolled_l2(c, s):
+        # sum_i (cw_i - v_{s*sub+i})^2, i = 1..sub, left-assoc; the
+        # square is an explicit product, not pow(x, 2) — POW may route
+        # through Math.pow, which is not guaranteed bit-identical
+        def sq(i):
+            d = F.element_at(c["cw"], i) - F.element_at(F.col("_v"), s * sub + i)
+            return d * d
+
+        terms = [sq(i) for i in range(1, sub + 1)]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    def unrolled_dot(c, s):
+        terms = [
+            F.element_at(F.col("q_vec"), s * sub + i) * F.element_at(c["cw"], i)
+            for i in range(1, sub + 1)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
 
     # per-row encode: for each subspace, fold argmin over that
     # subspace's codewords (cb is (s,j)-sorted, filter preserves order).
     # Distances materialize once per codeword (transform) before the
     # fold — the lambda-re-evaluation trap ivf_assign documents.
-    codes_expr = F.transform(
-        s_range,
-        lambda s: F.aggregate(
+    def argmin_code(s):
+        return F.aggregate(
             F.transform(
                 F.filter(F.col("cb"), lambda c: c["s"] == s),
                 lambda c: F.struct(
-                    c["j"].alias("j"),
-                    l2sq(c["cw"], sub_slice(F.col("_v"), s)).alias("d2"),
+                    c["j"].alias("j"), unrolled_l2(c, s).alias("d2")
                 ),
             ),
             F.struct(
@@ -456,8 +488,9 @@ def pq_topk(
             lambda acc, c: F.when(
                 acc["j"].isNull() | (c["d2"] < acc["d2"]), c
             ).otherwise(acc),
-        )["j"],
-    )
+        )["j"]
+
+    codes_expr = F.array(*[argmin_code(s) for s in range(m)])
     # NULL/short vectors would silently encode to codeword 0 via the
     # null-poisoned fold — same loud contract as ivf_assign
     guarded_v = F.when(
@@ -479,34 +512,45 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     )
+    # NOTE: binding the loop variable with a `lambda c, s=s:` default arg
+    # is WRONG here — PySpark reads a two-parameter lambda as the
+    # (element, index) form and binds s to the array INDEX. A def-scope
+    # closure keeps the lambda unary.
+    def tq_for(s):
+        return F.transform(
+            F.filter(F.col("cb"), lambda c: c["s"] == s),
+            lambda c: unrolled_dot(c, s),
+        )
+
+    # qt deliberately does NOT carry q_vec: the crossJoin replicates qt's
+    # columns onto every ADC row, and a 64-double query vector riding the
+    # N x |queries| salted shuffle would cost more at scale than the one
+    # extra broadcast-build job the rerank's separate q join costs here
     qt = (
         q.crossJoin(F.broadcast(cb_row))
-        .withColumn(
-            "tq",
-            F.transform(
-                s_range,
-                lambda s: F.transform(
-                    F.filter(F.col("cb"), lambda c: c["s"] == s),
-                    lambda c: dot(sub_slice(F.col("q_vec"), s), c["cw"]),
-                ),
-            ),
-        )
+        .withColumn("tq", F.array(*[tq_for(s) for s in range(m)]))
         .select("query_id", "tq")
     )
 
-    approx = F.aggregate(
-        s_range,
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("tq"), (s + 1).cast("int")),
-            (F.element_at(F.col("codes"), (s + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
+    # approx = sum_s tq[s][codes[s]], left-assoc in subspace order
+    lookups = [
+        F.element_at(
+            F.element_at(F.col("tq"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        )
+        for s in range(m)
+    ]
+    approx = lookups[0]
+    for t in lookups[1:]:
+        approx = approx + t
+    # project to exactly the ranking triple — codes and the tq table
+    # must not ride the salted shuffle
     adc = (
         corpus_codes.crossJoin(F.broadcast(qt))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("approx", round_half_up(approx, 6))
+        .select(
+            "query_id", "vec_id", round_half_up(approx, 6).alias("approx")
+        )
     )
     cand = salted_topk(adc, ("query_id",), "approx", "vec_id", rerank).select(
         "query_id", "vec_id"
