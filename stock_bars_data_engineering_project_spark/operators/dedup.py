@@ -815,3 +815,48 @@ def embedding_dup_pairs_blocked(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def canonical_selection(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-level dedup endgame: pick the KEEPER of each duplicate
+    cluster and assign every member a leakage-safe split label.
+
+    Real pipelines don't keep the minimum doc_id — they keep the
+    best-quality copy (longest text, highest quality score). And they
+    must not hash-split cluster members independently: near-identical
+    documents straddling train and test leak evaluation data, which is
+    exactly what dedup was supposed to prevent. Both decisions are made
+    here at CLUSTER granularity:
+
+      * ``keep``: True for the member maximizing ``quality_col``
+        (tie -> lowest id) within its cluster.
+      * ``split``: ``stable_split`` keyed on cluster_id, so every
+        member of a cluster lands in the SAME train/val/test split.
+
+    Scale shape: ``clusters`` holds only docs that appear in some dup
+    pair — a small fraction of the corpus — so the quality lookup is one
+    equi-join on the id (AQE broadcasts the cluster side when it fits),
+    and the keeper window partitions by cluster_id over duplicate-sized
+    groups, the same bound ``dedup_clusters`` already carries. The split
+    assignment is map-only.
+    """
+    from .sampling import stable_split
+
+    taken = {"keep", "split", "_rn"}
+    if quality_col in taken or id_col in taken:
+        raise ValueError(
+            f"canonical_selection: column names {sorted(taken)} are reserved "
+            f"for the output; rename {quality_col!r}/{id_col!r} first"
+        )
+    quality = docs.select(F.col(id_col), F.col(quality_col))
+    joined = clusters.join(quality, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    ranked = joined.withColumn("keep", F.row_number().over(w) == F.lit(1))
+    return stable_split(ranked, id_col="cluster_id")

@@ -32,6 +32,7 @@ from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
 from ..functions.hashing import simhash60
 from ..operators.dedup import (
+    canonical_selection,
     dedup_clusters,
     embedding_dup_pairs_blocked,
     exact_dedup_groups,
@@ -186,22 +187,46 @@ reach(src, dst) AS (
     SELECT src, dst FROM edges
     UNION
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach
+    GROUP BY src
+),
+ranked AS (
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+           ('0x' || substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10000 AS b
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
 )
-SELECT src AS doc_id, MIN(dst) AS cluster_id
-FROM reach
-GROUP BY src
+SELECT doc_id, cluster_id, n_chars,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN b < 9000 THEN 'train'
+            WHEN b < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
 """,
-    tags=("dedup", "clusters"),
+    tags=("dedup", "clusters", "canonical"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: MinHash-LSH verified pairs -> connected
-    components by iterative min-label propagation (cluster_id = lowest
-    reachable doc_id = the keeper). The oracle computes the same
-    components via a recursive-CTE transitive closure, so the iterative
-    Spark algorithm is checked against an independent formulation —
-    chains (a~b~c without a~c) must cluster together in both."""
-    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
-    return dedup_clusters(pairs)
+    """Duplicate clusters + the cluster-level dedup endgame: MinHash-LSH
+    verified pairs -> connected components by iterative min-label
+    propagation, then ``canonical_selection`` picks each cluster's
+    KEEPER (best quality = longest n_chars, tie -> lowest doc_id) and
+    assigns a leakage-safe train/val/test split hashed on cluster_id —
+    every member of a cluster lands in the same split, so near-dup
+    train/test contamination cannot reappear after splitting. The oracle
+    recomputes the same components via a recursive-CTE transitive
+    closure (an independent formulation — chains a~b~c without a~c must
+    cluster together in both) and replays the keeper window and the
+    md5 split-bucket arithmetic exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    return canonical_selection(clusters, docs).withColumn(
+        "keep", F.col("keep").cast("int")
+    )
 
 
 @register(

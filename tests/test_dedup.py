@@ -351,3 +351,43 @@ def test_embedding_blocked_candidates_equal_hamming_ring(spark):
             if bin(buckets[a] ^ buckets[b]).count("1") <= 2
         }
         assert got == want, f"n_planes={n_planes}"
+
+
+def test_canonical_selection_keeper_and_leakage_safe_split(spark):
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    # two clusters: {1,2,4} (cluster_id 1) and {7,8} (cluster_id 7)
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        # quality: doc 2 longest in cluster 1; 7 and 8 tie in cluster 7
+        [(1, 10), (2, 30), (4, 30), (7, 5), (8, 5), (99, 100)],
+        "doc_id long, n_chars long",
+    )
+    out = canonical_selection(clusters, docs).collect()
+    assert len(out) == 5  # doc 99 is not in any cluster
+    keep = {r.doc_id: r.keep for r in out}
+    # max quality wins; quality tie (2 vs 4, 7 vs 8) -> lowest doc_id
+    assert keep == {1: False, 2: True, 4: False, 7: True, 8: False}
+    splits = {}
+    for r in out:
+        splits.setdefault(r.cluster_id, set()).add(r.split)
+    # leakage-safe: every member of a cluster lands in the SAME split
+    assert all(len(s) == 1 for s in splits.values())
+
+
+def test_canonical_selection_rejects_reserved_columns(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    clusters = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+    docs = spark.createDataFrame([(1, 2)], "doc_id long, keep long")
+    with pytest.raises(ValueError, match="reserved"):
+        canonical_selection(clusters, docs, quality_col="keep")
