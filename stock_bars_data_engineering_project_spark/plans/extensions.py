@@ -323,8 +323,32 @@ FROM (
     )
 )
 WHERE rank <= 100
+UNION ALL
+SELECT 'surprisal' AS tag, doc_id, CAST(NULL AS VARCHAR) AS term,
+       {sql_round('AVG(-ln(cnt / total))', 4)} AS score,
+       CAST(NULL AS INT) AS rank
+FROM (
+    SELECT lt.doc_id, vc.cnt, tot.total
+    FROM (
+        SELECT doc_id, lower(t.token) AS ltoken
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token != ''
+    ) lt
+    JOIN (
+        SELECT lower(t.token) AS ltoken, CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token != ''
+        GROUP BY lower(t.token)
+    ) vc ON lt.ltoken = vc.ltoken
+    CROSS JOIN (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS total
+        FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        WHERE t.token != ''
+    ) tot
+)
+GROUP BY doc_id
 """,
-    tags=("text", "tfidf", "vocab"),
+    tags=("text", "tfidf", "vocab", "surprisal"),
 )
 def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-statistics suite in one result: (a) per-document top-3 terms
@@ -333,8 +357,14 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc with a WindowGroupLimit (the df table is
     token-cardinality-sized, broadcastable at any corpus scale); (b) the
     corpus vocabulary top-100 by count (canonical explode + partial-agg
-    wordcount — map-side combine absorbs Zipf skew before the shuffle).
-    Tagged UNION of the two ranked arms."""
+    wordcount — map-side combine absorbs Zipf skew before the shuffle);
+    (c) per-document unigram-LM surprisal, the CCNet-style quality
+    signal: mean -ln p(token) under the corpus's own unigram model —
+    unusual token mixes (boilerplate, gibberish, wrong-language text)
+    score high and get gated downstream. Reuses the vocab counts as the
+    model (one extra token-keyed join, dfreq's shape, plus a broadcast
+    1-row total); docs whose every token is empty drop out of the arm
+    on both engines by construction. Tagged UNION of the three arms."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -387,7 +417,28 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
-    return tfidf_arm.unionByName(vocab_arm)
+    ltoks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    total = counts.agg(F.sum("n").cast("double").alias("total"))
+    surprisal_arm = (
+        ltoks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            round_half_up(
+                F.avg(-F.log(F.col("n").cast("double") / F.col("total"))), 4
+            ).alias("score")
+        )
+        .select(
+            F.lit("surprisal").alias("tag"),
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            "score",
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return tfidf_arm.unionByName(vocab_arm).unionByName(surprisal_arm)
 
 
 # calendar_features was consolidated into p1_rename_project (its date-

@@ -188,3 +188,36 @@ def test_top_gram_share_matches_counter(spark):
         grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         want = Counter(grams).most_common(1)[0][1] / len(grams)
         assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+
+def test_unigram_surprisal_known_values(spark, tmp_path):
+    """The surprisal arm of tfidf_vocab_suite equals the hand-computed
+    mean -ln p(token) under the corpus unigram model."""
+    import math
+
+    from stock_bars_data_engineering_project_spark.plans.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "src0", 5),
+            (2, "b c", "en", "src0", 3),
+            (3, "", "en", "src0", 0),  # no tokens -> no surprisal row
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: r.score
+        for r in QUERIES["tfidf_vocab_suite"]
+        .fn(spark, sf_dir)
+        .filter(F.col("tag") == "surprisal")
+        .collect()
+    }
+    # corpus counts over non-empty lowered tokens: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    exp1 = -(math.log(p["a"]) * 2 + math.log(p["b"])) / 3
+    exp2 = -(math.log(p["b"]) + math.log(p["c"])) / 2
+    assert set(out) == {1, 2}  # the empty doc has no row
+    assert out[1] == pytest.approx(round(exp1, 4), abs=1e-9)
+    assert out[2] == pytest.approx(round(exp2, 4), abs=1e-9)
