@@ -317,15 +317,26 @@ SELECT user_id, event_id, ts, value,
        COUNT(*) OVER wt AS n_2d,
        {sql_round('FIRST_VALUE(value) OVER wd', 4)} AS day_open,
        {sql_round('LAST_VALUE(value) OVER wd', 4)} AS running_last,
-       {sql_round('NTH_VALUE(value, 2) OVER wd', 4)} AS second_tick
+       {sql_round('NTH_VALUE(value, 2) OVER wd', 4)} AS second_tick,
+       CASE WHEN STDDEV_SAMP(value) OVER wu IS NULL
+                 OR STDDEV_SAMP(value) OVER wu = 0 THEN NULL
+            ELSE {sql_round('(value - AVG(value) OVER wu)'
+                            ' / (STDDEV_SAMP(value) OVER wu)', 4)}
+       END AS zscore,
+       CASE WHEN STDDEV_SAMP(value) OVER wu IS NULL
+                 OR STDDEV_SAMP(value) OVER wu = 0 THEN NULL
+            ELSE CAST(ABS((value - AVG(value) OVER wu)
+                          / (STDDEV_SAMP(value) OVER wu)) > 2 AS INT)
+       END AS is_outlier
 FROM events
 WINDOW wr AS (PARTITION BY user_id ORDER BY value DESC, event_id),
        wt AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL '2 days' PRECEDING AND CURRENT ROW),
        wd AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wu AS (PARTITION BY user_id)
 """,
-    tags=("window", "rank", "range", "anchors"),
+    tags=("window", "rank", "range", "anchors", "anomaly"),
 )
 def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The window-function menu beyond the reference's lag/avg/stddev,
@@ -339,9 +350,20 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer-exact; epoch seconds would truncate sub-second components
     and shift frame boundaries); (c) intraday anchors —
     first/last/nth_value in a growing (key, day) ROWS frame, so
-    last_value means 'running last' identically in both engines."""
+    last_value means 'running last' identically in both engines;
+    (d) per-key z-score anomaly flagging — each event scored against its
+    user's whole-history mean/stddev (an unordered whole-partition
+    frame: same exchange as wr, no sort), NULL-guarded for one-event
+    and constant-valued users where the deviation is undefined, with
+    the |z|>2 outlier flag computed on the RAW z so the flag and the
+    rounded display value cannot disagree."""
     ev = load_table(spark, sf_dir, "events")
     wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wu = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    _std_u = F.stddev_samp("value").over(wu)
+    _z_raw = (F.col("value") - F.avg("value").over(wu)) / _std_u
     wt = (
         Window.partitionBy("user_id")
         .orderBy(event_micros(ev, "ts"))
@@ -365,6 +387,12 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.first("value").over(wd), 4).alias("day_open"),
         round_half_up(F.last("value").over(wd), 4).alias("running_last"),
         round_half_up(F.nth_value("value", 2).over(wd), 4).alias("second_tick"),
+        F.when(_std_u.isNull() | (_std_u == 0), F.lit(None))
+        .otherwise(round_half_up(_z_raw, 4))
+        .alias("zscore"),
+        F.when(_std_u.isNull() | (_std_u == 0), F.lit(None).cast("int"))
+        .otherwise((F.abs(_z_raw) > 2).cast("int"))
+        .alias("is_outlier"),
     )
 
 

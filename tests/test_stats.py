@@ -169,3 +169,40 @@ def test_warehouse_write_lock_blocks_second_writer(spark, tmp_path):
     os.remove(lock)
     wh.append(df, "t")  # works again once the stale lock is cleared
     assert wh.read("t").count() == 10
+
+
+def test_zscore_arm_guards_and_known_value(spark, tmp_path):
+    """window_functions_suite's z-score columns: NULL for one-event and
+    constant-valued users, exact value otherwise, flag from raw z."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.plans.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: values 1,2,3 -> mean 2, std 1 -> z = -1, 0, 1
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "a", 2.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "a", 3.0, "{}"),
+        # user 2: single event -> stddev NULL -> z NULL
+        (4, t0, 2, "a", 5.0, "{}"),
+        # user 3: constant values -> stddev 0 -> z NULL
+        (5, t0, 3, "a", 7.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 3, "a", 7.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.event_id: (r.zscore, r.is_outlier)
+        for r in QUERIES["window_functions_suite"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (-1.0, 0)
+    assert out[2] == (0.0, 0)
+    assert out[3] == (1.0, 0)
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
