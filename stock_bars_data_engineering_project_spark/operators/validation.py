@@ -1,0 +1,154 @@
+"""Data-quality validation checks — the dbt-tests / expectations layer
+every warehouse-facing pipeline runs before trusting a load (the
+reference trusts its loads implicitly; at 100 TB silent quality drift is
+how training corpora rot).
+
+Each check is a ``DataFrame -> one-row DataFrame`` with a fixed schema
+``(check, tbl, observed, failed, ok)`` so a panel of checks is a plain
+``unionByName`` — queryable, storable in the run-log warehouse, and
+diffable across loads:
+
+  * ``observed`` — the check's headline scalar (count, distinct count,
+    epoch-micros watermark), BIGINT so the panel stays one type.
+  * ``failed``   — rows (or keys) violating the expectation.
+  * ``ok``       — 1 iff ``failed == 0``.
+
+Scale shape: every check except ``ref_integrity`` is a single
+conditional-count aggregate — partial-aggregable, reduced map-side to
+one row per partition, no shuffle of data rows. ``ref_integrity``
+dedups the child's key column first (one hash-agg on the key), then
+left-anti joins the parent's key column — both sides shrink to key
+cardinality before the join, so the shuffle moves keys, not rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import event_micros
+
+
+def _row(
+    check: str, tbl: str, observed: Column, failed: Column
+) -> list[Column]:
+    return [
+        F.lit(check).alias("check"),
+        F.lit(tbl).alias("tbl"),
+        observed.cast("bigint").alias("observed"),
+        failed.cast("bigint").alias("failed"),
+        (failed == 0).cast("int").alias("ok"),
+    ]
+
+
+def _failed_count(pred: Column) -> Column:
+    """Count of rows violating ``pred`` (NULL predicate counts as a
+    violation — an expectation that cannot be evaluated is not met)."""
+    return F.count(F.lit(1)) - F.count_if(pred)
+
+
+def row_count(df: DataFrame, tbl: str) -> DataFrame:
+    """Non-empty expectation; observed = the row count itself."""
+    n = F.count(F.lit(1))
+    return df.agg(*_row("row_count", tbl, n, (n == 0).cast("bigint")))
+
+
+def max_watermark(df: DataFrame, tbl: str, ts_col: str = "ts") -> DataFrame:
+    """Freshness probe: observed = epoch-micros of max(ts) (integer on
+    both engines — string-formatting a timestamp is engine-flavored).
+    Fails only when the table has no timestamps at all."""
+    mx = F.max(event_micros(df, ts_col))
+    return df.agg(*_row("max_watermark", tbl, mx, mx.isNull().cast("bigint")))
+
+
+def not_null(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    return df.agg(
+        *_row(
+            f"not_null:{col}",
+            tbl,
+            F.count(F.lit(1)),
+            _failed_count(F.col(col).isNotNull()),
+        )
+    )
+
+
+def unique_key(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    """Primary-key expectation: failed = rows beyond one per distinct
+    value. count_distinct is a two-phase partial aggregate (no row
+    shuffle); NULL keys count as violations via the count diff."""
+    n = F.count(F.lit(1))
+    return df.agg(
+        *_row(f"unique_key:{col}", tbl, F.count_distinct(F.col(col)),
+              n - F.count_distinct(F.col(col)))
+    )
+
+
+def accepted_values(
+    df: DataFrame, tbl: str, col: str, values: tuple[str, ...]
+) -> DataFrame:
+    return df.agg(
+        *_row(
+            f"accepted_values:{col}",
+            tbl,
+            F.count(F.lit(1)),
+            _failed_count(F.col(col).isin(*values)),
+        )
+    )
+
+
+def value_range(
+    df: DataFrame,
+    tbl: str,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    if lo is None and hi is None:
+        raise ValueError("value_range: at least one of lo/hi is required")
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    return df.agg(
+        *_row(f"range:{col}", tbl, F.count(F.lit(1)), _failed_count(pred))
+    )
+
+
+def ref_integrity(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    tbl: str,
+) -> DataFrame:
+    """Foreign-key expectation: failed = DISTINCT child keys with no
+    parent row (orphan keys, not orphan rows — the actionable number).
+    Both sides reduce to key cardinality before the anti-join."""
+    orphans = (
+        child.select(F.col(child_col).alias("_k"))
+        .distinct()
+        .join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(),
+            "_k",
+            "left_anti",
+        )
+    )
+    return orphans.agg(
+        *_row(
+            f"ref_integrity:{child_col}",
+            tbl,
+            F.count(F.lit(1)),
+            F.count(F.lit(1)),
+        )
+    )
+
+
+def validation_panel(checks: list[DataFrame]) -> DataFrame:
+    """Union a list of check rows into one panel (schema enforced by
+    construction — every builder emits the same five columns)."""
+    if not checks:
+        raise ValueError("validation_panel: no checks given")
+    return reduce(lambda a, b: a.unionByName(b), checks)

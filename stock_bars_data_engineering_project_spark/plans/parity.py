@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from ..functions.scalars import round_half_up, sql_round
 from ..operators.analysis import bars_analysis
 from ..operators.skew import salted_topk
+from ..operators.validation import (
+    accepted_values,
+    max_watermark,
+    not_null,
+    ref_integrity,
+    row_count,
+    unique_key,
+    validation_panel,
+    value_range,
+)
 from ..sources.readers import load_events_since, load_table
 from .registry import register
 
@@ -224,21 +234,80 @@ def fx_filter_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_scan_aggregates",
     oracle="""
-SELECT (SELECT MAX(ts) FROM events) AS latest_timestamp,
-       (SELECT COUNT(*) FROM lineitem) AS n_rows
+SELECT 'max_watermark' AS "check", 'events' AS tbl,
+       epoch_us(MAX(ts)) AS observed,
+       CAST(CASE WHEN MAX(ts) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS failed,
+       CAST(CASE WHEN MAX(ts) IS NULL THEN 0 ELSE 1 END AS INT) AS ok
+FROM events
+UNION ALL
+SELECT 'row_count', 'lineitem', COUNT(*),
+       CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE 1 END AS INT)
+FROM lineitem
+UNION ALL
+SELECT 'not_null:text', 'documents', COUNT(*),
+       COUNT(*) - COUNT(text),
+       CAST(CASE WHEN COUNT(*) - COUNT(text) = 0 THEN 1 ELSE 0 END AS INT)
+FROM documents
+UNION ALL
+SELECT 'unique_key:o_orderkey', 'orders', COUNT(DISTINCT o_orderkey),
+       COUNT(*) - COUNT(DISTINCT o_orderkey),
+       CAST(CASE WHEN COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+            THEN 1 ELSE 0 END AS INT)
+FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', 'orders', COUNT(*),
+       COUNT(*) - COUNT(*) FILTER (WHERE o_orderstatus IN ('O', 'F', 'P')),
+       CAST(CASE WHEN COUNT(*) - COUNT(*) FILTER (
+                WHERE o_orderstatus IN ('O', 'F', 'P')) = 0
+            THEN 1 ELSE 0 END AS INT)
+FROM orders
+UNION ALL
+SELECT 'range:l_quantity', 'lineitem', COUNT(*),
+       COUNT(*) - COUNT(*) FILTER (WHERE l_quantity >= 1 AND l_quantity <= 50),
+       CAST(CASE WHEN COUNT(*) - COUNT(*) FILTER (
+                WHERE l_quantity >= 1 AND l_quantity <= 50) = 0
+            THEN 1 ELSE 0 END AS INT)
+FROM lineitem
+UNION ALL
+SELECT 'ref_integrity:l_orderkey', 'lineitem', n, n,
+       CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INT)
+FROM (
+    SELECT COUNT(*) AS n FROM (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        EXCEPT
+        SELECT DISTINCT o_orderkey FROM orders
+    )
+)
 """,
-    tags=("agg", "incremental"),
+    tags=("agg", "incremental", "validation"),
 )
 def a_scan_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2 in one row: global max(ts) — the checkpoint watermark scalar
-    (stock_bars.py:115) — and the run-log row count (stock_bars.py:93).
-    Each side is a partial aggregate reduced map-side to one row per
-    partition; the single-row cross join is a broadcast of exactly one
-    row (the scalar-subquery shape, sanctioned in the plan audit)."""
+    """A1+A2, grown into the data-quality validation panel a production
+    load runs before trusting its inputs (operators/validation.py — the
+    dbt-tests / expectations layer). The reference's two scalars lead:
+    global max(ts), the checkpoint watermark (stock_bars.py:115), as the
+    'max_watermark' freshness row (epoch-micros — integer on both
+    engines), and the run-log row count (stock_bars.py:93) as
+    'row_count'. Then five expectations over the warehouse tables:
+    NOT NULL, key uniqueness, accepted values, numeric range — each ONE
+    conditional-count aggregate, partial-aggregable map-side — and
+    foreign-key integrity (distinct child keys anti-joined to parent
+    keys: both sides shrink to key cardinality before the shuffle)."""
     events = load_table(spark, sf_dir, "events")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return events.agg(F.max("ts").alias("latest_timestamp")).crossJoin(
-        lineitem.agg(F.count(F.lit(1)).alias("n_rows"))
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+    return validation_panel(
+        [
+            max_watermark(events, "events"),
+            row_count(lineitem, "lineitem"),
+            not_null(docs, "documents", "text"),
+            unique_key(orders, "orders", "o_orderkey"),
+            accepted_values(orders, "orders", "o_orderstatus", ("O", "F", "P")),
+            value_range(lineitem, "lineitem", "l_quantity", lo=1, hi=50),
+            ref_integrity(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+        ]
     )
 
 
