@@ -152,3 +152,51 @@ def validation_panel(checks: list[DataFrame]) -> DataFrame:
     if not checks:
         raise ValueError("validation_panel: no checks given")
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def profile_columns(
+    df: DataFrame, tbl: str, cols: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Column profiling — the discovery half of the quality layer (the
+    checks above assert known expectations; profiling tells you what to
+    expect): one row per column with row/null/distinct counts and the
+    min/max rendered as strings (cast AFTER aggregating, so numeric
+    columns order numerically, not lexically).
+
+    ONE aggregation pass over the table for every column together.
+    Multiple exact count_distincts plan as a single Expand (k-way
+    map-side row expansion) + one shuffle — the standard profile cost;
+    at extreme widths swap ``approx_count_distinct`` per column (error
+    bound pinned in tests/test_stats.py for the sketch family). The
+    k-column single row is then melted to per-column rows (k rows — no
+    driver collect)."""
+    cols = tuple(cols) if cols is not None else tuple(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if not cols or missing:
+        raise ValueError(
+            f"profile_columns: no columns to profile (missing={missing})"
+        )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"_null_{i}"),
+            F.count_distinct(col).alias(f"_dist_{i}"),
+            F.min(col).cast("string").alias(f"_min_{i}"),
+            F.max(col).cast("string").alias(f"_max_{i}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{i}").alias("n_null"),
+            F.col(f"_dist_{i}").alias("n_distinct"),
+            F.col(f"_min_{i}").alias("min_s"),
+            F.col(f"_max_{i}").alias("max_s"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select(F.lit(tbl).alias("tbl"), "p.*")

@@ -86,3 +86,23 @@ def test_panel_unions_and_rejects_empty(spark):
     assert all(r.ok == 1 for r in rows)
     with pytest.raises(ValueError, match="no checks"):
         validation_panel([])
+
+
+def test_profile_columns_counts_and_typed_minmax(spark):
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(2, "b"), (10, "a"), (10, None)], "v long, s string"
+    )
+    rows = {r.col: r for r in profile_columns(df, "t").collect()}
+    assert set(rows) == {"v", "s"}
+    v = rows["v"]
+    assert (v.tbl, v.n_rows, v.n_null, v.n_distinct) == ("t", 3, 0, 2)
+    # numeric ordering, not lexicographic: min 2 (not "10")
+    assert (v.min_s, v.max_s) == ("2", "10")
+    s = rows["s"]
+    assert (s.n_null, s.n_distinct, s.min_s, s.max_s) == (1, 2, "a", "b")
+    with pytest.raises(ValueError, match="missing"):
+        profile_columns(df, "t", cols=("nope",))
