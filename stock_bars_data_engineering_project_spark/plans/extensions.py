@@ -30,6 +30,7 @@ from ..operators.contamination import contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
+from ..operators.quality import unigram_surprisal
 from ..functions.hashing import simhash60
 from ..operators.dedup import (
     canonical_selection,
@@ -417,19 +418,9 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
-    ltoks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
-    ).filter(F.col("token") != "")
-    total = counts.agg(F.sum("n").cast("double").alias("total"))
     surprisal_arm = (
-        ltoks.join(counts, "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            round_half_up(
-                F.avg(-F.log(F.col("n").cast("double") / F.col("total"))), 4
-            ).alias("score")
-        )
+        unigram_surprisal(docs)
+        .withColumn("score", round_half_up(F.col("score"), 4))
         .select(
             F.lit("surprisal").alias("tag"),
             "doc_id",

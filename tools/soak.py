@@ -50,6 +50,9 @@ from stock_bars_data_engineering_project_spark.operators.contamination import ( 
     contamination_overlap,
 )
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
+from stock_bars_data_engineering_project_spark.operators.quality import (  # noqa: E402
+    unigram_surprisal,
+)
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
 from stock_bars_data_engineering_project_spark.streaming.joins import interval_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.session import get_spark  # noqa: E402
@@ -182,6 +185,12 @@ def run(
             docs.filter(F.col("doc_id") % 20 == 0),
         ),
         "ewma": lambda: ewma_per_key(events),
+        # corpus-unigram-model quality scoring: wordcount shuffle +
+        # token-keyed join of the exploded corpus against its own
+        # count table — the join fan-in is token cardinality, which
+        # grows sub-linearly (Heaps' law) while the scored side grows
+        # linearly, so the curve should track the explode cost
+        "surprisal": lambda: unigram_surprisal(docs),
         # label propagation over the verified near-dup pair graph —
         # O(component diameter) rounds of join+agg on the (corpus-small)
         # edge set; the iterative rounds execute eagerly inside the
