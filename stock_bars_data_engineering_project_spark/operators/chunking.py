@@ -46,6 +46,11 @@ def chunk_documents(
     ``chunk_tokens`` the window's token count and ``chunk_text`` the
     space-rejoined window. Deterministic, map-only, engine-portable
     (the DuckDB oracle replays the same slicing arithmetic).
+
+    ``tokenizer_pattern`` is a Java REGEX (it feeds ``F.split``), not a
+    literal delimiter — pass ``re.escape``-d text for literal splitting
+    on regex metacharacters ('.', '|', ...); the oracle-gated path uses
+    the default single space, which is metacharacter-free.
     """
     if chunk_size <= 0:
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")

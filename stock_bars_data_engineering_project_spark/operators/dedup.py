@@ -847,11 +847,18 @@ def canonical_selection(
     """
     from .sampling import stable_split
 
-    taken = {"keep", "split", "_rn"}
-    if quality_col in taken or id_col in taken:
+    # guard the FRAMES, not just the parameter names: withColumn would
+    # silently overwrite an existing keep/split (e.g. re-running
+    # selection on an already-labeled frame) — same stance as
+    # salted_topk's and shuffle_shards' collision guards
+    taken = {"keep", "split"}
+    colliding = sorted(
+        taken & (set(clusters.columns) | {quality_col, id_col})
+    )
+    if colliding:
         raise ValueError(
-            f"canonical_selection: column names {sorted(taken)} are reserved "
-            f"for the output; rename {quality_col!r}/{id_col!r} first"
+            f"canonical_selection: column names {colliding} are reserved "
+            "for the output; rename them on the input first"
         )
     quality = docs.select(F.col(id_col), F.col(quality_col))
     joined = clusters.join(quality, id_col)

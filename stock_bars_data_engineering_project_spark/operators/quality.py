@@ -19,7 +19,10 @@ from ..functions.text import tokens
 
 
 def unigram_surprisal(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean surprisal -ln p(token) under the corpus's own
     unigram model (lower-cased whitespace tokens, empties dropped).
@@ -31,13 +34,20 @@ def unigram_surprisal(
     Documents with no non-empty tokens have no defined score and emit
     no row (they drop out of the token join on any engine).
 
+    ``counts`` optionally supplies a precomputed (token, n) unigram
+    table (a caller that already built the vocabulary — e.g. the
+    term-statistics suite — avoids a second wordcount pass over the
+    corpus). It MUST come from the same tokenization: lower-cased
+    whitespace tokens, empties dropped.
+
     Returns (id_col, score) with the RAW double score — display
     rounding belongs to the caller (functions.scalars.round_half_up).
     """
     ltoks = docs.select(
         id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     ).filter(F.col("token") != "")
-    counts = ltoks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if counts is None:
+        counts = ltoks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("total"))
     return (
         ltoks.join(counts, "token")

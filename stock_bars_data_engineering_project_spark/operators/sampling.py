@@ -210,9 +210,14 @@ def shuffle_shards(
         F.col(id_col).isNull(),
         F.raise_error(F.lit("shuffle_shards: NULL id — clean or filter ids first")),
     ).otherwise(key)
-    shard = (F.conv(F.substring(key, 1, 12), 16, 10).cast("long") % n_shards).cast(
-        "int"
-    )
+    # shard derives from the GUARDED key, not the raw md5: a consumer
+    # that projects only `shard` (groupBy shard, partitioned write)
+    # would otherwise have the raise_error column pruned away and NULL
+    # ids would silently land in a NULL shard — the exact silent-NULL
+    # routing hash_bucket's guard exists to prevent.
+    shard = (
+        F.conv(F.substring(order_key, 1, 12), 16, 10).cast("long") % n_shards
+    ).cast("int")
     return df.withColumn("order_key", order_key).withColumn("shard", shard)
 
 

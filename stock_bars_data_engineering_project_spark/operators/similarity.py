@@ -389,9 +389,23 @@ def pq_codebook(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    cw = corpus.filter(F.col(id_col) % stride == 0).select(
-        (F.col(id_col) / stride).cast("long").alias("j"),
-        as_double(F.col(vec_col)).alias("cv"),
+    # j MUST be the codeword's dense 0-based rank, not id/stride: the
+    # ADC scan looks codewords up by POSITION in the (s, j)-sorted
+    # lookup arrays, so gaps in the id space (ids not starting at 0, or
+    # not multiples of stride) would otherwise read the wrong codeword's
+    # partial — or walk off the array. The rank is ordered by id, a
+    # strictly increasing map from id/stride, so argmin tie-breaking
+    # (lowest j) picks the same codeword either way and the value-keyed
+    # oracle join is unaffected. The global window ranks only the K
+    # seed rows (K held constant at production scale — see below), the
+    # same bounded-window pattern as the vocab top-100 ranking.
+    w_seed = Window.orderBy(F.col(id_col))
+    cw = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+        .select(
+            (F.row_number().over(w_seed) - 1).cast("long").alias("j"), "cv"
+        )
     )
     subs = cw.select(
         "j",

@@ -126,7 +126,13 @@ def ref_integrity(
 ) -> DataFrame:
     """Foreign-key expectation: failed = DISTINCT child keys with no
     parent row (orphan keys, not orphan rows — the actionable number).
-    Both sides reduce to key cardinality before the anti-join."""
+    Both sides reduce to key cardinality before the anti-join.
+
+    NULL policy: a NULL child key references nothing and counts as ONE
+    orphan key, even when the parent side also contains NULLs — the
+    anti-join's null-unsafe equality gives exactly that, and the paired
+    oracle counts the NULL case explicitly (set-semantic EXCEPT would
+    treat NULL = NULL and hide it)."""
     orphans = (
         child.select(F.col(child_col).alias("_k"))
         .distinct()

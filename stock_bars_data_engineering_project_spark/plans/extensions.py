@@ -419,7 +419,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     surprisal_arm = (
-        unigram_surprisal(docs)
+        unigram_surprisal(docs, counts=counts)
         .withColumn("score", round_half_up(F.col("score"), 4))
         .select(
             F.lit("surprisal").alias("tag"),

@@ -157,6 +157,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time
 
     from ..operators.incremental_dedup import ingest_batch
     from ..sinks.warehouse import ParquetWarehouse
@@ -164,13 +165,22 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # The returned DataFrame lazily reads the working warehouse, so the
     # dir can't be removed inside this call; instead all invocations
-    # share one root and each new one reaps its predecessors — bounded
-    # leftovers (exactly one corpus+index) instead of unbounded growth
-    # across repeated parity/bench runs.
+    # share one root and each new one reaps stale predecessors — bounded
+    # leftovers instead of unbounded growth across repeated parity/bench
+    # runs. Reaping is AGE-GATED (30 min, ~30x a single invocation):
+    # deleting every predecessor unconditionally raced a concurrent
+    # invocation in another process (bench running beside pytest) and
+    # yanked its warehouse out from under the lazy scan mid-query.
     root = os.path.join(tempfile.gettempdir(), "spark_graft_inc_dedup_rows")
     os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 1800
     for stale in os.listdir(root):
-        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrently reaped by a sibling invocation
     wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))

@@ -87,7 +87,7 @@ sketch AS (
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS exact_distinct_users,
            1.0 AS hll_within_5pct,
-           1.0 AS p50_within_1pct
+           1.0 AS p50_rank_within_tol
     FROM events
     GROUP BY event_type
 )
@@ -111,7 +111,7 @@ SELECT 'sketch', event_type, 'exact_distinct_users', exact_distinct_users FROM s
 UNION ALL
 SELECT 'sketch', event_type, 'hll_within_5pct', hll_within_5pct FROM sketch
 UNION ALL
-SELECT 'sketch', event_type, 'p50_within_1pct', p50_within_1pct FROM sketch
+SELECT 'sketch', event_type, 'p50_rank_within_tol', p50_rank_within_tol FROM sketch
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -288,11 +288,11 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0,
         )
         .otherwise(0.0)
-        .alias("p50_within_1pct"),
+        .alias("p50_rank_within_tol"),
     )
     sketch_arm = sketch.melt(
         ids=["event_type"],
-        values=["exact_distinct_users", "hll_within_5pct", "p50_within_1pct"],
+        values=["exact_distinct_users", "hll_within_5pct", "p50_rank_within_tol"],
         variableColumnName="metric",
         valueColumnName="value",
     ).select(

@@ -273,11 +273,19 @@ UNION ALL
 SELECT 'ref_integrity:l_orderkey', 'lineitem', n, n,
        CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS INT)
 FROM (
-    SELECT COUNT(*) AS n FROM (
-        SELECT DISTINCT l_orderkey FROM lineitem
-        EXCEPT
-        SELECT DISTINCT o_orderkey FROM orders
-    )
+    -- a NULL child key references nothing and is ALWAYS an orphan
+    -- (Spark's null-unsafe anti-join keeps it even when the parent
+    -- also has NULL keys; plain EXCEPT would treat NULL = NULL and
+    -- hide it, so the NULL case is counted explicitly)
+    SELECT (SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                EXCEPT
+                SELECT DISTINCT o_orderkey FROM orders
+            ))
+           + (SELECT CASE WHEN EXISTS (
+                  SELECT 1 FROM lineitem WHERE l_orderkey IS NULL)
+              THEN 1 ELSE 0 END) AS n
 )
 """,
     tags=("agg", "incremental", "validation"),

@@ -391,3 +391,18 @@ def test_canonical_selection_rejects_reserved_columns(spark):
     docs = spark.createDataFrame([(1, 2)], "doc_id long, keep long")
     with pytest.raises(ValueError, match="reserved"):
         canonical_selection(clusters, docs, quality_col="keep")
+
+
+def test_canonical_selection_rejects_prelabeled_clusters(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        canonical_selection,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1, "train")], "doc_id long, cluster_id long, split string"
+    )
+    docs = spark.createDataFrame([(1, 2)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError, match="reserved"):
+        canonical_selection(clusters, docs)

@@ -106,3 +106,18 @@ def test_guards(spark, docs):
     null_df = spark.createDataFrame([(None,)], "doc_id long")
     with pytest.raises(Exception, match="NULL id"):
         shuffle_shards(null_df).collect()
+
+
+def test_shard_alone_still_raises_on_null_id(spark):
+    """The NULL-id guard must fire even when only `shard` is consumed
+    (projection pruning would otherwise drop a guard that lived only in
+    order_key, silently routing NULL ids to a NULL shard)."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL id"):
+        shuffle_shards(df).groupBy("shard").count().collect()

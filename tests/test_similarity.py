@@ -209,3 +209,30 @@ def test_pq_null_embedding_fails_loudly(spark):
     corpus = emb.select("vec_id", "embedding").unionByName(bad)
     with _pytest.raises(Exception, match="pq_topk"):
         pq_topk(corpus, emb.filter(F.col("vec_id") < 2), stride=16).collect()
+
+
+def test_pq_correct_with_noncontiguous_ids(spark):
+    """Regression: codeword ids must be dense ranks, not id/stride —
+    a corpus whose ids don't start at 0 (or aren't stride multiples)
+    previously indexed the ADC lookup table out of range / against the
+    wrong codeword. With rerank covering the whole corpus, PQ must
+    reproduce brute-force exactly regardless of the id layout."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") + 7  # ids 7.. — no longer stride-aligned
+    )
+    q = emb.filter(F.col("vec_id") < 12)
+    n = emb.count()
+    got = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in pq_topk(emb, q, k=10, stride=16, rerank=n).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    assert got == want

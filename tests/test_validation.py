@@ -106,3 +106,15 @@ def test_profile_columns_counts_and_typed_minmax(spark):
     assert (s.n_null, s.n_distinct, s.min_s, s.max_s) == (1, 2, "a", "b")
     with pytest.raises(ValueError, match="missing"):
         profile_columns(df, "t", cols=("nope",))
+
+
+def test_ref_integrity_null_child_key_is_orphan_even_with_null_parent(spark):
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        ref_integrity,
+    )
+
+    child = spark.createDataFrame([(1,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (None,)], "pk long")
+    r = ref_integrity(child, "fk", parent, "pk", "t").collect()[0]
+    # NULL references nothing: one orphan key despite the parent NULL
+    assert (r.failed, r.ok) == (1, 0)
