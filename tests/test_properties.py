@@ -207,3 +207,63 @@ def test_interval_join_matches_bruteforce(spark, lefts, rights):
         if lu == ru and lm - 60 <= rm <= lm
     }
     assert got == want
+
+
+_vrows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),       # fk / numeric value
+        st.one_of(st.none(), st.sampled_from("abcX")),  # categorical
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vrows, st.lists(st.one_of(st.none(), st.integers(0, 5)), max_size=6))
+def test_validation_checks_match_python_recompute(spark, rows, parent_keys):
+    """Every validation builder's (observed, failed, ok) equals a plain
+    Python recompute over the same rows — including all-NULL, empty, and
+    duplicate-key shapes the generators produce."""
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        accepted_values,
+        not_null,
+        ref_integrity,
+        unique_key,
+        value_range,
+    )
+
+    df = spark.createDataFrame(rows, "k long, s string") if rows else (
+        spark.createDataFrame([], "k long, s string")
+    )
+    parent = (
+        spark.createDataFrame([(p,) for p in parent_keys], "pk long")
+        if parent_keys
+        else spark.createDataFrame([], "pk long")
+    )
+
+    r = not_null(df, "t", "s").collect()[0]
+    exp_failed = sum(1 for _, s in rows if s is None)
+    assert (r.observed, r.failed, r.ok) == (
+        len(rows), exp_failed, int(exp_failed == 0)
+    )
+
+    r = unique_key(df, "t", "k").collect()[0]
+    distinct = len({k for k, _ in rows if k is not None})
+    assert (r.observed, r.failed, r.ok) == (
+        distinct, len(rows) - distinct, int(len(rows) - distinct == 0)
+    )
+
+    r = accepted_values(df, "t", "s", ("a", "b")).collect()[0]
+    exp_failed = sum(1 for _, s in rows if s not in ("a", "b"))
+    assert (r.failed, r.ok) == (exp_failed, int(exp_failed == 0))
+
+    r = value_range(df, "t", "k", lo=1, hi=4).collect()[0]
+    exp_failed = sum(1 for k, _ in rows if k is None or not (1 <= k <= 4))
+    assert (r.failed, r.ok) == (exp_failed, int(exp_failed == 0))
+
+    r = ref_integrity(df, "k", parent, "pk", "t").collect()[0]
+    pset = {p for p in parent_keys if p is not None}
+    orphan_keys = {k for k, _ in rows if k is not None} - pset
+    exp = len(orphan_keys) + (1 if any(k is None for k, _ in rows) else 0)
+    assert (r.observed, r.failed, r.ok) == (exp, exp, int(exp == 0))
