@@ -8,13 +8,17 @@ operators, in the order a real corpus build runs them:
     raw documents
       1. exact dedup              (drop byte-identical copies)
       2. near-dup dedup           (MinHash-LSH pairs -> connected
-                                   components -> keep cluster keepers)
+                                   components -> canonical_selection
+                                   keeps each cluster's BEST-quality
+                                   member, not the lowest id)
       3. benchmark decontamination (drop docs overlapping the eval split)
       4. PII scrub                 (regex replace, audited)
-      5. quality gate              (composite score threshold)
-      6. stable train/val/test split
-      7. token counts + sequence packing per (split, source) shard
-      8. snapshot write, partitioned by split, + run-log row
+      5. optional surprisal gate   (drop the worst tail by corpus-
+                                   unigram-LM surprisal — off by default)
+      6. quality gate              (composite score threshold)
+      7. stable train/val/test split
+      8. token counts + sequence packing per (split, source) shard
+      9. snapshot write, partitioned by split, + run-log row
 
 Every stage is a pure DataFrame transform from the operator library —
 the pipeline adds only ordering and bookkeeping, so it scales exactly
@@ -29,7 +33,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import quality_score, token_count
 from ..operators.contamination import contamination_overlap
-from ..operators.dedup import dedup_clusters, exact_dedup, minhash_lsh_pairs
+from ..operators.dedup import (
+    canonical_selection,
+    dedup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from ..operators.quality import unigram_surprisal
 from ..operators.sampling import stable_split
 from ..sinks.warehouse import ParquetWarehouse
 from ..sources.readers import load_table
@@ -43,22 +53,32 @@ def prepare_corpus(
     min_quality: float = 0.3,
     max_contamination: float = 0.5,
     pack_budget: int = 2048,
+    surprisal_keep_frac: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
-    """Run stages 1-7 and return (final corpus frame, per-stage counts).
+    """Run stages 1-8 and return (final corpus frame, per-stage counts).
 
     The benchmark used for decontamination is the deterministic
     doc_id % 20 == 0 slice (standing in for a real eval suite); those
     docs never enter the training corpus themselves.
+
+    ``surprisal_keep_frac`` (e.g. 0.9) switches on the unigram-LM gate:
+    keep the fraction of documents with the LOWEST corpus-unigram
+    surprisal (operators/quality.py), dropping the most-unusual tail —
+    including token-less documents, which have no defined surprisal and
+    nothing to train on. ``None`` (default) skips the stage entirely,
+    leaving the plan untouched.
     """
     counts: dict[str, int] = {"raw": docs.count()}
 
     deduped = exact_dedup(docs)
     counts["exact_dedup"] = deduped.count()
 
+    # keep each near-dup cluster's best-quality member (longest text),
+    # not merely the lowest id — canonical_selection's keeper window
     clusters = dedup_clusters(minhash_lsh_pairs(deduped))
-    near_drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
+    near_drops = canonical_selection(
+        clusters, deduped, quality_col="n_chars"
+    ).filter(~F.col("keep")).select("doc_id")
     # truncate lineage here: everything upstream (shingling, 16-seed
     # MinHash, cluster iterations) would otherwise recompute on every
     # later stage count
@@ -83,6 +103,32 @@ def prepare_corpus(
         F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
     )
     corpus = corpus.withColumn("text", scrubbed)
+
+    if surprisal_keep_frac is not None:
+        # corpus-unigram surprisal gate: keep the keep_frac least-
+        # surprising documents (scored on the SCRUBBED text, the text
+        # that will actually train). The threshold is one broadcast
+        # scalar from the mergeable percentile sketch; the gate itself
+        # is a semi-join on doc_id. Token-less docs have no score row
+        # and are dropped by the semi-join — documented contract.
+        scores = unigram_surprisal(corpus)
+        thr = scores.agg(
+            F.expr(
+                f"percentile_approx(score, {surprisal_keep_frac}D, 10000)"
+            ).alias("_thr")
+        )
+        keep_ids = (
+            scores.crossJoin(F.broadcast(thr))
+            .filter(F.col("score") <= F.col("_thr"))
+            .select("doc_id")
+        )
+        # this stage consumes `corpus` twice (model + gate), so it keeps
+        # an explicit count on a checkpointed frame like the earlier
+        # funnel stages, not an observe()
+        corpus = corpus.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        counts["surprisal_gated"] = corpus.count()
 
     # quality_gated rides the FINAL count's job as an observe() metric:
     # from here to the end the frame is a linear chain consumed exactly

@@ -68,3 +68,25 @@ def test_corpus_pipeline_exports_train_jsonl(spark, tmp_path):
     back = read_jsonl(spark, out)
     assert back.count() == counts["exported_train"] > 0
     assert set(r.split for r in back.select("split").distinct().collect()) == {"train"}
+
+
+def test_surprisal_gate_stage(spark, tmp_path):
+    """With the gate on: the funnel gains a surprisal_gated stage that
+    bites (keeps ~keep_frac), stays monotone, and keeps the best-scoring
+    documents; with the gate off the counts dict has no such stage."""
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    counts = run_corpus_pipeline(
+        spark, SF, str(tmp_path / "gated"), surprisal_keep_frac=0.8
+    )
+    assert "surprisal_gated" in counts
+    assert counts["decontaminated"] >= counts["surprisal_gated"]
+    assert counts["surprisal_gated"] >= counts["quality_gated"]
+    # the gate actually bites: ~20% of the decontaminated corpus dropped
+    assert counts["surprisal_gated"] < counts["decontaminated"]
+    assert counts["surprisal_gated"] >= int(0.7 * counts["decontaminated"])
+
+    counts_off = run_corpus_pipeline(spark, SF, str(tmp_path / "plain"))
+    assert "surprisal_gated" not in counts_off
