@@ -37,6 +37,14 @@ def main() -> None:
         default=None,
         help="with --corpus: also deliver the train split as gzip JSONL shards",
     )
+    ap.add_argument(
+        "--surprisal-keep-frac",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="with --corpus: keep only the FRAC least-surprising documents "
+        "under the corpus unigram model (e.g. 0.9 drops the worst 10%%)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stock-bars-pipeline")
@@ -44,7 +52,11 @@ def main() -> None:
         from .corpus_pipeline import run_corpus_pipeline
 
         counts = run_corpus_pipeline(
-            spark, args.corpus, args.warehouse, export_jsonl_dir=args.export_jsonl
+            spark,
+            args.corpus,
+            args.warehouse,
+            export_jsonl_dir=args.export_jsonl,
+            surprisal_keep_frac=args.surprisal_keep_frac,
         )
         print(json.dumps({"pipeline": "corpus", "warehouse": args.warehouse, **counts}))
         return
