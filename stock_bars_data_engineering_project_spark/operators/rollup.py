@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# state columns per (keys) group; every one combines associatively
+# state columns per (keys) group; every one combines associatively.
+# hll_state/kll_state are optional sketch extensions (present only when
+# rollup_increment was built with distinct_col) — binary DataSketches
+# state that merges by union, giving the rollup incremental distinct
+# counts and quantiles, which no exact aggregate can provide without
+# re-reading history (see operators/sketches.py for the full story).
 _STATE = (
     "n_rows",
     "sum_value",
@@ -33,6 +38,8 @@ _STATE = (
     "open_value",
     "close_ts",
     "close_value",
+    "hll_state",
+    "kll_state",
 )
 
 
@@ -42,16 +49,21 @@ def rollup_increment(
     ts: str = "ts",
     value: str = "value",
     day_of: str | None = "ts",
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """One partial-aggregation pass over a batch -> mergeable state rows.
 
     ``day_of`` adds the event day to the group keys (the common rollup
-    grain); pass None for an all-time per-key rollup.
+    grain); pass None for an all-time per-key rollup. ``distinct_col``
+    additionally carries mergeable sketch state: an HLL sketch of that
+    column (incremental distinct count) and a KLL sketch of ``value``
+    (incremental quantiles) — both fold through ``merge_rollups``
+    exactly like the scalar state.
     """
     group = [F.col(k) for k in keys]
     if day_of is not None:
         group.append(F.to_date(F.col(day_of)).alias("day"))
-    return batch.groupBy(*group).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(value).alias("sum_value"),
         F.min(value).alias("min_value"),
@@ -60,7 +72,11 @@ def rollup_increment(
         F.min(F.struct(F.col(ts), F.col(value)))[value].alias("_ov"),
         F.max(F.struct(F.col(ts), F.col(value)))[ts].alias("_cts"),
         F.max(F.struct(F.col(ts), F.col(value)))[value].alias("_cv"),
-    ).withColumnsRenamed(
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll_state"))
+        aggs.append(F.kll_sketch_agg_double(value).alias("kll_state"))
+    return batch.groupBy(*group).agg(*aggs).withColumnsRenamed(
         {"_ots": "open_ts", "_ov": "open_value", "_cts": "close_ts", "_cv": "close_value"}
     )
 
@@ -73,7 +89,7 @@ def merge_rollups(state: DataFrame, increment: DataFrame) -> DataFrame:
     touches (warehouse merge path)."""
     keys = [c for c in state.columns if c not in _STATE]
     both = state.unionByName(increment)
-    return both.groupBy(*[F.col(k) for k in keys]).agg(
+    aggs = [
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_value").alias("sum_value"),
         F.min("min_value").alias("min_value"),
@@ -82,14 +98,31 @@ def merge_rollups(state: DataFrame, increment: DataFrame) -> DataFrame:
         F.min(F.struct("open_ts", "open_value"))["open_value"].alias("_ov"),
         F.max(F.struct("close_ts", "close_value"))["close_ts"].alias("_cts"),
         F.max(F.struct("close_ts", "close_value"))["close_value"].alias("_cv"),
-    ).withColumnsRenamed(
+    ]
+    if "hll_state" in state.columns:
+        aggs.append(F.hll_union_agg("hll_state").alias("hll_state"))
+        aggs.append(F.kll_merge_agg_double("kll_state").alias("kll_state"))
+    return both.groupBy(*[F.col(k) for k in keys]).agg(*aggs).withColumnsRenamed(
         {"_ots": "open_ts", "_ov": "open_value", "_cts": "close_ts", "_cv": "close_value"}
     )
 
 
 def rollup_metrics(state: DataFrame) -> DataFrame:
     """Project the user-facing rollup (avg + OHLC) from mergeable state
-    — derived at read time, so nothing non-mergeable is ever stored."""
+    — derived at read time, so nothing non-mergeable is ever stored.
+    When sketch state is present, also projects the incremental
+    distinct-count estimate and the KLL n / extrema / median (n, min
+    and max are exact by the sketch's contract; the median carries the
+    documented ~1.65% rank-error bound)."""
+    extra = []
+    if "hll_state" in state.columns:
+        extra = [
+            F.hll_sketch_estimate("hll_state").alias("uniq_est"),
+            F.kll_sketch_get_n_double("kll_state").alias("kll_n"),
+            F.kll_sketch_get_quantile_double("kll_state", F.lit(0.0)).alias("kll_min"),
+            F.kll_sketch_get_quantile_double("kll_state", F.lit(1.0)).alias("kll_max"),
+            F.kll_sketch_get_quantile_double("kll_state", F.lit(0.5)).alias("kll_q50"),
+        ]
     return state.select(
         *[c for c in state.columns if c not in _STATE],
         F.col("n_rows"),
@@ -98,4 +131,5 @@ def rollup_metrics(state: DataFrame) -> DataFrame:
         F.col("max_value").alias("high_v"),
         F.col("min_value").alias("low_v"),
         F.col("close_value").alias("close_v"),
+        *extra,
     )

@@ -53,7 +53,9 @@ ranked AS (
     FROM events
 )
 SELECT a.user_id, a.day, a.n_rows, a.avg_value,
-       o.value AS open_v, a.high_v, a.low_v, c.value AS close_v
+       o.value AS open_v, a.high_v, a.low_v, c.value AS close_v,
+       CAST(1.0 AS DOUBLE) AS hll_uniq_ok, CAST(1.0 AS DOUBLE) AS kll_n_ok,
+       CAST(1.0 AS DOUBLE) AS kll_extrema_ok, CAST(1.0 AS DOUBLE) AS kll_q50_band_ok
 FROM agg a
 JOIN ranked o ON o.user_id = a.user_id AND o.day = a.day AND o.rn_open = 1
 JOIN ranked c ON c.user_id = a.user_id AND c.day = a.day AND c.rn_close = 1
@@ -70,13 +72,28 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches ≡ one aggregation — cross-engine, not just cross-run. The
     reference's analog is its full refresh (SURVEY Q8, DROP + CTAS per
     run); this is the 100 TB replacement. Open/close tie-break on
-    equal ts is (ts, value) lexicographic on both sides."""
+    equal ts is (ts, value) lexicographic on both sides.
+
+    The state additionally carries mergeable DataSketches columns (HLL
+    over event_id, KLL over value — operators/sketches.py), folded
+    through the SAME three-batch merge, so this row also gates sketch
+    mergeability. Oracle-pairing approximations directly would be flaky
+    by construction (same argument as stats_suite's sketch arm), so the
+    row checks the sketches' CONTRACTS as flags that collapse to 1.0:
+    the HLL estimate of a unique column within 5% of the row count
+    (exact at driver scale — sparse mode), KLL's n / min / max exactly
+    equal to the scalar state (hard guarantees independent of
+    compaction), and the KLL median inside [min, max]. A violated
+    contract hash-mismatches the oracle's literal 1.0."""
     ev = load_table(spark, sf_dir, "events")
     batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
-    state = rollup_increment(batches[0], keys=("user_id",))
+    state = rollup_increment(batches[0], keys=("user_id",), distinct_col="event_id")
     for b in batches[1:]:
-        state = merge_rollups(state, rollup_increment(b, keys=("user_id",)))
+        state = merge_rollups(
+            state, rollup_increment(b, keys=("user_id",), distinct_col="event_id")
+        )
     m = rollup_metrics(state)
+    rel_err = F.abs(F.col("uniq_est") - F.col("n_rows")) / F.col("n_rows")
     return m.select(
         "user_id",
         "day",
@@ -86,6 +103,16 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "high_v",
         "low_v",
         "close_v",
+        (rel_err <= F.lit(0.05)).cast("double").alias("hll_uniq_ok"),
+        (F.col("kll_n") == F.col("n_rows")).cast("double").alias("kll_n_ok"),
+        (
+            (F.col("kll_min") == F.col("low_v"))
+            & (F.col("kll_max") == F.col("high_v"))
+        ).cast("double").alias("kll_extrema_ok"),
+        (
+            (F.col("kll_q50") >= F.col("low_v"))
+            & (F.col("kll_q50") <= F.col("high_v"))
+        ).cast("double").alias("kll_q50_band_ok"),
     )
 
 

@@ -72,3 +72,26 @@ def test_metrics_match_direct_ohlc(spark, events):
         F.count(F.lit(1)).alias("n_rows"),
     )
     assert _collect(got) == _collect(want)
+
+
+def test_sketch_extended_fold_equals_direct(spark, events):
+    """With distinct_col set, the state carries HLL/KLL sketch columns
+    through the same fold; the projected estimates must equal a direct
+    single-pass build (HLL union is register-identical; KLL groups here
+    are below k=200, so no compaction and exact quantiles)."""
+    full = rollup_metrics(rollup_increment(events, distinct_col="event_id"))
+    parts = [events.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    folded = rollup_increment(parts[0], distinct_col="event_id")
+    for p in parts[1:]:
+        folded = merge_rollups(folded, rollup_increment(p, distinct_col="event_id"))
+    got = rollup_metrics(folded)
+    assert _collect(got) == _collect(full)
+    # hard sketch laws vs the scalar state: n exact, extrema exact,
+    # distinct(event_id) == n_rows because event_id is unique
+    bad = got.filter(
+        (F.col("kll_n") != F.col("n_rows"))
+        | (F.col("kll_min") != F.col("low_v"))
+        | (F.col("kll_max") != F.col("high_v"))
+        | (F.col("uniq_est") != F.col("n_rows"))
+    )
+    assert bad.count() == 0
