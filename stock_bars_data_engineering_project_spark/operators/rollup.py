@@ -87,8 +87,15 @@ def merge_rollups(state: DataFrame, increment: DataFrame) -> DataFrame:
     batches can fold in any order; with a day-grained rollup stored
     day-partitioned, the rewrite prunes to the days the increment
     touches (warehouse merge path)."""
-    keys = [c for c in state.columns if c not in _STATE]
-    both = state.unionByName(increment)
+    return combine_state(state.unionByName(increment))
+
+
+def combine_state(both: DataFrame) -> DataFrame:
+    """Re-aggregate one state frame on its group keys — the read-time
+    fold of an epoch-log rollup (streaming/incremental.py stores one
+    increment per micro-batch epoch; reading the table is a combine
+    over all epochs). ``merge_rollups`` is this over a 2-frame union."""
+    keys = [c for c in both.columns if c not in _STATE]
     aggs = [
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_value").alias("sum_value"),
@@ -99,7 +106,7 @@ def merge_rollups(state: DataFrame, increment: DataFrame) -> DataFrame:
         F.max(F.struct("close_ts", "close_value"))["close_ts"].alias("_cts"),
         F.max(F.struct("close_ts", "close_value"))["close_value"].alias("_cv"),
     ]
-    if "hll_state" in state.columns:
+    if "hll_state" in both.columns:
         aggs.append(F.hll_union_agg("hll_state").alias("hll_state"))
         aggs.append(F.kll_merge_agg_double("kll_state").alias("kll_state"))
     return both.groupBy(*[F.col(k) for k in keys]).agg(*aggs).withColumnsRenamed(

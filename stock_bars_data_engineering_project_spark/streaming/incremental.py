@@ -13,6 +13,7 @@ reference's ``check_points`` table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sinks.warehouse import ParquetWarehouse
 
@@ -49,3 +50,82 @@ def incremental_merge_stream(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def rollup_maintenance_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    table: str,
+    keys: tuple[str, ...] = ("user_id",),
+    checkpoint_dir: str = "",
+    distinct_col: str | None = None,
+    available_now: bool = True,
+):
+    """Maintain a mergeable rollup (operators/rollup.py, optionally
+    sketch-extended) under Structured Streaming as an EPOCH LOG.
+
+    Each micro-batch folds to a per-group increment tagged with its
+    epoch id and lands via keyed merge into its own ``_epoch``
+    partition. Idempotence under replay is structural: a re-delivered
+    batch recomputes the identical increment and rewrites the SAME
+    partition, so the at-least-once delivery of ``foreachBatch``
+    degrades to exactly-once state — no read-modify-write of prior
+    state inside the hot path, which would double-fold on replay and
+    serialize every batch behind a full-table rewrite. Reading the
+    rollup is a combine over epochs (``read_rollup_state``), and
+    ``compact_rollup_state`` bounds that read amplification offline.
+    """
+    from ..operators.rollup import rollup_increment
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        inc = rollup_increment(
+            batch, keys=keys, distinct_col=distinct_col
+        ).withColumn("_epoch", F.lit(int(epoch_id)))
+        wh.merge(
+            inc,
+            table,
+            keys=(*keys, "day", "_epoch"),
+            partition_by=("_epoch",),
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def read_rollup_state(wh: ParquetWarehouse, table: str) -> DataFrame:
+    """Read-time combine of the epoch log -> one state row per group.
+    O(epochs) rows per group pre-combine; run ``compact_rollup_state``
+    on a schedule to keep that bounded."""
+    from ..operators.rollup import combine_state
+
+    return combine_state(wh.read(table).drop("_epoch"))
+
+
+# compacted history lands in a partition no streaming epoch can claim
+# (epoch ids are non-negative), so a replayed in-flight epoch can only
+# ever rewrite its OWN partition, never the folded base
+_BASE_EPOCH = -1
+
+
+def compact_rollup_state(wh: ParquetWarehouse, table: str) -> None:
+    """Fold all epoch partitions into the ``_epoch = -1`` base
+    partition. Run while the stream is stopped (or between triggers):
+    the one replayable epoch is the in-flight batch, which by
+    definition has not been folded yet, and a replay after compaction
+    rewrites only its own partition — the base is never an epoch id."""
+    state = read_rollup_state(wh, table).withColumn(
+        "_epoch", F.lit(_BASE_EPOCH)
+    )
+    wh.overwrite(state, table, partition_by=("_epoch",))

@@ -378,3 +378,71 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_rollup_maintenance_stream_epoch_log(spark, tmp_path):
+    """Streamed sketch-extended rollup maintenance: drains fold each
+    micro-batch into an _epoch-partitioned increment; the read-time
+    combine must equal a direct batch rollup over everything streamed,
+    a replayed epoch must be a no-op (structural idempotence), and
+    compaction must not change the answer."""
+    from stock_bars_data_engineering_project_spark.operators.rollup import (
+        rollup_increment,
+        rollup_metrics,
+    )
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        compact_rollup_state,
+        read_rollup_state,
+        rollup_maintenance_stream,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def _rows(df):
+        cols = sorted(df.columns)
+
+        def norm(v):
+            return float(f"{v:.9g}") if isinstance(v, float) else str(v)
+
+        return sorted(
+            (tuple(norm(r[c]) for c in cols) for r in df.collect()), key=repr
+        )
+
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(src)
+    rollup_maintenance_stream(
+        spark, src, first.schema, wh, "roll", keys=("user_id",),
+        checkpoint_dir=ckpt, distinct_col="event_id",
+    )
+    second.write.mode("append").parquet(src)
+    rollup_maintenance_stream(
+        spark, src, first.schema, wh, "roll", keys=("user_id",),
+        checkpoint_dir=ckpt, distinct_col="event_id",
+    )
+
+    want = _rows(rollup_metrics(rollup_increment(events, distinct_col="event_id")))
+    assert _rows(rollup_metrics(read_rollup_state(wh, "roll"))) == want
+
+    # replayed epoch: re-apply the last batch's increment at its epoch id
+    # (at-least-once delivery) -> rewrites the same partition, no change
+    epochs = [r["_epoch"] for r in wh.read("roll").select("_epoch").distinct().collect()]
+    last = max(epochs)
+    inc = rollup_increment(second, keys=("user_id",), distinct_col="event_id")
+    wh.merge(
+        inc.withColumn("_epoch", F.lit(last)),
+        "roll",
+        keys=("user_id", "day", "_epoch"),
+        partition_by=("_epoch",),
+    )
+    assert _rows(rollup_metrics(read_rollup_state(wh, "roll"))) == want
+
+    # compaction folds the epoch log into the base partition
+    compact_rollup_state(wh, "roll")
+    assert wh.read("roll").select("_epoch").distinct().count() == 1
+    assert _rows(rollup_metrics(read_rollup_state(wh, "roll"))) == want
