@@ -50,6 +50,14 @@ from stock_bars_data_engineering_project_spark.operators.contamination import ( 
     contamination_overlap,
 )
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
+from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
+    rollup_increment,
+    rollup_metrics,
+)
+from stock_bars_data_engineering_project_spark.operators.sketches import (  # noqa: E402
+    member_day_sets,
+    retention_day_over_day,
+)
 from stock_bars_data_engineering_project_spark.operators.quality import (  # noqa: E402
     unigram_surprisal,
 )
@@ -196,6 +204,18 @@ def run(
         # edge set; the iterative rounds execute eagerly inside the
         # lambda (per-round checkpoints), so the timing covers them
         "dedup_clusters": lambda: dedup_clusters(minhash_lsh_pairs(docs)),
+        # sketch-extended rollup state build: one partial-aggregating
+        # pass; state size is O(groups), so the curve should track the
+        # scan. HLL/KLL union cost is per-group-constant.
+        "sketch_rollup": lambda: rollup_metrics(
+            rollup_increment(events, distinct_col="event_id")
+        ),
+        # per-day Theta member sets + day-over-day set intersection:
+        # O(days) state rows however large the fact side grows (replica
+        # day-shift makes days grow linearly with scale)
+        "theta_retention": lambda: retention_day_over_day(
+            member_day_sets(events)
+        ),
         "interval_join": lambda: interval_join(
             events.filter(F.col("event_type") == "purchase"),
             events.filter(F.col("event_type") == "view"),
