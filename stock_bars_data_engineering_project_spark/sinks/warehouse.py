@@ -347,6 +347,102 @@ class ParquetWarehouse:
             version = self._write_snapshot(df, table, partition_by)
             self._commit(table, version)
 
+    def changes(
+        self,
+        table: str,
+        from_version: str,
+        to_version: str | None = None,
+        keys: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Change data feed between two snapshots: one row per changed
+        key with ``_change_type`` ∈ insert / update / delete (update
+        carries the post-image; delete carries the pre-image).
+
+        The reference has no history at all (PostgreSQL tables are
+        mutated in place); versioned snapshots make CDC a pure read:
+        full-outer keyed diff of the two snapshots, change classified by
+        a null-safe struct comparison of the non-key columns — exact
+        (no row-hash collision class, which a null shifting between
+        adjacent columns can hit under column-concat hashing) and free,
+        since the post/pre-image payload rides the same shuffle either
+        way. One shuffle per side on the key columns; at 100 TB both
+        sides prune to the partitions a downstream consumer asks for,
+        since the diff is lazy like any other read.
+        """
+        if not keys:
+            raise ValueError("changes() needs the table's logical key columns")
+        old = self.read(table, from_version)
+        new = self.read(table, to_version)  # None -> latest
+        val_cols = sorted(c for c in new.columns if c not in keys)
+        if sorted(old.columns) != sorted(new.columns):
+            # schema drift between the snapshots: compare only the shared
+            # value columns (added/removed columns are visible in the
+            # carried images; rows existing on both sides with equal
+            # shared values are not "updates" of the keyed payload)
+            val_cols = sorted(set(val_cols) & set(old.columns))
+
+        # both images align to the union of columns (new-snapshot order,
+        # old-only columns appended) so coalesce over the two structs
+        # resolves even across schema drift; a drift-added column is
+        # null in delete pre-images, a drift-dropped one null in
+        # insert/update post-images
+        out_cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+        col_type = {f.name: f.dataType for f in old.schema.fields}
+        col_type.update({f.name: f.dataType for f in new.schema.fields})
+
+        def _packed(df: DataFrame, tag: str) -> DataFrame:
+            have = set(df.columns)
+            img = [
+                (F.col(c) if c in have else F.lit(None).cast(col_type[c])).alias(c)
+                for c in out_cols
+            ]
+            vals = (
+                F.struct(*[F.col(c) for c in val_cols]) if val_cols else F.lit(0)
+            )
+            return df.select(
+                *[F.col(k) for k in keys],
+                F.struct(*img).alias(f"_row_{tag}"),
+                vals.alias(f"_vals_{tag}"),
+            )
+
+        j = _packed(old, "old").join(_packed(new, "new"), on=list(keys), how="full_outer")
+        classified = j.select(
+            *keys,
+            F.when(F.col("_row_old").isNull(), F.lit("insert"))
+            .when(F.col("_row_new").isNull(), F.lit("delete"))
+            .when(~F.col("_vals_old").eqNullSafe(F.col("_vals_new")), F.lit("update"))
+            .alias("_change_type"),
+            F.coalesce(F.col("_row_new"), F.col("_row_old")).alias("_row"),
+        ).filter(F.col("_change_type").isNotNull())
+        return classified.select(
+            "_change_type", *[F.col("_row")[c].alias(c) for c in out_cols]
+        )
+
+    def restore(self, table: str, version: str) -> None:
+        """Point-in-time rollback: flip the pointer back to an existing
+        snapshot (Delta RESTORE). Pure metadata — no data rewrite — so
+        a bad load is undone in O(1); ``vacuum`` permanently removes
+        restore targets older than its retention, which is the same
+        trade Delta documents."""
+        with self._write_lock(table):
+            vdir = os.path.join(self.table_path(table), version)
+            if not os.path.isdir(vdir):
+                raise FileNotFoundError(
+                    f"cannot restore {table!r} to {version}: snapshot missing "
+                    "(vacuumed or never written)"
+                )
+            self._commit(table, version)
+
+    def versions(self, table: str) -> list[str]:
+        """Snapshot versions still on disk, oldest first — the restore /
+        changes() targets."""
+        tdir = self.table_path(table)
+        return sorted(
+            d
+            for d in os.listdir(tdir)
+            if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
+        )
+
     def vacuum(self, table: str, keep_last: int = 2) -> None:
         """Drop snapshot directories older than the newest ``keep_last``,
         never touching the version the pointer references. Bounds storage

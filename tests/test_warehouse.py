@@ -140,3 +140,69 @@ def test_merge_key_moving_partitions_does_not_duplicate(spark, wh):
     )
     rows = [(r.stock, r.timestamp, r.close) for r in wh.read("t").collect()]
     assert rows == [("TSLA", "d2", 9.0)]
+
+
+def test_changes_classifies_insert_update_delete(spark, wh):
+    """CDC between snapshots: keyed full-outer diff with null-safe
+    value comparison. v1 -> v2 exercises all three change types plus an
+    untouched row (absent from the feed) and a NULL-valued update."""
+    v1 = _df(
+        spark,
+        [
+            ("TSLA", "t1", 100.0),
+            ("AAPL", "t1", 200.0),
+            ("GOOG", "t1", 300.0),
+            ("MSFT", "t1", None),
+        ],
+    )
+    wh.overwrite(v1, "t")
+    ver1 = wh.versions("t")[-1]
+    v2 = _df(
+        spark,
+        [
+            ("TSLA", "t1", 100.0),   # unchanged
+            ("AAPL", "t1", 250.0),   # update
+            ("MSFT", "t1", 5.0),     # update from NULL (null-safe compare)
+            ("NVDA", "t1", 900.0),   # insert
+        ],                            # GOOG deleted
+    )
+    wh.overwrite(v2, "t")
+    got = {
+        r.stock: (r._change_type, r.close)
+        for r in wh.changes("t", ver1, keys=("stock",)).collect()
+    }
+    assert got == {
+        "AAPL": ("update", 250.0),
+        "MSFT": ("update", 5.0),
+        "NVDA": ("insert", 900.0),
+        "GOOG": ("delete", 300.0),
+    }
+
+
+def test_changes_across_schema_drift(spark, wh):
+    wh.overwrite(_df(spark, [("TSLA", "t1", 1.0)]), "t")
+    ver1 = wh.versions("t")[-1]
+    drifted = spark.createDataFrame(
+        [("TSLA", "t1", 1.0, 7), ("AAPL", "t1", 2.0, 8)],
+        "stock string, timestamp string, close double, volume int",
+    )
+    wh.overwrite(drifted, "t")
+    got = {
+        r.stock: (r._change_type, r.volume)
+        for r in wh.changes("t", ver1, keys=("stock",)).collect()
+    }
+    # TSLA's shared value columns are equal -> not an update; AAPL new
+    assert got == {"AAPL": ("insert", 8)}
+
+
+def test_restore_rolls_back_pointer(spark, wh):
+    wh.overwrite(_df(spark, [("TSLA", "t1", 1.0)]), "t")
+    ver1 = wh.versions("t")[-1]
+    wh.overwrite(_df(spark, [("AAPL", "t1", 2.0)]), "t")
+    wh.restore("t", ver1)
+    assert [r.stock for r in wh.read("t").collect()] == ["TSLA"]
+    # restore target gone after vacuum -> loud error
+    wh.overwrite(_df(spark, [("GOOG", "t1", 3.0)]), "t")
+    wh.vacuum("t", keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        wh.restore("t", ver1)
