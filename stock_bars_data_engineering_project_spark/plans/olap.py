@@ -90,6 +90,26 @@ sketch AS (
            1.0 AS p50_rank_within_tol
     FROM events
     GROUP BY event_type
+),
+mdays AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+    FROM events WHERE user_id IS NOT NULL
+),
+act AS (SELECT day, COUNT(*) AS active FROM mdays GROUP BY day),
+kept AS (
+    SELECT cur.day AS day, COUNT(*) AS retained
+    FROM mdays cur JOIN mdays prev
+      ON prev.user_id = cur.user_id AND prev.day = cur.day - 1
+    GROUP BY cur.day
+),
+retn AS (
+    SELECT a.day,
+           CAST(a.active AS DOUBLE) AS active,
+           CAST(COALESCE(k.retained, 0) AS DOUBLE) AS retained,
+           CAST(p.active - COALESCE(k.retained, 0) AS DOUBLE) AS churned
+    FROM act a
+    JOIN act p ON p.day = a.day - 1
+    LEFT JOIN kept k ON k.day = a.day
 )
 SELECT 'percentiles' AS tag, c_mktsegment AS group_key, 'p25' AS metric, p25 AS value FROM seg
 UNION ALL
@@ -112,6 +132,12 @@ UNION ALL
 SELECT 'sketch', event_type, 'hll_within_5pct', hll_within_5pct FROM sketch
 UNION ALL
 SELECT 'sketch', event_type, 'p50_rank_within_tol', p50_rank_within_tol FROM sketch
+UNION ALL
+SELECT 'retention', CAST(day AS VARCHAR), 'active', active FROM retn
+UNION ALL
+SELECT 'retention', CAST(day AS VARCHAR), 'retained', retained FROM retn
+UNION ALL
+SELECT 'retention', CAST(day AS VARCHAR), 'churned', churned FROM retn
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -301,8 +327,40 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+    # Theta-state retention (operators/sketches.py): day-over-day
+    # retained/churned members computed ONLY from per-day sketch state.
+    # Member cardinality at every driver SF is far below the sketch's
+    # exact-mode threshold (2^12 retained hashes), so the estimates are
+    # exactly the set-algebra counts and the oracle recomputes them with
+    # a raw self-join — the row gates the sketch path against exact set
+    # intersection cross-engine. NULL members are excluded on both
+    # sides (theta_sketch_agg skips NULLs; the oracle filters).
+    from ..operators.sketches import member_day_sets, retention_day_over_day
+
+    ret = retention_day_over_day(
+        member_day_sets(ev.filter(F.col("user_id").isNotNull()))
+    )
+    ret_arm = ret.select(
+        "day",
+        F.col("active").cast("double").alias("active"),
+        F.col("retained").cast("double").alias("retained"),
+        F.col("churned").cast("double").alias("churned"),
+    ).melt(
+        ids=["day"],
+        values=["active", "retained", "churned"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(
+        F.lit("retention").alias("tag"),
+        F.col("day").cast("string").alias("group_key"),
+        "metric",
+        "value",
+    )
     return (
-        seg_arm.unionByName(mkt_arm).unionByName(hist_arm).unionByName(sketch_arm)
+        seg_arm.unionByName(mkt_arm)
+        .unionByName(hist_arm)
+        .unionByName(sketch_arm)
+        .unionByName(ret_arm)
     )
 
 
