@@ -1,0 +1,153 @@
+"""Incremental ANN index maintenance — a persisted IVF index that
+absorbs new vector batches without retraining or re-assigning the
+existing corpus.
+
+The vector analog of the band-index dedup module
+(``incremental_dedup.py``): at 100 TB you cannot re-run even a
+map-only assignment over the whole corpus for every arriving batch,
+and you certainly cannot re-train. The warehouse keeps two tables:
+
+- ``<table>__centroids`` — (cid, cv), the coarse quantizer, a few
+  hundred rows, trained ONCE (stride seed + Lloyd polish);
+- ``<table>`` — (vec_id, embedding, cid), the inverted lists,
+  hive-partitioned by cid.
+
+A new batch then costs exactly one broadcast-argmin assignment of the
+BATCH (``ivf_assign`` — map-only, centroid array broadcast) plus a
+keyed merge whose rewrite prunes to the cid partitions the batch
+touches. Queries probe ``nprobe`` lists; because the probed cid set is
+bounded by K (the centroid count) no matter how many queries arrive,
+the probe filter is a driver-side literal list — STATIC partition
+pruning on the index scan, so a query touches nprobe/K of the files on
+disk, not just nprobe/K of the rows.
+
+Drift contract: centroids are frozen between rebuilds, so heavy
+ingestion skews list occupancy and degrades recall gradually (the
+standard IVF operational trade — FAISS retrains on the same signal).
+``list_occupancy`` exposes the skew metric; rebuild with
+``build_ann_index`` when its max/mean ratio drifts past policy.
+``vec_id`` identifies immutable content (same contract as the dedup
+index): re-ingesting an id with a different embedding that lands in a
+different list leaves the stale row behind — mutable vectors need
+delete-then-insert maintenance this module deliberately does not pay
+for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up
+from ..functions.vectors import cosine
+from ..sinks.warehouse import ParquetWarehouse
+from .similarity import ivf_assign, kmeans_refine, l2sq
+from .skew import salted_topk
+
+
+def _centroids_table(table: str) -> str:
+    return f"{table}__centroids"
+
+
+def build_ann_index(
+    wh: ParquetWarehouse,
+    corpus: DataFrame,
+    table: str = "ann_index",
+    centroid_stride: int = 125,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Train the quantizer (deterministic stride seed + ``refine_iters``
+    Lloyd passes) and materialize the inverted lists, partitioned by
+    cid. One assignment pass over the corpus — the only time the full
+    corpus is ever assigned."""
+    seed = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    cent = kmeans_refine(corpus, seed, refine_iters, vec_col, id_col)
+    wh.overwrite(cent, _centroids_table(table))
+    assigned = ivf_assign(corpus, cent, vec_col, id_col)
+    wh.overwrite(assigned, table, partition_by=("cid",))
+
+
+def ingest_vectors(
+    wh: ParquetWarehouse,
+    batch: DataFrame,
+    table: str = "ann_index",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Fold a new vector batch into the index: assign against the
+    FROZEN stored centroids (map-only) and merge into the lists. The
+    merge keys include cid so the rewrite prunes to the partitions the
+    batch lands in; re-ingesting an identical batch rewrites identical
+    partitions — idempotent."""
+    cent = wh.read(_centroids_table(table))
+    assigned = ivf_assign(batch, cent, vec_col, id_col)
+    wh.merge(assigned, table, keys=("cid", "vec_id"), partition_by=("cid",))
+
+
+def ann_query(
+    wh: ParquetWarehouse,
+    queries: DataFrame,
+    table: str = "ann_index",
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the stored index: nprobe nearest lists per query, exact
+    cosine within the probed lists, salted bounded-fan-in ranking —
+    identical semantics to ``ivf_topk`` with the same centroids, minus
+    any corpus-side recompute.
+
+    The probed cid set is collected driver-side as a literal IN filter:
+    it is bounded by K (≤ centroid count) regardless of |queries| — the
+    same sanctioned bounded-scalar class as the 10-row symbol list —
+    and it is what turns the probe into static partition pruning on the
+    cid-partitioned scan."""
+    cent = wh.read(_centroids_table(table)).select(
+        "cid", F.col("cv").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d2", l2sq(F.col("q_vec"), F.col("cv")))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_vec", "cid")
+    )
+    probed_cids = [r["cid"] for r in qc.select("cid").distinct().collect()]
+    index = wh.read(table).filter(F.col("cid").isin(probed_cids))
+    cand = index.join(F.broadcast(qc), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos", round_half_up(cosine(F.col("q_vec"), F.col("embedding")), 6)
+    )
+    return salted_topk(scored, ("query_id",), "cos", "vec_id", k).select(
+        "query_id", "vec_id", "cos", "rank"
+    )
+
+
+def list_occupancy(wh: ParquetWarehouse, table: str = "ann_index") -> DataFrame:
+    """Per-list row counts plus the global max/mean skew ratio — the
+    rebuild trigger metric. One partial-aggregating pass over the
+    (skinny) index."""
+    counts = wh.read(table).groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    stats = counts.agg(
+        F.max("n_vecs").alias("_mx"), F.avg("n_vecs").alias("_mean")
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "cid",
+        "n_vecs",
+        (F.col("_mx") / F.col("_mean")).alias("skew_ratio"),
+    )
