@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
     "text_metrics",
-    "contamination_check",
+    "decontam_suite",
     "resample_ohlc_daily",
     "ann_topk_bruteforce",
     "ann_topk_ivf_suite",

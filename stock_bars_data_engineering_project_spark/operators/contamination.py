@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up
-from ..functions.text import word_shingles
+from ..functions.text import tokens, word_shingles
 
 
 def contamination_overlap(
@@ -67,4 +67,92 @@ def contamination_overlap(
         round_half_up(F.col("n_overlap") / F.col("n_shingles"), 4).alias(
             "contamination"
         ),
+    )
+
+
+def boilerplate_scrub(
+    df: DataFrame,
+    k: int = 3,
+    df_cap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb-style scrub):
+    any k-token span that appears in >= ``df_cap`` DISTINCT documents is
+    treated as boilerplate (headers, footers, license banners, nav
+    text), and every token position covered by a hot span is removed
+    from every document.
+
+    Three passes, all shuffle-bounded:
+    1. positional k-grams per doc — map-side array ops (sequence +
+       slice + concat_ws), one explode;
+    2. gram document-frequency — ONE partial-aggregable groupBy; grams
+       at or over ``df_cap`` form the hot set, whose size is bounded by
+       total_grams/df_cap and in real corpora is a tiny fraction
+       (``broadcast_hot=False`` falls back to a shuffle join when a
+       pathological corpus overflows the broadcast limit);
+    3. covered positions per doc — the hot-occurrence join fans out k
+       positions per hit, then ONE groupBy(doc) collect_set; the
+       rebuild is a map-side indexed array filter.
+
+    The corpus text itself is never shuffled except for the k-gram
+    explode feeding pass 2's partial aggregation — at 100 TB the
+    map-side combine collapses the Zipf head before the exchange.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    document; ``clean_text`` is the kept tokens re-joined with single
+    spaces (a normalized token join, both engines reassemble
+    identically). Documents shorter than k tokens pass through intact.
+    """
+    from ..sources.readers import balance
+
+    toks = tokens(F.col(text_col))
+    base = balance(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    empty_pg = F.array().cast("array<struct<pos:int,gram:string>>")
+    pos_grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, k)).alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(empty_pg)  # sequence(1, n-k+1) would DESCEND for n<k
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+
+    hot = (
+        pos_grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") >= df_cap)
+        .select("gram")
+    )
+    hot_side = F.broadcast(hot) if broadcast_hot else hot
+    covered = (
+        pos_grams.join(hot_side, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    joined = base.join(covered, "doc_id", "left")
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(cov, i + F.lit(1))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(cov).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )

@@ -175,6 +175,73 @@ def token_budget_sample(
     )
 
 
+def alpha_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    size: Column | None = None,
+) -> DataFrame:
+    """Temperature-weighted corpus mixture (the mT5/XLM-R alpha-sampling
+    rule): strata are kept at a rate proportional to ``share**(alpha-1)``,
+    so with ``alpha < 1`` small strata (rare languages, niche domains)
+    are boosted toward parity and dominant strata are down-sampled.
+    ``alpha=1`` reproduces the natural distribution (every row kept);
+    ``alpha=0`` equalizes the EXPECTED kept mass across strata.
+
+    Unlike :func:`stratified_sample`, the per-stratum rates are derived
+    FROM the data (one tiny aggregate over ``size`` — token count when
+    given, else row count) instead of hand-specified: the rate for
+    stratum i is ``(c_min / c_i) ** (1 - alpha)``, normalized so the
+    smallest stratum keeps 100%. Row membership then follows the same
+    deterministic salted-hash-bucket rule as every sampler here.
+
+    Scale shape: one partial-aggregable groupBy at stratum cardinality
+    (a handful of rows), a broadcast join of the thresholds back onto
+    the corpus, and a map-only filter — the corpus is never shuffled.
+
+    With the default ``alpha=0.5`` the rate is ``sqrt(c_min / c_i)``:
+    IEEE sqrt and division are correctly rounded, so the computed
+    threshold is bit-identical across engines (the registered query's
+    DuckDB oracle replays it exactly). Arbitrary ``alpha`` uses
+    ``pow``, which libm implementations round differently in the last
+    ulp — fine for training mixtures, but pin cross-engine tests to
+    alpha=0.5.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    clash = {"_c", "_s", "_thr"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"alpha_mixture_sample: input already has column(s) {sorted(clash)}; "
+            "rename them before sampling"
+        )
+    counts = df.groupBy(stratum_col).agg(
+        (F.sum(size) if size is not None else F.count(F.lit(1)))
+        .cast("double")
+        .alias("_c")
+    )
+    c_min = counts.agg(F.min("_c").alias("_cmin"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("_cmin") / F.col("_c"))
+    else:
+        rate = F.pow(F.col("_cmin") / F.col("_c"), F.lit(1.0 - alpha))
+    thresholds = counts.crossJoin(F.broadcast(c_min)).select(
+        F.col(stratum_col).alias("_s"),
+        F.floor(rate * 10_000).cast("long").alias("_thr"),
+    )
+    # null-safe equality: a NULL stratum is a stratum (it aggregated into
+    # its own counts row above) — a plain equi-join would silently drop
+    # every NULL-stratum row, the silent-NULL routing this module's
+    # guards exist to prevent
+    out = df.join(
+        F.broadcast(thresholds), F.col(stratum_col).eqNullSafe(F.col("_s")), "inner"
+    )
+    bucket = hash_bucket(F.col(id_col), salt="alpha")
+    # _thr == 10000 for the smallest stratum; bucket < 10000 always holds
+    return out.filter(bucket < F.col("_thr")).drop("_s", "_thr")
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -24,9 +24,10 @@ from ..functions.text import (
     word_shingles,
     tokens,
 )
+from ..functions.quality_model import quality_scores
 from ..operators.asof import asof_join
 from ..operators.chunking import chunk_documents
-from ..operators.contamination import contamination_overlap
+from ..operators.contamination import boilerplate_scrub, contamination_overlap
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
@@ -348,8 +349,40 @@ FROM (
     ) tot
 )
 GROUP BY doc_id
+UNION ALL
+SELECT 'qscore' AS tag, doc_id, CAST(NULL AS VARCHAR) AS term,
+       {sql_round('1.0 / (1.0 + exp(-8.0 * avg_w))', 4)} AS score,
+       CAST(n_feats AS INT) AS rank
+FROM (
+    SELECT doc_id, AVG(w) AS avg_w, COUNT(*) AS n_feats
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('w:' || CAST(
+                   ('0x' || substr(md5(f), 1, 12))::BIGINT % 1048576
+                   AS VARCHAR)), 1, 12))::BIGINT
+                   / 281474976710656.0 * 2 - 1 AS w
+        FROM (
+            SELECT doc_id, unnest(fs) AS f
+            FROM (
+                SELECT doc_id,
+                       list_concat(toks,
+                           CASE WHEN len(toks) >= 2
+                                THEN [toks[i] || '_' || toks[i+1]
+                                      for i in range(1, len(toks))]
+                                ELSE [] END) AS fs
+                FROM (
+                    SELECT doc_id,
+                           list_filter(string_split(lower(text), ' '),
+                                       t -> t != '') AS toks
+                    FROM documents
+                )
+            )
+        )
+    )
+    GROUP BY doc_id
+)
 """,
-    tags=("text", "tfidf", "vocab", "surprisal"),
+    tags=("text", "tfidf", "vocab", "surprisal", "classifier"),
 )
 def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-statistics suite in one result: (a) per-document top-3 terms
@@ -365,7 +398,12 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high and get gated downstream. Reuses the vocab counts as the
     model (one extra token-keyed join, dfreq's shape, plus a broadcast
     1-row total); docs whose every token is empty drop out of the arm
-    on both engines by construction. Tagged UNION of the three arms."""
+    on both engines by construction; (d) the hashed linear quality
+    classifier (functions/quality_model.py — fastText's architecture
+    with a derived weight table): unigram+bigram features built with
+    map-side array ops, hashing-trick bucket weights, sigmoid of the
+    mean — score AND feature count (as the rank column) both gated.
+    Tagged UNION of the four arms."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -429,7 +467,21 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("rank"),
         )
     )
-    return tfidf_arm.unionByName(vocab_arm).unionByName(surprisal_arm)
+    qscore_arm = (
+        quality_scores(docs)
+        .select(
+            F.lit("qscore").alias("tag"),
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            round_half_up(F.col("qscore"), 4).alias("score"),
+            F.col("n_features").cast("int").alias("rank"),
+        )
+    )
+    return (
+        tfidf_arm.unionByName(vocab_arm)
+        .unionByName(surprisal_arm)
+        .unionByName(qscore_arm)
+    )
 
 
 # calendar_features was consolidated into p1_rename_project (its date-
@@ -479,7 +531,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "contamination_check",
+    "decontam_suite",
     oracle=f"""
 WITH {_SH_CTE},
 bench AS (
@@ -488,25 +540,79 @@ bench AS (
 corp AS (
     SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
     FROM sh WHERE doc_id % 20 <> 0
+),
+btoks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+    SELECT doc_id, i AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+    FROM btoks, unnest(range(1, len(toks) - 1)) AS r(i)
+), hot AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 5
+), cov AS (
+    SELECT DISTINCT g.doc_id, p
+    FROM grams g JOIN hot h ON g.gram = h.gram,
+         unnest(range(g.pos, g.pos + 3)) AS r(p)
+), covs AS (
+    SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id
 )
-SELECT c.doc_id, c.n_shingles, COUNT(*) AS n_overlap,
-       {sql_round('CAST(COUNT(*) AS DOUBLE) / c.n_shingles', 4)} AS contamination
+SELECT 'overlap' AS tag, c.doc_id,
+       CAST(c.n_shingles AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_affected,
+       {sql_round('CAST(COUNT(*) AS DOUBLE) / c.n_shingles', 4)} AS ratio,
+       CAST(NULL AS VARCHAR) AS payload
 FROM corp c JOIN bench b ON c.shingle = b.shingle
 GROUP BY c.doc_id, c.n_shingles
+UNION ALL
+SELECT 'boilerplate' AS tag, t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(coalesce(c.ps, [])) AS BIGINT) AS n_affected,
+       {sql_round('len(coalesce(c.ps, [])) / len(t.toks)', 4)} AS ratio,
+       -- coalesce: DuckDB's array_to_string([]) is NULL; Spark's
+       -- concat_ws over an empty array is '' — align on '' for the
+       -- fully-scrubbed-document case
+       coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks)+1)
+                        if NOT list_contains(coalesce(c.ps, []), i)], ' '), '')
+           AS payload
+FROM btoks t LEFT JOIN covs c USING (doc_id)
 """,
-    tags=("text", "contamination"),
+    tags=("text", "contamination", "boilerplate"),
 )
-def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus docs (doc_id % 20 != 0) scored
-    by 3-gram shingle overlap against a held-out benchmark split
-    (doc_id % 20 == 0). The benchmark's distinct shingle set broadcasts;
-    the corpus side is a map-side join + one aggregate — no corpus
-    shuffle at 100 TB."""
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning suite, tagged arms:
+
+    - 'overlap': benchmark decontamination — corpus docs (doc_id % 20
+      != 0) scored by 3-gram shingle overlap against a held-out
+      benchmark split (doc_id % 20 == 0). The benchmark's distinct
+      shingle set broadcasts; the corpus side is a map-side join + one
+      aggregate — no corpus shuffle at 100 TB.
+    - 'boilerplate': C4-style repeated-span scrub
+      (operators/contamination.boilerplate_scrub) — every 3-token span
+      appearing in >= 5 distinct docs is boilerplate; covered positions
+      are removed and the cleaned text itself rides as the payload
+      column, so the oracle gates the REBUILT text, not just counts.
+
+    Both arms df-cap/broadcast-bound the hot side; the corpus text is
+    never joined all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
-    out = contamination_overlap(corpus, benchmark, k=3)
-    return out.withColumn("n_shingles", F.col("n_shingles").cast("bigint"))
+    overlap_arm = contamination_overlap(corpus, benchmark, k=3).select(
+        F.lit("overlap").alias("tag"),
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_tokens"),
+        F.col("n_overlap").cast("bigint").alias("n_affected"),
+        F.col("contamination").alias("ratio"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    scrub_arm = boilerplate_scrub(docs, k=3, df_cap=5).select(
+        F.lit("boilerplate").alias("tag"),
+        "doc_id",
+        "n_tokens",
+        F.col("n_removed").alias("n_affected"),
+        round_half_up(F.col("n_removed") / F.col("n_tokens"), 4).alias("ratio"),
+        F.col("clean_text").alias("payload"),
+    )
+    return overlap_arm.unionByName(scrub_arm)
 
 
 _SIMHASH_SQL = f"""
@@ -694,6 +800,27 @@ FROM (
     SELECT doc_id, md5('shuffle:ep0:' || CAST(doc_id AS VARCHAR)) AS k
     FROM documents
 )
+UNION ALL
+SELECT 'alpha' AS tag, doc_id, label
+FROM (
+    WITH strata AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS c
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source AS label,
+           ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 10000 AS b,
+           t.thr
+    FROM documents d
+    JOIN (
+        SELECT source,
+               CAST(floor(sqrt((SELECT MIN(c) FROM strata) / c) * 10000) AS BIGINT)
+                   AS thr
+        FROM strata
+    ) t ON d.source = t.source
+)
+WHERE b < thr
 """,
     tags=("sampling", "mixture", "tokens", "shuffle"),
 )
@@ -712,8 +839,18 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     label so the oracle gates the full permutation, not just shard
     membership — 16 shards, epoch seed 'ep0', map-only assignment (the
     materialized layout is write_shuffled; ordering law pinned in
-    tests/test_properties.py)."""
-    from ..operators.sampling import shuffle_shards, token_budget_sample
+    tests/test_properties.py); (e) temperature-weighted alpha-sampling
+    (the mT5-style mixture rebalance, alpha=0.5): per-stratum keep rate
+    sqrt(c_min/c_i) DERIVED from per-source token mass in one tiny
+    aggregate, broadcast back, membership by the same salted-hash rule
+    — sqrt and division are correctly-rounded IEEE, so the thresholds
+    are bit-identical across engines (operators/sampling.py
+    alpha_mixture_sample; alpha-law tests in tests/test_stats.py)."""
+    from ..operators.sampling import (
+        alpha_mixture_sample,
+        shuffle_shards,
+        token_budget_sample,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     split_arm = stable_split(docs, id_col="doc_id").select(
@@ -739,10 +876,15 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard").cast("string"), F.lit("#"), F.col("order_key")
         ).alias("label"),
     )
+    alpha_arm = alpha_mixture_sample(
+        docs, alpha=0.5, stratum_col="source", id_col="doc_id",
+        size=token_count(F.col("text")),
+    ).select(F.lit("alpha").alias("tag"), "doc_id", F.col("source").alias("label"))
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
         .unionByName(shard_arm)
+        .unionByName(alpha_arm)
     )
 
 

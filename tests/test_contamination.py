@@ -115,3 +115,54 @@ def test_ewma_supports_string_keys(spark):
     ).collect()
     assert {r.symbol for r in got} == {"AAPL"}
     assert sorted(r.ema for r in got) == [10.0, 15.0]
+
+
+def test_boilerplate_scrub_known_corpus(spark):
+    """Repeated 3-gram spans across >= df_cap docs are removed at every
+    covered position; overlapping hot spans merge; short and clean docs
+    pass through intact (normalized token join)."""
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        boilerplate_scrub,
+    )
+
+    boiler = "all rights reserved"
+    rows = [(i, f"body text {i} " + boiler) for i in range(5)]  # df = 5
+    rows.append((10, f"{boiler} extra tail words here"))  # hot span at head
+    rows.append((11, "unique words only in this doc"))  # untouched
+    rows.append((12, "too short"))  # n < k: passes through
+    # overlapping hot spans: "all rights reserved" + "rights reserved forever"
+    rows += [(20 + i, f"pre {boiler} forever post {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in boilerplate_scrub(docs, k=3, df_cap=5).collect()
+    }
+    assert len(out) == len(rows)  # every doc comes back
+    # df("all rights reserved") = 11 >= 5 -> removed everywhere
+    assert out[11] == (6, 0, "unique words only in this doc")
+    assert out[12] == (2, 0, "too short")
+    n, rm, txt = out[0]
+    assert (n, rm) == (6, 3) and txt == "body text 0"
+    assert out[10][2] == "extra tail words here"
+    # overlap docs 20..24 share "pre all rights reserved forever post":
+    # every gram in the shared scaffold hits df=5 ("pre all rights",
+    # "all rights reserved", "rights reserved forever", "reserved
+    # forever post" are ALL hot), so overlapping spans merge to cover
+    # positions 1..6 and only the per-doc suffix survives
+    n, rm, txt = out[20]
+    assert (n, rm) == (7, 6) and txt == "0"
+
+
+def test_boilerplate_scrub_no_hot_grams_identity(spark):
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        boilerplate_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"totally distinct words {i} here") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = boilerplate_scrub(docs, k=3, df_cap=5).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert all(r.clean_text.endswith(f"{r.doc_id} here") for r in out)

@@ -206,3 +206,80 @@ def test_zscore_arm_guards_and_known_value(spark, tmp_path):
     assert out[4] == (None, None)
     assert out[5] == (None, None)
     assert out[6] == (None, None)
+
+
+def test_alpha_mixture_membership_matches_python_replay(spark):
+    """alpha=0.5 membership is a pure function of (per-stratum token
+    mass, salted doc hash): a hashlib + math.sqrt replay on the driver
+    must agree row-for-row (the registered query's DuckDB oracle replays
+    the same rule cross-engine)."""
+    import hashlib
+    import math
+
+    from stock_bars_data_engineering_project_spark.functions.text import token_count
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        alpha_mixture_sample,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    kept = {
+        r.doc_id
+        for r in alpha_mixture_sample(
+            docs, alpha=0.5, size=token_count(F.col("text"))
+        ).select("doc_id").collect()
+    }
+
+    rows = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n")
+    ).collect()
+    mass: dict[str, float] = {}
+    for r in rows:
+        mass[r.source] = mass.get(r.source, 0.0) + float(r.n)
+    cmin = min(mass.values())
+    thr = {s: math.floor(math.sqrt(cmin / c) * 10_000) for s, c in mass.items()}
+    expect = {
+        r.doc_id
+        for r in rows
+        if int(hashlib.md5(f"alpha:{r.doc_id}".encode()).hexdigest()[:12], 16)
+        % 10_000
+        < thr[r.source]
+    }
+    assert kept == expect
+    # the smallest stratum is kept in full (rate exactly 1.0)
+    smallest = min(mass, key=mass.get)
+    n_smallest = sum(1 for r in rows if r.source == smallest)
+    assert sum(1 for r in rows if r.source == smallest and r.doc_id in kept) == n_smallest
+
+
+def test_alpha_mixture_laws(spark):
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        alpha_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("small" if i < 990 else None), 10)
+         for i in range(1000)],
+        "doc_id long, source string, n long",
+    )
+    # alpha=1 reproduces the natural distribution: every row kept
+    assert alpha_mixture_sample(df, alpha=1.0, size=F.col("n")).count() == 1000
+
+    # alpha=0 equalizes expected mass: each stratum's keep-rate is
+    # c_min/c_i, so expected kept tokens per stratum == c_min (hash
+    # noise bounded on 1000 rows)
+    kept0 = alpha_mixture_sample(df, alpha=0.0, size=F.col("n")).groupBy(
+        "source"
+    ).count().collect()
+    by = {r.source: r["count"] for r in kept0}
+    # NULL stratum (10 rows) is its own stratum, NOT silently dropped
+    assert by.get(None) == 10  # smallest stratum: kept in full
+    assert by["small"] in range(5, 16)  # 90 rows * 10/90 ≈ 10
+    assert by["big"] in range(3, 25)  # 900 rows * 10/900 ≈ 10
+
+    # collision guard is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="_thr"):
+        alpha_mixture_sample(df.withColumn("_thr", F.lit(1)), size=F.col("n"))
+    with pytest.raises(ValueError, match="alpha"):
+        alpha_mixture_sample(df, alpha=1.5, size=F.col("n"))

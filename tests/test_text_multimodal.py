@@ -221,3 +221,45 @@ def test_unigram_surprisal_known_values(spark, tmp_path):
     assert set(out) == {1, 2}  # the empty doc has no row
     assert out[1] == pytest.approx(round(exp1, 4), abs=1e-9)
     assert out[2] == pytest.approx(round(exp2, 4), abs=1e-9)
+
+
+def test_quality_scores_replay_and_contract(spark):
+    """Hashed-classifier scores match a hashlib+math replay (the same
+    arithmetic the DuckDB oracle runs), feature count is 2n-1, and
+    token-less docs drop out."""
+    import hashlib
+    import math
+
+    from stock_bars_data_engineering_project_spark.functions.quality_model import (
+        GAIN,
+        N_BUCKETS,
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "solo"), (3, ""), (4, " "), (5, "A a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_features, r.qscore) for r in quality_scores(docs).collect()}
+
+    def w(feat: str) -> float:
+        b = int(hashlib.md5(feat.encode()).hexdigest()[:12], 16) % N_BUCKETS
+        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:12], 16)
+        return h / float(1 << 48) * 2 - 1
+
+    def score(feats: list[str]) -> float:
+        m = sum(w(f) for f in feats) / len(feats)
+        return 1.0 / (1.0 + math.exp(-GAIN * m))
+
+    # unigrams + adjacent bigrams
+    f1 = ["the", "cat", "sat", "the_cat", "cat_sat"]
+    assert out[1][0] == 5
+    assert abs(out[1][1] - score(f1)) < 1e-12
+    # single token: no bigram arm
+    assert out[2][0] == 1
+    assert abs(out[2][1] - score(["solo"])) < 1e-12
+    # empty / whitespace-only docs produce no feature rows
+    assert 3 not in out and 4 not in out
+    # lowercased before hashing: "A a" -> two identical features
+    assert out[5][0] == 3  # a, a, a_a
+    assert abs(out[5][1] - score(["a", "a", "a_a"])) < 1e-12
