@@ -105,6 +105,9 @@ _NLJ_ALLOWED = {
     "tfidf_vocab_suite",
     "stats_suite",
     "a_scan_aggregates",
+    # alpha arm: per-stratum counts x broadcast 1-row global min —
+    # build side is one row, probe side is stratum cardinality
+    "sampling_splits_suite",
 }
 
 
@@ -132,3 +135,76 @@ def _plan_of(df):
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A hive-partitioned fact joined to a selectively-filtered dim must
+    plan a dynamicpruning subquery on the fact scan — at 100 TB this is
+    the difference between scanning one partition and scanning the
+    table. Pinned here so a layout or join-shape refactor cannot
+    silently drop it."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    fact = orders.withColumn("yr", F.year(F.to_date("o_orderdate")))
+    fact.write.mode("overwrite").partitionBy("yr").parquet(f"{tmp_path}/fact")
+    dim = spark.createDataFrame([(1995, "keep"), (1990, "drop")], "yr int, label string")
+    j = spark.read.parquet(f"{tmp_path}/fact").join(
+        dim.filter(F.col("label") == "keep"), "yr"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+
+
+def test_bloom_runtime_filter_injects_on_selective_join(spark):
+    """With the runtime bloom filter enabled, a shuffle join against a
+    selectively-filtered build side plants bloom_filter_agg /
+    might_contain on the probe side — rows that cannot match are
+    dropped BEFORE the shuffle (the runtime analog of the static
+    pushdowns pinned above). Config-gated, so pin the mechanism works
+    in this Spark build; restore session confs after."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -47,7 +47,11 @@ from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa:
     simhash_pairs,
 )
 from stock_bars_data_engineering_project_spark.operators.contamination import (  # noqa: E402
+    boilerplate_scrub,
     contamination_overlap,
+)
+from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
+    quality_scores,
 )
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
@@ -193,6 +197,14 @@ def run(
             docs.filter(F.col("doc_id") % 20 == 0),
         ),
         "ewma": lambda: ewma_per_key(events),
+        # corpus-boilerplate scrub: replica token-suffixing keeps each
+        # replica's hot-gram structure intact while sharing none across
+        # replicas, so the hot set and covered positions grow linearly —
+        # the curve should track the gram-df shuffle (the largest stage)
+        "boilerplate": lambda: boilerplate_scrub(docs),
+        # hashed-classifier scoring: one explode + partial-agg groupBy,
+        # all codegen — the curve should track scan+explode cost
+        "qscore": lambda: quality_scores(docs),
         # corpus-unigram-model quality scoring: wordcount shuffle +
         # token-keyed join of the exploded corpus against its own
         # count table — the join fan-in is token cardinality, which
