@@ -1,0 +1,189 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+Training an LLM tokenizer is itself a corpus-scale job: the classic BPE
+loop (Sennrich et al. 2016, the algorithm behind GPT-2/RoBERTa vocab
+construction) repeatedly merges the most frequent adjacent symbol pair.
+The naive reading — rewrite the whole corpus every round — is dead at
+100 TB. The trick every production trainer uses (HuggingFace tokenizers
+does the same) is that BPE only needs WORD COUNTS: the corpus is
+scanned exactly once into a (word, n) table of vocabulary cardinality
+(Heaps'-law sub-linear), and all subsequent rounds operate on that
+small table.
+
+Spark-first shape:
+
+- corpus -> word counts: one explode + one partial-aggregable groupBy —
+  the only corpus-sized stage, identical to the vocab pass in
+  plans/extensions.py;
+- per round: adjacent-pair counts via a map-side zip_with of two array
+  slices weighted by the word count, ONE vocabulary-sized partial-agg
+  shuffle, and a 1-row TakeOrdered argmax (a sanctioned driver-side
+  scalar: the merge table IS the model and is O(n_merges) by
+  definition);
+- merge application: a left-fold over each word's symbol array
+  (``F.aggregate`` with a carry — leftmost-first, non-overlapping: the
+  exact sequential semantics of the reference algorithm). The fold is
+  an interpreted higher-order function, which this engine normally
+  avoids on corpus-sized inputs (see the simhash history in
+  BASELINE.md) — here it runs on the VOCAB table, whose cardinality the
+  wordcount pass already collapsed.
+
+Rounds are inherently sequential (each merge changes the pair
+distribution, like Lloyd iterations in similarity.kmeans_refine); each
+round persists its symbol table and unpersists the previous one so
+lineage stays O(1) deep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus -> (word, n): the single corpus-sized pass of BPE
+    training. Map-side combine absorbs the Zipf head before the
+    shuffle."""
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    return (
+        df.select(F.explode(F.split(text, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _initial_symbols(word: Column, eow: str | None) -> Column:
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    if eow:
+        chars = F.concat(chars, F.array(F.lit(eow)))
+    return chars
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Leftmost-first, non-overlapping replacement of the adjacent pair
+    (a, b) with a+b — a single left fold with a one-symbol carry.
+
+    Walking the array: the carry holds the previous unmerged symbol.
+    Seeing ``x`` with carry == a and x == b emits the merged symbol and
+    clears the carry (so the merged token cannot immediately re-merge —
+    'aaa' under (a,a) becomes ['aa','a'], the reference semantics);
+    otherwise the carry is flushed and ``x`` becomes the new carry.
+    """
+    merged = a + b
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("out"), F.lit(None).cast("string").alias("carry"))
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = (acc["carry"] == a) & (x == b)
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["carry"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["carry"])))
+                .alias("out"),
+                x.alias("carry"),
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        )
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-pair frequencies weighted by word count —
+    map-side zip_with of two slices, one partial-agg shuffle."""
+    sz = F.size("syms")
+    pairs = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("syms", 1, sz - 1),
+            F.slice("syms", 2, sz - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        symtab.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    eow: str | None = EOW,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
+    ordered rule list ``[(a, b, pair_count), ...]`` — the tokenizer
+    model. Deterministic: ties on count break lexicographically on
+    (a, b), so the learned vocabulary is reproducible across runs,
+    partitionings, and engines.
+
+    Stops early (returns fewer rules) when no remaining pair reaches
+    ``min_pair_count`` — merging singleton pairs only memorizes the
+    corpus."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    wc = word_counts(df, text_col=text_col, lowercase=lowercase)
+    symtab = wc.select(
+        "n", _initial_symbols(F.col("word"), eow).alias("syms")
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                _pair_counts(symtab)
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_pair_count:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((a, b, cnt))
+            nxt = symtab.select(
+                "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            symtab.unpersist()
+            symtab = nxt
+    finally:
+        symtab.unpersist()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    word_col: str = "word",
+    eow: str | None = EOW,
+) -> DataFrame:
+    """Apply a learned merge sequence to a table of words: adds a
+    ``pieces`` array<string> column — the tokenizer's ENCODE side,
+    replaying each rule in training order (the defining property of
+    BPE: encode applies merges in learned order, not greedily by
+    frequency)."""
+    syms = _initial_symbols(F.col(word_col), eow)
+    for rule in merges:
+        a, b = rule[0], rule[1]
+        syms = _apply_merge(syms, a, b)
+    return df.withColumn("pieces", syms)
