@@ -45,6 +45,30 @@ def main() -> None:
         help="with --corpus: keep only the FRAC least-surprising documents "
         "under the corpus unigram model (e.g. 0.9 drops the worst 10%%)",
     )
+    ap.add_argument(
+        "--boilerplate-df-cap",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --corpus: scrub 3-token spans appearing in >= N "
+        "distinct documents from every text (C4-style boilerplate removal)",
+    )
+    ap.add_argument(
+        "--classifier-min-score",
+        type=float,
+        default=None,
+        metavar="S",
+        help="with --corpus: drop documents under S on the hashed "
+        "linear quality classifier (functions/quality_model.py)",
+    )
+    ap.add_argument(
+        "--mixture-alpha",
+        type=float,
+        default=None,
+        metavar="A",
+        help="with --corpus: temperature-rebalance per-source token mass "
+        "(A=1 natural, smaller boosts rare sources toward parity)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stock-bars-pipeline")
@@ -57,6 +81,9 @@ def main() -> None:
             args.warehouse,
             export_jsonl_dir=args.export_jsonl,
             surprisal_keep_frac=args.surprisal_keep_frac,
+            boilerplate_df_cap=args.boilerplate_df_cap,
+            classifier_min_score=args.classifier_min_score,
+            mixture_alpha=args.mixture_alpha,
         )
         print(json.dumps({"pipeline": "corpus", "warehouse": args.warehouse, **counts}))
         return

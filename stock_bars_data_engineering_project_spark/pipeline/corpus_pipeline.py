@@ -12,9 +12,19 @@ operators, in the order a real corpus build runs them:
                                    keeps each cluster's BEST-quality
                                    member, not the lowest id)
       3. benchmark decontamination (drop docs overlapping the eval split)
+      3b. optional boilerplate scrub (remove corpus-repeated k-gram
+                                   spans from the surviving text —
+                                   off by default)
       4. PII scrub                 (regex replace, audited)
       5. optional surprisal gate   (drop the worst tail by corpus-
                                    unigram-LM surprisal — off by default)
+      5b. optional classifier gate (hashed linear quality classifier
+                                   score floor — off by default)
+      5c. optional alpha mixture   (temperature-rebalance the per-source
+                                   mass — off by default; sits BEFORE
+                                   the quality gate so the gate's
+                                   observe() stays on a consumed-once
+                                   linear chain)
       6. quality gate              (composite score threshold)
       7. stable train/val/test split
       8. token counts + sequence packing per (split, source) shard
@@ -31,8 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.quality_model import quality_scores
 from ..functions.text import quality_score, token_count
-from ..operators.contamination import contamination_overlap
+from ..operators.contamination import boilerplate_scrub, contamination_overlap
 from ..operators.dedup import (
     canonical_selection,
     dedup_clusters,
@@ -40,7 +51,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
 )
 from ..operators.quality import unigram_surprisal
-from ..operators.sampling import stable_split
+from ..operators.sampling import alpha_mixture_sample, stable_split
 from ..sinks.warehouse import ParquetWarehouse
 from ..sources.readers import load_table
 
@@ -54,6 +65,9 @@ def prepare_corpus(
     max_contamination: float = 0.5,
     pack_budget: int = 2048,
     surprisal_keep_frac: float | None = None,
+    boilerplate_df_cap: int | None = None,
+    classifier_min_score: float | None = None,
+    mixture_alpha: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-8 and return (final corpus frame, per-stage counts).
 
@@ -67,6 +81,22 @@ def prepare_corpus(
     including token-less documents, which have no defined surprisal and
     nothing to train on. ``None`` (default) skips the stage entirely,
     leaving the plan untouched.
+
+    ``boilerplate_df_cap`` (e.g. 5) switches on the corpus-level
+    repeated-span scrub: 3-token spans appearing in >= cap distinct
+    surviving docs are removed from every document's text
+    (operators/contamination.boilerplate_scrub) BEFORE PII scrub and
+    quality scoring, so downstream gates judge the cleaned text.
+
+    ``classifier_min_score`` (e.g. 0.4) switches on the hashed linear
+    quality-classifier gate (functions/quality_model.py): drop docs
+    scoring below the floor. Feature-less docs have no score row and
+    drop — same contract as the surprisal gate.
+
+    ``mixture_alpha`` (e.g. 0.5) temperature-rebalances the per-source
+    token mass right before splitting (operators/sampling.py
+    alpha_mixture_sample) — 1.0 is a no-op natural distribution,
+    smaller boosts rare sources toward parity.
     """
     counts: dict[str, int] = {"raw": docs.count()}
 
@@ -99,6 +129,24 @@ def prepare_corpus(
     )
     counts["decontaminated"] = corpus.count()
 
+    if boilerplate_df_cap is not None:
+        # corpus-level repeated-span removal on the SURVIVING corpus
+        # (hot spans are counted after dedup/decontam so dropped docs
+        # don't vote); the text column is replaced by the rebuilt clean
+        # text. Two consumers of `corpus` (gram counting + the join
+        # back), so checkpoint + explicit count like the other funnel
+        # stages.
+        clean = boilerplate_scrub(corpus, k=3, df_cap=boilerplate_df_cap).select(
+            "doc_id", F.col("clean_text").alias("_clean")
+        )
+        corpus = (
+            corpus.join(clean, "doc_id")
+            .withColumn("text", F.col("_clean"))
+            .drop("_clean")
+            .localCheckpoint(eager=True)
+        )
+        counts["boilerplate_scrubbed"] = corpus.count()
+
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
     )
@@ -129,6 +177,27 @@ def prepare_corpus(
             eager=True
         )
         counts["surprisal_gated"] = corpus.count()
+
+    if classifier_min_score is not None:
+        # hashed-classifier floor: one explode + partial-agg scoring
+        # pass, gate as a semi-join (feature-less docs drop — contract)
+        keep_ids = (
+            quality_scores(corpus)
+            .filter(F.col("qscore") >= classifier_min_score)
+            .select("doc_id")
+        )
+        corpus = corpus.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        counts["classifier_gated"] = corpus.count()
+
+    if mixture_alpha is not None:
+        # temperature rebalance of per-source token mass; map-only
+        # membership once the tiny per-stratum threshold table exists
+        corpus = alpha_mixture_sample(
+            corpus, alpha=mixture_alpha, size=token_count(F.col("text"))
+        ).localCheckpoint(eager=True)
+        counts["alpha_mixture"] = corpus.count()
 
     # quality_gated rides the FINAL count's job as an observe() metric:
     # from here to the end the frame is a linear chain consumed exactly

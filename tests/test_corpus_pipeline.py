@@ -90,3 +90,45 @@ def test_surprisal_gate_stage(spark, tmp_path):
 
     counts_off = run_corpus_pipeline(spark, SF, str(tmp_path / "plain"))
     assert "surprisal_gated" not in counts_off
+
+
+def test_new_cleaning_stages(spark, tmp_path):
+    """Boilerplate scrub, classifier gate and alpha mixture: funnel
+    stages appear only when switched on, stay monotone, and the scrub
+    really shrinks text."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    corpus, counts = prepare_corpus(
+        docs,
+        boilerplate_df_cap=5,
+        classifier_min_score=0.05,
+        mixture_alpha=0.5,
+    )
+    for stage in ("boilerplate_scrubbed", "classifier_gated", "alpha_mixture"):
+        assert stage in counts
+    # funnel order and monotonicity through the new stages
+    assert counts["decontaminated"] == counts["boilerplate_scrubbed"]  # rewrite, not a drop
+    assert counts["boilerplate_scrubbed"] >= counts["classifier_gated"]
+    assert counts["classifier_gated"] >= counts["alpha_mixture"]
+    assert counts["alpha_mixture"] >= counts["quality_gated"]
+
+    # the scrub really removed corpus-hot spans: for documents present
+    # in BOTH runs, per-doc text only differs by the boilerplate rewrite
+    # (PII scrub applies in both; gates/mixture only drop rows), so the
+    # joined text mass must strictly shrink
+    plain, counts_off = prepare_corpus(docs)
+    for stage in ("boilerplate_scrubbed", "classifier_gated", "alpha_mixture"):
+        assert stage not in counts_off
+    j = (
+        corpus.select("doc_id", F.length("text").alias("la"))
+        .join(plain.select("doc_id", F.length("text").alias("lb")), "doc_id")
+        .agg(F.sum("la").alias("a"), F.sum("lb").alias("b"))
+        .collect()[0]
+    )
+    assert j["a"] < j["b"]
