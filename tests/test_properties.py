@@ -267,3 +267,51 @@ def test_validation_checks_match_python_recompute(spark, rows, parent_keys):
     orphan_keys = {k for k, _ in rows if k is not None} - pset
     exp = len(orphan_keys) + (1 if any(k is None for k, _ in rows) else 0)
     assert (r.observed, r.failed, r.ok) == (exp, exp, int(exp == 0))
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus, st.integers(2, 3), st.integers(2, 3))
+def test_boilerplate_scrub_matches_python_reference(spark, token_lists, k, cap):
+    """boilerplate_scrub == a direct Python implementation of the rule
+    (hot k-gram = df >= cap; remove every covered position) on random
+    tiny-alphabet corpora — the shapes (overlapping spans, all-hot docs,
+    short docs, repeated grams within one doc) that break off-by-ones."""
+    from collections import defaultdict
+
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        boilerplate_scrub,
+    )
+
+    texts = [" ".join(toks) for toks in token_lists]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in boilerplate_scrub(docs, k=k, df_cap=cap).collect()
+    }
+
+    # reference: note split(" ") of "" yields [""] — one (empty) token,
+    # matching the engines' split semantics
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    df_count = defaultdict(set)
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            df_count[tuple(ts[s : s + k])].add(i)
+    hot = {g for g, ds in df_count.items() if len(ds) >= cap}
+    expect = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - k + 1):
+            if tuple(ts[s : s + k]) in hot:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        expect[i] = (len(ts), len(covered), " ".join(kept))
+    assert got == expect
