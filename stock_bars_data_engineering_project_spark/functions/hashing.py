@@ -34,6 +34,19 @@ LSH_BANDS = 4
 LSH_ROWS = MINHASH_SIGS // LSH_BANDS
 
 
+def md5_bucket48(key: Column, n_buckets: int, salt: str = "") -> Column:
+    """THE 48-bit bucket idiom, defined once: first 12 hex chars of the
+    (optionally ``salt:``-prefixed) key's md5 — 48 bits < 2^53, exact in
+    every engine's integer and double arithmetic — mod ``n_buckets``.
+    Raw primitive: a NULL key yields a NULL bucket; callers that route
+    rows by the bucket must add their own loud NULL guard
+    (operators/sampling.hash_bucket does)."""
+    keyed = (
+        F.concat(F.lit(f"{salt}:"), key.cast("string")) if salt else key.cast("string")
+    )
+    return F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
+
+
 def minhash_signature(shingles: Column, n_sigs: int = MINHASH_SIGS) -> Column:
     """array<string> of ``n_sigs`` MinHash values: for seed s, the
     lexicographic min of ``md5(s || ':' || shingle)``. Min of a uniform

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import md5_bucket48
 from .text import tokens
 
 N_BUCKETS = 1 << 20
@@ -58,8 +59,10 @@ def doc_features(text: Column) -> Column:
 
 
 def feature_bucket(feat: Column) -> Column:
-    """Hashing trick: md5 prefix (48 bits, engine-exact) mod 2^20."""
-    return F.conv(F.substring(F.md5(feat), 1, 12), 16, 10).cast("long") % N_BUCKETS
+    """Hashing trick: the shared 48-bit md5 bucket idiom mod 2^20
+    (features come from explode and are never NULL, so the raw
+    primitive applies)."""
+    return md5_bucket48(feat, N_BUCKETS)
 
 
 def bucket_weight(bucket: Column) -> Column:

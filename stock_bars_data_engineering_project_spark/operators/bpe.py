@@ -30,8 +30,9 @@ Spark-first shape:
 
 Rounds are inherently sequential (each merge changes the pair
 distribution, like Lloyd iterations in similarity.kmeans_refine); each
-round persists its symbol table and unpersists the previous one so
-lineage stays O(1) deep.
+round materializes its symbol table with a lineage-truncating
+checkpoint so the plan stays O(1) deep however many merges are
+learned.
 """
 
 from __future__ import annotations
@@ -144,30 +145,31 @@ def train_bpe(
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     wc = word_counts(df, text_col=text_col, lowercase=lowercase)
+    # localCheckpoint per round, NOT persist: persist caches blocks but
+    # leaves the logical plan intact, so each round would nest another
+    # fold and analysis cost would grow quadratically with n_merges
+    # (Catalyst stack overflow at real vocab sizes). Same per-iteration
+    # truncation as similarity.kmeans_refine / dedup's label
+    # propagation; same cluster-durability caveat and remedy as
+    # dedup_clusters discusses.
     symtab = wc.select(
         "n", _initial_symbols(F.col("word"), eow).alias("syms")
-    ).persist()
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    try:
-        for _ in range(n_merges):
-            top = (
-                _pair_counts(symtab)
-                .orderBy(F.col("cnt").desc(), "a", "b")
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["cnt"] < min_pair_count:
-                break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((a, b, cnt))
-            nxt = symtab.select(
-                "n", _apply_merge(F.col("syms"), a, b).alias("syms")
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            symtab.unpersist()
-            symtab = nxt
-    finally:
-        symtab.unpersist()
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(symtab)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        symtab = symtab.select(
+            "n", _apply_merge(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -176,14 +178,28 @@ def bpe_segment(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     word_col: str = "word",
     eow: str | None = EOW,
+    checkpoint_every: int = 64,
 ) -> DataFrame:
     """Apply a learned merge sequence to a table of words: adds a
     ``pieces`` array<string> column — the tokenizer's ENCODE side,
     replaying each rule in training order (the defining property of
     BPE: encode applies merges in learned order, not greedily by
-    frequency)."""
+    frequency).
+
+    Rules are applied in chunks of ``checkpoint_every`` nested folds
+    with a lineage-truncating materialization between chunks: a
+    production merge list (tens of thousands of rules) folded into ONE
+    column expression would build a Catalyst tree deep enough to blow
+    analysis/codegen. A merge list at most one chunk long stays a pure
+    single-plan transform."""
+    if checkpoint_every <= 0:
+        raise ValueError(f"checkpoint_every must be positive, got {checkpoint_every}")
     syms = _initial_symbols(F.col(word_col), eow)
-    for rule in merges:
+    out = df
+    for i, rule in enumerate(merges):
         a, b = rule[0], rule[1]
         syms = _apply_merge(syms, a, b)
-    return df.withColumn("pieces", syms)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
+            out = out.withColumn("pieces", syms).localCheckpoint(eager=True)
+            syms = F.col("pieces")
+    return out.withColumn("pieces", syms)

@@ -147,8 +147,14 @@ def boilerplate_scrub(
     )
     joined = base.join(covered, "doc_id", "left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.col("toks"), lambda t, i: ~F.array_contains(cov, i + F.lit(1))
+    # kept positions via set difference, then positions -> tokens: an
+    # array_contains probe per token would be O(n_tokens * n_covered)
+    # inside one row — a boilerplate-heavy long doc could dominate its
+    # task. array_except preserves the first argument's (already
+    # sorted) order, so the rebuild stays in document order.
+    kept = F.transform(
+        F.array_except(F.sequence(F.lit(1), F.size("toks")), cov),
+        lambda p: F.element_at(F.col("toks"), p),
     )
     return joined.select(
         "doc_id",

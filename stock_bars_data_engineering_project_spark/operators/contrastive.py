@@ -22,8 +22,10 @@ primitives:
   rows per slot), no per-anchor shuffle, no cross join. Slots that
   land in an empty bucket drop (rare once n_buckets <= corpus size;
   the count contract is "at most n_rand", like every hash-sampling op
-  here). Collisions with the anchor's positive/hard set are anti-joined
-  away rather than resampled — deterministic beats exactly-n.
+  here). Picks colliding with ANYTHING the ANN call saw for that anchor
+  (positives, hard band, even floor-rejected near neighbors) are
+  anti-joined away rather than resampled, and same-anchor duplicate
+  picks keep only their lowest slot — deterministic beats exactly-n.
 """
 
 from __future__ import annotations
@@ -31,12 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sampling import hash_bucket
 from .similarity import cosine_topk
-
-
-def _bucket48(col, n_buckets: int, salt: str):
-    keyed = F.concat(F.lit(f"{salt}:"), col.cast("string"))
-    return F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
 
 
 def contrastive_pairs(
@@ -93,7 +91,7 @@ def contrastive_pairs(
             n_buckets = max(1, corpus.count())
         rows = corpus.select(
             F.col(id_col).alias("other_id"),
-            _bucket48(F.col(id_col), n_buckets, "negrow").alias("_bkt"),
+            hash_bucket(F.col(id_col), n_buckets, salt="negrow").alias("_bkt"),
         )
         slots = anchors.select(F.col(id_col).alias("anchor_id")).crossJoin(
             F.broadcast(
@@ -104,10 +102,10 @@ def contrastive_pairs(
         ).select(
             "anchor_id",
             "slot",
-            _bucket48(
+            hash_bucket(
                 F.concat_ws("#", F.col("anchor_id"), F.col("slot")),
                 n_buckets,
-                "negslot",
+                salt="negslot",
             ).alias("_bkt"),
         )
         picked = (
@@ -116,10 +114,19 @@ def contrastive_pairs(
             .groupBy("anchor_id", "slot")
             # deterministic pick inside the bucket: hash-minimal row
             .agg(F.min_by("other_id", F.md5(F.col("other_id").cast("string"))).alias("other_id"))
+            # two slots of one anchor can hash to the same bucket and
+            # pick the same row — keep one (lowest slot), a duplicate
+            # negative teaches nothing and double-counts in the loss
+            .groupBy("anchor_id", "other_id")
+            .agg(F.min("slot").alias("slot"))
         )
-        # a random pick colliding with this anchor's pos/hard set would
-        # poison the loss — anti-join it away
-        taken = out.select("anchor_id", "other_id")
+        # a random pick colliding with this anchor's near-neighborhood
+        # would poison the loss — exclude EVERYTHING the ANN call saw
+        # (including positives the pos_floor gated away: a too-weak
+        # positive is still far too similar to serve as a negative)
+        taken = neighbors.select(
+            F.col("query_id").alias("anchor_id"), F.col("vec_id").alias("other_id")
+        )
         rand = (
             picked.join(taken, ["anchor_id", "other_id"], "left_anti")
             .select(

@@ -27,8 +27,9 @@ def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
     the lowest buckets, which all fall inside the train split's range —
     sampling then splitting would yield 100%% train, empty val/test).
     """
-    keyed = F.concat(F.lit(f"{salt}:"), key.cast("string")) if salt else key.cast("string")
-    bucket = F.conv(F.substring(F.md5(keyed), 1, 12), 16, 10).cast("long") % n_buckets
+    from ..functions.hashing import md5_bucket48
+
+    bucket = md5_bucket48(key, n_buckets, salt=salt)
     # A NULL key hashes to NULL, and NULL propagates differently through
     # each consumer (filters silently DROP the row, a when-chain's
     # otherwise() routes it to the LAST split — NULL-id docs would

@@ -818,7 +818,9 @@ FROM (
                CAST(floor(sqrt((SELECT MIN(c) FROM strata) / c) * 10000) AS BIGINT)
                    AS thr
         FROM strata
-    ) t ON d.source = t.source
+    -- null-safe: the Spark side treats a NULL stratum as a stratum
+    -- (eqNullSafe join); a plain equi-join would silently drop it
+    ) t ON d.source IS NOT DISTINCT FROM t.source
 )
 WHERE b < thr
 """,

@@ -75,3 +75,28 @@ def test_rand_negatives_deterministic_and_floor(spark):
         _mine(spark, n_rand=-1)
     with pytest.raises(ValueError, match="nothing to mine"):
         _mine(spark, n_pos=0, n_hard=0, n_rand=0)
+
+
+def test_rand_excludes_floor_rejected_neighbors_and_dedups(spark):
+    """Review-batch pins: (a) a near neighbor that FAILED pos_floor is
+    still never emitted as a random negative (the exclusion set is the
+    full ANN neighborhood, not the floor-filtered survivors); (b) no
+    anchor carries the same random other_id in two slots."""
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4)
+    out = contrastive_pairs(
+        emb, anchors, n_pos=3, n_hard=2, n_rand=8, pos_floor=1.01
+    ).collect()
+    seen = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, anchors, k=5).collect()
+    }
+    rand = [r for r in out if r.role == "rand"]
+    assert rand, "need rand rows for the exclusion check"
+    assert all((r.anchor_id, r.other_id) not in seen for r in rand)
+    pairs = [(r.anchor_id, r.other_id) for r in rand]
+    assert len(pairs) == len(set(pairs))
