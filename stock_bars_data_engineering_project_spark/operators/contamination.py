@@ -105,13 +105,36 @@ def boilerplate_scrub(
     spaces (a normalized token join, both engines reassemble
     identically). Documents shorter than k tokens pass through intact.
     """
+    pos_grams = positional_grams(df, k, id_col=id_col, text_col=text_col)
+    hot = (
+        gram_doc_frequency(pos_grams)
+        .filter(F.col("gram_df") >= df_cap)
+        .select("gram")
+    )
+    return scrub_against(
+        df,
+        hot,
+        k,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_hot=broadcast_hot,
+        pos_grams=pos_grams,
+    )
+
+
+def positional_grams(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gram): every k-token span with its 1-based start
+    position — map-side array ops (sequence + slice + concat_ws), one
+    explode."""
     from ..sources.readers import balance
 
     toks = tokens(F.col(text_col))
     base = balance(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     n = F.size("toks")
     empty_pg = F.array().cast("array<struct<pos:int,gram:string>>")
-    pos_grams = base.select(
+    return base.select(
         "doc_id",
         F.explode(
             F.when(
@@ -129,12 +152,36 @@ def boilerplate_scrub(
         ).alias("pg"),
     ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
 
-    hot = (
-        pos_grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("gram_df"))
-        .filter(F.col("gram_df") >= df_cap)
-        .select("gram")
+
+def gram_doc_frequency(pos_grams: DataFrame) -> DataFrame:
+    """(gram, gram_df): distinct-document frequency per gram — ONE
+    partial-aggregable groupBy. Per-batch frames are MERGEABLE by
+    summing gram_df (append-only corpora count each doc in exactly one
+    batch), which is what the incremental path exploits."""
+    return pos_grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gram_df")
     )
+
+
+def scrub_against(
+    df: DataFrame,
+    hot: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_hot: bool = True,
+    pos_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every position covered by an occurrence of a ``hot`` gram
+    (a 1-column ``gram`` frame) from each document — the apply side of
+    the scrub, reusable against ANY hot set (batch-local, full-corpus,
+    or the incrementally maintained one)."""
+    from ..sources.readers import balance
+
+    toks = tokens(F.col(text_col))
+    base = balance(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    if pos_grams is None:
+        pos_grams = positional_grams(df, k, id_col=id_col, text_col=text_col)
     hot_side = F.broadcast(hot) if broadcast_hot else hot
     covered = (
         pos_grams.join(hot_side, "gram")
@@ -161,4 +208,60 @@ def boilerplate_scrub(
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(cov).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def ingest_scrub_batch(
+    wh,
+    batch: DataFrame,
+    counts_table: str = "gram_counts",
+    k: int = 3,
+    df_cap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental boilerplate maintenance: fold a new batch's gram
+    document-frequencies into a persisted counts table and scrub the
+    batch against the MERGED hot set — without re-counting the corpus
+    (the scrub analog of incremental_dedup's band index / the rollup
+    fold).
+
+    Mergeability: with append-only doc ids each document contributes to
+    exactly one batch's counts, so per-gram distinct-doc counts ADD
+    across batches — the merged table equals a full-corpus recount
+    (pinned in tests). Singletons must be KEPT: a gram appearing once
+    per batch across df_cap batches is hot, and pruning df=1 rows would
+    silently lose those counts. The state is therefore distinct-gram-
+    cardinality-sized (the same O(corpus-vocabulary) class as
+    incremental_dedup's band index), rewritten per batch as a
+    snapshot — at streaming cadence use the epoch-log pattern
+    (streaming/incremental.py) instead of this read-modify-write.
+
+    Law: the returned scrub of THIS batch is identical to running
+    :func:`boilerplate_scrub` over the full corpus and restricting to
+    the batch's documents — both use the same merged hot set. Earlier
+    batches were delivered against the counts known at THEIR ingest
+    time; re-running :func:`scrub_against` over the stored corpus with
+    the current counts (compaction-time re-scrub) reconciles exactly to
+    the full-corpus scrub.
+
+    Returns the scrubbed batch frame ``(doc_id, n_tokens, n_removed,
+    clean_text)``.
+    """
+    pos_grams = positional_grams(batch, k, id_col=id_col, text_col=text_col)
+    batch_counts = gram_doc_frequency(pos_grams)
+    if wh.exists(counts_table):
+        merged = (
+            wh.read(counts_table)
+            .unionByName(batch_counts)
+            .groupBy("gram")
+            .agg(F.sum("gram_df").alias("gram_df"))
+        )
+    else:
+        merged = batch_counts
+    merged = merged.localCheckpoint(eager=True)  # sever from the old snapshot
+    wh.overwrite(merged, counts_table)
+    hot = wh.read(counts_table).filter(F.col("gram_df") >= df_cap).select("gram")
+    return scrub_against(
+        batch, hot, k, id_col=id_col, text_col=text_col, pos_grams=pos_grams
     )
