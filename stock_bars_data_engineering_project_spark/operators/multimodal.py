@@ -237,3 +237,127 @@ def media_metadata_only(df: DataFrame) -> DataFrame:
     """Metadata projection — the plan must NOT read the payload column
     (verified by tests via the scan's ReadSchema)."""
     return df.select("media_id", "media_type", "byte_len", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+_PHASH_BLOCKS = 4  # 4 x 16-bit blocks: lossless pigeonhole for hamming <= 3
+
+
+def fake_gray8x8(payload: bytes) -> list[int]:
+    """Deterministic stand-in for decode+resize-to-8x8-grayscale:
+    64 pixel values md5-expanded from the payload (same seam pattern as
+    fake_feature_extractor — identical payloads get identical pixels,
+    so exact re-encodes collapse; a REAL decoder additionally collapses
+    re-compressions and small edits)."""
+    if payload is None:
+        return [0] * PHASH_BITS
+    out = []
+    for i in range(PHASH_BITS // 16):
+        out.extend(hashlib.md5(payload + bytes([i])).digest())
+    return out[:PHASH_BITS]
+
+
+def _gray8x8(payload: bytes) -> list[int]:
+    """Real path when Pillow is importable: decode, 8x8 grayscale
+    resample; fake pixels otherwise (plumbing stays identical)."""
+    Image = _pil()
+    if Image is None:
+        return fake_gray8x8(payload)
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+    return list(img.getdata())
+
+
+def average_hash(pixels: list[int]) -> int:
+    """Classic aHash: bit i set iff pixel i is above the mean. Returned
+    as a SIGNED 64-bit value (two's complement wrap for bit 63) so it
+    round-trips through Spark's LongType / Arrow int64."""
+    mean = sum(pixels) / len(pixels)
+    h = 0
+    for i, p in enumerate(pixels):
+        if p > mean:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hashes(df: DataFrame) -> DataFrame:
+    """(media_id, phash): 64-bit average-hash per image payload —
+    mapInPandas over the binary column (Arrow-batched; the payload
+    never survives past this stage, so downstream dedup shuffles 8
+    bytes per image, not the image)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        average_hash(_gray8x8(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        _hash, "media_id long, phash long"
+    )
+
+
+def phash_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: pigeonhole
+    blocking on 4 x 16-bit blocks (lossless for hamming <= 3: a pair
+    differing in at most 3 bits leaves at least one block intact), then
+    a codegen hamming verify BEFORE the distinct-pair shuffle — the
+    same discipline as dedup.simhash_pairs, over image hashes instead
+    of text fingerprints.
+
+    ``max_hamming`` must stay < _PHASH_BLOCKS or the blocking loses
+    pairs — enforced loudly.
+    """
+    from ..functions.hashing import hamming
+    from .dedup import _bucket_pairs
+
+    if not 0 <= max_hamming < _PHASH_BLOCKS:
+        raise ValueError(
+            f"max_hamming must be in [0, {_PHASH_BLOCKS - 1}] for lossless "
+            f"{_PHASH_BLOCKS}-block pigeonhole blocking, got {max_hamming}"
+        )
+    width = PHASH_BITS // _PHASH_BLOCKS
+    blocked = hashed.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_key"),
+                    )
+                    for b in range(_PHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "media_id",
+        "phash",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_key").alias("block_key"),
+    )
+    pairs = _bucket_pairs(
+        blocked,
+        keys=["block_idx", "block_key"],
+        id_col="media_id",
+        payload_cols=("phash",),
+        pair_pred=lambda a, b: hamming(a["phash"], b["phash"]) <= max_hamming,
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming(F.col("a.phash"), F.col("b.phash")).cast("int").alias("hamming"),
+    )

@@ -263,3 +263,63 @@ def test_quality_scores_replay_and_contract(spark):
     # lowercased before hashing: "A a" -> two identical features
     assert out[5][0] == 3  # a, a, a_a
     assert abs(out[5][1] - score(["a", "a", "a_a"])) < 1e-12
+
+
+def test_phash_dedup_pipeline(spark):
+    """Perceptual-hash image dedup: exact payload copies collapse
+    (hamming 0); blocked pairs == brute-force pairs within max_hamming
+    on controlled hash values; guard on the pigeonhole bound."""
+    import itertools
+
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        attach_binary_payload,
+        average_hash,
+        fake_gray8x8,
+        perceptual_hashes,
+        phash_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "different bytes")],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs)
+    hashed = perceptual_hashes(media)
+    rows = {r.media_id: r.phash for r in hashed.collect()}
+    # deterministic fake decode: equal payloads -> equal hash; and the
+    # driver-side replay agrees with the executor-side computation
+    assert rows[1] == rows[2]
+    assert rows[1] == average_hash(fake_gray8x8(b"same bytes"))
+    pairs = phash_dup_pairs(hashed, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs if r.hamming == 0] == [(1, 2, 0)]
+
+    # pigeonhole completeness on controlled hashes: flip bits across
+    # blocks so pairs at hamming 1..3 exist plus one at 4 (excluded)
+    base = 0x0123456789ABCDEF
+    ctl = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base ^ 0b1),                      # hamming 1
+            (12, base ^ (1 << 16) ^ (1 << 32)),    # hamming 2, two blocks
+            (13, base ^ 0b111),                    # hamming 3 vs 10
+            (14, base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)),  # 4
+        ],
+        "media_id long, phash long",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_dup_pairs(ctl, max_hamming=3).collect()
+    }
+    vals = {r.media_id: r.phash for r in ctl.collect()}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == expect
+    assert (10, 14) not in got  # hamming 4 excluded
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_dup_pairs(ctl, max_hamming=4)
