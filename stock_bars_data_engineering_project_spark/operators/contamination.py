@@ -211,6 +211,92 @@ def scrub_against(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    split_re: str = r"\n{2,}",
+    join_delim: str = "\n\n",
+    min_chars: int = 1,
+    casefold: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global exact paragraph dedup (the C4/RefinedWeb pass that
+    complements :func:`boilerplate_scrub`): every paragraph occurrence
+    that is not the globally FIRST occurrence of its normalized form is
+    removed; first occurrences — ordered by ``(doc_id, position)`` so
+    the keeper is deterministic — survive in place.
+
+    Matching normalizes each paragraph (trim + inner-whitespace
+    collapse, lowercase unless ``casefold=False``) and keys on the
+    128-bit md5 of the normalized form — the same exact-dedup key
+    discipline as ``dedup_exact`` (operators/dedup.py). Paragraphs whose
+    normalized length is under ``min_chars`` are exempt (always kept):
+    empty/near-empty fragments would otherwise both be destroyed
+    corpus-wide AND form degenerate hot keys.
+
+    Scale shape (the 100-TB question is the boilerplate paragraph that
+    appears in millions of documents):
+    1. split + posexplode — map-side;
+    2. winner per key via ``min(struct(doc_id, pos))`` — a partial
+       aggregate, so the Zipf-head key collapses to one row per map
+       task BEFORE the exchange (a window over the key would drag every
+       occurrence of the hottest paragraph into one task);
+    3. occurrences ⋈ winners on the md5 key to mark non-winners — a
+       plain shuffle equi-join, AQE skew-split eligible, carrying only
+       ``(key, doc_id, pos)`` — never the paragraph text;
+    4. per-doc rebuild — groupBy(doc) collect_set of removed positions,
+       indexed array filter, re-join with ``join_delim`` (the
+       scrub_against idiom).
+
+    Output: ``(doc_id, n_paragraphs, n_removed, clean_text)`` for EVERY
+    input document (docs with no duplicate paragraphs pass through with
+    n_removed=0; ``clean_text`` keeps the ORIGINAL paragraph text, only
+    the inter-paragraph delimiter is normalized to ``join_delim``).
+    """
+    from ..sources.readers import balance
+
+    # NULL text is treated as "" (one empty, exempt paragraph) — explode
+    # of a NULL array would silently DROP the document from the output
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), split_re)
+    base = balance(df).select(F.col(id_col).alias("doc_id"), paras.alias("paras"))
+
+    norm = F.trim(F.regexp_replace(F.col("para"), r"\s+", " "))
+    if casefold:
+        norm = F.lower(norm)
+    occ = (
+        base.select("doc_id", F.posexplode("paras").alias("pos", "para"))
+        .select("doc_id", "pos", norm.alias("norm"))
+        .filter(F.length("norm") >= min_chars)
+        .select("doc_id", "pos", F.md5(F.col("norm")).alias("pkey"))
+    )
+    winners = occ.groupBy("pkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    )
+    removed = (
+        occ.join(winners, "pkey")
+        .filter(
+            ~((F.col("doc_id") == F.col("w.doc_id")) & (F.col("pos") == F.col("w.pos")))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_rm"))
+    )
+    joined = base.join(removed, "doc_id", "left")
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    # positions -> kept paragraphs via set difference on the 0-based
+    # index range; array_except preserves the (sorted) first argument's
+    # order, so the rebuild stays in document order
+    kept = F.transform(
+        F.array_except(F.sequence(F.lit(0), F.size("paras") - 1), rm),
+        lambda i: F.element_at(F.col("paras"), i + 1),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("paras").cast("bigint").alias("n_paragraphs"),
+        F.size(rm).cast("bigint").alias("n_removed"),
+        F.array_join(kept, join_delim).alias("clean_text"),
+    )
+
+
 def ingest_scrub_batch(
     wh,
     batch: DataFrame,

@@ -12,10 +12,15 @@ then one per-doc mean aggregate. Nothing quadratic, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import tokens, top_gram_share, word_shingles
+
+# The Gopher paper's stop-word presence list (Rae et al. 2021, §A1.1) —
+# distinct from functions/text.py's EN_STOPWORDS, which feeds the
+# language-ID ratio; this one gates on "contains >= 2 of these words".
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def unigram_surprisal(
@@ -59,3 +64,132 @@ def unigram_surprisal(
             )
         )
     )
+
+
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def gopher_panel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_fraction: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_dup_line_fraction: float = 0.3,
+    max_dup_line_char_fraction: float = 0.2,
+    max_top_2gram_fraction: float = 0.2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    standard pre-training heuristic filter), as ONE map-only pass: every
+    signal is a per-row array/regexp expression inside whole-stage
+    codegen — no shuffle, no Python, safe to run inline in the scan of a
+    100-TB corpus (the cheapest possible gate, which is why production
+    pipelines run it FIRST, before any dedup shuffle).
+
+    Rules (each emitted as a boolean ``rule_*`` column; thresholds are
+    the paper's defaults, all keyword-overridable):
+      - word count within [min_words, max_words];
+      - mean word length within [min, max];
+      - symbol-to-word ratio ('#' chars + '...'/'…' runs) <= max;
+      - fraction of bullet-started lines <= max, ellipsis-ended <= max;
+      - fraction of words containing an alphabetic char >= min;
+      - >= min_distinct_stopwords of GOPHER_STOPWORDS present;
+      - repetition: duplicate-line fraction (by count AND by character
+        mass) <= max, top-2-gram token share <= max (the fuller n-gram
+        ladder is functions/text.top_gram_share over other k).
+
+    ``keep`` = AND of all rules, NULL-proofed to false (an empty or
+    NULL document fails closed, not open). Returns the input columns
+    plus n_words and the flag columns.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+
+    # ALL ratios go through try_divide: ANSI mode (the Spark 4 default)
+    # turns a zero divisor — empty doc, no lines — into a hard error,
+    # and a quality GATE must fail such docs closed, not kill the job
+    mean_wlen = F.try_divide(_sum_lengths(toks), nw)
+
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+        + F.length(text)
+        - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.try_divide(n_hash + n_ell, nw)
+
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), F.trim), lambda l: l != F.lit("")
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))), n_lines
+    )
+    ellipsis_ratio = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))), n_lines
+    )
+
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))), nw
+    )
+
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stops = F.size(F.array_intersect(F.transform(toks, F.lower), stops))
+
+    distinct_lines = F.array_distinct(lines)
+    dup_line_frac = F.try_divide(F.size(lines) - F.size(distinct_lines), n_lines)
+    dup_line_char_frac = F.try_divide(
+        _sum_lengths(lines) - _sum_lengths(distinct_lines),
+        _sum_lengths(lines).cast("double"),
+    )
+
+    flat = F.trim(F.regexp_replace(text, r"\s+", " "))
+    grams2 = word_shingles(flat, 2)
+    top2 = F.when(F.size(grams2) > 0, top_gram_share(grams2)).otherwise(F.lit(0.0))
+
+    def ok(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    rules = {
+        "rule_word_count": ok((n_words >= min_words) & (n_words <= max_words)),
+        "rule_mean_word_len": ok(
+            (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+        ),
+        "rule_symbol_ratio": ok(symbol_ratio <= max_symbol_word_ratio),
+        # a doc with no surviving lines trivially passes the line-shape
+        # rules (nothing to object to) — hence the n_lines==0 branch
+        "rule_bullet_lines": ok(
+            (n_lines == 0) | (bullet_ratio <= max_bullet_line_ratio)
+        ),
+        "rule_ellipsis_lines": ok(
+            (n_lines == 0) | (ellipsis_ratio <= max_ellipsis_line_ratio)
+        ),
+        "rule_alpha_words": ok(alpha_frac >= min_alpha_word_fraction),
+        "rule_stopwords": ok(n_stops >= min_distinct_stopwords),
+        "rule_dup_lines": ok(
+            (n_lines == 0) | (dup_line_frac <= max_dup_line_fraction)
+        ),
+        "rule_dup_line_chars": ok(
+            (n_lines == 0) | (dup_line_char_frac <= max_dup_line_char_fraction)
+        ),
+        "rule_top_2gram": ok(top2 <= max_top_2gram_fraction),
+    }
+    out = docs.withColumn("n_words", n_words.cast("bigint"))
+    for name, flag in rules.items():
+        out = out.withColumn(name, flag)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -232,3 +232,104 @@ def test_incremental_scrub_two_batches_equals_full(spark, tmp_path):
         for r in scrub_against(full, hot, 3).collect()
     }
     assert rescrub == full_scrub
+
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    """Cross-doc + in-doc duplicate paragraphs: only the globally first
+    occurrence by (doc_id, pos) survives; normalization (case + inner
+    whitespace) unifies variants; short paragraphs are exempt."""
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        dedup_paragraphs,
+    )
+
+    dup = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique intro one\n\n{dup}\n\nbody of doc one"),
+            # same paragraph, different case + extra inner spaces -> dup
+            (2, f"Subscribe  TO our\tnewsletter today\n\nbody of doc two"),
+            # in-doc repeat: second copy inside doc 3 also removed
+            (3, f"{dup}\n\nmiddle part\n\n{dup}"),
+            (4, "no duplicates here at all\n\nsecond clean paragraph"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(docs, min_chars=3).collect()}
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == f"unique intro one\n\n{dup}\n\nbody of doc one"
+    # doc 2 loses the normalized duplicate but keeps its body
+    assert got[2].n_removed == 1
+    assert got[2].clean_text == "body of doc two"
+    # doc 3: both copies are later than doc 1's -> both removed
+    assert got[3].n_removed == 2
+    assert got[3].clean_text == "middle part"
+    assert got[4].n_removed == 0
+    assert got[4].n_paragraphs == 2
+
+
+def test_dedup_paragraphs_min_chars_exemption_and_null(spark):
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ok\n\nok\n\nlong enough paragraph"), (2, "long enough paragraph"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(docs, min_chars=5).collect()}
+    # "ok" under min_chars: kept in BOTH positions of doc 1
+    assert got[1].n_removed == 0
+    assert got[1].clean_text == "ok\n\nok\n\nlong enough paragraph"
+    # the long paragraph's first occurrence is doc 1 -> doc 2 loses it
+    assert got[2].n_removed == 1
+    assert got[2].clean_text == ""
+    # NULL text must not vanish from the output
+    assert got[3].n_removed == 0
+    assert got[3].clean_text == ""
+
+
+def test_dedup_paragraphs_matches_python_reference(spark):
+    """Replay against a direct Python implementation on a generated
+    corpus with a Zipf-ish paragraph pool (heavy repeats + uniques)."""
+    import random
+
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        dedup_paragraphs,
+    )
+
+    rng = random.Random(42)
+    pool = [f"paragraph number {i} with shared content" for i in range(8)]
+    rows = []
+    for d in range(25):
+        paras = [
+            pool[rng.randrange(len(pool))] if rng.random() < 0.6
+            else f"unique to doc {d} index {j}"
+            for j in range(rng.randrange(1, 6))
+        ]
+        rows.append((d, "\n\n".join(paras)))
+
+    def norm(p):
+        return " ".join(p.split()).lower()
+
+    seen: set[str] = set()
+    expect = {}
+    for d, text in sorted(rows):
+        paras = text.split("\n\n")
+        kept, removed = [], 0
+        for p in paras:
+            n = norm(p)
+            if len(n) < 1:
+                kept.append(p)
+            elif n in seen:
+                removed += 1
+            else:
+                seen.add(n)
+                kept.append(p)
+        expect[d] = (len(paras), removed, "\n\n".join(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paragraphs, r.n_removed, r.clean_text)
+        for r in dedup_paragraphs(docs).collect()
+    }
+    assert got == expect

@@ -1,0 +1,105 @@
+"""Gopher-rule quality panel: each rule trips on a targeted violation,
+clean prose passes all rules, degenerate inputs fail closed."""
+
+from __future__ import annotations
+
+from stock_bars_data_engineering_project_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    gopher_panel,
+)
+
+RULES = (
+    "rule_word_count",
+    "rule_mean_word_len",
+    "rule_symbol_ratio",
+    "rule_bullet_lines",
+    "rule_ellipsis_lines",
+    "rule_alpha_words",
+    "rule_stopwords",
+    "rule_dup_lines",
+    "rule_dup_line_chars",
+    "rule_top_2gram",
+)
+
+
+def _base_words() -> list[str]:
+    # 60 distinct words, two Gopher stopwords, mean length ~5, all alpha
+    return ["the", "of"] + [f"word{i:02d}" for i in range(58)]
+
+
+def _panel(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in gopher_panel(docs).collect()}
+
+
+def test_clean_prose_passes_every_rule(spark):
+    got = _panel(spark, [(1, " ".join(_base_words()))])
+    r = got[1]
+    assert r.n_words == 60
+    for rule in RULES:
+        assert r[rule] is True, rule
+    assert r.keep is True
+
+
+def test_each_rule_trips_on_its_violation(spark):
+    base = _base_words()
+    long_words = [f"extraordinarily{i:03d}long" for i in range(58)]
+    bullet_lines = "\n".join(f"- item {w}" for w in base)
+    ellipsis_lines = "\n".join(
+        f"line {w}..." if i < 30 else f"line {w}"
+        for i, w in enumerate(base)
+    )
+    dup_line = "the dup line of words here"
+    dup_lines = "\n".join(
+        [dup_line] * 5 + [f"unique line {i} the of" for i in range(5)]
+    )
+    cases = {
+        "rule_word_count": "the of too short",
+        "rule_mean_word_len": "the of " + " ".join(long_words),
+        "rule_symbol_ratio": " ".join(
+            w + "#" if i < 10 else w for i, w in enumerate(base)
+        ),
+        "rule_bullet_lines": bullet_lines,
+        "rule_ellipsis_lines": ellipsis_lines,
+        "rule_alpha_words": " ".join(
+            str(10000 + i) if i < 20 else w for i, w in enumerate(base)
+        ),
+        "rule_stopwords": " ".join(f"token{i:02d}" for i in range(60)),
+        "rule_dup_lines": dup_lines,
+        "rule_top_2gram": "the of " + "spam ham " * 29,
+    }
+    rows = [(i, text) for i, (rule, text) in enumerate(cases.items())]
+    got = _panel(spark, rows)
+    for i, (rule, _) in enumerate(cases.items()):
+        assert got[i][rule] is False, f"{rule} should trip"
+        assert got[i].keep is False, rule
+
+
+def test_degenerate_docs_fail_closed(spark):
+    got = _panel(spark, [(1, ""), (2, None), (3, "   \n\n  ")])
+    for r in got.values():
+        assert r.keep is False
+        assert r.n_words == 0
+
+
+def test_threshold_override_admits_short_doc(spark):
+    # 10 distinct words: long enough that no OTHER rule trips (a 5-word
+    # doc would fail top-2gram at share 1/4), short enough to trip the
+    # default min_words=50
+    docs = spark.createDataFrame(
+        [(1, "the of tiny doc here with more distinct words now")],
+        "doc_id long, text string",
+    )
+    strict = {r.doc_id: r for r in gopher_panel(docs).collect()}
+    assert strict[1].rule_word_count is False
+    loose = {
+        r.doc_id: r for r in gopher_panel(docs, min_words=3).collect()
+    }
+    assert loose[1].rule_word_count is True
+    assert loose[1].keep is True
+
+
+def test_stopword_list_is_the_papers(spark):
+    assert GOPHER_STOPWORDS == (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    )
