@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 EOW = "</w>"
 
 
@@ -154,7 +156,7 @@ def train_bpe(
     # dedup_clusters discusses.
     symtab = wc.select(
         "n", _initial_symbols(F.col("word"), eow).alias("syms")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -169,7 +171,7 @@ def train_bpe(
         merges.append((a, b, cnt))
         symtab = symtab.select(
             "n", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return merges
 
 
@@ -200,6 +202,6 @@ def bpe_segment(
         a, b = rule[0], rule[1]
         syms = _apply_merge(syms, a, b)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
-            out = out.withColumn("pieces", syms).localCheckpoint(eager=True)
+            out = materialize(out.withColumn("pieces", syms))
             syms = F.col("pieces")
     return out.withColumn("pieces", syms)

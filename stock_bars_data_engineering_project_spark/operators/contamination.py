@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from ..functions.scalars import round_half_up
 from ..functions.text import tokens, word_shingles
 
@@ -345,7 +347,7 @@ def ingest_scrub_batch(
         )
     else:
         merged = batch_counts
-    merged = merged.localCheckpoint(eager=True)  # sever from the old snapshot
+    merged = materialize(merged)  # sever from the old snapshot
     wh.overwrite(merged, counts_table)
     hot = wh.read(counts_table).filter(F.col("gram_df") >= df_cap).select("gram")
     return scrub_against(

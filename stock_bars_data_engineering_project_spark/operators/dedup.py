@@ -587,27 +587,13 @@ def simhash_pairs(
     return simhash_pairs_from_fingerprints(fp, max_hamming)
 
 
-def _materialize_rounds(df: DataFrame, durable: bool) -> DataFrame:
-    """Per-round materialization for iterative algorithms.
+def _materialize_rounds(df: DataFrame, durable: bool | None) -> DataFrame:
+    """Per-round materialization for the label-propagation loop — the
+    shared cluster-safe switch (see ``materialize``'s module docstring
+    for the localCheckpoint-vs-checkpoint trade)."""
+    from ..materialize import materialize
 
-    ``localCheckpoint`` stores blocks on executors WITHOUT lineage — the
-    fast default for local/interactive runs, but on a real cluster a
-    lost executor kills the job mid-iteration (no lineage to recompute
-    from). ``durable=True`` switches to reliable ``checkpoint()``, which
-    writes each round to the fault-tolerant checkpoint directory
-    (HDFS/S3 on a cluster) so iteration survives executor loss; set
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to reap
-    superseded round files. The 100 TB posture is durable; the local
-    default keeps tests fast."""
-    if durable:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise ValueError(
-                "durable checkpointing requires "
-                "spark.sparkContext.setCheckpointDir(<fault-tolerant dir>)"
-            )
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return materialize(df, durable)
 
 
 def dedup_clusters(
@@ -636,17 +622,12 @@ def dedup_clusters(
     ``_materialize_rounds``): False = executor-local blocks (fast,
     dies with an executor), True = reliable ``checkpoint()`` to the
     fault-tolerant checkpoint dir (the cluster posture). Default reads
-    the ``spark.dedupClusters.durableCheckpoint`` session conf
-    (``"true"``/``"false"``, absent = false) so deployments flip the
-    mode without threading a flag through every call site.
+    the ``spark.graft.durableCheckpoint`` session conf (or its
+    ``spark.dedupClusters.durableCheckpoint`` alias; ``"true"``/
+    ``"false"``, absent = false) so deployments flip the mode — for
+    EVERY materializing operator, not just this one — without threading
+    a flag through call sites.
     """
-    if durable is None:
-        durable = (
-            pairs.sparkSession.conf.get(
-                "spark.dedupClusters.durableCheckpoint", "false"
-            ).lower()
-            == "true"
-        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from ..sinks.warehouse import ParquetWarehouse
 from .dedup import (
     _bucket_pairs,
@@ -148,7 +150,7 @@ def ingest_batch(
     else:
         wh.overwrite(band_index(corpus, k=k), index_table)
     index = wh.read(index_table)
-    new_bands = band_index(batch, k=k).localCheckpoint(eager=True)
+    new_bands = band_index(batch, k=k).transform(materialize)
 
     # batch-vs-corpus candidates via the stored index (no corpus re-hash)
     cand_bc = (
@@ -170,8 +172,8 @@ def ingest_batch(
     )
     # truncate lineage: the band-index join and verify shingling above
     # must not recompute under the in-batch pass and the final merge
-    batch = batch.join(dup_of_corpus, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    batch = batch.join(dup_of_corpus, "doc_id", "left_anti").transform(
+        materialize
     )
     counts["after_corpus_neardup"] = batch.count()
 

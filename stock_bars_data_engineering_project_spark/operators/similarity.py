@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from ..functions.hashing import hamming
 from ..functions.scalars import round_half_up
 from ..functions.vectors import as_double, cosine, dot
@@ -242,7 +244,7 @@ def kmeans_refine(
             cents.select("cid", F.col("cv").alias("old"))
             .join(new, "cid", "left")
             .select("cid", F.coalesce(F.col("cv"), F.col("old")).alias("cv"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return cents
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from ..functions.quality_model import quality_scores
 from ..functions.text import quality_score, token_count
 from ..operators.contamination import boilerplate_scrub, contamination_overlap
@@ -112,8 +114,8 @@ def prepare_corpus(
     # truncate lineage here: everything upstream (shingling, 16-seed
     # MinHash, cluster iterations) would otherwise recompute on every
     # later stage count
-    deduped = deduped.join(near_drops, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    deduped = deduped.join(near_drops, "doc_id", "left_anti").transform(
+        materialize
     )
     counts["near_dedup"] = deduped.count()
 
@@ -124,8 +126,8 @@ def prepare_corpus(
         .filter(F.col("contamination") > max_contamination)
         .select("doc_id")
     )
-    corpus = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    corpus = corpus.join(contaminated, "doc_id", "left_anti").transform(
+        materialize
     )
     counts["decontaminated"] = corpus.count()
 
@@ -143,7 +145,7 @@ def prepare_corpus(
             corpus.join(clean, "doc_id")
             .withColumn("text", F.col("_clean"))
             .drop("_clean")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         counts["boilerplate_scrubbed"] = corpus.count()
 
@@ -173,8 +175,8 @@ def prepare_corpus(
         # this stage consumes `corpus` twice (model + gate), so it keeps
         # an explicit count on a checkpointed frame like the earlier
         # funnel stages, not an observe()
-        corpus = corpus.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
-            eager=True
+        corpus = corpus.join(keep_ids, "doc_id", "left_semi").transform(
+            materialize
         )
         counts["surprisal_gated"] = corpus.count()
 
@@ -186,8 +188,8 @@ def prepare_corpus(
             .filter(F.col("qscore") >= classifier_min_score)
             .select("doc_id")
         )
-        corpus = corpus.join(keep_ids, "doc_id", "left_semi").localCheckpoint(
-            eager=True
+        corpus = corpus.join(keep_ids, "doc_id", "left_semi").transform(
+            materialize
         )
         counts["classifier_gated"] = corpus.count()
 
@@ -196,7 +198,7 @@ def prepare_corpus(
         # membership once the tiny per-stratum threshold table exists
         corpus = alpha_mixture_sample(
             corpus, alpha=mixture_alpha, size=token_count(F.col("text"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         counts["alpha_mixture"] = corpus.count()
 
     # quality_gated rides the FINAL count's job as an observe() metric:
@@ -234,7 +236,7 @@ def prepare_corpus(
     # checkpoint runs the chain (firing the observation), the count is
     # then a cheap pass over checkpointed partitions, and the caller's
     # write reuses them too.
-    corpus = corpus.localCheckpoint(eager=True)
+    corpus = materialize(corpus)
     final_n = corpus.count()
     counts["quality_gated"] = int(quality_obs.get["n"])
     counts["final"] = final_n
