@@ -69,6 +69,14 @@ def main() -> None:
         help="with --corpus: temperature-rebalance per-source token mass "
         "(A=1 natural, smaller boosts rare sources toward parity)",
     )
+    ap.add_argument(
+        "--gopher",
+        metavar="JSON",
+        default=None,
+        help="with --corpus: run the Gopher heuristic rule gate first; "
+        "value is a JSON threshold-override dict ('{}' for the paper "
+        "defaults, e.g. '{\"min_words\": 10}' for short-doc corpora)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("stock-bars-pipeline")
@@ -84,6 +92,7 @@ def main() -> None:
             boilerplate_df_cap=args.boilerplate_df_cap,
             classifier_min_score=args.classifier_min_score,
             mixture_alpha=args.mixture_alpha,
+            gopher=json.loads(args.gopher) if args.gopher is not None else None,
         )
         print(json.dumps({"pipeline": "corpus", "warehouse": args.warehouse, **counts}))
         return

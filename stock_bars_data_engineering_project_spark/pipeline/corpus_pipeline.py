@@ -6,6 +6,10 @@ This module applies the same shape to the engine's training-data
 operators, in the order a real corpus build runs them:
 
     raw documents
+      0. optional Gopher rule gate (map-only heuristic filter — the
+                                   cheapest stage, so it runs FIRST,
+                                   before anything shuffles;
+                                   off by default)
       1. exact dedup              (drop byte-identical copies)
       2. near-dup dedup           (MinHash-LSH pairs -> connected
                                    components -> canonical_selection
@@ -52,7 +56,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from ..operators.quality import unigram_surprisal
+from ..operators.quality import gopher_panel, unigram_surprisal
 from ..operators.sampling import alpha_mixture_sample, stable_split
 from ..sinks.warehouse import ParquetWarehouse
 from ..sources.readers import load_table
@@ -70,6 +74,7 @@ def prepare_corpus(
     boilerplate_df_cap: int | None = None,
     classifier_min_score: float | None = None,
     mixture_alpha: float | None = None,
+    gopher: dict | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-8 and return (final corpus frame, per-stage counts).
 
@@ -99,8 +104,24 @@ def prepare_corpus(
     token mass right before splitting (operators/sampling.py
     alpha_mixture_sample) — 1.0 is a no-op natural distribution,
     smaller boosts rare sources toward parity.
+
+    ``gopher`` (a threshold-override dict, ``{}`` for the paper's
+    defaults) switches on the Gopher heuristic rule gate
+    (operators/quality.gopher_panel) as stage 0: it is map-only, so it
+    runs before anything shuffles and every later stage pays only for
+    documents that pass. The paper thresholds assume prose; corpora
+    like the synthetic test tables need overrides (e.g. lower
+    ``min_words``, ``min_distinct_stopwords=0``).
     """
     counts: dict[str, int] = {"raw": docs.count()}
+
+    if gopher is not None:
+        docs = (
+            gopher_panel(docs, **gopher)
+            .filter(F.col("keep"))
+            .select(*docs.columns)
+        )
+        counts["gopher_gated"] = docs.count()
 
     deduped = exact_dedup(docs)
     counts["exact_dedup"] = deduped.count()

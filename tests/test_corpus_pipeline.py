@@ -132,3 +132,30 @@ def test_new_cleaning_stages(spark, tmp_path):
         .collect()[0]
     )
     assert j["a"] < j["b"]
+
+
+def test_gopher_gate_stage(spark):
+    """Stage 0 Gopher gate: appears only when switched on, runs before
+    exact dedup (funnel order raw >= gopher_gated >= exact_dedup), and
+    matches a direct gopher_panel filter on the same thresholds."""
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        gopher_panel,
+    )
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    # the synthetic corpus is word soup: a couple of paper thresholds
+    # must be relaxed (few Gopher stopwords, short docs)
+    overrides = {"min_words": 10, "min_distinct_stopwords": 1}
+    _, counts = prepare_corpus(docs, gopher=overrides)
+    assert "gopher_gated" in counts
+    assert counts["raw"] >= counts["gopher_gated"] >= counts["exact_dedup"]
+
+    expect = gopher_panel(docs, **overrides).filter("keep").count()
+    assert counts["gopher_gated"] == expect
+
+    _, counts_off = prepare_corpus(docs)
+    assert "gopher_gated" not in counts_off

@@ -208,3 +208,34 @@ def test_bloom_runtime_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dedup_paragraphs_plan_shape(spark):
+    """The paragraph keeper must (a) never plan a cartesian/Python
+    node, (b) compute the winner as a PARTIAL-aggregable min so the
+    hot boilerplate paragraph collapses map-side (no window over the
+    paragraph key), (c) never shuffle paragraph text — only the 32-char
+    md5 key crosses the winner join."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha {i}\n\nshared paragraph body") for i in range(4)],
+        "doc_id long, text string",
+    )
+    df = dedup_paragraphs(docs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # winner = partial min(struct), not a window over the key
+    assert "partial_min" in plan
+    assert "Window" not in plan
