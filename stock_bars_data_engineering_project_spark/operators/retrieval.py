@@ -1,0 +1,148 @@
+"""BM25 lexical retrieval over a document corpus.
+
+The search-side counterpart of the TF-IDF statistics suite
+(plans/extensions.py): given a small query set, score every matching
+document with Okapi BM25 and return the top-k per query — the standard
+mining primitive for hard-negative retrieval, eval-set construction,
+and keyword audits over a training corpus.
+
+Scale shape (corpus N docs, query set q docs, q << N):
+
+1. the query vocabulary is exploded, deduped, and BROADCAST — the
+   corpus-side scan drops every token not in it map-side, so the only
+   corpus-sized shuffle is
+2. per-(doc, token) term frequencies restricted to query terms: ONE
+   partial-aggregable groupBy whose map-side combine collapses repeated
+   terms before the exchange; doc length rides the same pass as a
+   grouping constant (computed map-side from the token array, no second
+   corpus shuffle);
+3. document frequencies FOR QUERY TERMS ONLY — a query-vocabulary-sized
+   aggregate of stage 2's output, broadcast back; the full corpus
+   vocabulary table is never built;
+4. corpus cardinality and average doc length are 1-row broadcast
+   aggregates (the sanctioned broadcast-scalar idiom);
+5. per-(query, doc) score = sum of per-term contributions — partial
+   aggregable; top-k per query via the skew-proof salted ranking
+   (operators/skew.py), fan-in bounded at k x n_salt rows per query
+   however many documents match.
+
+Tokenization matches operators/quality.unigram_surprisal: lower-cased
+whitespace tokens, empties dropped — one shared definition of "term"
+across the corpus-model operators.
+
+IDF uses the +1 ("BM25+" / Lucene) form ln(1 + (N - df + 0.5)/(df +
+0.5)), which stays positive for df > N/2 terms instead of flipping the
+score's sign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .skew import salted_topk
+
+
+def _term_counts(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None
+) -> DataFrame:
+    """(id, token, tf, dl): term frequencies + doc length in one
+    partial-aggregable pass; dl is map-side (size of the FULL token
+    array — BM25's length normalization wants total doc length) and
+    rides the groupBy as a per-doc constant. ``vocab`` (a 1-column
+    ``token`` frame, broadcast) drops out-of-vocabulary tokens between
+    the explode and the groupBy, so they never enter the tf shuffle."""
+    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    if vocab is not None:
+        exploded = exploded.join(F.broadcast(vocab), "token", "left_semi")
+    return exploded.groupBy("id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Top-k BM25 documents per query: (query_id, doc_id, bm25, rank),
+    rank 1..k by descending score, doc_id ascending as the
+    deterministic tiebreak. Documents sharing no term with a query
+    score 0 and are absent (the inverted-index contract); a query with
+    no non-empty tokens matches nothing.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
+
+    qterms = _term_counts(queries, query_id_col, query_text_col).select(
+        F.col("id").alias("query_id"), "token"
+    )
+    qvocab = qterms.select("token").distinct()
+
+    # corpus-side: non-query tokens are dropped BEFORE the tf shuffle
+    doc_terms = _term_counts(docs, id_col, text_col, vocab=qvocab)
+
+    # document frequency for query terms only (query-vocab-sized)
+    dfreq = doc_terms.groupBy("token").agg(
+        F.countDistinct("id").alias("df")
+    )
+
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    avgdl = (
+        docs.select(
+            F.size(
+                F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+            ).alias("dl")
+        ).agg(F.avg("dl").alias("avgdl"))
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+
+    scored = (
+        doc_terms.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("query_id", "id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    out = salted_topk(
+        scored,
+        keys=("query_id",),
+        order_col="bm25",
+        tiebreak_col="doc_id",
+        k=k,
+        n_salt=n_salt,
+    )
+    return out.select(
+        "query_id", "doc_id", "bm25", F.col("rank").cast("int").alias("rank")
+    )

@@ -1,0 +1,136 @@
+"""BM25 retrieval: scores ≡ a direct Python implementation, ranking
+determinism, inverted-index absence contract, plan shape, guards."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stock_bars_data_engineering_project_spark.operators.retrieval import bm25_topk
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog outpaces a quick fox"),
+    (3, "lorem ipsum dolor sit amet consectetur"),
+    (4, "the dog sleeps all day the dog snores"),
+    (5, "fox fox fox den"),
+    (6, "brown bears eat honey not foxes"),
+]
+QUERIES = [
+    (100, "quick fox"),
+    (101, "lazy dog"),
+    (102, "zebra quagga"),  # no overlap with any document
+]
+
+
+def _tok(t):
+    return [w for w in t.lower().split(" ") if w]
+
+
+def _bm25_ref(docs, queries, k1=1.2, b=0.75):
+    n = len(docs)
+    dls = {d: len(_tok(t)) for d, t in docs}
+    avgdl = sum(dls.values()) / n
+    dfreq: dict[str, int] = {}
+    tfs: dict[int, dict[str, int]] = {}
+    for d, t in docs:
+        tf: dict[str, int] = {}
+        for w in _tok(t):
+            tf[w] = tf.get(w, 0) + 1
+        tfs[d] = tf
+        for w in tf:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for q, qt in queries:
+        for d, _ in docs:
+            s = 0.0
+            matched = False
+            for w in set(_tok(qt)):
+                tf = tfs[d].get(w, 0)
+                if tf == 0 or w not in dfreq:
+                    continue
+                matched = True
+                idf = math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                s += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dls[d] / avgdl)
+                )
+            if matched:
+                out[(q, d)] = s
+    return out
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id long, text string")
+    return docs, queries
+
+
+def test_bm25_matches_python_reference(spark):
+    docs, queries = _frames(spark)
+    got = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    expect = _bm25_ref(DOCS, QUERIES)
+    assert set(got) == set(expect)
+    for key, score in expect.items():
+        assert got[key] == pytest.approx(score, rel=1e-12), key
+    # the no-overlap query is wholly absent — inverted-index contract
+    assert not any(q == 102 for q, _ in got)
+
+
+def test_bm25_ranking_and_k_cut(spark):
+    docs, queries = _frames(spark)
+    rows = bm25_topk(docs, queries, k=2).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    expect = _bm25_ref(DOCS, QUERIES)
+    for q, rs in by_q.items():
+        assert len(rs) <= 2
+        rs.sort(key=lambda r: r.rank)
+        # rank order == score desc, doc_id asc tiebreak, cut at k
+        want = sorted(
+            ((d, s) for (qq, d), s in expect.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        assert [(r.doc_id, pytest.approx(r.bm25, rel=1e-12)) for r in rs] == [
+            (d, pytest.approx(s, rel=1e-12)) for d, s in want
+        ]
+
+
+def test_bm25_tiebreak_is_doc_id(spark):
+    # byte-identical docs score identically -> rank by ascending doc_id
+    docs = spark.createDataFrame(
+        [(7, "same text here"), (3, "same text here"), (5, "same text here")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(1, "same")], "query_id long, text string")
+    rows = sorted(bm25_topk(docs, queries, k=3).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in rows] == [3, 5, 7]
+    assert rows[0].bm25 == rows[1].bm25 == rows[2].bm25
+
+
+def test_bm25_plan_shape(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    docs, queries = _frames(spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bm25_topk(docs, queries).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the query-vocabulary and per-term tables join broadcast, never a
+    # corpus-sized sort-merge
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_guards(spark):
+    docs, queries = _frames(spark)
+    with pytest.raises(ValueError, match="k must be positive"):
+        bm25_topk(docs, queries, k=0)
+    with pytest.raises(ValueError, match="k1 >= 0"):
+        bm25_topk(docs, queries, b=1.5)
