@@ -147,3 +147,54 @@ def top_gram_share(grams: Column) -> Column:
         ),
     )
     return run["best"] / F.size(grams)
+
+
+# Closed-class function-word profiles for the multilingual ID heuristic
+# (common published stopword lists, ~10 words each — the signal is the
+# per-language RATIO, so tiny lists suffice; shared Romance articles
+# like 'la'/'que' are outvoted by the language-unique entries).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "pas"),
+    "es": ("el", "los", "las", "que", "y", "es", "en", "un", "por", "con"),
+    "it": ("il", "che", "di", "e", "un", "per", "sono", "con", "non", "della"),
+}
+
+
+def lang_id_profiles(
+    text: Column,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+    threshold: float = 0.05,
+) -> Column:
+    """Multilingual language ID: argmax of per-language function-word
+    density, 'unknown' below ``threshold`` — the n-language upgrade of
+    :func:`lang_id`, still one map-only codegen expression (no model
+    artifact, no shuffle, no Python). Ties break toward the profile
+    dict's insertion order, so classification is deterministic.
+
+    A real n-gram profile model (textcat) or fastText drops in at the
+    same call site; the per-document closed-vocabulary scan shape is
+    identical.
+    """
+    profiles = LANG_PROFILES if profiles is None else profiles
+    if not profiles:
+        raise ValueError("profiles must name at least one language")
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+
+    def _cand(lang: str, words: tuple[str, ...]) -> Column:
+        # bind the literal array OUTSIDE the lambda: a second lambda
+        # parameter would receive the element INDEX column from
+        # F.filter, not the word list
+        stops = F.array(*[F.lit(w) for w in words])
+        ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n
+        return F.struct(F.lit(lang).alias("lang"), ratio.alias("r"))
+
+    cands = F.array(*[_cand(lang, words) for lang, words in profiles.items()])
+    best = F.aggregate(
+        cands,
+        F.struct(F.lit(None).cast("string").alias("lang"), F.lit(-1.0).alias("r")),
+        lambda acc, c: F.when(c["r"] > acc["r"], c).otherwise(acc),
+    )
+    return F.when(best["r"] >= threshold, best["lang"]).otherwise(F.lit("unknown"))

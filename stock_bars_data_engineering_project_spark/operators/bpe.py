@@ -196,6 +196,11 @@ def bpe_segment(
     single-plan transform."""
     if checkpoint_every <= 0:
         raise ValueError(f"checkpoint_every must be positive, got {checkpoint_every}")
+    if "pieces" in df.columns:
+        # same collision discipline as salted_topk / with_zorder_key:
+        # silently overwriting a caller's column is a data bug, not a
+        # convenience
+        raise ValueError("bpe_segment writes a 'pieces' column; input already has one")
     syms = _initial_symbols(F.col(word_col), eow)
     out = df
     for i, rule in enumerate(merges):

@@ -103,3 +103,15 @@ def test_word_counts_is_the_only_corpus_pass(spark):
     )
     wc = {r.word: r.n for r in word_counts(docs).collect()}
     assert wc == {"aa": 3, "bb": 1}
+
+
+def test_bpe_segment_refuses_pieces_collision(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.bpe import bpe_segment
+
+    words = spark.createDataFrame(
+        [("low", ["x"])], "word string, pieces array<string>"
+    )
+    with pytest.raises(ValueError, match="pieces"):
+        bpe_segment(words, [("l", "o")])

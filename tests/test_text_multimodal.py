@@ -323,3 +323,70 @@ def test_phash_dedup_pipeline(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         phash_dup_pairs(ctl, max_hamming=4)
+
+
+def test_lang_id_profiles_classifies_five_languages(spark):
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.text import (
+        lang_id_profiles,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy for hours", "en"),
+        (2, "der hund ist nicht mit der katze und ich gehe zu hause", "de"),
+        (3, "le chien est dans la maison et les chats ne sont pas pour", "fr"),
+        (4, "el perro es un animal que vive en la casa con los gatos", "es"),
+        (5, "il cane che vive di un amore per sono con non della casa", "it"),
+        (6, "zzz qqq www rrr ttt yyy uuu", "unknown"),
+        (7, None, "unknown"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select(
+            "doc_id", lang_id_profiles(F.col("text")).alias("lang")
+        ).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_profiles_threshold_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.text import (
+        lang_id_profiles,
+    )
+
+    docs = spark.createDataFrame(
+        # exactly one en stopword in 20 tokens -> ratio 0.05
+        [(1, "the " + " ".join(f"w{i}" for i in range(19)))],
+        "doc_id long, text string",
+    )
+    at = docs.select(lang_id_profiles(F.col("text"), threshold=0.05).alias("l"))
+    above = docs.select(lang_id_profiles(F.col("text"), threshold=0.06).alias("l"))
+    assert at.collect()[0].l == "en"
+    assert above.collect()[0].l == "unknown"
+
+    # deterministic tie: a token in BOTH fr and es profiles ('que') ->
+    # first profile in dict order wins (fr precedes es)
+    tie = spark.createDataFrame([(1, "que que que")], "doc_id long, text string")
+    assert (
+        tie.select(lang_id_profiles(F.col("text")).alias("l")).collect()[0].l
+        == "fr"
+    )
+
+
+def test_lang_id_profiles_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.text import (
+        lang_id_profiles,
+    )
+
+    with pytest.raises(ValueError, match="at least one language"):
+        lang_id_profiles(F.lit("x"), profiles={})

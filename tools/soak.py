@@ -49,6 +49,10 @@ from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa:
 from stock_bars_data_engineering_project_spark.operators.contamination import (  # noqa: E402
     boilerplate_scrub,
     contamination_overlap,
+    dedup_paragraphs,
+)
+from stock_bars_data_engineering_project_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk,
 )
 from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
     quality_scores,
@@ -227,6 +231,24 @@ def run(
         # day-shift makes days grow linearly with scale)
         "theta_retention": lambda: retention_day_over_day(
             member_day_sets(events)
+        ),
+        # paragraph-level exact dedup: the synthetic corpus has no
+        # newline paragraphs, so each doc is ONE paragraph — the curve
+        # still exercises the full pipeline (md5 keying, partial-agg
+        # winner, non-winner join, rebuild) at one occurrence per doc;
+        # within-replica exact duplicates are the only winners
+        "paragraph_dedup": lambda: dedup_paragraphs(docs),
+        # BM25: FIXED 25-query set (replica ids are offset, so doc_id
+        # < 25 stays 25 rows at every scale) against the linearly
+        # growing corpus — the curve should track the corpus
+        # explode + broadcast vocab semi-join, the only corpus-sized
+        # stage
+        "bm25": lambda: bm25_topk(
+            docs.filter(F.col("doc_id") >= 25),
+            docs.filter(F.col("doc_id") < 25).select(
+                F.col("doc_id").alias("query_id"), "text"
+            ),
+            k=10,
         ),
         "interval_join": lambda: interval_join(
             events.filter(F.col("event_type") == "purchase"),
