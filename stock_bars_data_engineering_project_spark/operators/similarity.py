@@ -585,3 +585,44 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """ANN quality evaluation: per-query recall@k of an approximate
+    top-k result against the exact one — the number that tunes the
+    nprobe/n_planes/rerank dials (every blocked ANN strategy here
+    trades recall for candidate-set size; this measures what the trade
+    actually bought on a given corpus).
+
+    Both inputs are (query_id, vec_id, rank) frames (any extra columns
+    ignored), e.g. ``ivf_topk`` / ``lsh_topk`` output vs
+    ``cosine_topk``. Returns (query_id, n_exact, n_hit, recall) with
+    recall = |approx∩exact| / |exact| at rank <= k; queries absent from
+    ``exact`` emit no row (recall of an empty truth set is undefined).
+
+    Scale shape: two rank filters, one equi-semi-join on (query_id,
+    vec_id), one partial-aggregable count — all query-set-sized, never
+    corpus-sized.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    per_q = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        e.join(a, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )

@@ -236,3 +236,111 @@ def test_pq_correct_with_noncontiguous_ids(spark):
         for r in cosine_topk(emb, q, k=10).collect()
     }
     assert got == want
+
+
+def test_vector_storage_utilities(spark):
+    """unit_normalize / truncate_dims / int8 quantization: exact Python
+    replay, error bound, zero-vector laws, loud short-vector guard."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+        truncate_dims,
+        unit_normalize,
+    )
+
+    vecs = [
+        (1, [3.0, -4.0, 0.0, 12.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [1e-3, 2e-3, -5e-4, 7e-4]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    out = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            unit_normalize(F.col("embedding")).alias("u"),
+            truncate_dims(F.col("embedding"), 2).alias("t2"),
+            quantize_int8(F.col("embedding")).alias("qs"),
+            dequantize_int8(quantize_int8(F.col("embedding"))).alias("dq"),
+        ).collect()
+    }
+    for vid, v in vecs:
+        r = out[vid]
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm > 0:
+            assert r.u == pytest.approx([x / nrm for x in v], abs=1e-15)
+            assert sum(x * x for x in r.u) == pytest.approx(1.0)
+        else:
+            assert r.u == v  # zero vector passes through, not NaNs
+        # truncate keeps the first 2 dims, renormalized (zero stays zero)
+        n2 = math.sqrt(sum(x * x for x in v[:2]))
+        want_t2 = [x / n2 for x in v[:2]] if n2 > 0 else v[:2]
+        assert r.t2 == pytest.approx(want_t2, abs=1e-15)
+        # quantization: exact Python replay + error bound + round trip
+        maxabs = max(abs(x) for x in v)
+        scale = maxabs / 127.0
+        if maxabs > 0:
+            want_q = [int(math.floor(x / scale + 0.5)) for x in v]
+        else:
+            want_q = [0] * len(v)
+        assert r.qs.scale == pytest.approx(scale)
+        assert list(r.qs.q) == want_q
+        for x, y in zip(v, r.dq):
+            assert abs(x - y) <= scale / 2 + 1e-15
+
+    # int8 range is fully used and never overflows tinyint
+    assert out[1].qs.q[3] == 127
+    assert all(-127 <= q <= 127 for r in out.values() for q in r.qs.q)
+
+    # a vector shorter than d fails loudly, not with a silent NULL
+    short = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="shorter than d"):
+        short.select(truncate_dims(F.col("embedding"), 8)).collect()
+    with pytest.raises(ValueError, match="d must be"):
+        truncate_dims(F.col("embedding"), 0)
+
+
+def test_recall_at_k(spark):
+    """recall@k laws: self-recall 1.0, disjoint 0.0, partial overlap
+    counts only rank<=k rows, missing-query absence, guards."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        recall_at_k,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, vec_id long, rank int"
+        )
+
+    exact = frame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)]
+    )
+    # query 1: finds 10 and 12 in top-3, 99 is noise; rank-4 hit 11
+    # must NOT count at k=3. query 2: fully disjoint.
+    approx = frame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (1, 11, 4), (2, 90, 1), (2, 91, 2)]
+    )
+    got = {r.query_id: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert got[1].n_exact == 3 and got[1].n_hit == 2
+    assert got[1].recall == pytest.approx(2 / 3)
+    assert got[2].n_exact == 2 and got[2].n_hit == 0 and got[2].recall == 0.0
+
+    # self-recall is exactly 1.0 for every query
+    self_r = recall_at_k(exact, exact, k=3).collect()
+    assert all(r.recall == 1.0 for r in self_r)
+
+    # a query with no exact row emits nothing
+    assert 3 not in {
+        r.query_id
+        for r in recall_at_k(frame([(3, 1, 1)]), exact, k=3).collect()
+    }
+    with pytest.raises(ValueError, match="k must be positive"):
+        recall_at_k(approx, exact, k=0)

@@ -446,3 +446,32 @@ def test_rollup_maintenance_stream_epoch_log(spark, tmp_path):
     compact_rollup_state(wh, "roll")
     assert wh.read("roll").select("_epoch").distinct().count() == 1
     assert _rows(rollup_metrics(read_rollup_state(wh, "roll"))) == want
+
+
+def test_gopher_gate_on_stream_matches_batch(spark, tmp_path):
+    """The Gopher rule panel is map-only, so it applies to a readStream
+    unchanged (no state, no watermark needed) — pin stream ≡ batch for
+    the gate, the property that lets the corpus pipeline's stage 0 run
+    at ingest time instead of in the nightly batch."""
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        gopher_panel,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = gopher_panel(stream, min_words=10, min_distinct_stopwords=1).filter(
+        "keep"
+    ).select("doc_id")
+    run_stream_to_memory(gated, "t_gopher_stream", output_mode="append")
+    got = {r.doc_id for r in spark.table("t_gopher_stream").collect()}
+    want = {
+        r.doc_id
+        for r in gopher_panel(docs, min_words=10, min_distinct_stopwords=1)
+        .filter("keep")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
