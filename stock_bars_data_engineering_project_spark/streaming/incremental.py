@@ -129,3 +129,58 @@ def compact_rollup_state(wh: ParquetWarehouse, table: str) -> None:
         "_epoch", F.lit(_BASE_EPOCH)
     )
     wh.overwrite(state, table, partition_by=("_epoch",))
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    corpus_table: str = "corpus_docs",
+    index_table: str = "corpus_bands",
+    threshold: float = 0.7,
+    k: int = 3,
+    available_now: bool = True,
+):
+    """Streaming corpus ingest with near-duplicate rejection at the
+    door: each micro-batch runs the persisted-band-index dedup
+    transaction (operators/incremental_dedup.ingest_batch) — exact +
+    MinHash-LSH against the stored corpus WITHOUT re-hashing it — and
+    commits only the survivors.
+
+    Exactly-once composition: the file-source offset checkpoint
+    guarantees at-least-once micro-batch delivery, and ``ingest_batch``
+    is replay-idempotent — a replayed batch's documents are already in
+    the corpus, so the exact cross-batch anti-join removes every one of
+    them and the replay commits nothing. Batch-split invariance (any
+    micro-batching of the same files yields the same surviving corpus)
+    is the two-batch ≡ full law pinned in
+    ``test_incremental_dedup.py``, which is what makes the streaming
+    form safe regardless of how the trigger slices the backlog.
+    """
+    from ..operators.incremental_dedup import ingest_batch
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            spark,
+            wh,
+            batch,
+            corpus_table=corpus_table,
+            index_table=index_table,
+            threshold=threshold,
+            k=k,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

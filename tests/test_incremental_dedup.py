@@ -148,3 +148,50 @@ def test_sub_k_word_doc_does_not_churn_index_versions(spark, tmp_path):
     c = ingest_batch(spark, wh, _docs(spark, [(3, BASE_TEXT)]))
     assert c["survivors"] == 0
     assert wh._latest_version("corpus_bands") == v1
+
+
+def test_dedup_ingest_stream_matches_batch_path(spark, tmp_path):
+    """Streaming dedup ingest (readStream + foreachBatch over
+    ingest_batch): (a) drains two file waves through one checkpoint into
+    the same surviving corpus as the two-call batch path; (b) a replay
+    run with the drained checkpoint commits nothing (exactly-once)."""
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        dedup_ingest_stream,
+    )
+
+    wave1 = [
+        (1, BASE_TEXT),
+        (2, "completely different words about ships and harbors and tides"
+            " rolling past the lighthouse every single evening in autumn"),
+        (3, BASE_TEXT),  # in-wave exact dup
+    ]
+    wave2 = [
+        (10, BASE_TEXT),  # exact dup of retained doc 1
+        (11, BASE_TEXT + " extra"),  # near dup of doc 1
+        (12, "entirely novel sentence mentioning telescopes and comets and"
+             " the slow drift of winter constellations over the frozen bay"),
+    ]
+    schema = _docs(spark, wave1).schema
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wh_s = ParquetWarehouse(spark, str(tmp_path / "wh_stream"))
+
+    _docs(spark, wave1).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, schema, wh_s, ckpt)
+    _docs(spark, wave2).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, schema, wh_s, ckpt)
+
+    wh_b = ParquetWarehouse(spark, str(tmp_path / "wh_batch"))
+    ingest_batch(spark, wh_b, _docs(spark, wave1))
+    ingest_batch(spark, wh_b, _docs(spark, wave2))
+
+    got = {r.doc_id for r in wh_s.read("corpus_docs").collect()}
+    want = {r.doc_id for r in wh_b.read("corpus_docs").collect()}
+    assert got == want
+    assert got == {1, 2, 12}
+
+    # replay with the fully-drained checkpoint: no new version, no rows
+    v_before = {r.doc_id for r in wh_s.read("corpus_docs").collect()}
+    dedup_ingest_stream(spark, src, schema, wh_s, ckpt)
+    assert {r.doc_id for r in wh_s.read("corpus_docs").collect()} == v_before
