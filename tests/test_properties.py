@@ -315,3 +315,69 @@ def test_boilerplate_scrub_matches_python_reference(spark, token_lists, k, cap):
         kept = [t for p, t in enumerate(ts) if p not in covered]
         expect[i] = (len(ts), len(covered), " ".join(kept))
     assert got == expect
+
+
+_para_pool = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["shared body one", "shared body two", "UNIQ", "  spaced   out ", ""]
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_para_pool, st.integers(0, 6))
+def test_dedup_paragraphs_matches_python_scan(spark, doc_paras, min_chars):
+    """Paragraph dedup law for ANY corpus shape: a later occurrence of a
+    normalized paragraph (trim + whitespace collapse + lower) is removed
+    iff its length >= min_chars and an earlier (doc_id, pos) occurrence
+    exists — including empty paragraphs, whitespace variants, and
+    paragraphs made unique per doc by hypothesis' UNIQ marker."""
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        dedup_paragraphs,
+    )
+
+    rows = []
+    for d, paras in enumerate(doc_paras):
+        # make UNIQ per-(doc,pos) so some paragraphs never duplicate
+        mat = [
+            f"uniq {d} {j}" if p == "UNIQ" else p for j, p in enumerate(paras)
+        ]
+        rows.append((d, "\n\n".join(mat)))
+
+    def norm(p):
+        return " ".join(p.split()).lower()
+
+    import re
+
+    seen: set[str] = set()
+    expect = {}
+    for d, text in sorted(rows):
+        # the operator's split_re is \n{2,}: any run of >= 2 newlines is
+        # ONE paragraph break (the C4 blank-line semantics) — the
+        # reference must split identically or empty paragraphs between
+        # consecutive breaks diverge
+        paras = re.split(r"\n{2,}", text)
+        kept, removed = [], 0
+        for p in paras:
+            n = norm(p)
+            if len(n) < min_chars:
+                kept.append(p)
+            elif n in seen:
+                removed += 1
+            else:
+                seen.add(n)
+                kept.append(p)
+        expect[d] = (len(paras), removed, "\n\n".join(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paragraphs, r.n_removed, r.clean_text)
+        for r in dedup_paragraphs(docs, min_chars=min_chars).collect()
+    }
+    assert got == expect
