@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ewma_per_user",
     "set_ops_suite",
     "tfidf_vocab_suite",
+    "bm25_topk_docs",
     "incremental_merge_upsert",
 ]
 

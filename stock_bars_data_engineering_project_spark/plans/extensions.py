@@ -27,7 +27,11 @@ from ..functions.text import (
 from ..functions.quality_model import quality_scores
 from ..operators.asof import asof_join
 from ..operators.chunking import chunk_documents
-from ..operators.contamination import boilerplate_scrub, contamination_overlap
+from ..operators.contamination import (
+    boilerplate_scrub,
+    contamination_overlap,
+    dedup_paragraphs,
+)
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
@@ -574,8 +578,46 @@ SELECT 'boilerplate' AS tag, t.doc_id,
                         if NOT list_contains(coalesce(c.ps, []), i)], ' '), '')
            AS payload
 FROM btoks t LEFT JOIN covs c USING (doc_id)
+UNION ALL
+SELECT 'paragraphs' AS tag, doc_id,
+       CAST(n_paragraphs AS BIGINT) AS n_tokens,
+       CAST(n_removed AS BIGINT) AS n_affected,
+       {sql_round('CAST(n_removed AS DOUBLE) / n_paragraphs', 4)} AS ratio,
+       clean AS payload
+FROM (
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    paired AS (
+        SELECT d1.doc_id, d1.text || chr(10) || chr(10) || d2.text AS text
+        FROM documents d1
+        CROSS JOIN nn
+        JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nn.n
+    ),
+    occ AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS p,
+               lower(trim(regexp_replace(arr[i], '\\s+', ' ', 'g'))) AS norm
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{{2,}}') AS arr
+              FROM paired),
+             unnest(range(1, len(arr) + 1)) r(i)
+    ),
+    -- a partition of md5(norm) is one normalized paragraph, so the
+    -- exempt (length < 1) rows can never share a partition with
+    -- in-scope rows and the CASE cannot misnumber them
+    ranked AS (
+        SELECT doc_id, pos, p,
+               CASE WHEN length(norm) >= 1 THEN
+                   row_number() OVER (PARTITION BY md5(norm)
+                                      ORDER BY doc_id, pos)
+               ELSE 1 END AS rn
+        FROM occ
+    )
+    SELECT doc_id, COUNT(*) AS n_paragraphs,
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN p END,
+                               chr(10) || chr(10) ORDER BY pos), '') AS clean
+    FROM ranked GROUP BY doc_id
+)
 """,
-    tags=("text", "contamination", "boilerplate"),
+    tags=("text", "contamination", "boilerplate", "paragraphs"),
 )
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning suite, tagged arms:
@@ -612,7 +654,38 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("n_removed") / F.col("n_tokens"), 4).alias("ratio"),
         F.col("clean_text").alias("payload"),
     )
-    return overlap_arm.unionByName(scrub_arm)
+    # 'paragraphs' arm: the flat synthetic corpus has no blank-line
+    # paragraphs, so the arm SYNTHESIZES a paragraphed corpus both
+    # engines replicate exactly — each doc's text joined (blank line)
+    # with a deterministic partner's text, (id*7+3) mod n, which plants
+    # real cross-doc duplicate paragraphs for the global
+    # first-occurrence keeper to remove (doc j's own copy survives only
+    # when no earlier (doc_id, pos) occurrence exists)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    partner = docs.select(
+        F.col("doc_id").alias("_pid"), F.col("text").alias("_ptext")
+    )
+    paired = (
+        docs.select("doc_id", "text")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_pid", (F.col("doc_id") * 7 + 3) % F.col("_n"))
+        .join(partner, "_pid")
+        .select(
+            "doc_id",
+            F.concat_ws("\n\n", F.col("text"), F.col("_ptext")).alias("text"),
+        )
+    )
+    para_arm = dedup_paragraphs(paired).select(
+        F.lit("paragraphs").alias("tag"),
+        "doc_id",
+        F.col("n_paragraphs").alias("n_tokens"),
+        F.col("n_removed").alias("n_affected"),
+        round_half_up(
+            F.col("n_removed") / F.col("n_paragraphs"), 4
+        ).alias("ratio"),
+        F.col("clean_text").alias("payload"),
+    )
+    return overlap_arm.unionByName(scrub_arm).unionByName(para_arm)
 
 
 _SIMHASH_SQL = f"""
@@ -1560,4 +1633,77 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byte_len",
         "content_md5",
         F.col("source").alias("media_source"),
+    )
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents WHERE doc_id >= 25
+), q AS (
+    SELECT doc_id AS query_id,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+    FROM documents WHERE doc_id < 25
+), ctoks AS (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM corpus
+), tf AS (
+    SELECT doc_id, dl, token, COUNT(*) AS tf FROM ctoks GROUP BY doc_id, dl, token
+), qterm AS (
+    SELECT DISTINCT query_id, token
+    FROM (SELECT query_id, unnest(toks) AS token FROM q)
+), dfreq AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+    WHERE token IN (SELECT token FROM qterm) GROUP BY token
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(toks)) AS avgdl FROM corpus
+), scored AS (
+    -- per-term arithmetic mirrors operators/retrieval.py exactly
+    -- (same operator precedence), so each contribution is the same
+    -- double; only the SUM order differs, absorbed by the rounding
+    SELECT qt.query_id, tf.doc_id,
+           SUM(ln(1.0 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)))
+           ) AS bm25
+    FROM tf
+    JOIN qterm qt USING (token)
+    JOIN dfreq USING (token)
+    CROSS JOIN stats st
+    GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+FROM (
+    SELECT query_id, doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 10
+""",
+    tags=("retrieval", "text", "topk"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/retrieval.py): the first 25
+    documents serve as the query set against the rest of the corpus —
+    top-10 per query with the Lucene-form positive idf, ranked
+    skew-proof through the salted top-k. The query vocabulary
+    broadcasts into the corpus scan (non-query tokens never enter the
+    tf shuffle) and document frequency is computed for query terms
+    only; the oracle recomputes the full formula term-for-term with
+    matching operator precedence."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_topk(corpus, queries, k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        round_half_up(F.col("bm25"), 4).alias("bm25"),
+        "rank",
     )

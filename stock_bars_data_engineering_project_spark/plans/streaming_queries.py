@@ -201,9 +201,10 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_interval_join",
+    "stream_interval_join_suite",
     oracle="""
-SELECT p.event_id AS purchase_id,
+SELECT 'inner' AS variant,
+       p.event_id AS purchase_id,
        p.user_id AS user_id,
        v.event_id AS view_id
 FROM events p
@@ -214,43 +215,9 @@ JOIN events v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
   AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
   AND v.ts >= TIMESTAMP '2024-01-25 00:00:00'
-""",
-    tags=("streaming", "join"),
-)
-def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream inner join: purchases matched to the
-    same user's views in the preceding hour — two readStream sources,
-    watermark + event-time range predicate bounding both join states,
-    append-mode drain. A finite availableNow drain emits exactly the
-    batch interval join, which is what the oracle computes."""
-    from ..streaming.joins import interval_join
-
-    batch = load_table(spark, sf_dir, "events").filter(
-        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
-    )
-    schema = batch.schema
-    src = _stage_events_dir(sf_dir, batch, tag="ge20240125")
-    purchases = stream_events(spark, src, schema, watermark="1 hour").filter(
-        F.col("event_type") == "purchase"
-    )
-    views = stream_events(spark, src, schema, watermark="1 hour").filter(
-        F.col("event_type") == "view"
-    )
-    joined = interval_join(
-        purchases, views, key="user_id", left_ts="ts", right_ts="ts", max_lag="1 hour"
-    ).select(
-        F.col("l_event_id").alias("purchase_id"),
-        F.col("l_user_id").alias("user_id"),
-        F.col("r_event_id").alias("view_id"),
-    )
-    run_stream_to_memory(joined, "stream_interval_join", output_mode="append")
-    return spark.table("stream_interval_join")
-
-
-@register(
-    "stream_outer_interval_join",
-    oracle="""
-SELECT p.event_id AS purchase_id,
+UNION ALL
+SELECT 'outer' AS variant,
+       p.event_id AS purchase_id,
        p.user_id AS user_id,
        v.event_id AS view_id
 FROM events p
@@ -266,42 +233,63 @@ WHERE p.event_type = 'purchase'
 """,
     tags=("streaming", "join", "outer"),
 )
-def q_stream_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream LEFT OUTER interval join — the
-    semantically hard streaming case: an unmatched purchase cannot be
-    emitted on arrival (a matching view may still come), so the engine
-    buffers it in state and emits the null-padded row only once the
-    WATERMARK passes the end of its match window. The left side is
-    bounded to ts < 01-30 so every held row's window closes strictly
-    below the drain's final watermark (max event time minus the 1h
-    delay — the corpus runs to 01-30 ~23:xx at every SF), making the
-    availableNow drain deterministic and equal to the batch left-outer
-    interval join the oracle computes — null emissions included, which
-    is precisely what the inner-join row cannot check."""
-    from ..streaming.joins import interval_join_outer
+def q_stream_interval_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH watermarked stream-stream interval joins as tagged arms of
+    one row (merged so the registry could admit bm25 while staying at
+    the driver's 50-row window — each arm remains a REAL readStream
+    drain, and the oracle checks each arm's rows under its tag):
+
+    - 'inner': purchases matched to the same user's views in the
+      preceding hour — two readStream sources, watermark + event-time
+      range predicate bounding both join states, append-mode drain. A
+      finite availableNow drain emits exactly the batch interval join.
+    - 'outer' (LEFT OUTER — the semantically hard case): an unmatched
+      purchase cannot be emitted on arrival (a matching view may still
+      come), so the engine buffers it in state and emits the
+      null-padded row only once the WATERMARK passes the end of its
+      match window. The left side is bounded to ts < 01-30 so every
+      held row's window closes strictly below the drain's final
+      watermark (max event time minus the 1h delay — the corpus runs
+      to 01-30 ~23:xx at every SF), making the availableNow drain
+      deterministic and equal to the batch left-outer interval join —
+      null emissions included, which the inner arm cannot check."""
+    from ..streaming.joins import interval_join, interval_join_outer
 
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
     schema = batch.schema
     src = _stage_events_dir(sf_dir, batch, tag="ge20240125")
-    purchases = (
-        stream_events(spark, src, schema, watermark="1 hour")
-        .filter(F.col("event_type") == "purchase")
-        .filter(F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp"))
+
+    def drain(join_fn, bound_left: bool, sink: str) -> DataFrame:
+        purchases = stream_events(spark, src, schema, watermark="1 hour").filter(
+            F.col("event_type") == "purchase"
+        )
+        if bound_left:
+            purchases = purchases.filter(
+                F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp")
+            )
+        views = stream_events(spark, src, schema, watermark="1 hour").filter(
+            F.col("event_type") == "view"
+        )
+        joined = join_fn(
+            purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+            max_lag="1 hour",
+        ).select(
+            F.col("l_event_id").alias("purchase_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.col("r_event_id").alias("view_id"),
+        )
+        run_stream_to_memory(joined, sink, output_mode="append")
+        return spark.table(sink)
+
+    inner = drain(interval_join, False, "stream_ij_inner").select(
+        F.lit("inner").alias("variant"), "purchase_id", "user_id", "view_id"
     )
-    views = stream_events(spark, src, schema, watermark="1 hour").filter(
-        F.col("event_type") == "view"
+    outer = drain(interval_join_outer, True, "stream_ij_outer").select(
+        F.lit("outer").alias("variant"), "purchase_id", "user_id", "view_id"
     )
-    joined = interval_join_outer(
-        purchases, views, key="user_id", left_ts="ts", right_ts="ts", max_lag="1 hour"
-    ).select(
-        F.col("l_event_id").alias("purchase_id"),
-        F.col("l_user_id").alias("user_id"),
-        F.col("r_event_id").alias("view_id"),
-    )
-    run_stream_to_memory(joined, "stream_outer_interval_join", output_mode="append")
-    return spark.table("stream_outer_interval_join")
+    return inner.unionByName(outer)
 
 
 # stream_static_join and stream_dedup_within_watermark were

@@ -108,6 +108,12 @@ _NLJ_ALLOWED = {
     # alpha arm: per-stratum counts x broadcast 1-row global min —
     # build side is one row, probe side is stratum cardinality
     "sampling_splits_suite",
+    # n_docs + avgdl ride as broadcast 1-row aggregates into the
+    # scoring join (the same scalar-subquery pattern)
+    "bm25_topk_docs",
+    # paragraphs arm: corpus count broadcasts 1 row to derive the
+    # deterministic partner key
+    "decontam_suite",
 }
 
 
