@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import event_micros
+from ..functions.scalars import event_micros, round_half_up
 
 
 def _row(
@@ -206,3 +206,41 @@ def profile_columns(
     return one.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select(F.lit(tbl).alias("tbl"), "p.*")
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card statistics for a training corpus: per-stratum AND
+    overall rows from ONE rollup shuffle (the grand-total row carries
+    NULL group keys, ANSI grouping-set semantics on any engine).
+
+    Per row: n_docs, total/mean/median token counts (median via
+    percentile_approx — a mergeable sketch, so the aggregate stays
+    partial-aggregable), total characters, mean composite quality
+    score. This is the summary a dataset card or mixture-planning step
+    consumes; the heavy per-doc expressions run map-side exactly once.
+    """
+    from ..functions.text import quality_score, token_count
+
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    per_doc = df.select(
+        *group_cols,
+        token_count(F.col(text_col)).alias("_tok"),
+        F.length(F.col(text_col)).alias("_chars"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    return (
+        per_doc.rollup(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("total_tokens"),
+            round_half_up(F.avg("_tok"), 2).alias("mean_tokens"),
+            F.expr("percentile_approx(_tok, 0.5, 10000)").alias("p50_tokens"),
+            F.sum("_chars").cast("bigint").alias("total_chars"),
+            round_half_up(F.avg("_q"), 4).alias("mean_quality"),
+        )
+    )

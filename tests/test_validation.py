@@ -118,3 +118,42 @@ def test_ref_integrity_null_child_key_is_orphan_even_with_null_parent(spark):
     r = ref_integrity(child, "fk", parent, "pk", "t").collect()[0]
     # NULL references nothing: one orphan key despite the parent NULL
     assert (r.failed, r.ok) == (1, 0)
+
+
+def test_corpus_report_rollup_and_python_replay(spark):
+    """Dataset-card rollup: per-source rows + one NULL-keyed grand
+    total from a single rollup; counts/sums replayed in Python; the
+    total row equals the sum of strata."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        corpus_report,
+    )
+
+    rows = [
+        (1, "srcA", "three tokens here"),
+        (2, "srcA", "two tokens"),
+        (3, "srcB", "just one single doc with six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.source: r for r in corpus_report(docs).collect()}
+    assert set(got) == {"srcA", "srcB", None}
+    toks = {"srcA": [3, 2], "srcB": [6]}
+    for src, ts in toks.items():
+        assert got[src].n_docs == len(ts)
+        assert got[src].total_tokens == sum(ts)
+        assert got[src].mean_tokens == pytest.approx(
+            round(sum(ts) / len(ts), 2)
+        )
+        assert got[src].total_chars == sum(
+            len(t) for _, s, t in rows if s == src
+        )
+    total = got[None]
+    assert total.n_docs == 3
+    assert total.total_tokens == sum(sum(v) for v in toks.values())
+    assert total.total_chars == sum(len(t) for _, _, t in rows)
+    assert total.p50_tokens == 3  # median of [3, 2, 6]
+
+    with pytest.raises(ValueError, match="at least one column"):
+        corpus_report(docs, group_cols=())
