@@ -180,7 +180,13 @@ def lang_id_profiles(
     profiles = LANG_PROFILES if profiles is None else profiles
     if not profiles:
         raise ValueError("profiles must name at least one language")
-    toks = tokens(F.lower(text))
+    # \s+ split, NOT tokens()' single-space split: multi-line prose
+    # (hard-wrapped text, tab-indented docs) would otherwise glue
+    # newlines into tokens that match no profile word, deflating every
+    # ratio toward 'unknown'
+    toks = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
     n = F.size(toks)
 
     def _cand(lang: str, words: tuple[str, ...]) -> Column:

@@ -74,7 +74,6 @@ def _sum_lengths(arr: Column) -> Column:
 
 def gopher_panel(
     docs: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
@@ -100,7 +99,9 @@ def gopher_panel(
     the paper's defaults, all keyword-overridable):
       - word count within [min_words, max_words];
       - mean word length within [min, max];
-      - symbol-to-word ratio ('#' chars + '...'/'…' runs) <= max;
+      - symbol-to-word ratio <= max for '#' chars AND for '...'/'…'
+        runs, tested SEPARATELY per symbol as the paper specifies
+        (a summed ratio would reject documents the paper keeps);
       - fraction of bullet-started lines <= max, ellipsis-ended <= max;
       - fraction of words containing an alphabetic char >= min;
       - >= min_distinct_stopwords of GOPHER_STOPWORDS present;
@@ -110,7 +111,9 @@ def gopher_panel(
 
     ``keep`` = AND of all rules, NULL-proofed to false (an empty or
     NULL document fails closed, not open). Returns the input columns
-    plus n_words and the flag columns.
+    plus n_words and the flag columns; refuses loudly if the input
+    already carries any of those names (the bpe_segment/salted_topk
+    collision discipline).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
@@ -128,7 +131,10 @@ def gopher_panel(
         + F.length(text)
         - F.length(F.replace(text, F.lit("…"), F.lit("")))
     )
-    symbol_ratio = F.try_divide(n_hash + n_ell, nw)
+    # per-symbol ratios, each tested against the threshold on its own —
+    # the paper's rule is "hash OR ellipsis ratio above 0.1", not a sum
+    hash_ratio = F.try_divide(n_hash, nw)
+    ell_ratio = F.try_divide(n_ell, nw)
 
     lines = F.filter(
         F.transform(F.split(text, r"\n"), F.trim), lambda l: l != F.lit("")
@@ -167,7 +173,10 @@ def gopher_panel(
         "rule_mean_word_len": ok(
             (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
         ),
-        "rule_symbol_ratio": ok(symbol_ratio <= max_symbol_word_ratio),
+        "rule_symbol_ratio": ok(
+            (hash_ratio <= max_symbol_word_ratio)
+            & (ell_ratio <= max_symbol_word_ratio)
+        ),
         # a doc with no surviving lines trivially passes the line-shape
         # rules (nothing to object to) — hence the n_lines==0 branch
         "rule_bullet_lines": ok(
@@ -186,6 +195,12 @@ def gopher_panel(
         ),
         "rule_top_2gram": ok(top2 <= max_top_2gram_fraction),
     }
+    clash = ({"n_words", "keep"} | set(rules)) & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"gopher_panel writes column(s) {sorted(clash)}; rename them "
+            "on the input first"
+        )
     out = docs.withColumn("n_words", n_words.cast("bigint"))
     for name, flag in rules.items():
         out = out.withColumn(name, flag)

@@ -102,15 +102,18 @@ def bm25_topk(
         F.countDistinct("id").alias("df")
     )
 
-    stats = docs.agg(
+    # ONE corpus pass for both broadcast scalars (a separate count +
+    # avg job would re-tokenize the whole corpus a second time).
+    # Convention: n_docs counts every corpus row; avgdl averages over
+    # docs whose text tokenizes (avg skips the NULL dl of NULL text) —
+    # the oracle's COUNT(*) / AVG() pair behaves identically.
+    stats = docs.select(
+        F.size(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+        ).alias("dl")
+    ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    )
-    avgdl = (
-        docs.select(
-            F.size(
-                F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
-            ).alias("dl")
-        ).agg(F.avg("dl").alias("avgdl"))
+        F.avg("dl").alias("avgdl"),
     )
 
     idf = F.log(
@@ -130,15 +133,23 @@ def bm25_topk(
         doc_terms.join(F.broadcast(qterms), "token")
         .join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(avgdl))
         .groupBy("query_id", "id")
         .agg(F.sum(contrib).alias("bm25"))
         .withColumnRenamed("id", "doc_id")
     )
+    # Rank on the ROUNDED score (6 dp), raw score still returned: the
+    # per-(query, doc) sum's term order is partition-dependent, so two
+    # semantically-tied documents (identical term profiles) can differ
+    # by an ulp in one engine/run and not another — ranking raw doubles
+    # would then flip their ranks while every displayed score matches.
+    # Rounding quantizes the tie back to exact equality before the
+    # deterministic doc_id tiebreak.
+    from ..functions.scalars import round_half_up
+
     out = salted_topk(
-        scored,
+        scored.withColumn("_bm25_r", round_half_up(F.col("bm25"), 6)),
         keys=("query_id",),
-        order_col="bm25",
+        order_col="_bm25_r",
         tiebreak_col="doc_id",
         k=k,
         n_salt=n_salt,

@@ -220,8 +220,13 @@ def corpus_report(
     Per row: n_docs, total/mean/median token counts (median via
     percentile_approx — a mergeable sketch, so the aggregate stays
     partial-aggregable), total characters, mean composite quality
-    score. This is the summary a dataset card or mixture-planning step
-    consumes; the heavy per-doc expressions run map-side exactly once.
+    score, plus ``rollup_level`` (grouping_id: 0 = leaf stratum, max =
+    grand total) and the derived ``is_total`` flag — because a rollup's
+    total/subtotal rows carry NULL group keys and would otherwise be
+    indistinguishable from a genuine NULL-valued stratum (a corpus
+    with source=NULL docs would silently alias its stratum row with
+    the corpus total). The heavy per-doc expressions run map-side
+    exactly once.
     """
     from ..functions.text import quality_score, token_count
 
@@ -236,6 +241,8 @@ def corpus_report(
     return (
         per_doc.rollup(*group_cols)
         .agg(
+            F.grouping_id().cast("int").alias("rollup_level"),
+            (F.grouping_id() == (1 << len(group_cols)) - 1).alias("is_total"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_tok").cast("bigint").alias("total_tokens"),
             round_half_up(F.avg("_tok"), 2).alias("mean_tokens"),

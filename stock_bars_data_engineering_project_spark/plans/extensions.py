@@ -1675,9 +1675,13 @@ WITH corpus AS (
 )
 SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
 FROM (
+    -- rank on the 6-dp ROUNDED score, mirroring bm25_topk: raw-double
+    -- ranking would tie-break identical-profile docs differently per
+    -- engine when the sum order perturbs the last ulp
     SELECT query_id, doc_id, bm25,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+                                   ORDER BY {sql_round('bm25', 6)} DESC,
+                                            doc_id) AS INT) AS rank
     FROM scored
 )
 WHERE rank <= 10

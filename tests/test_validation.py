@@ -135,11 +135,21 @@ def test_corpus_report_rollup_and_python_replay(spark):
         (1, "srcA", "three tokens here"),
         (2, "srcA", "two tokens"),
         (3, "srcB", "just one single doc with six"),
+        # a genuine NULL-valued stratum: must NOT alias the total row
+        (4, None, "null source stratum doc"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    got = {r.source: r for r in corpus_report(docs).collect()}
-    assert set(got) == {"srcA", "srcB", None}
+    out = corpus_report(docs).collect()
+    got = {(r.source, r.is_total): r for r in out}
+    assert set(got) == {
+        ("srcA", False), ("srcB", False), (None, False), (None, True),
+    }
+    assert all(r.rollup_level == (1 if r.is_total else 0) for r in out)
     toks = {"srcA": [3, 2], "srcB": [6]}
+    # the NULL stratum row carries its own stats, not the corpus total
+    null_stratum = got[(None, False)]
+    assert null_stratum.n_docs == 1 and null_stratum.total_tokens == 4
+    got = {r.source: r for r in out if not r.is_total and r.source is not None}
     for src, ts in toks.items():
         assert got[src].n_docs == len(ts)
         assert got[src].total_tokens == sum(ts)
@@ -149,11 +159,11 @@ def test_corpus_report_rollup_and_python_replay(spark):
         assert got[src].total_chars == sum(
             len(t) for _, s, t in rows if s == src
         )
-    total = got[None]
-    assert total.n_docs == 3
-    assert total.total_tokens == sum(sum(v) for v in toks.values())
+    total = {(r.source, r.is_total): r for r in out}[(None, True)]
+    assert total.n_docs == 4
+    assert total.total_tokens == sum(sum(v) for v in toks.values()) + 4
     assert total.total_chars == sum(len(t) for _, _, t in rows)
-    assert total.p50_tokens == 3  # median of [3, 2, 6]
+    assert total.p50_tokens == 3  # median of [3, 2, 6, 4]
 
     with pytest.raises(ValueError, match="at least one column"):
         corpus_report(docs, group_cols=())
