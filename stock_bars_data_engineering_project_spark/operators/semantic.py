@@ -39,6 +39,59 @@ from .dedup import _bucket_pairs, dedup_clusters
 from .similarity import ivf_assign, kmeans_refine
 
 
+def semantic_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+    centroid_stride: int = 125,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SemDeDup candidate/verify stage on its own: verified
+    within-cell duplicate pairs ``(doc_a, doc_b, cos)`` with
+    ``doc_a < doc_b``, cosine rounded to 4 for display and verified at
+    6-digit rounding >= ``threshold`` (the shared oracle discipline).
+    ``semantic_dedup`` consumes this; it is exposed separately so the
+    blocking+verify core can be driver-checked as a pairs row.
+
+    ``centroids``: optional (cid, cv) frame; defaults to the stride
+    seed over the corpus, polished with ``refine_iters`` Lloyd
+    iterations (similarity.kmeans_refine) when requested.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+        if refine_iters > 0:
+            centroids = kmeans_refine(emb, centroids, n_iters=refine_iters,
+                                      vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(emb, centroids, vec_col=vec_col, id_col=id_col)
+    return _pairs_from_assigned(assigned, threshold)
+
+
+def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    return _bucket_pairs(
+        assigned,
+        keys=["cid"],
+        id_col="vec_id",
+        payload_cols=("embedding",),
+        pair_pred=lambda a, b: round_half_up(
+            cosine(a["embedding"], b["embedding"]), 6
+        )
+        >= threshold,
+        distinct=False,  # one cluster per vector -> one emission site
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        round_half_up(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
+            "cos"
+        ),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -72,17 +125,7 @@ def semantic_dedup(
                                       vec_col=vec_col, id_col=id_col)
     assigned = ivf_assign(emb, centroids, vec_col=vec_col, id_col=id_col)
 
-    pairs = _bucket_pairs(
-        assigned,
-        keys=["cid"],
-        id_col="vec_id",
-        payload_cols=("embedding",),
-        pair_pred=lambda a, b: round_half_up(
-            cosine(a["embedding"], b["embedding"]), 6
-        )
-        >= threshold,
-        distinct=False,  # one cluster per vector -> one emission site
-    ).select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    pairs = _pairs_from_assigned(assigned, threshold).select("doc_a", "doc_b")
 
     clusters = dedup_clusters(pairs)
     out = assigned.select("vec_id", "cid").join(

@@ -739,6 +739,15 @@ list_reduce(list_prepend(CAST(0 AS DOUBLE),
 """
 
 
+# index-ordered prefix fold — mirrors operators.similarity.l2sq exactly
+def _l2_fold(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[(CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i]) "
+        f"for i in range(1, len({a})+1)]), (x,y) -> x + y)"
+    )
+
+
 def _lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int) -> str:
     """DuckDB replay of similarity.lsh_bucket: the md5-derived plane
     components are embedded as double literals (repr round-trips to the
@@ -764,7 +773,7 @@ WITH fp AS (
     SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 64, 8)} AS bucket
     FROM embeddings
 )
-SELECT id_a, id_b, cos
+SELECT 'lsh' AS variant, id_a, id_b, cos
 FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {sql_round(_COS_DOUBLE, 4)} AS cos
@@ -774,20 +783,65 @@ FROM (
      AND bit_count(xor(a.bucket, b.bucket)) <= 2
 )
 WHERE cos >= 0.4
+UNION ALL
+SELECT 'semdedup' AS variant, id_a, id_b, cos
+FROM (
+    WITH seed AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id % 125 = 0
+    ),
+    asn AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_l2_fold('e.embedding', 'c.cv')}, c.cid) AS rn
+            FROM embeddings e CROSS JOIN seed c
+        ) WHERE rn = 1
+    )
+    SELECT id_a, id_b, {sql_round('cos_raw', 4)} AS cos
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_DOUBLE} AS cos_raw
+        FROM (SELECT vec_id, embedding AS va, cid FROM asn) a
+        JOIN (SELECT vec_id, embedding AS vb, cid FROM asn) b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    WHERE {sql_round('cos_raw', 6)} >= 0.4
+)
 """,
-    tags=("dedup", "embedding"),
+    tags=("dedup", "embedding", "semdedup"),
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.4), hyperplane-LSH blocked:
-    probe-key expansion captures exactly the pairs whose 8-bit sign
-    buckets are within hamming 2, then the exact cosine verify runs on
-    candidates only — no cross join (the brute-force baseline remains in
-    tests as the recall oracle). The DuckDB oracle replays the identical
-    deterministic bucketing, so the blocking itself — not just the
-    verified filter — is correctness-gated."""
-    return embedding_dup_pairs_blocked(
-        load_table(spark, sf_dir, "embeddings"), dim=64, n_planes=8
+    """Embedding-cosine near-dup pairs (>= 0.4), BOTH blocking
+    strategies as variant-tagged arms over the same corpus:
+
+    - 'lsh': hyperplane-LSH probe-key expansion captures exactly the
+      pairs whose 8-bit sign buckets are within hamming 2, then the
+      exact cosine verify runs on candidates only — no cross join (the
+      brute-force baseline remains in tests as the recall oracle). The
+      oracle replays the identical deterministic bucketing, so the
+      blocking itself — not just the verified filter — is
+      correctness-gated.
+    - 'semdedup' (operators/semantic.semantic_dup_pairs): k-means-cell
+      blocking — stride-seeded centroids, map-only broadcast-argmin
+      assignment (the IVF quantizer), within-cell pair emission with
+      the cosine verify before any shuffle. The oracle replays the
+      stride seed + argmin assignment + in-cell pairing, so the
+      opposite recall trade (cell-boundary misses vs the LSH ring) is
+      itself value-hashed."""
+    from ..operators.semantic import semantic_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh_arm = embedding_dup_pairs_blocked(emb, dim=64, n_planes=8).select(
+        F.lit("lsh").alias("variant"), "id_a", "id_b", "cos"
     )
+    sem_arm = semantic_dup_pairs(emb, threshold=0.4, centroid_stride=125).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "cos",
+    )
+    return lsh_arm.unionByName(sem_arm)
 
 
 # ---------------------------------------------------------------------------
@@ -1138,15 +1192,6 @@ def _dot_fold(a: str, b: str) -> str:
 
 
 # squared-L2 between a raw float list `a` and an already-double list `b`,
-# index-ordered prefix fold — mirrors operators.similarity.l2sq exactly
-def _l2_fold(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-        f"[(CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i]) "
-        f"for i in range(1, len({a})+1)]), (x,y) -> x + y)"
-    )
-
-
 def _lloyd_iter_sql(prev: str, out: str) -> str:
     """One deterministic Lloyd iteration as DuckDB CTEs: argmin
     assignment (ties to lowest cid), id-ordered prefix-fold mean per
