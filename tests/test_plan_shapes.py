@@ -114,6 +114,10 @@ _NLJ_ALLOWED = {
     # paragraphs arm: corpus count broadcasts 1 row to derive the
     # deterministic partner key
     "decontam_suite",
+    # semdedup arm: ivf_assign's centroid table collapses to ONE row
+    # (the cid-sorted centroid array) broadcast into the map-only
+    # argmin — the same reason the ann_topk rows are listed
+    "dedup_embedding_pairs",
 }
 
 
