@@ -18,6 +18,17 @@ unaffected (snapshot isolation for free), and a crashed write leaves only
 an unreferenced directory. This is the same commit-protocol idea as
 Delta's _delta_log, reduced to a single pointer.
 
+APPEND is O(batch), not O(table): an appended version directory holds
+ONLY the new batch's files plus a ``_MANIFEST`` text file naming the
+member version directories (oldest first, itself last) whose combined
+contents ARE the snapshot — the same file-reference idea as a Delta
+add-file log. Reads union the members; ``vacuum`` keeps every member
+directory any retained version references; ``overwrite``/``merge``/
+``compact`` write full (manifest-free) snapshots, so a compaction
+naturally collapses a long append chain, and ``append`` itself
+materializes a full snapshot once the chain reaches
+``manifest_limit`` members (bounding read fan-in between compactions).
+
 Scale posture: snapshots can be hive-partitioned (``partition_by``), and
 ``merge`` prunes the rewrite to ONLY the partitions present in the
 source batch — at 100 TB with date-partitioned facts an incremental
@@ -39,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
+_MANIFEST = "_MANIFEST"
 
 
 @dataclass
@@ -145,14 +157,38 @@ class ParquetWarehouse:
         writer.parquet(path)
         return version
 
+    def _manifest_members(self, table: str, version: str) -> list[str]:
+        """Member version dirs of a snapshot — [version] itself when the
+        snapshot is a full (manifest-free) write."""
+        mf = os.path.join(self.table_path(table), version, _MANIFEST)
+        try:
+            with open(mf) as f:
+                return [line.strip() for line in f if line.strip()]
+        except FileNotFoundError:
+            return [version]
+
     # -- reads --------------------------------------------------------------
 
     def read(self, table: str, version: str | None = None) -> DataFrame:
-        """S5: full-table scan of the latest (or a pinned) snapshot."""
+        """S5: full-table scan of the latest (or a pinned) snapshot.
+
+        A manifest snapshot reads as the unionByName of its member
+        directories (each member read whole, so hive-partition columns
+        survive); ``allowMissingColumns`` aligns drift-appended members
+        the same way ``append(allow_schema_drift=True)`` aligned them at
+        write time."""
         v = version or self._latest_version(table)
         if v is None:
             raise FileNotFoundError(f"no such table: {table}")
-        return self.spark.read.parquet(os.path.join(self.table_path(table), v))
+        members = self._manifest_members(table, v)
+        parts = [
+            self.spark.read.parquet(os.path.join(self.table_path(table), m))
+            for m in members
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def sql(self, query: str, **views: str) -> DataFrame:
         """S6: ad-hoc SQL over warehouse tables (extract_from_query,
@@ -169,21 +205,53 @@ class ParquetWarehouse:
         table: str,
         partition_by: tuple[str, ...] = (),
         allow_schema_drift: bool = False,
+        manifest_limit: int = 64,
     ) -> None:
-        """K1: append insert (postgresql.py:70-73) — new snapshot = old ∪ batch.
+        """K1: append insert (postgresql.py:70-73) — new snapshot = old ∪ batch,
+        committed as a MANIFEST snapshot: only the batch's files are
+        written (O(batch) I/O however large the table — the requirement
+        at 100 TB, where rewriting a table to add a day of data is the
+        difference between a pipeline and a joke), and the new version's
+        ``_MANIFEST`` names the prior snapshot's member dirs plus this
+        one. Readers of the committed version union the members;
+        snapshot isolation is unchanged (the pointer flip is still the
+        whole transaction, and member dirs are immutable).
 
-        Written as a union-snapshot rather than in-place add so readers are
-        never half-appended; the data files of the previous snapshot are
-        NOT rewritten physically by Spark when they are read+written
-        unchanged... at scale, swap this for a manifest that references
-        prior files instead of copying (noted TODO; semantics identical).
+        ``manifest_limit`` bounds the chain: when the member count would
+        exceed it, this append materializes a full snapshot instead
+        (the same collapse ``compact``/``overwrite`` perform), so read
+        fan-in stays bounded between compactions.
+
+        Schema drift refuses loudly unless ``allow_schema_drift`` —
+        checked HERE, at write time, because the manifest read aligns
+        members with allowMissingColumns and would otherwise mask a
+        drifted append forever.
         """
         with self._write_lock(table):
-            if self.exists(table):
-                df = self.read(table).unionByName(
+            if not self.exists(table):
+                version = self._write_snapshot(df, table, partition_by)
+                self._commit(table, version)
+                return
+            prev = self._latest_version(table)
+            prev_cols = set(self.read(table).columns)
+            if not allow_schema_drift and set(df.columns) != prev_cols:
+                raise ValueError(
+                    f"append to {table!r}: schema drift (batch columns "
+                    f"{sorted(set(df.columns) ^ prev_cols)} differ); pass "
+                    "allow_schema_drift=True to align by name"
+                )
+            chain = self._manifest_members(table, prev)
+            if len(chain) + 1 > manifest_limit:
+                merged = self.read(table).unionByName(
                     df, allowMissingColumns=allow_schema_drift
                 )
+                version = self._write_snapshot(merged, table, partition_by)
+                self._commit(table, version)
+                return
             version = self._write_snapshot(df, table, partition_by)
+            mf = os.path.join(self.table_path(table), version, _MANIFEST)
+            with open(mf, "w") as f:
+                f.write("\n".join([*chain, version]) + "\n")
             self._commit(table, version)
 
     def overwrite(
@@ -303,19 +371,21 @@ class ParquetWarehouse:
     # -- table maintenance (beyond the reference; required at 100 TB) -------
 
     def data_files(self, table: str, version: str | None = None) -> list[str]:
-        """Data files of a snapshot — the observable compaction metric."""
+        """Data files of a snapshot (manifest members included) — the
+        observable compaction metric."""
         v = version or self._latest_version(table)
         if v is None:
             raise FileNotFoundError(f"no such table: {table}")
         out: list[str] = []
-        for dirpath, _dirs, names in os.walk(
-            os.path.join(self.table_path(table), v)
-        ):
-            out.extend(
-                os.path.join(dirpath, n)
-                for n in names
-                if n.endswith(".parquet") and not n.startswith(("_", "."))
-            )
+        for member in self._manifest_members(table, v):
+            for dirpath, _dirs, names in os.walk(
+                os.path.join(self.table_path(table), member)
+            ):
+                out.extend(
+                    os.path.join(dirpath, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith(("_", "."))
+                )
         return sorted(out)
 
     def compact(
@@ -431,6 +501,16 @@ class ParquetWarehouse:
                     f"cannot restore {table!r} to {version}: snapshot missing "
                     "(vacuumed or never written)"
                 )
+            missing = [
+                m
+                for m in self._manifest_members(table, version)
+                if not os.path.isdir(os.path.join(self.table_path(table), m))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"cannot restore {table!r} to {version}: manifest member "
+                    f"snapshot(s) {missing} vacuumed"
+                )
             self._commit(table, version)
 
     def versions(self, table: str) -> list[str]:
@@ -445,10 +525,14 @@ class ParquetWarehouse:
 
     def vacuum(self, table: str, keep_last: int = 2) -> None:
         """Drop snapshot directories older than the newest ``keep_last``,
-        never touching the version the pointer references. Bounds storage
-        growth of the version history the same way Delta VACUUM does;
-        readers pinned to a vacuumed version fail loudly on next read
-        rather than seeing partial data.
+        never touching the version the pointer references NOR any member
+        directory a retained manifest snapshot references — a manifest
+        append shares its predecessors' files, so reference-unaware
+        deletion would corrupt the live table (the reason Delta VACUUM
+        consults the log before deleting). Bounds storage growth the
+        same way Delta VACUUM does; readers pinned to a vacuumed
+        version fail loudly on next read rather than seeing partial
+        data.
         """
         current = self._latest_version(table)
         tdir = self.table_path(table)
@@ -457,6 +541,10 @@ class ParquetWarehouse:
             if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
         )
         keep = set(versions[-keep_last:]) | ({current} if current else set())
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest_members(table, v))
+        keep |= referenced
         for v in versions:
             if v not in keep:
                 shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)

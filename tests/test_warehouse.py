@@ -206,3 +206,86 @@ def test_restore_rolls_back_pointer(spark, wh):
     wh.vacuum("t", keep_last=1)
     with pytest.raises(FileNotFoundError):
         wh.restore("t", ver1)
+
+
+def test_append_is_o_batch_via_manifest(spark, wh):
+    """Appends write ONLY the batch (prior files are referenced, never
+    rewritten): the appended version's own directory holds just the new
+    rows, data_files spans the member dirs, and the read unions to the
+    full table."""
+    import os
+
+    wh.overwrite(_df(spark, [("TSLA", "t1", 1.0), ("AAPL", "t1", 2.0)]), "t")
+    base_files = set(wh.data_files("t"))
+    wh.append(_df(spark, [("NVDA", "t2", 3.0)]), "t")
+    wh.append(_df(spark, [("MSFT", "t3", 4.0)]), "t")
+
+    files = set(wh.data_files("t"))
+    # the original snapshot's physical files are still the live ones
+    assert base_files <= files
+    # each appended version dir holds only its batch
+    v3_files = [f for f in files if f"{os.sep}v000003{os.sep}" in f]
+    assert v3_files and all(f not in base_files for f in v3_files)
+
+    got = {r.stock for r in wh.read("t").collect()}
+    assert got == {"TSLA", "AAPL", "NVDA", "MSFT"}
+    # members: base + two appends, in order
+    assert wh._manifest_members("t", "v000003") == [
+        "v000001", "v000002", "v000003",
+    ]
+
+
+def test_vacuum_keeps_referenced_manifest_members(spark, wh):
+    """vacuum must not delete a version dir that a retained manifest
+    snapshot references — and must still drop truly dead versions."""
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")       # v1
+    wh.overwrite(_df(spark, [("B", "t1", 1.0)]), "t")       # v2 (dead)
+    wh.overwrite(_df(spark, [("C", "t1", 1.0)]), "t")       # v3
+    wh.append(_df(spark, [("D", "t2", 2.0)]), "t")          # v4 -> [v3, v4]
+    wh.vacuum("t", keep_last=1)
+    # v3 survives because v4's manifest references it; v1/v2 are gone
+    assert wh.versions("t") == ["v000003", "v000004"]
+    assert {r.stock for r in wh.read("t").collect()} == {"C", "D"}
+
+
+def test_append_manifest_limit_materializes(spark, wh):
+    """Exceeding manifest_limit collapses the chain into a full
+    snapshot (same as compact), keeping read fan-in bounded."""
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")
+    wh.append(_df(spark, [("B", "t2", 2.0)]), "t", manifest_limit=2)
+    # chain is [v1, v2] == limit; next append must materialize
+    wh.append(_df(spark, [("C", "t3", 3.0)]), "t", manifest_limit=2)
+    assert wh._manifest_members("t", "v000003") == ["v000003"]
+    assert {r.stock for r in wh.read("t").collect()} == {"A", "B", "C"}
+
+
+def test_append_schema_drift_contract(spark, wh):
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")
+    drifted = spark.createDataFrame(
+        [("B", "t2", 2.0, "x")], SCHEMA + ", extra string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        wh.append(drifted, "t")
+    wh.append(drifted, "t", allow_schema_drift=True)
+    rows = {r.stock: r for r in wh.read("t").collect()}
+    assert rows["A"].extra is None and rows["B"].extra == "x"
+
+
+def test_compact_collapses_manifest_chain(spark, wh):
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")
+    wh.append(_df(spark, [("B", "t2", 2.0)]), "t")
+    assert len(wh._manifest_members("t", "v000002")) == 2
+    wh.compact("t")
+    latest = wh._latest_version("t")
+    assert wh._manifest_members("t", latest) == [latest]
+    assert {r.stock for r in wh.read("t").collect()} == {"A", "B"}
+
+
+def test_restore_refuses_vacuumed_member(spark, wh):
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")       # v1
+    wh.append(_df(spark, [("B", "t2", 2.0)]), "t")          # v2 -> [v1, v2]
+    wh.overwrite(_df(spark, [("C", "t1", 1.0)]), "t")       # v3
+    wh.overwrite(_df(spark, [("D", "t1", 1.0)]), "t")       # v4
+    wh.vacuum("t", keep_last=2)                             # keeps v3, v4
+    with pytest.raises(FileNotFoundError):
+        wh.restore("t", "v000002")
