@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST"
+_LAYOUT = "_LAYOUT"
 
 
 @dataclass
@@ -155,7 +156,26 @@ class ParquetWarehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if partition_by:
+            # record the hive layout so append can INHERIT it (a caller
+            # appending without partition_by must not silently flatten a
+            # partitioned table — especially the every-manifest_limit-th
+            # materializing append, where the rewrite would be invisible)
+            with open(os.path.join(path, _LAYOUT), "w") as f:
+                f.write(",".join(partition_by))
         return version
+
+    def _layout(self, table: str, version: str) -> tuple[str, ...]:
+        """Partition columns the snapshot was written with (() if
+        unpartitioned) — read from the version's _LAYOUT record."""
+        try:
+            with open(
+                os.path.join(self.table_path(table), version, _LAYOUT)
+            ) as f:
+                cols = f.read().strip()
+                return tuple(c for c in cols.split(",") if c)
+        except FileNotFoundError:
+            return ()
 
     def _manifest_members(self, table: str, version: str) -> list[str]:
         """Member version dirs of a snapshot — [version] itself when the
@@ -233,16 +253,26 @@ class ParquetWarehouse:
                 self._commit(table, version)
                 return
             prev = self._latest_version(table)
-            prev_cols = set(self.read(table).columns)
-            if not allow_schema_drift and set(df.columns) != prev_cols:
-                raise ValueError(
-                    f"append to {table!r}: schema drift (batch columns "
-                    f"{sorted(set(df.columns) ^ prev_cols)} differ); pass "
-                    "allow_schema_drift=True to align by name"
-                )
+            # an append never intends a layout change: inherit the live
+            # snapshot's recorded hive layout when the caller omits it,
+            # so batch members AND the limit-triggered materialization
+            # keep the table partitioned
+            partition_by = partition_by or self._layout(table, prev)
+            existing = None
+            if not allow_schema_drift:
+                existing = self.read(table)
+                prev_cols = set(existing.columns)
+                if set(df.columns) != prev_cols:
+                    raise ValueError(
+                        f"append to {table!r}: schema drift (batch columns "
+                        f"{sorted(set(df.columns) ^ prev_cols)} differ); pass "
+                        "allow_schema_drift=True to align by name"
+                    )
             chain = self._manifest_members(table, prev)
             if len(chain) + 1 > manifest_limit:
-                merged = self.read(table).unionByName(
+                if existing is None:
+                    existing = self.read(table)
+                merged = existing.unionByName(
                     df, allowMissingColumns=allow_schema_drift
                 )
                 version = self._write_snapshot(merged, table, partition_by)
@@ -536,10 +566,7 @@ class ParquetWarehouse:
         """
         current = self._latest_version(table)
         tdir = self.table_path(table)
-        versions = sorted(
-            d for d in os.listdir(tdir)
-            if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
-        )
+        versions = self.versions(table)
         keep = set(versions[-keep_last:]) | ({current} if current else set())
         referenced: set[str] = set()
         for v in keep:

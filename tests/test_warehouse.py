@@ -281,11 +281,70 @@ def test_compact_collapses_manifest_chain(spark, wh):
     assert {r.stock for r in wh.read("t").collect()} == {"A", "B"}
 
 
-def test_restore_refuses_vacuumed_member(spark, wh):
+def test_restore_refuses_missing_snapshot_and_member(spark, wh):
+    import os
+    import shutil
+
     wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "t")       # v1
     wh.append(_df(spark, [("B", "t2", 2.0)]), "t")          # v2 -> [v1, v2]
     wh.overwrite(_df(spark, [("C", "t1", 1.0)]), "t")       # v3
     wh.overwrite(_df(spark, [("D", "t1", 1.0)]), "t")       # v4
     wh.vacuum("t", keep_last=2)                             # keeps v3, v4
-    with pytest.raises(FileNotFoundError):
+    # v2's own dir is gone -> the plain missing-snapshot refusal
+    with pytest.raises(FileNotFoundError, match="snapshot missing"):
         wh.restore("t", "v000002")
+
+    # member branch: API-driven vacuum never strands a retained
+    # manifest, so simulate external dir loss (object-store lifecycle
+    # rule, manual rm) on a fresh table and pin the LOUD member error
+    wh.overwrite(_df(spark, [("A", "t1", 1.0)]), "u")       # v1
+    wh.append(_df(spark, [("B", "t2", 2.0)]), "u")          # v2 -> [v1, v2]
+    shutil.rmtree(os.path.join(wh.table_path("u"), "v000001"))
+    with pytest.raises(FileNotFoundError, match="member"):
+        wh.restore("u", "v000002")
+
+
+def test_manifest_append_preserves_hive_layout(spark, wh):
+    """Partitioned tables: appends inherit the recorded hive layout —
+    batch members land partitioned even when the caller omits
+    partition_by, read() keeps the partition column through the member
+    union, and the limit-triggered materialization keeps the table
+    partitioned instead of silently flattening it."""
+    import os
+
+    # inference-neutral partition values: hive partition READS apply
+    # Spark's standard partitionColumnTypeInference (a date-like string
+    # comes back as DATE) — generic Spark semantics, not manifest
+    # machinery, so the layout test stays out of its way
+    df1 = spark.createDataFrame(
+        [("A", "d1", 1.0), ("B", "d2", 2.0)],
+        "stock string, dt string, close double",
+    )
+    wh.overwrite(df1, "p", partition_by=("dt",))
+    # caller omits partition_by -> inherited from the live snapshot
+    wh.append(
+        spark.createDataFrame(
+            [("C", "d3", 3.0)], "stock string, dt string, close double"
+        ),
+        "p",
+    )
+    # the appended member dir is itself hive-partitioned
+    v2 = os.path.join(wh.table_path("p"), "v000002")
+    assert any(d.startswith("dt=") for d in os.listdir(v2))
+    got = {(r.stock, r.dt) for r in wh.read("p").collect()}
+    assert got == {("A", "d1"), ("B", "d2"), ("C", "d3")}
+
+    # limit-triggered materialization keeps the layout
+    wh.append(
+        spark.createDataFrame(
+            [("D", "d4", 4.0)], "stock string, dt string, close double"
+        ),
+        "p",
+        manifest_limit=2,
+    )
+    latest = wh._latest_version("p")
+    assert wh._manifest_members("p", latest) == [latest]  # materialized
+    vdir = os.path.join(wh.table_path("p"), latest)
+    assert any(d.startswith("dt=") for d in os.listdir(vdir))
+    assert wh._layout("p", latest) == ("dt",)
+    assert {r.stock for r in wh.read("p").collect()} == {"A", "B", "C", "D"}
