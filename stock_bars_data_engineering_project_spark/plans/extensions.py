@@ -1191,7 +1191,6 @@ def _dot_fold(a: str, b: str) -> str:
     )
 
 
-# squared-L2 between a raw float list `a` and an already-double list `b`,
 def _lloyd_iter_sql(prev: str, out: str) -> str:
     """One deterministic Lloyd iteration as DuckDB CTEs: argmin
     assignment (ties to lowest cid), id-ordered prefix-fold mean per

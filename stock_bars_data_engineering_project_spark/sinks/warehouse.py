@@ -135,8 +135,14 @@ class ParquetWarehouse:
             return None
 
     def _next_version(self, table: str) -> str:
-        cur = self._latest_version(table)
-        n = int(cur[1:]) + 1 if cur else 1
+        # Allocate past the max ON-DISK version, not the _LATEST pointer:
+        # after restore() the pointer points backwards, and pointer-based
+        # allocation would re-issue an existing version number — the new
+        # write would then clobber a directory that later manifest
+        # snapshots reference as an immutable member, silently corrupting
+        # every version that shares it.
+        on_disk = self.versions(table)
+        n = int(on_disk[-1][1:]) + 1 if on_disk else 1
         return f"v{n:06d}"
 
     def _commit(self, table: str, version: str) -> None:
@@ -152,6 +158,14 @@ class ParquetWarehouse:
     ) -> str:
         version = self._next_version(table)
         path = os.path.join(self.table_path(table), version)
+        if os.path.exists(path):
+            # snapshot dirs are immutable once written; an existing dir
+            # here means version allocation went wrong — refuse rather
+            # than overwrite a directory other manifests may reference
+            raise RuntimeError(
+                f"refusing to write snapshot {version} of {table!r}: "
+                f"{path} already exists (version allocation bug)"
+            )
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -288,12 +302,17 @@ class ParquetWarehouse:
         self,
         df: DataFrame,
         table: str,
-        partition_by: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] | None = None,
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, ...] = (),
         n_files: int | None = None,
     ) -> None:
         """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip.
+
+        ``partition_by=None`` (the default) INHERITS the live snapshot's
+        recorded hive layout — overwriting the data must not silently
+        flatten a partitioned table. Pass an explicit ``()`` to
+        intentionally rewrite unpartitioned.
 
         ``cluster_by`` range-partitions and sorts the snapshot on the
         given columns before writing: every data file then covers a
@@ -326,6 +345,9 @@ class ParquetWarehouse:
             args = ([n_files] if n_files else []) + [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(*args).sortWithinPartitions(*cluster_by)
         with self._write_lock(table):
+            if partition_by is None:
+                cur = self._latest_version(table)
+                partition_by = self._layout(table, cur) if cur else ()
             version = self._write_snapshot(df, table, partition_by)
             self._commit(table, version)
 
@@ -339,7 +361,7 @@ class ParquetWarehouse:
         source: DataFrame,
         table: str,
         keys: tuple[str, ...],
-        partition_by: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] | None = None,
         allow_schema_drift: bool = False,
     ) -> None:
         """K3: keyed upsert — MERGE WHEN MATCHED UPDATE SET * / WHEN NOT
@@ -360,9 +382,14 @@ class ParquetWarehouse:
         src = source.dropDuplicates(list(keys))
         with self._write_lock(table):
             if not self.exists(table):
-                version = self._write_snapshot(src, table, partition_by)
+                version = self._write_snapshot(src, table, partition_by or ())
                 self._commit(table, version)
                 return
+            if partition_by is None:
+                # a merge never intends a layout change (same contract as
+                # append): inherit the live snapshot's recorded hive
+                # layout so an upsert cannot silently flatten the table
+                partition_by = self._layout(table, self._latest_version(table))
 
             target = self.read(table)
             if (
@@ -422,7 +449,7 @@ class ParquetWarehouse:
         self,
         table: str,
         target_file_bytes: int = 128 * 1024 * 1024,
-        partition_by: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] | None = None,
     ) -> None:
         """Small-file compaction: rewrite the latest snapshot into
         ceil(bytes / target) files (per partition when hive-partitioned —
@@ -434,6 +461,12 @@ class ParquetWarehouse:
         see either the old or the compacted snapshot, never a mix.
         """
         with self._write_lock(table):
+            if partition_by is None:
+                # compact collapses the manifest chain — the one write the
+                # append-inheritance comment warns about: it MUST keep the
+                # live layout unless the caller explicitly changes it
+                cur = self._latest_version(table)
+                partition_by = self._layout(table, cur) if cur else ()
             df = self.read(table)
             if partition_by:
                 df = df.repartition(*[F.col(c) for c in partition_by])
@@ -547,6 +580,8 @@ class ParquetWarehouse:
         """Snapshot versions still on disk, oldest first — the restore /
         changes() targets."""
         tdir = self.table_path(table)
+        if not os.path.isdir(tdir):
+            return []
         return sorted(
             d
             for d in os.listdir(tdir)

@@ -348,3 +348,74 @@ def test_manifest_append_preserves_hive_layout(spark, wh):
     assert any(d.startswith("dt=") for d in os.listdir(vdir))
     assert wh._layout("p", latest) == ("dt",)
     assert {r.stock for r in wh.read("p").collect()} == {"A", "B", "C", "D"}
+
+
+def test_append_after_restore_does_not_clobber(spark, wh):
+    """Version allocation after restore(): the next write must get a FRESH
+    version number (max on-disk + 1), not pointer+1 — pointer-based
+    allocation would rewrite v000002's directory, which v000003's
+    manifest references as an immutable member, corrupting the pinned
+    v000003 read (and any later restore to it)."""
+    wh.append(_df(spark, [("A", "t", 1.0)]), "t")
+    wh.append(_df(spark, [("B", "t", 2.0)]), "t")
+    wh.append(_df(spark, [("C", "t", 3.0)]), "t")
+    v1, v3 = wh.versions("t")[0], wh.versions("t")[-1]
+
+    wh.restore("t", v1)
+    wh.append(_df(spark, [("Z", "t", 99.0)]), "t")
+
+    # v000003 (a manifest over v1..v3) is untouched by the post-restore write
+    assert {r.stock for r in wh.read("t", v3).collect()} == {"A", "B", "C"}
+    # the live table is the restored v1 plus the new batch, nothing else
+    assert {r.stock for r in wh.read("t").collect()} == {"A", "Z"}
+    # and the new write landed in a brand-new version directory
+    assert wh._latest_version("t") not in (v1, v3)
+    assert wh.versions("t")[-1] == wh._latest_version("t")
+
+
+def test_merge_compact_overwrite_inherit_layout(spark, wh):
+    """compact()/merge()/overwrite() default partition_by=None inherits
+    the live snapshot's hive layout — collapsing a manifest chain or
+    upserting must not silently flatten a partitioned table. An explicit
+    () still flattens intentionally."""
+    import os
+
+    sch = "stock string, dt string, close double"
+    wh.overwrite(
+        spark.createDataFrame([("A", "d1", 1.0), ("B", "d2", 2.0)], sch),
+        "p",
+        partition_by=("dt",),
+    )
+
+    def _latest_is_partitioned():
+        latest = wh._latest_version("p")
+        vdir = os.path.join(wh.table_path("p"), latest)
+        return (
+            any(d.startswith("dt=") for d in os.listdir(vdir))
+            and wh._layout("p", latest) == ("dt",)
+        )
+
+    wh.merge(
+        spark.createDataFrame([("A", "d1", 9.0), ("C", "d3", 3.0)], sch),
+        "p",
+        keys=("stock", "dt"),
+    )
+    assert _latest_is_partitioned()
+    assert {(r.stock, float(r.close)) for r in wh.read("p").collect()} == {
+        ("A", 9.0),
+        ("B", 2.0),
+        ("C", 3.0),
+    }
+
+    wh.compact("p")
+    assert _latest_is_partitioned()
+
+    wh.overwrite(spark.createDataFrame([("D", "d4", 4.0)], sch), "p")
+    assert _latest_is_partitioned()
+
+    # explicit () = intentional flatten
+    wh.overwrite(spark.createDataFrame([("E", "d5", 5.0)], sch), "p", partition_by=())
+    latest = wh._latest_version("p")
+    vdir = os.path.join(wh.table_path("p"), latest)
+    assert not any(d.startswith("dt=") for d in os.listdir(vdir))
+    assert wh._layout("p", latest) == ()
