@@ -40,9 +40,7 @@ BENCH_QUERIES = [
     "text_metrics",
     "decontam_suite",
     "resample_ohlc_daily",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_suite",
-    "ann_topk_lsh",
+    "ann_topk_suite",
     "asof_join_marks",
     "ewma_per_user",
     "set_ops_suite",

@@ -49,6 +49,7 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     cosine_topk,
     ivf_topk,
+    kmeans_inertia,
     kmeans_refine,
     lsh_ann_topk,
     plane_components,
@@ -1114,9 +1115,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ann_topk_bruteforce",
-    oracle=f"""
+# Exact brute-force top-10 cosine replay (the 'brute' arm of
+# ann_topk_suite): corpus joined against the 5 query vectors,
+# deterministic (cos, id) ranking.
+_BRUTE_SQL = f"""
 WITH pairs AS (
     SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
            {sql_round(_COS_DOUBLE, 6)} AS cos
@@ -1131,15 +1133,7 @@ FROM (
     FROM pairs
 )
 WHERE rank <= 10
-""",
-    tags=("similarity",),
-)
-def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for 5 query vectors: corpus streams
-    once against a broadcast query set; deterministic (cos, id) ranking."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return out.withColumn("rank", F.col("rank").cast("int"))
+"""
 
 
 # squared-L2 between va/vb, identical fold order both engines
@@ -1328,68 +1322,9 @@ SELECT query_id, vec_id, cos, rank FROM (
 """
 
 
-@register(
-    "ann_topk_ivf_suite",
-    oracle=f"""
-SELECT 'stride' AS variant, query_id, vec_id, cos, rank
-FROM ({_IVF_STRIDE_SQL})
-UNION ALL
-SELECT 'trained' AS variant, query_id, vec_id, cos, rank
-FROM ({_IVF_TRAINED_SQL})
-UNION ALL
-SELECT 'pq' AS variant, query_id, vec_id, cos, rank
-FROM ({_PQ_SQL})
-""",
-    tags=("similarity", "ivf", "kmeans"),
-)
-def q_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both IVF variants in one variant-tagged row (consolidated from
-    ann_topk_ivf + ann_topk_ivf_trained to free a registry slot; each
-    arm's full semantics stay individually correctness-gated):
-
-    - `stride`: map-only coarse quantization against a broadcast
-      centroid array (every 125th vector), nprobe=4 inverted lists
-      probed per query, exact cosine rank within candidates. The oracle
-      replays the identical quantizer, so list membership — not just
-      the final ranking — is gated.
-    - `trained`: the stride seed polished with two Lloyd iterations
-      (pure DataFrame ops — broadcast argmin assignment + one
-      posexplode mean shuffle per iteration), then the same nprobe
-      search against the trained lists. Run in ``exact_mean`` mode
-      (id-ordered fold means) so every float in the training loop is
-      deterministic and the oracle replays the full two iterations in
-      SQL — assignment, means, empty-cluster carry, probe lists and
-      ranking all gated. The k-means laws (inertia non-increasing,
-      assignment-to-nearest) stay pinned in tests/test_similarity.py
-      for the scale-path avg mode.
-    - `pq`: product quantization (operators/similarity.py pq_topk) —
-      stride-seeded codebooks over 4 subspaces, map-only argmin encode
-      to m codeword ids per vector, ADC scan over the codes with a
-      broadcast per-query lookup table, exact-cosine rerank of the
-      top-32. The oracle replays codebooks, codes, the fixed-order ADC
-      sum, the candidate cut AND the rerank, so the compressed
-      representation itself is correctness-gated (recall floor vs
-      brute force pinned in tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
-    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    trained_c = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
-    trained = ivf_topk(emb, queries, k=10, centroids=trained_c)
-    pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
-    return (
-        stride.withColumn("variant", F.lit("stride"))
-        .unionByName(trained.withColumn("variant", F.lit("trained")))
-        .unionByName(pq.withColumn("variant", F.lit("pq")))
-        .withColumn("rank", F.col("rank").cast("int"))
-    )
-
-
-@register(
-    "ann_topk_lsh",
-    oracle=f"""
+# Hyperplane-LSH replay (the 'lsh' arm of ann_topk_suite): md5-seeded
+# buckets, hamming<=2 probe ring, exact-cosine ranking of candidates.
+_LSH_SQL = f"""
 WITH fp AS (
     SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 64, 5)} AS bucket
     FROM embeddings
@@ -1411,21 +1346,148 @@ FROM (
     )
 )
 WHERE rank <= 10
-""",
-    tags=("similarity", "lsh"),
+"""
+
+
+# Law ids for the 'trained_laws' arm of ann_topk_suite (vec_id column):
+# the scale-path (partial-agg avg) k-means training contract, each
+# collapsing to 1.0 when satisfied.
+ANN_TRAINED_LAWS = (
+    "inertia_seed_to_iter1_nonincreasing",  # law 1
+    "inertia_iter1_to_iter2_nonincreasing",  # law 2
+    "recall_vs_brute_at_least_half_unbiased",  # law 3
+    "topk_shape_k_rows_dense_ranks",  # law 4
 )
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH (5 planes, multi-probe
-    radius 2 => ~50% candidate reduction). On THIS synthetic corpus the
-    neighbors are near-orthogonal (cos ~0.4) so recall ~= bucket fraction
-    — the adversarial case for LSH; on clustered real embeddings the same
-    config concentrates neighbors sharply. The oracle replays the
-    deterministic md5-seeded buckets and the hamming<=2 probe ring in
-    SQL, so candidate membership AND ranking are correctness-gated (the
-    recall floor vs brute force stays pinned in tests/test_similarity.py)."""
+
+
+@register(
+    "ann_topk_suite",
+    oracle=f"""
+SELECT 'brute' AS variant, query_id, vec_id, cos, rank
+FROM ({_BRUTE_SQL})
+UNION ALL
+SELECT 'stride' AS variant, query_id, vec_id, cos, rank
+FROM ({_IVF_STRIDE_SQL})
+UNION ALL
+SELECT 'pq' AS variant, query_id, vec_id, cos, rank
+FROM ({_PQ_SQL})
+UNION ALL
+SELECT 'lsh' AS variant, query_id, vec_id, cos, rank
+FROM ({_LSH_SQL})
+UNION ALL
+SELECT 'trained_laws' AS variant, CAST(-1 AS BIGINT) AS query_id,
+       CAST(n AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos,
+       CAST(0 AS INT) AS rank
+FROM range(1, {len(ANN_TRAINED_LAWS) + 1}) t(n)
+""",
+    tags=("similarity", "ivf", "kmeans", "lsh"),
+)
+def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ANN family as one variant-tagged row (consolidated from
+    ann_topk_bruteforce + ann_topk_ivf_suite + ann_topk_lsh to free
+    registry slots for the warehouse-CDC and streaming-ingest rows;
+    every arm's semantics stay individually driver-gated under its tag):
+
+    - `brute`: exact top-10 cosine for 5 query vectors — corpus streams
+      once against a broadcast query set, deterministic (cos, id)
+      ranking. The recall baseline the approximate arms are judged by.
+    - `stride`: IVF with map-only coarse quantization against a
+      broadcast centroid array (every 125th vector), nprobe=4 inverted
+      lists probed per query, exact cosine rank within candidates. The
+      oracle replays the identical quantizer, so list membership — not
+      just the final ranking — is gated.
+    - `pq`: product quantization (operators/similarity.py pq_topk) —
+      stride-seeded codebooks over 4 subspaces, map-only argmin encode,
+      ADC scan with a broadcast per-query lookup table, exact-cosine
+      rerank of the top-32. Codebooks, codes, the fixed-order ADC sum,
+      the candidate cut AND the rerank are all replayed in SQL.
+    - `lsh`: random-hyperplane LSH (5 planes, multi-probe radius 2).
+      The oracle replays the deterministic md5-seeded buckets and the
+      hamming<=2 probe ring, gating candidate membership AND ranking.
+    - `trained_laws`: the SCALE-PATH k-means training loop — two Lloyd
+      iterations with partial-aggregated ``F.avg`` means (map-side
+      combine; the plan users run at 100 TB) polishing the stride seed,
+      then the nprobe search against the trained lists. Partial-agg
+      float accumulation order is engine- and partitioning-dependent,
+      so the topk rows are not bit-replayable in SQL; the arm instead
+      emits the training CONTRACT as flag rows (ANN_TRAINED_LAWS, one
+      per law, query_id=-1, vec_id=law id, cos=flag) that the oracle
+      pins to literal 1.0: inertia non-increasing across BOTH
+      iterations (Lloyd's convergence law, each assignment/mean pass
+      can only lower it), trained-IVF recall vs the brute arm at least
+      half the unbiased-random expectation nprobe/n_lists (the same
+      probed-fraction argument as the lsh arm's pytest floor — random
+      near-orthogonal embeddings are ANN's adversarial case), and
+      exactly k dense-ranked rows per query. The bit-exact
+      ``exact_mean`` training replay (id-ordered fold means vs the full
+      two-iteration SQL Lloyd) stays pinned in
+      tests/test_similarity.py::test_kmeans_exact_mean_matches_sql_replay,
+      so the training loop's arithmetic remains cross-engine-gated —
+      just off the driver's hot path, which now checks the plan users
+      actually run. Laws are computed with bounded driver scalars
+      (3 inertia floats + 2 counts — the pca_project pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=5, probe_radius=2
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    brute = cosine_topk(emb, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+    stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
+    pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
+    lsh = lsh_ann_topk(emb, queries, k=10, n_planes=5, probe_radius=2)
+
+    # trained_laws arm: scale-path (avg-mode) Lloyd, law flags
+    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    c1 = kmeans_refine(emb, seed, n_iters=1)
+    c2 = kmeans_refine(emb, c1, n_iters=1)
+    i0 = kmeans_inertia(emb, seed)
+    i1 = kmeans_inertia(emb, c1)
+    i2 = kmeans_inertia(emb, c2)
+    trained = ivf_topk(emb, queries, k=10, centroids=c2)
+
+    n_lists = seed.count()
+    nprobe = 4
+    exact_keys = brute.select("query_id", "vec_id")
+    n_exact = exact_keys.count()
+    n_hit = trained.join(
+        exact_keys, on=["query_id", "vec_id"], how="left_semi"
+    ).count()
+    recall = n_hit / n_exact if n_exact else 0.0
+    recall_floor = 0.5 * min(1.0, nprobe / n_lists)
+    shape = trained.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+    )
+    shape_bad = shape.filter(
+        (F.col("n") != 10) | (F.col("lo") != 1) | (F.col("hi") != 10)
+    ).count()
+    n_queries = queries.count()
+    tol = 1.0 + 1e-9
+    flags = [
+        float(i1 <= i0 * tol),
+        float(i2 <= i1 * tol),
+        float(recall >= recall_floor),
+        float(shape_bad == 0 and shape.count() == n_queries),
+    ]
+    laws = spark.createDataFrame(
+        [(-1, i + 1, v, 0) for i, v in enumerate(flags)],
+        "query_id bigint, vec_id bigint, cos double, rank int",
+    ).withColumn("variant", F.lit("trained_laws"))
+
+    def _tag(df: DataFrame, v: str) -> DataFrame:
+        return df.withColumn("variant", F.lit(v)).withColumn(
+            "rank", F.col("rank").cast("int")
+        )
+
+    return (
+        _tag(brute, "brute")
+        .unionByName(_tag(stride, "stride"))
+        .unionByName(_tag(pq, "pq"))
+        .unionByName(_tag(lsh, "lsh"))
+        .unionByName(laws)
     )
 
 

@@ -97,9 +97,7 @@ def test_anti_and_semi_join_types(spark):
 # corpus against a SMALL broadcast side by design (ANN query sets /
 # centroid tables), so the NLJ's build side is O(k), not a fact table.
 _NLJ_ALLOWED = {
-    "ann_topk_bruteforce",
-    "ann_topk_ivf_suite",
-    "ann_topk_lsh",
+    "ann_topk_suite",
     # single-row scalar broadcasts (corpus size / global total) — the
     # scalar-subquery pattern; the NLJ build side is exactly one row
     "tfidf_vocab_suite",

@@ -344,3 +344,39 @@ def test_recall_at_k(spark):
     }
     with pytest.raises(ValueError, match="k must be positive"):
         recall_at_k(approx, exact, k=0)
+
+
+def test_kmeans_exact_mean_matches_sql_replay(spark):
+    """Bit-exact cross-engine gate for the training loop, moved here
+    from the driver row when ann_topk_suite's registered arm switched
+    to the scale-path avg mode: exact_mean (id-ordered fold means)
+    trained-IVF top-10 must equal DuckDB's full two-iteration Lloyd
+    replay (_IVF_TRAINED_SQL) — assignment, means, empty-cluster carry,
+    probe lists and ranking, every float."""
+    import duckdb
+
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_refine,
+    )
+    from stock_bars_data_engineering_project_spark.plans.extensions import _IVF_TRAINED_SQL
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    seed = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    trained = kmeans_refine(emb, seed, n_iters=2, exact_mean=True)
+    got = {
+        (r.query_id, r.vec_id, r.cos, int(r.rank))
+        for r in ivf_topk(emb, q, k=10, centroids=trained).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2], r[3]) for r in con.execute(_IVF_TRAINED_SQL).fetchall()
+    }
+    assert got == want
