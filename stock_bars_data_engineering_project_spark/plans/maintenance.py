@@ -28,6 +28,37 @@ def _py_round_half_up(x: float, scale: int) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _scratch_warehouse(spark, label: str):
+    """Fresh temp ParquetWarehouse for a driver row that materializes
+    working tables. The returned DataFrame lazily reads the working
+    warehouse, so the dir can't be removed inside the query call;
+    instead all invocations share one root per label and each new one
+    reaps stale predecessors — bounded leftovers instead of unbounded
+    growth across repeated parity/bench runs. Reaping is AGE-GATED
+    (30 min, ~30x a single invocation): deleting every predecessor
+    unconditionally raced a concurrent invocation in another process
+    (bench running beside pytest) and yanked its warehouse out from
+    under the lazy scan mid-query."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..sinks.warehouse import ParquetWarehouse
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{label}")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 1800
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrently reaped by a sibling invocation
+    return ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
+
+
 # ---------------------------------------------------------------------------
 # Incremental rollup maintenance (operators/rollup.py)
 # ---------------------------------------------------------------------------
@@ -121,9 +152,11 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "incremental_dedup_two_batch",
-    oracle=f"""
+# Shared oracle for the batch AND streaming incremental-dedup rows: the
+# full-corpus exact + MinHash-LSH + connected-components pass recomputed
+# from scratch as a recursive CTE — whatever micro-batching delivered the
+# corpus, the surviving set must equal this.
+_INC_DEDUP_ORACLE = f"""
 WITH RECURSIVE {_SH_CTE},
 {_SIG_BAND_CAND_CTES},
 pairs AS (
@@ -161,7 +194,12 @@ exact AS (
 SELECT e.doc_id, md5(e.text) AS content_md5
 FROM exact e LEFT JOIN clusters c ON c.doc_id = e.doc_id
 WHERE c.cluster_id IS NULL OR c.cluster_id = e.doc_id
-""",
+"""
+
+
+@register(
+    "incremental_dedup_two_batch",
+    oracle=_INC_DEDUP_ORACLE,
     tags=("dedup", "incremental"),
 )
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,34 +219,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across batches could legitimately diverge (see
     tests/test_incremental_dedup.py) — on the driver corpora they do
     not, which is exactly what this row checks."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from ..operators.incremental_dedup import ingest_batch
-    from ..sinks.warehouse import ParquetWarehouse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The returned DataFrame lazily reads the working warehouse, so the
-    # dir can't be removed inside this call; instead all invocations
-    # share one root and each new one reaps stale predecessors — bounded
-    # leftovers instead of unbounded growth across repeated parity/bench
-    # runs. Reaping is AGE-GATED (30 min, ~30x a single invocation):
-    # deleting every predecessor unconditionally raced a concurrent
-    # invocation in another process (bench running beside pytest) and
-    # yanked its warehouse out from under the lazy scan mid-query.
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_inc_dedup_rows")
-    os.makedirs(root, exist_ok=True)
-    cutoff = time.time() - 1800
-    for stale in os.listdir(root):
-        p = os.path.join(root, stale)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass  # concurrently reaped by a sibling invocation
-    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
+    wh = _scratch_warehouse(spark, "inc_dedup_rows")
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") > half))
@@ -355,3 +369,118 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_rows, "component int, metric string, value double"
     )
     return law_arm.unionByName(model_arm)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse CDC: snapshot versioning + changes() (sinks/warehouse.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warehouse_changes",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+),
+state1 AS (
+    SELECT * FROM base WHERE k % 7 < 5
+),
+final AS (
+    SELECT k, status,
+           CASE WHEN k % 7 < 5 AND k % 3 = 0 THEN price + 10.0 ELSE price END
+               AS price
+    FROM base
+    WHERE k % 7 <= 5 AND k % 5 <> 0
+)
+SELECT CASE WHEN s.k IS NULL THEN 'insert'
+            WHEN f.k IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       COALESCE(f.k, s.k) AS k,
+       COALESCE(f.status, s.status) AS status,
+       COALESCE(f.price, s.price) AS price
+FROM state1 s FULL OUTER JOIN final f ON s.k = f.k
+WHERE s.k IS NULL OR f.k IS NULL
+   OR s.status <> f.status OR s.price <> f.price
+""",
+    tags=("warehouse", "cdc", "versioning"),
+)
+def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the versioned parquet warehouse
+    (sinks/warehouse.py changes()): a keyed table evolves through the
+    full write surface — full-snapshot overwrite (v1), O(batch)
+    manifest append of new keys (v2), keyed merge revising every third
+    key (v3), and an overwrite dropping every fifth key (v4, the
+    delete path — snapshots make deletion an ordinary rewrite) — and
+    ``changes(v1 -> latest)`` must classify exactly the keyed diff:
+    inserts carry the post-image, deletes the v1 pre-image, updates the
+    post-image; keys inserted-then-deleted inside the interval emit
+    nothing. The oracle recomputes both endpoint states directly from
+    ``orders`` and full-outer-diffs them, so the entire
+    version-chain + manifest-read + diff-classification path is
+    value-gated cross-engine (the reference's PostgreSQL store mutates
+    in place and has no history at all — this is the surface that
+    replaces it at 100 TB, where CDC is a pure metadata read over
+    immutable snapshots). Intra-chain invariants (manifest append ≡
+    materialized append, restore, vacuum reference-safety) stay pinned
+    in tests/test_warehouse.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    state1 = base.filter(F.col("k") % 7 < 5)
+    inserts = base.filter(F.col("k") % 7 == 5)
+    updates = base.filter((F.col("k") % 7 < 5) & (F.col("k") % 3 == 0)).withColumn(
+        "price", F.col("price") + F.lit(10.0)
+    )
+
+    wh = _scratch_warehouse(spark, "warehouse_changes_rows")
+    wh.overwrite(state1, "t")
+    v1 = wh.versions("t")[-1]
+    wh.append(inserts, "t")
+    wh.merge(updates, "t", keys=("k",))
+    wh.overwrite(wh.read("t").filter(F.col("k") % 5 != 0), "t")
+    return wh.changes("t", v1, keys=("k",))
+
+
+@register(
+    "stream_dedup_ingest",
+    oracle=_INC_DEDUP_ORACLE,
+    tags=("dedup", "incremental", "streaming"),
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``incremental_dedup_two_batch``
+    (streaming/incremental.py dedup_ingest_stream): the same
+    doc_id-median-split corpus arrives as two parquet file WAVES through
+    a real ``readStream`` + ``foreachBatch`` drain over one file-source
+    checkpoint — each micro-batch runs the persisted-band-index ingest
+    transaction (exact + MinHash-LSH against the stored corpus without
+    re-hashing it) and commits only survivors. The surviving corpus
+    must equal the full-corpus recompute — the SAME recursive-CTE
+    oracle as the batch row, so the driver gates that the streaming
+    delivery path (offset checkpointing, micro-batch replay-idempotent
+    commits) preserves the batch semantics end-to-end. Waves drain
+    low-ids-first (two sequential availableNow drains, second wave
+    staged after the first completes), matching the lowest-id-keeper
+    convention the oracle encodes; exactly-once replay and arbitrary
+    in-wave micro-batch splits are pinned in
+    tests/test_incremental_dedup.py::test_dedup_ingest_stream_matches_batch_path."""
+    import os
+
+    from ..streaming.incremental import dedup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wh = _scratch_warehouse(spark, "stream_dedup_ingest_rows")
+    src = os.path.join(wh.root, "_src")
+    ckpt = os.path.join(wh.root, "_ckpt")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+
+    docs.filter(F.col("doc_id") <= half).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, docs.schema, wh, ckpt)
+    docs.filter(F.col("doc_id") > half).write.mode("append").parquet(src)
+    dedup_ingest_stream(spark, src, docs.schema, wh, ckpt)
+
+    corpus = wh.read("corpus_docs")
+    return corpus.select("doc_id", F.md5("text").alias("content_md5"))
