@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from ..functions.scalars import round_half_up, sql_round
 from ..functions.text import (
     EN_STOPWORDS,
+    LANG_PROFILES,
     bpe_ish_token_count,
     lang_id,
+    lang_id_profiles,
     mean_word_len,
     quality_score,
     rolling_fingerprint,
@@ -1535,6 +1537,36 @@ def _scrubbed(t):
     )
 
 
+# Multilingual profile-argmax replay for text_metrics' pred_lang_multi
+# column, generated FROM functions.text.LANG_PROFILES so both engines
+# score the identical word lists. Ratios are exact-integer divisions
+# (count/len), so the doubles — and every >=/greatest comparison over
+# them — are bit-identical cross-engine. First-max-wins tie-break in
+# profile insertion order: language i wins iff its ratio >= every LATER
+# language's (an earlier language with an equal ratio already won).
+_MULTI_LANGS = list(LANG_PROFILES)
+_MULTI_RATIO_SQL = ",\n           ".join(
+    "CAST(len(list_filter(toksm, t -> list_contains(["
+    + ",".join(f"'{w}'" for w in words)
+    + "], t))) AS DOUBLE) / len(toksm) AS r_" + lang
+    for lang, words in LANG_PROFILES.items()
+)
+_MULTI_BRANCHES = " ".join(
+    "WHEN "
+    + (
+        " AND ".join(f"r_{lang} >= r_{later}" for later in _MULTI_LANGS[i + 1:])
+        or "TRUE"
+    )
+    + f" THEN '{lang}'"
+    for i, lang in enumerate(_MULTI_LANGS)
+)
+_MULTI_CASE_SQL = (
+    "CASE WHEN greatest("
+    + ", ".join(f"r_{lang}" for lang in _MULTI_LANGS)
+    + f") < 0.05 THEN 'unknown' {_MULTI_BRANCHES} END"
+)
+
+
 @register(
     "text_metrics",
     oracle=f"""
@@ -1544,6 +1576,7 @@ SELECT doc_id,
        {sql_round("CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)", 4)} AS mean_word_len,
        lang,
        CASE WHEN {_STOP_RATIO_SQL} >= 0.03 THEN 'en' ELSE 'unknown' END AS pred_lang,
+       {_MULTI_CASE_SQL} AS pred_lang_multi,
        {sql_round(_STOP_RATIO_SQL, 4)} AS stop_ratio,
        {_QUALITY_SQL} AS quality,
        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != ''))
@@ -1562,10 +1595,17 @@ SELECT doc_id,
        {_SCRUB_SQL} AS scrubbed,
        CAST(length(text) - length({_SCRUB_SQL}) AS BIGINT) AS delta_chars
 FROM (
-    SELECT doc_id, text, lang,
-           string_split(text, ' ') AS toks,
-           [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams
-    FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id, text, lang, toks, grams,
+           {_MULTI_RATIO_SQL}
+    FROM (
+        SELECT doc_id, text, lang,
+               string_split(text, ' ') AS toks,
+               [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams,
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x != '') AS toksm
+        FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS l
+              FROM documents)
+    )
 )
 """,
     tags=("text", "quality", "hash"),
@@ -1573,7 +1613,10 @@ FROM (
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis panel in ONE map-only pass: token
     counting + shape stats, heuristic language ID (closed-class
-    function-word density), composite quality score (length credit +
+    function-word density — both the 2-way en/unknown gate and the
+    5-language profile argmax `pred_lang_multi`, whose word lists the
+    oracle replays verbatim from LANG_PROFILES), composite quality
+    score (length credit +
     prose-likeness + stopword density), BPE-ish sub-word token load
     (alnum splits + one token per punctuation char), Gopher-style 2-gram
     repetition ratios (dup_ratio = repeated-gram breadth, top_gram_ratio
@@ -1599,6 +1642,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(mean_word_len(t), 4).alias("mean_word_len"),
         "lang",
         lang_id(t).alias("pred_lang"),
+        lang_id_profiles(t).alias("pred_lang_multi"),
         round_half_up(stopword_ratio(t), 4).alias("stop_ratio"),
         quality_score(t).alias("quality"),
         bpe_ish_token_count(t).cast("long").alias("bpe_ish_tokens"),
