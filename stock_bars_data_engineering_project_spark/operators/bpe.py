@@ -127,6 +127,32 @@ def _pair_counts(symtab: DataFrame) -> DataFrame:
     )
 
 
+def _select_batch(
+    cands, want: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Greedy non-interacting rule selection from ONE pair-count
+    snapshot, in (cnt desc, a, b) order. A candidate is skipped when it
+    shares a symbol with an already-picked rule or with a string a pick
+    will create (applying the picks could change its count or its
+    leftmost-first match positions); non-interacting candidates' counts
+    are INVARIANT under the picks (a merge only consumes occurrences of
+    its own symbols and creates pairs containing its new token), which
+    is what makes applying them from the stale snapshot sound."""
+    picked: list[tuple[str, str, int]] = []
+    touched: set[str] = set()
+    for r in cands:
+        if len(picked) >= want:
+            break
+        if r["cnt"] < min_pair_count:
+            break
+        a, b = r["a"], r["b"]
+        if a in touched or b in touched or (a + b) in touched:
+            continue
+        picked.append((a, b, int(r["cnt"])))
+        touched.update((a, b, a + b))
+    return picked
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int,
@@ -134,6 +160,8 @@ def train_bpe(
     lowercase: bool = True,
     eow: str | None = EOW,
     min_pair_count: int = 2,
+    batch_size: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered rule list ``[(a, b, pair_count), ...]`` — the tokenizer
@@ -143,9 +171,28 @@ def train_bpe(
 
     Stops early (returns fewer rules) when no remaining pair reaches
     ``min_pair_count`` — merging singleton pairs only memorizes the
-    corpus."""
+    corpus.
+
+    ``batch_size=1`` (default) is the exact sequential reference
+    algorithm: one cluster round (pair-count argmax + symtab rewrite)
+    PER MERGE — 32k jobs for a 32k-merge production vocab, which is
+    scheduling-bound long before it is data-bound. ``batch_size>1``
+    learns up to that many NON-INTERACTING rules per round from one
+    count snapshot (the same batching discipline fast trainers use):
+    rules sharing no symbols — and not colliding with a string another
+    pick creates — have snapshot-invariant counts, so applying them
+    together equals applying them sequentially; the approximation is
+    only that rules after the first were RANKED against the stale
+    snapshot, so a pair created mid-batch cannot jump the queue until
+    the next round. Where the round's top candidates don't interact at
+    all, the batched model is IDENTICAL to sequential (pinned in
+    tests/test_bpe.py); cluster rounds drop ~batch_size-fold.
+    ``stats`` (optional dict) receives {'rounds': ...} so callers can
+    assert the merges-per-round ratio."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
     wc = word_counts(df, text_col=text_col, lowercase=lowercase)
     # localCheckpoint per round, NOT persist: persist caches blocks but
     # leaves the logical plan intact, so each round would nest another
@@ -158,20 +205,28 @@ def train_bpe(
         "n", _initial_symbols(F.col("word"), eow).alias("syms")
     ).transform(materialize)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # over-fetch so interaction skips can still fill the batch; the
+        # top rule is never skipped, so progress is guaranteed
+        cands = (
             _pair_counts(symtab)
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
+            .limit(max(4 * want, 8))
             .collect()
         )
-        if not top or top[0]["cnt"] < min_pair_count:
+        rounds += 1
+        picked = _select_batch(cands, want, min_pair_count)
+        if not picked:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, cnt))
-        symtab = symtab.select(
-            "n", _apply_merge(F.col("syms"), a, b).alias("syms")
-        ).transform(materialize)
+        merges.extend(picked)
+        syms = F.col("syms")
+        for a, b, _cnt in picked:
+            syms = _apply_merge(syms, a, b)
+        symtab = symtab.select("n", syms.alias("syms")).transform(materialize)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

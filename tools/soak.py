@@ -38,6 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from stock_bars_data_engineering_project_spark.operators.analysis import (  # noqa: E402
+    bars_analysis,
+    bars_analysis_two_phase,
+)
 from stock_bars_data_engineering_project_spark.operators.asof import asof_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.dedup import (  # noqa: E402
     dedup_clusters,
@@ -80,16 +84,16 @@ WORK = "/tmp/soak_data"
 # Per-replica token suffixing: every word gets the replica index
 # appended — a bijection on the token alphabet, so within-replica
 # shingle/fingerprint structure (and thus the operator's work per
-# replica) is preserved EXACTLY, while replicas share no lowercase/digit
-# tokens at all, for ANY replica count. Carve-out: tokens with no
-# [a-z0-9] character (all-caps acronyms, punctuation runs) miss the
-# suffix regex and stay byte-identical across replicas; the synthetic
-# documents corpus is lowercase-word dominated, so the residual
-# cross-replica sharing is negligible. (Earlier schemes rotated: vowel
+# replica) is preserved EXACTLY, while replicas share no alphanumeric
+# tokens at all, for ANY replica count. Case-insensitive on purpose:
+# an earlier [a-z0-9]-only pattern left all-caps acronyms
+# byte-identical across replicas, slightly flattering cross-replica
+# shingle independence. Pure punctuation runs still pass through —
+# they carry no shingle identity. (Earlier schemes rotated: vowel
 # rotation had 5 states and Caesar 26, so at x8/x32 some replicas were
 # verbatim copies and the cross-replica pair space grew quadratically
 # by construction — a soak artifact, not an operator property.)
-TOKEN_RE = "([a-z0-9]+)"
+TOKEN_RE = "([a-zA-Z0-9]+)"
 
 
 def stage(spark, scale: int) -> str:
@@ -256,6 +260,29 @@ def run(
             key="user_id",
             left_ts="ts",
             right_ts="ts",
+        ),
+        # Pathological window skew: EVERY event lands on one key (the
+        # case AQE cannot split — a window sorts the whole key in one
+        # task). single = the one-Exchange-one-Sort plan, whose curve
+        # degrades with scale as the single task sorts everything;
+        # two_phase = (key, day-bucket) partitioning with boundary
+        # repair (operators/analysis.bars_analysis_two_phase), whose
+        # curve should track the cluster-wide sort. Replica day-shifts
+        # grow the bucket count linearly with scale.
+        "window_hot_single": lambda: bars_analysis(
+            events.select(
+                F.lit("HOT").alias("stock"),
+                F.col("ts").alias("timestamp"),
+                F.col("value").alias("close"),
+            )
+        ),
+        "window_hot_two_phase": lambda: bars_analysis_two_phase(
+            events.select(
+                F.lit("HOT").alias("stock"),
+                F.col("ts").alias("timestamp"),
+                F.col("value").alias("close"),
+            ),
+            F.date_trunc("day", F.col("timestamp")),
         ),
     }
     measured = {
