@@ -58,7 +58,7 @@ from ..operators.similarity import (
     pq_topk,
 )
 from ..sources.readers import load_table
-from .registry import register
+from .registry import register, scratch_warehouse
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -1147,9 +1147,16 @@ list_reduce(list_prepend(CAST(0 AS DOUBLE),
 """
 
 
-_IVF_STRIDE_SQL = f"""
+def _ivf_sql(stride: int, nprobe: int) -> str:
+    """IVF top-10 replay for a deterministic stride-seeded quantizer:
+    argmin assignment of the full corpus (ties to lowest cid), nprobe
+    nearest lists per query, exact cosine rank within candidates. The
+    final index state of the INCREMENTAL build (build on one id-slice,
+    ingest the rest against the frozen centroids) equals this one-shot
+    assignment because per-row argmin assignment is batch-invariant."""
+    return f"""
 WITH cent AS (
-    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 125 = 0
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {stride} = 0
 ),
 assign AS (
     SELECT vec_id, embedding, cid FROM (
@@ -1163,7 +1170,7 @@ probes AS (
         SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_L2_AB.replace('va', 'q.embedding').replace('vb', 'c.cv')}, c.cid) AS rn
         FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
-    ) WHERE rn <= 4
+    ) WHERE rn <= {nprobe}
 ),
 cand AS (
     SELECT p.query_id, p.q_vec AS va, a.vec_id, a.embedding AS vb
@@ -1176,6 +1183,14 @@ SELECT query_id, vec_id, cos, rank FROM (
     FROM (SELECT query_id, vec_id, {sql_round(_COS_DOUBLE, 6)} AS cos FROM cand)
 ) WHERE rank <= 10
 """
+
+
+_IVF_STRIDE_SQL = _ivf_sql(stride=125, nprobe=4)
+
+# The 'incremental' arm's replay: stride-100 quantizer (the seed rows
+# are all even ids, so seeding from the even-id build slice yields the
+# identical centroid set), nprobe=3.
+_IVF_INCREMENTAL_SQL = _ivf_sql(stride=100, nprobe=3)
 
 
 # index-ordered dot-product prefix fold over two double lists — mirrors
@@ -1377,6 +1392,9 @@ UNION ALL
 SELECT 'lsh' AS variant, query_id, vec_id, cos, rank
 FROM ({_LSH_SQL})
 UNION ALL
+SELECT 'incremental' AS variant, query_id, vec_id, cos, rank
+FROM ({_IVF_INCREMENTAL_SQL})
+UNION ALL
 SELECT 'trained_laws' AS variant, CAST(-1 AS BIGINT) AS query_id,
        CAST(n AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos,
        CAST(0 AS INT) AS rank
@@ -1406,6 +1424,16 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `lsh`: random-hyperplane LSH (5 planes, multi-probe radius 2).
       The oracle replays the deterministic md5-seeded buckets and the
       hamming<=2 probe ring, gating candidate membership AND ranking.
+    - `incremental`: the persisted-index maintenance chain
+      (operators/incremental_ann.py) — build the IVF index on the
+      even-id half (frozen stride-100 quantizer), ingest the odd-id
+      half against the STORED centroids (map-only assign, merge pruned
+      to the touched cid partitions), then probe the index with a
+      bounded literal cid set (static partition pruning). The oracle
+      replays the equivalent one-shot stride-100 IVF — per-row argmin
+      assignment is batch-invariant, so build+ingest must land the
+      identical lists; build+ingest ≡ one-shot and replay-idempotence
+      stay pinned in tests/test_incremental_ann.py.
     - `trained_laws`: the SCALE-PATH k-means training loop — two Lloyd
       iterations with partial-aggregated ``F.avg`` means (map-side
       combine; the plan users run at 100 TB) polishing the stride seed,
@@ -1428,6 +1456,12 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       just off the driver's hot path, which now checks the plan users
       actually run. Laws are computed with bounded driver scalars
       (3 inertia floats + 2 counts — the pca_project pattern)."""
+    from ..operators.incremental_ann import (
+        ann_query,
+        build_ann_index,
+        ingest_vectors,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
 
@@ -1437,6 +1471,26 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
     pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
     lsh = lsh_ann_topk(emb, queries, k=10, n_planes=5, probe_radius=2)
+
+    # incremental arm: persisted-index maintenance chain — build on the
+    # even-id slice (whose stride-100 sample IS the full corpus's: every
+    # multiple of 100 is even, so the frozen quantizer matches the
+    # oracle's), ingest the odd-id slice against the FROZEN centroids
+    # (map-only assign + cid-partition-pruned merge), then probe the
+    # stored lists (driver-side literal cid IN filter = static partition
+    # pruning). Per-row argmin assignment is batch-invariant, so the
+    # final index equals a one-shot assignment and the whole chain is
+    # value-gated by the stride-100 SQL replay.
+    wh = scratch_warehouse(spark, "ann_incremental_rows")
+    build_ann_index(
+        wh,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        table="ann_idx",
+        centroid_stride=100,
+        refine_iters=0,
+    )
+    ingest_vectors(wh, emb.filter(F.col("vec_id") % 2 == 1), table="ann_idx")
+    incremental = ann_query(wh, queries, table="ann_idx", k=10, nprobe=3)
 
     # trained_laws arm: scale-path (avg-mode) Lloyd, law flags
     seed = emb.filter(F.col("vec_id") % 125 == 0).select(
@@ -1489,6 +1543,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag(stride, "stride"))
         .unionByName(_tag(pq, "pq"))
         .unionByName(_tag(lsh, "lsh"))
+        .unionByName(_tag(incremental, "incremental"))
         .unionByName(laws)
     )
 

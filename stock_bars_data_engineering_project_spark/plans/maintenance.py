@@ -18,7 +18,7 @@ from ..operators.pca import fit_pca, project
 from ..operators.rollup import merge_rollups, rollup_increment, rollup_metrics
 from ..sources.readers import load_table
 from .extensions import _JACCARD, _SH_CTE, _SIG_BAND_CAND_CTES
-from .registry import register
+from .registry import register, scratch_warehouse
 
 
 def _py_round_half_up(x: float, scale: int) -> float:
@@ -28,35 +28,9 @@ def _py_round_half_up(x: float, scale: int) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def _scratch_warehouse(spark, label: str):
-    """Fresh temp ParquetWarehouse for a driver row that materializes
-    working tables. The returned DataFrame lazily reads the working
-    warehouse, so the dir can't be removed inside the query call;
-    instead all invocations share one root per label and each new one
-    reaps stale predecessors — bounded leftovers instead of unbounded
-    growth across repeated parity/bench runs. Reaping is AGE-GATED
-    (30 min, ~30x a single invocation): deleting every predecessor
-    unconditionally raced a concurrent invocation in another process
-    (bench running beside pytest) and yanked its warehouse out from
-    under the lazy scan mid-query."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
-    from ..sinks.warehouse import ParquetWarehouse
-
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{label}")
-    os.makedirs(root, exist_ok=True)
-    cutoff = time.time() - 1800
-    for stale in os.listdir(root):
-        p = os.path.join(root, stale)
-        try:
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass  # concurrently reaped by a sibling invocation
-    return ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
+# moved to registry.scratch_warehouse so plans/extensions.py (which this
+# module imports from) can share it without an import cycle
+_scratch_warehouse = scratch_warehouse
 
 
 # ---------------------------------------------------------------------------

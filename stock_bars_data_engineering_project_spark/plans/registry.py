@@ -18,6 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def scratch_warehouse(spark: SparkSession, label: str):
+    """Fresh temp ParquetWarehouse for a driver row that materializes
+    working tables. The returned DataFrame lazily reads the working
+    warehouse, so the dir can't be removed inside the query call;
+    instead all invocations share one root per label and each new one
+    reaps stale predecessors — bounded leftovers instead of unbounded
+    growth across repeated parity/bench runs. Reaping is AGE-GATED
+    (30 min, ~30x a single invocation): deleting every predecessor
+    unconditionally raced a concurrent invocation in another process
+    (bench running beside pytest) and yanked its warehouse out from
+    under the lazy scan mid-query."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..sinks.warehouse import ParquetWarehouse
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{label}")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 1800
+    for stale in os.listdir(root):
+        p = os.path.join(root, stale)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrently reaped by a sibling invocation
+    return ParquetWarehouse(spark, tempfile.mkdtemp(prefix="run_", dir=root))
+
+
 @dataclass
 class QuerySpec:
     name: str
