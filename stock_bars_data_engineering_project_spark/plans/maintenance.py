@@ -367,7 +367,8 @@ final AS (
     FROM base
     WHERE k % 7 <= 5 AND k % 5 <> 0
 )
-SELECT CASE WHEN s.k IS NULL THEN 'insert'
+SELECT 'cdc' AS variant,
+       CASE WHEN s.k IS NULL THEN 'insert'
             WHEN f.k IS NULL THEN 'delete'
             ELSE 'update' END AS _change_type,
        COALESCE(f.k, s.k) AS k,
@@ -376,6 +377,14 @@ SELECT CASE WHEN s.k IS NULL THEN 'insert'
 FROM state1 s FULL OUTER JOIN final f ON s.k = f.k
 WHERE s.k IS NULL OR f.k IS NULL
    OR s.status <> f.status OR s.price <> f.price
+UNION ALL
+SELECT 'restore_state' AS variant, 'state' AS _change_type, k, status, price
+FROM state1
+UNION ALL
+SELECT 'vacuum_law' AS variant, 'law' AS _change_type,
+       CAST(-1 AS BIGINT) AS k,
+       'restore_target_survives_vacuum' AS status,
+       CAST(1.0 AS DOUBLE) AS price
 """,
     tags=("warehouse", "cdc", "versioning"),
 )
@@ -395,9 +404,26 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gated cross-engine (the reference's PostgreSQL store mutates
     in place and has no history at all — this is the surface that
     replaces it at 100 TB, where CDC is a pure metadata read over
-    immutable snapshots). Intra-chain invariants (manifest append ≡
-    materialized append, restore, vacuum reference-safety) stay pinned
-    in tests/test_warehouse.py."""
+    immutable snapshots).
+
+    Two further arms drive the rollback surface under the driver:
+
+    - `restore_state`: after the chain, ``restore(v1)`` (O(1) pointer
+      flip) and re-read — the FULL restored table must equal the
+      oracle's direct recomputation of state1, so restore is
+      value-gated, not just pointer-checked. The CDC DataFrame above is
+      version-pinned eagerly at ``changes()`` time (reads resolve
+      member dirs immediately), so the later pointer flip cannot
+      retroactively change it.
+    - `vacuum_law`: ``vacuum(keep_last=2)`` with the pointer parked on
+      v1 — reference-aware retention must keep the restored-to version
+      (it is the pointer target, not among the newest two) and the
+      table must still read back exactly state1's rows afterwards; the
+      flag row collapses to the oracle's literal 1.0.
+
+    Intra-chain invariants (manifest append ≡ materialized append,
+    post-restore version allocation, vacuum member-reference safety)
+    stay pinned in tests/test_warehouse.py."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderkey").alias("k"),
@@ -416,7 +442,33 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.append(inserts, "t")
     wh.merge(updates, "t", keys=("k",))
     wh.overwrite(wh.read("t").filter(F.col("k") % 5 != 0), "t")
-    return wh.changes("t", v1, keys=("k",))
+    cdc = wh.changes("t", v1, keys=("k",)).withColumn("variant", F.lit("cdc"))
+
+    # rollback surface: restore is an O(1) pointer flip; the re-read
+    # (version-pinned eagerly, like the cdc read above) must equal the
+    # oracle's recomputed state1
+    wh.restore("t", v1)
+    restored = wh.read("t").select(
+        F.lit("restore_state").alias("variant"),
+        F.lit("state").alias("_change_type"),
+        "k",
+        "status",
+        "price",
+    )
+
+    # reference-aware vacuum: with the pointer parked on v1 (NOT among
+    # the newest two versions), retention must keep it and the table
+    # must still read exactly state1 afterwards
+    wh.vacuum("t", keep_last=2)
+    n_state1 = state1.count()
+    vacuum_ok = float(
+        v1 in wh.versions("t") and wh.read("t").count() == n_state1
+    )
+    law = spark.createDataFrame(
+        [("vacuum_law", "law", -1, "restore_target_survives_vacuum", vacuum_ok)],
+        "variant string, _change_type string, k bigint, status string, price double",
+    )
+    return cdc.unionByName(restored).unionByName(law)
 
 
 @register(
