@@ -57,13 +57,14 @@ ranked AS (
                ORDER BY ts DESC, value DESC) AS rn_close
     FROM events
 )
-SELECT a.user_id, a.day, a.n_rows, a.avg_value,
+SELECT v.variant, a.user_id, a.day, a.n_rows, a.avg_value,
        o.value AS open_v, a.high_v, a.low_v, c.value AS close_v,
        CAST(1.0 AS DOUBLE) AS hll_uniq_ok, CAST(1.0 AS DOUBLE) AS kll_n_ok,
        CAST(1.0 AS DOUBLE) AS kll_extrema_ok, CAST(1.0 AS DOUBLE) AS kll_q50_band_ok
 FROM agg a
 JOIN ranked o ON o.user_id = a.user_id AND o.day = a.day AND o.rn_open = 1
 JOIN ranked c ON c.user_id = a.user_id AND c.day = a.day AND c.rn_close = 1
+CROSS JOIN (SELECT unnest(['batch', 'stream']) AS variant) v
 """,
     tags=("rollup", "incremental"),
 )
@@ -89,7 +90,48 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact at driver scale — sparse mode), KLL's n / min / max exactly
     equal to the scalar state (hard guarantees independent of
     compaction), and the KLL median inside [min, max]. A violated
-    contract hash-mismatches the oracle's literal 1.0."""
+    contract hash-mismatches the oracle's literal 1.0.
+
+    The `stream` arm delivers the SAME events as two parquet file waves
+    through a real readStream + foreachBatch epoch-log fold
+    (streaming/incremental.py rollup_maintenance_stream): each
+    micro-batch's increment lands via keyed merge in its own ``_epoch``
+    partition — replay rewrites the same partition, so at-least-once
+    delivery degrades to exactly-once state — and the read-time combine
+    over epochs must equal the identical direct recompute the batch arm
+    is gated by. Replayed-epoch no-ops and compaction invariance stay
+    pinned in tests/test_streaming.py::test_rollup_maintenance_stream_epoch_log."""
+    import os
+
+    from ..streaming.incremental import (
+        read_rollup_state,
+        rollup_maintenance_stream,
+    )
+
+    def _project(m: DataFrame, variant: str) -> DataFrame:
+        rel_err = F.abs(F.col("uniq_est") - F.col("n_rows")) / F.col("n_rows")
+        return m.select(
+            F.lit(variant).alias("variant"),
+            "user_id",
+            "day",
+            "n_rows",
+            round_half_up(F.col("avg_value"), 4).alias("avg_value"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            (rel_err <= F.lit(0.05)).cast("double").alias("hll_uniq_ok"),
+            (F.col("kll_n") == F.col("n_rows")).cast("double").alias("kll_n_ok"),
+            (
+                (F.col("kll_min") == F.col("low_v"))
+                & (F.col("kll_max") == F.col("high_v"))
+            ).cast("double").alias("kll_extrema_ok"),
+            (
+                (F.col("kll_q50") >= F.col("low_v"))
+                & (F.col("kll_q50") <= F.col("high_v"))
+            ).cast("double").alias("kll_q50_band_ok"),
+        )
+
     ev = load_table(spark, sf_dir, "events")
     batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
     state = rollup_increment(batches[0], keys=("user_id",), distinct_col="event_id")
@@ -97,28 +139,31 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = merge_rollups(
             state, rollup_increment(b, keys=("user_id",), distinct_col="event_id")
         )
-    m = rollup_metrics(state)
-    rel_err = F.abs(F.col("uniq_est") - F.col("n_rows")) / F.col("n_rows")
-    return m.select(
-        "user_id",
-        "day",
-        "n_rows",
-        round_half_up(F.col("avg_value"), 4).alias("avg_value"),
-        "open_v",
-        "high_v",
-        "low_v",
-        "close_v",
-        (rel_err <= F.lit(0.05)).cast("double").alias("hll_uniq_ok"),
-        (F.col("kll_n") == F.col("n_rows")).cast("double").alias("kll_n_ok"),
-        (
-            (F.col("kll_min") == F.col("low_v"))
-            & (F.col("kll_max") == F.col("high_v"))
-        ).cast("double").alias("kll_extrema_ok"),
-        (
-            (F.col("kll_q50") >= F.col("low_v"))
-            & (F.col("kll_q50") <= F.col("high_v"))
-        ).cast("double").alias("kll_q50_band_ok"),
+    batch_arm = _project(rollup_metrics(state), "batch")
+
+    # stream arm: the SAME events delivered as two parquet file waves
+    # through a real readStream + foreachBatch epoch-log fold
+    # (streaming/incremental.py) — each micro-batch's increment lands in
+    # its own _epoch partition (replay-idempotent by construction), and
+    # the read-time combine over epochs must equal the direct oracle
+    # recompute, exactly like the batch fold
+    wh = _scratch_warehouse(spark, "rollup_stream_rows")
+    src = os.path.join(wh.root, "_src")
+    ckpt = os.path.join(wh.root, "_ckpt")
+    ev.filter(F.col("event_id") % 3 != 2).write.mode("append").parquet(src)
+    rollup_maintenance_stream(
+        spark, src, ev.schema, wh, "roll",
+        keys=("user_id",), checkpoint_dir=ckpt, distinct_col="event_id",
     )
+    ev.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(src)
+    rollup_maintenance_stream(
+        spark, src, ev.schema, wh, "roll",
+        keys=("user_id",), checkpoint_dir=ckpt, distinct_col="event_id",
+    )
+    stream_arm = _project(
+        rollup_metrics(read_rollup_state(wh, "roll")), "stream"
+    )
+    return batch_arm.unionByName(stream_arm)
 
 
 # ---------------------------------------------------------------------------
