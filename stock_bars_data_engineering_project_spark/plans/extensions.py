@@ -1366,6 +1366,66 @@ WHERE rank <= 10
 """
 
 
+# Contrastive-pair mining replay (the 'contrastive_*' arms of
+# ann_topk_suite): brute top-(n_pos+n_hard) neighbors decide pos/hard
+# roles by rank; random negatives are the deterministic hash-addressed
+# picks of operators/contrastive.py — row buckets by
+# md5('negrow:'||id), slot buckets by md5('negslot:'||anchor||'#'||slot)
+# (both mod |corpus|, the 48-bit idiom), md5-minimal row per bucket,
+# same-anchor duplicate picks keep the lowest slot, and anything the
+# ANN call saw for that anchor is anti-joined away.
+_CONTRASTIVE_CTES = f"""
+cnb AS (
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT query_id, vec_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id) AS INT) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   {sql_round(_COS_DOUBLE, 6)} AS cos
+            FROM (SELECT vec_id, embedding AS va FROM embeddings WHERE vec_id < 5) q
+            JOIN (SELECT vec_id, embedding AS vb FROM embeddings) c
+              ON c.vec_id != q.vec_id
+        )
+    ) WHERE rank <= 5
+),
+cn AS (SELECT COUNT(*) AS n FROM embeddings),
+crows AS (
+    SELECT vec_id AS other_id,
+           ('0x' || substr(md5('negrow:' || CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               % (SELECT n FROM cn) AS bkt
+    FROM embeddings
+),
+cslots AS (
+    SELECT q.vec_id AS anchor_id, s.slot,
+           ('0x' || substr(md5('negslot:' || CAST(q.vec_id AS VARCHAR)
+                || '#' || CAST(s.slot AS VARCHAR)), 1, 12))::BIGINT
+               % (SELECT n FROM cn) AS bkt
+    FROM embeddings q CROSS JOIN (SELECT unnest([1, 2]) AS slot) s
+    WHERE q.vec_id < 5
+),
+cpicked AS (
+    SELECT anchor_id, slot, other_id FROM (
+        SELECT s.anchor_id, s.slot, r.other_id,
+               ROW_NUMBER() OVER (PARTITION BY s.anchor_id, s.slot
+                    ORDER BY md5(CAST(r.other_id AS VARCHAR))) AS rn
+        FROM cslots s JOIN crows r ON r.bkt = s.bkt
+        WHERE r.other_id != s.anchor_id
+    ) WHERE rn = 1
+),
+cdedup AS (
+    SELECT anchor_id, other_id, MIN(slot) AS slot
+    FROM cpicked GROUP BY anchor_id, other_id
+),
+crand AS (
+    SELECT d.anchor_id, d.other_id, d.slot
+    FROM cdedup d LEFT JOIN cnb
+      ON cnb.query_id = d.anchor_id AND cnb.vec_id = d.other_id
+    WHERE cnb.query_id IS NULL
+)
+"""
+
+
 # Law ids for the 'trained_laws' arm of ann_topk_suite (vec_id column):
 # the scale-path (partial-agg avg) k-means training contract, each
 # collapsing to 1.0 when satisfied.
@@ -1394,6 +1454,21 @@ FROM ({_LSH_SQL})
 UNION ALL
 SELECT 'incremental' AS variant, query_id, vec_id, cos, rank
 FROM ({_IVF_INCREMENTAL_SQL})
+UNION ALL
+SELECT variant, query_id, vec_id, cos, rank FROM (
+    WITH {_CONTRASTIVE_CTES}
+    SELECT 'contrastive_pos' AS variant, query_id, vec_id, cos, rank
+    FROM cnb WHERE rank <= 3
+    UNION ALL
+    SELECT 'contrastive_hard' AS variant, query_id, vec_id, cos,
+           CAST(rank - 3 AS INT) AS rank
+    FROM cnb WHERE rank > 3
+    UNION ALL
+    SELECT 'contrastive_rand' AS variant, anchor_id AS query_id,
+           other_id AS vec_id, CAST(NULL AS DOUBLE) AS cos,
+           CAST(slot AS INT) AS rank
+    FROM crand
+)
 UNION ALL
 SELECT 'trained_laws' AS variant, CAST(-1 AS BIGINT) AS query_id,
        CAST(n AS BIGINT) AS vec_id, CAST(1.0 AS DOUBLE) AS cos,
@@ -1434,6 +1509,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       assignment is batch-invariant, so build+ingest must land the
       identical lists; build+ingest ≡ one-shot and replay-idempotence
       stay pinned in tests/test_incremental_ann.py.
+    - `contrastive_pos` / `contrastive_hard` / `contrastive_rand`:
+      training-pair mining (operators/contrastive.py) melted onto the
+      suite schema — positives are brute ranks 1..3, hard negatives
+      ranks 4..5, random negatives the deterministic hash-addressed
+      bucket picks (no rand(): row buckets + per-(anchor, slot) target
+      buckets from 48-bit md5, md5-minimal row per bucket, lowest-slot
+      dedup, ANN-neighborhood anti-join). The oracle replays every md5
+      and the anti-join, so negative MEMBERSHIP — the property that
+      makes training reproducible — is value-gated, not just counted.
     - `trained_laws`: the SCALE-PATH k-means training loop — two Lloyd
       iterations with partial-aggregated ``F.avg`` means (map-side
       combine; the plan users run at 100 TB) polishing the stride seed,
@@ -1492,6 +1576,21 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest_vectors(wh, emb.filter(F.col("vec_id") % 2 == 1), table="ann_idx")
     incremental = ann_query(wh, queries, table="ann_idx", k=10, nprobe=3)
 
+    # contrastive arms: (anchor, positive, hard-negative, random-
+    # negative) mining (operators/contrastive.py) melted onto the suite
+    # schema — role in the variant tag, mining slot in the rank column,
+    # score NULL for the hash-addressed random picks (which the oracle
+    # replays md5-for-md5, anti-join included)
+    from ..operators.contrastive import contrastive_pairs
+
+    contr = contrastive_pairs(emb, queries, n_pos=3, n_hard=2, n_rand=2).select(
+        F.concat(F.lit("contrastive_"), F.col("role")).alias("variant"),
+        F.col("anchor_id").alias("query_id"),
+        F.col("other_id").alias("vec_id"),
+        F.col("score").alias("cos"),
+        F.col("slot").cast("int").alias("rank"),
+    )
+
     # trained_laws arm: scale-path (avg-mode) Lloyd, law flags
     seed = emb.filter(F.col("vec_id") % 125 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
@@ -1544,6 +1643,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag(pq, "pq"))
         .unionByName(_tag(lsh, "lsh"))
         .unionByName(_tag(incremental, "incremental"))
+        .unionByName(contr)
         .unionByName(laws)
     )
 
