@@ -514,12 +514,32 @@ WITH lists AS (
                i -> list_reduce(vals[1:i], (acc, x) -> 0.9 * acc + 0.1 * x)))
                AS ema_raw
     FROM lists
+), slists AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vals,
+           list(event_id ORDER BY ts, event_id) AS ids,
+           list(ts ORDER BY ts, event_id) AS tss
+    FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY user_id
+), sexpanded AS (
+    SELECT user_id,
+           unnest(ids) AS event_id,
+           unnest(tss) AS ts,
+           unnest(vals) AS value,
+           unnest(list_transform(range(1, len(vals) + 1),
+               i -> list_reduce(vals[1:i], (acc, x) -> 0.9 * acc + 0.1 * x)))
+               AS ema_raw
+    FROM slists
 )
-SELECT user_id, event_id, ts, value,
+SELECT 'batch' AS variant, user_id, event_id, ts, value,
        {sql_round('ema_raw', 6)} AS ema
 FROM expanded
+UNION ALL
+SELECT 'stream' AS variant, user_id, event_id, ts, value,
+       {sql_round('ema_raw', 6)} AS ema
+FROM sexpanded
 """,
-    tags=("window", "ema", "pandas-udf"),
+    tags=("window", "ema", "pandas-udf", "streaming"),
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key exponential moving average (alpha=0.1) — recursive state
@@ -527,10 +547,65 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     hatch: Arrow-batched applyInPandas per key (vectorized ewm kernel,
     never row-at-a-time Python). The oracle replays the identical
     recursion with list_reduce prefix folds, so the sequential float
-    accumulation matches bit-for-bit before the shared HALF_UP round."""
+    accumulation matches bit-for-bit before the shared HALF_UP round.
+
+    The `stream` arm drives the streaming twin
+    (streaming/stateful.py ewma_stream, applyInPandasWithState) under
+    the driver: the ts >= 01-25 slice arrives as two event-time-split
+    parquet waves through two SEPARATE availableNow drains sharing one
+    checkpoint — the per-key EMA state is persisted to the state store
+    by the first drain and RESTORED from the checkpoint by the second
+    (a restart, not just a micro-batch boundary), and the emitted
+    series must equal the same prefix-fold recursion over the slice.
+    Stream ≡ batch across arbitrary in-wave micro-batching stays
+    pinned in tests/test_streaming.py."""
     events = load_table(spark, sf_dir, "events")
     out = ewma_per_key(events, alpha=0.1)
-    return out.withColumn("ema", round_half_up(F.col("ema"), 6))
+    batch_arm = out.withColumn("ema", round_half_up(F.col("ema"), 6)).select(
+        F.lit("batch").alias("variant"), "user_id", "event_id", "ts", "value", "ema"
+    )
+
+    import os
+
+    from ..streaming.stateful import ewma_stream
+
+    cut_lo = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    cut_mid = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    sub = events.filter(F.col("ts") >= cut_lo).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    root = scratch_warehouse(spark, "ewma_stream_rows").root
+    src = os.path.join(root, "_src")
+    outp = os.path.join(root, "_out")
+    ckpt = os.path.join(root, "_ckpt")
+
+    def drain() -> None:
+        q = (
+            ewma_stream(
+                spark.readStream.schema(sub.schema).parquet(src), alpha=0.1
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sub.filter(F.col("ts") < cut_mid).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    sub.filter(F.col("ts") >= cut_mid).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    stream_arm = spark.read.parquet(outp).select(
+        F.lit("stream").alias("variant"),
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        round_half_up(F.col("ema"), 6).alias("ema"),
+    )
+    return batch_arm.unionByName(stream_arm)
 
 
 # text_repetition_ratio was consolidated into text_metrics (its n_grams
