@@ -294,6 +294,74 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (its 'budget' arm).
 
 
+def _bpe_rules_sql(n_merges: int, min_cnt: int) -> str:
+    """Full BPE-training replay (operators/bpe.py train_bpe, sequential
+    batch_size=1 mode) as ``n_merges`` unrolled DuckDB rounds — the same
+    generate-per-iteration discipline as _lloyd_iter_sql. Each round:
+    adjacent-pair counts over the current symbol table, argmax with the
+    (cnt DESC, a, b) lexicographic tie-break, then the leftmost-first
+    non-overlapping merge application as a carry fold. DuckDB 1.0's
+    list_reduce drops LIST-typed struct fields across steps, so the
+    fold accumulates the output as a chr(31)-joined STRING (plain
+    VARCHAR fields fold correctly) and splits at the end — sound while
+    no document token contains the unit-separator byte, which the
+    synthetic corpus never does. Round r's counts depend on rounds
+    1..r-1's applications, so the merge application itself is
+    value-gated transitively even though only the rules are emitted."""
+    ctes = ["""bwc AS (
+    SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ) WHERE word != '' GROUP BY word
+),
+bsym_0 AS (
+    SELECT n, list_transform(range(1, length(word) + 1), i -> word[i]) || ['</w>'] AS syms
+    FROM bwc
+)"""]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""bpc_{r} AS (
+    SELECT p.a AS a, p.b AS b, SUM(n) AS cnt
+    FROM bsym_{p}, unnest(CASE WHEN len(syms) >= 2
+        THEN list_transform(range(1, len(syms)), i -> {{'a': syms[i], 'b': syms[i+1]}})
+        ELSE [] END) AS t(p)
+    GROUP BY p.a, p.b
+),
+bbest_{r} AS (
+    SELECT a, b, cnt FROM bpc_{r} WHERE cnt >= {min_cnt}
+    ORDER BY cnt DESC, a, b LIMIT 1
+),
+bsym_{r} AS (
+    SELECT s.n,
+           list_filter(string_split(
+               CASE WHEN s.r_.carry IS NULL THEN s.r_.out ELSE s.r_.out || s.r_.carry END,
+               chr(31)), x_ -> x_ != '') AS syms
+    FROM (
+        SELECT s0.n, list_reduce(
+            list_prepend({{'out': '', 'carry': NULL::VARCHAR}},
+                         list_transform(s0.syms, s_ -> {{'out': '', 'carry': s_}})),
+            (acc, x) -> CASE
+                WHEN acc.carry = m.a AND x.carry = m.b
+                THEN {{'out': acc.out || acc.carry || x.carry || chr(31), 'carry': NULL::VARCHAR}}
+                ELSE {{'out': CASE WHEN acc.carry IS NULL THEN acc.out
+                                   ELSE acc.out || acc.carry || chr(31) END,
+                      'carry': x.carry}} END) AS r_
+        FROM bsym_{p} s0 CROSS JOIN bbest_{r} m
+    ) s(n, r_)
+    UNION ALL
+    SELECT n, syms FROM bsym_{p} WHERE NOT EXISTS (SELECT 1 FROM bbest_{r})
+)""")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT 'bpe_rule' AS tag, CAST(NULL AS BIGINT) AS doc_id, "
+        f"a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score, "
+        f"CAST({r} AS INT) AS rank FROM bbest_{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + arms
+
+
+_BPE_MERGES = 6
+
+
 @register(
     "tfidf_vocab_suite",
     oracle=f"""
@@ -388,8 +456,12 @@ FROM (
     )
     GROUP BY doc_id
 )
+UNION ALL
+SELECT tag, doc_id, term, score, rank FROM (
+    {_bpe_rules_sql(_BPE_MERGES, 2)}
+)
 """,
-    tags=("text", "tfidf", "vocab", "surprisal", "classifier"),
+    tags=("text", "tfidf", "vocab", "surprisal", "classifier", "bpe"),
 )
 def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-statistics suite in one result: (a) per-document top-3 terms
@@ -484,10 +556,29 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_features").cast("int").alias("rank"),
         )
     )
+    # (e) BPE tokenizer training (operators/bpe.py): six sequential
+    # merge rounds over the corpus word counts; the learned rule table
+    # IS the model (a sanctioned O(n_merges) driver-side scalar) and
+    # the oracle re-learns it from scratch — counts, the lexicographic
+    # argmax tie-break, and the leftmost-first merge application are
+    # all cross-engine-gated (each round's counts depend on every prior
+    # round's application). Batched non-interacting merge rounds and
+    # the encode side (bpe_segment) stay pinned in tests/test_bpe.py.
+    from ..operators.bpe import train_bpe
+
+    rules = train_bpe(docs, n_merges=_BPE_MERGES)
+    bpe_arm = spark.createDataFrame(
+        [
+            ("bpe_rule", None, f"{a} {b}", float(c), i + 1)
+            for i, (a, b, c) in enumerate(rules)
+        ],
+        "tag string, doc_id bigint, term string, score double, rank int",
+    )
     return (
         tfidf_arm.unionByName(vocab_arm)
         .unionByName(surprisal_arm)
         .unionByName(qscore_arm)
+        .unionByName(bpe_arm)
     )
 
 
