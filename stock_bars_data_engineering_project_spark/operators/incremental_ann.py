@@ -67,7 +67,12 @@ def build_ann_index(
     )
     cent = kmeans_refine(corpus, seed, refine_iters, vec_col, id_col)
     wh.overwrite(cent, _centroids_table(table))
-    assigned = ivf_assign(corpus, cent, vec_col, id_col)
+    # co-locate each inverted list before the hive-partitioned write:
+    # without this, every one of the assignment's N shuffle partitions
+    # writes its own sliver into every cid dir — N x K tiny files where
+    # K files suffice (the small-files problem that makes list scans
+    # metadata-bound at scale)
+    assigned = ivf_assign(corpus, cent, vec_col, id_col).repartition("cid")
     wh.overwrite(assigned, table, partition_by=("cid",))
 
 
@@ -84,7 +89,8 @@ def ingest_vectors(
     batch lands in; re-ingesting an identical batch rewrites identical
     partitions — idempotent."""
     cent = wh.read(_centroids_table(table))
-    assigned = ivf_assign(batch, cent, vec_col, id_col)
+    # same list co-location as the build write (see build_ann_index)
+    assigned = ivf_assign(batch, cent, vec_col, id_col).repartition("cid")
     wh.merge(assigned, table, keys=("cid", "vec_id"), partition_by=("cid",))
 
 

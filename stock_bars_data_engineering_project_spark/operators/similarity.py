@@ -118,6 +118,7 @@ def ivf_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_dist: bool = False,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (squared-L2, ties to
     the lowest centroid id) — the IVF coarse quantizer.
@@ -126,7 +127,13 @@ def ivf_assign(
     cid-sorted array of (cid, vector) structs, broadcast, and the argmin
     runs as a per-row fold — no |corpus| x K expansion, no groupBy. At
     100 TB this is a map-only pass; K (hundreds to thousands) bounds the
-    broadcast at a few MB."""
+    broadcast at a few MB.
+
+    ``keep_dist=True`` adds the winning squared-L2 as a ``d2`` column —
+    the argmin fold already carries it, so exposing it is free, and it
+    lets inertia-style training monitors reuse THIS pass instead of
+    re-joining centroids and re-evaluating the distance (the
+    kmeans_inertia path)."""
     cent_arr = centroids.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cid"), as_double(F.col("cv")).alias("cv")))
@@ -177,6 +184,7 @@ def ivf_assign(
             "vec_id",
             F.col("_v").alias("embedding"),
             F.col("_best.cid").alias("cid"),
+            *([F.col("_best.d2").alias("d2")] if keep_dist else []),
         )
     )
 
@@ -256,12 +264,13 @@ def kmeans_inertia(
     id_col: str = "vec_id",
 ) -> float:
     """Sum of squared distances to assigned centroids — the quantity
-    Lloyd iterations must not increase."""
-    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
-    cents = centroids.select(F.col("cid"), as_double(F.col("cv")).alias("cv"))
+    Lloyd iterations must not increase. One map-only pass: the argmin
+    fold already computed the winning distance, so this reads it off
+    (``keep_dist``) instead of re-joining centroids and re-evaluating
+    l2sq — at 100 TB the training monitor costs exactly the assignment
+    pass it was going to pay anyway."""
     return (
-        assigned.join(F.broadcast(cents), "cid")
-        .select(l2sq(F.col("embedding"), F.col("cv")).alias("d2"))
+        ivf_assign(corpus, centroids, vec_col, id_col, keep_dist=True)
         .agg(F.sum("d2"))
         .first()[0]
     )

@@ -1712,11 +1712,18 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_vectors,
     )
 
+    from ..materialize import materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
 
-    brute = cosine_topk(emb, queries, k=10).withColumn(
-        "rank", F.col("rank").cast("int")
+    # k x |queries| rows — materialized because THREE consumers reuse it
+    # (the union output, the recall denominator, the recall semi-join);
+    # without this each action replays the full corpus-vs-queries pass
+    brute = materialize(
+        cosine_topk(emb, queries, k=10).withColumn(
+            "rank", F.col("rank").cast("int")
+        )
     )
     stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
     pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
@@ -1766,7 +1773,8 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     i0 = kmeans_inertia(emb, seed)
     i1 = kmeans_inertia(emb, c1)
     i2 = kmeans_inertia(emb, c2)
-    trained = ivf_topk(emb, queries, k=10, centroids=c2)
+    # same reuse argument as brute: recall semi-join + two shape probes
+    trained = materialize(ivf_topk(emb, queries, k=10, centroids=c2))
 
     n_lists = seed.count()
     nprobe = 4
