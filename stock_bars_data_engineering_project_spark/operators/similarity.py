@@ -196,6 +196,7 @@ def kmeans_refine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact_mean: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Lloyd's k-means refinement of an initial (cid, cv) centroid table
     — the iterative-algorithm shape expressed as pure DataFrame ops, no
@@ -215,20 +216,41 @@ def kmeans_refine(
     associativity, but with a DETERMINISTIC accumulation order that a
     SQL oracle can replay bit-for-bit (``list(x ORDER BY id)`` prefix
     fold). The default partial-aggregated ``avg`` is the scale path (it
-    map-side-combines; the ordered fold collects per-(cid,dim) lists)."""
+    map-side-combines; the ordered fold collects per-(cid,dim) lists).
+
+    ``stats`` (optional dict) receives ``inertia_in``: a list with the
+    inertia of the centroids ENTERING each iteration, measured on the
+    same pass — the winning d2 rides the assignment (``keep_dist``) and
+    its sum rides the mean shuffle as one extra partial-agg column, so
+    the training monitor costs zero extra corpus passes (the standalone
+    ``kmeans_inertia`` probe pays a full assignment per call). The
+    (cid, dim)-grained mean table is materialized when stats are
+    requested — it is K x dim rows, so this is a metadata-sized cost —
+    and each row repeats its vector's d2 once per dimension, hence the
+    sum(sd2) / dim readback (within float-rescaling noise of the direct
+    sum; callers compare with relative tolerance)."""
     cents = centroids.select("cid", as_double(F.col("cv")).alias("cv"))
+    if stats is not None:
+        stats["inertia_in"] = []
     for _ in range(n_iters):
-        assigned = ivf_assign(corpus, cents, vec_col, id_col)
-        comp = assigned.select(
-            "vec_id", "cid", F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        assigned = ivf_assign(
+            corpus, cents, vec_col, id_col, keep_dist=stats is not None
         )
+        comp = assigned.select(
+            "vec_id",
+            "cid",
+            *([F.col("d2")] if stats is not None else []),
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        extra = [F.sum("d2").alias("sd2")] if stats is not None else []
         if exact_mean:
             mean = (
                 comp.groupBy("cid", "pos")
                 .agg(
                     F.array_sort(
                         F.collect_list(F.struct(F.col("vec_id"), F.col("x")))
-                    ).alias("vx")
+                    ).alias("vx"),
+                    *extra,
                 )
                 .select(
                     "cid",
@@ -239,10 +261,17 @@ def kmeans_refine(
                         )
                         / F.size("vx")
                     ).alias("m"),
+                    *(["sd2"] if stats is not None else []),
                 )
             )
         else:
-            mean = comp.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+            mean = comp.groupBy("cid", "pos").agg(F.avg("x").alias("m"), *extra)
+        if stats is not None:
+            mean = materialize(mean)
+            tot = mean.agg(
+                F.sum("sd2").alias("s"), (F.max("pos") + 1).alias("dim")
+            ).first()
+            stats["inertia_in"].append(float(tot["s"]) / int(tot["dim"]))
         new = (
             mean.groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))

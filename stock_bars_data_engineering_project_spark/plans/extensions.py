@@ -1768,10 +1768,12 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = emb.filter(F.col("vec_id") % 125 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
-    c1 = kmeans_refine(emb, seed, n_iters=1)
-    c2 = kmeans_refine(emb, c1, n_iters=1)
-    i0 = kmeans_inertia(emb, seed)
-    i1 = kmeans_inertia(emb, c1)
+    # i0/i1 ride the two training iterations' own shuffles
+    # (kmeans_refine stats) — only the POST-training inertia needs a
+    # standalone assignment probe
+    s_train: dict = {}
+    c2 = kmeans_refine(emb, seed, n_iters=2, stats=s_train)
+    i0, i1 = s_train["inertia_in"]
     i2 = kmeans_inertia(emb, c2)
     # same reuse argument as brute: recall semi-join + two shape probes
     trained = materialize(ivf_topk(emb, queries, k=10, centroids=c2))
