@@ -285,20 +285,25 @@ def average_hash(pixels: list[int]) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def perceptual_hashes(df: DataFrame) -> DataFrame:
+def perceptual_hashes(df: DataFrame, pixels_fn=None) -> DataFrame:
     """(media_id, phash): 64-bit average-hash per image payload —
     mapInPandas over the binary column (Arrow-batched; the payload
     never survives past this stage, so downstream dedup shuffles 8
-    bytes per image, not the image)."""
+    bytes per image, not the image).
+
+    ``pixels_fn`` overrides the decode seam (default: the PIL-gated
+    ``_gray8x8``). Callers that need engine-independent determinism —
+    the driver row's cross-engine oracle — pass ``fake_gray8x8``
+    explicitly so the result cannot flip when a codec appears in the
+    environment."""
+    px = pixels_fn or _gray8x8
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "phash": [
-                        average_hash(_gray8x8(p)) for p in pdf["payload"]
-                    ],
+                    "phash": [average_hash(px(p)) for p in pdf["payload"]],
                 }
             )
 

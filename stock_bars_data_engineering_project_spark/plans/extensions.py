@@ -2092,28 +2092,100 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_binary_meta",
     oracle="""
-SELECT doc_id,
-       octet_length(CAST(text AS BLOB)) AS byte_len,
-       md5(text) AS content_md5,
-       source AS media_source
-FROM documents
+WITH hx AS (
+    SELECT doc_id, text, i, md5(text || chr(CAST(i AS INT))) AS hex
+    FROM documents, range(4) t(i)
+),
+px AS (
+    SELECT doc_id, CAST(i * 16 + j AS INT) AS pos,
+           ('0x' || substr(hex, CAST(j * 2 + 1 AS INT), 2))::BIGINT AS p
+    FROM hx, range(16) s(j)
+),
+ph AS (
+    SELECT px.doc_id,
+           SUM(CASE WHEN p > mean THEN
+               CASE WHEN pos = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << pos) END
+               ELSE 0 END) AS phash
+    FROM px JOIN (SELECT doc_id, AVG(p) AS mean FROM px GROUP BY doc_id) m
+      ON px.doc_id = m.doc_id
+    GROUP BY px.doc_id
+),
+partners AS (
+    SELECT a.doc_id, MIN(b.doc_id) AS dup_partner
+    FROM ph a JOIN ph b
+      ON a.doc_id != b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= 3
+    GROUP BY a.doc_id
+)
+SELECT d.doc_id,
+       octet_length(CAST(d.text AS BLOB)) AS byte_len,
+       md5(d.text) AS content_md5,
+       d.source AS media_source,
+       ph.phash AS phash,
+       partners.dup_partner AS dup_partner
+FROM documents d
+JOIN ph ON ph.doc_id = d.doc_id
+LEFT JOIN partners ON partners.doc_id = d.doc_id
 """,
-    tags=("multimodal",),
+    tags=("multimodal", "phash", "dedup"),
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque-binary column plumbing: payload bytes + content hash +
-    typed metadata travel together (the decode/feature path is
-    operators/multimodal.py, exercised by tests)."""
-    from ..operators.multimodal import attach_binary_payload
+    """Opaque-binary column plumbing + perceptual-hash image dedup
+    (operators/multimodal.py): payload bytes + content hash + typed
+    metadata travel together, and each payload additionally carries
+
+    - ``phash``: the 64-bit average-hash computed by the Arrow-batched
+      mapInPandas seam over the DETERMINISTIC decode fake
+      (``fake_gray8x8``, passed explicitly so the oracle cannot flip if
+      an image codec appears in the environment — the PIL-gated real
+      decode stays import-gated in tests). The oracle recomputes every
+      pixel (md5 expansion), the mean threshold, and the signed bit-63
+      wrap, so the whole hash path is value-gated cross-engine.
+    - ``dup_partner``: min id of any OTHER payload within hamming 3 of
+      this one — the per-doc projection of ``phash_dup_pairs``' 4x16-bit
+      pigeonhole blocking + codegen hamming verify (the oracle replays
+      the hamming<=3 relation directly; the blocking is lossless at
+      this radius, which is exactly what a divergence here would
+      falsify). On this corpus near-dups are the exact re-encodes
+      (identical payloads), the fake-decode contract.
+    """
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        fake_gray8x8,
+        perceptual_hashes,
+        phash_dup_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     # one definition of the payload triple (operators/multimodal.py);
     # column pruning drops the unused payload bytes from the scan
-    return attach_binary_payload(d, passthrough=("source",)).select(
-        F.col("media_id").alias("doc_id"),
-        "byte_len",
-        "content_md5",
-        F.col("source").alias("media_source"),
+    media = attach_binary_payload(d, passthrough=("source",))
+    hashed = perceptual_hashes(media, pixels_fn=fake_gray8x8)
+    pairs = phash_dup_pairs(hashed, max_hamming=3)
+    partners = (
+        pairs.select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("partner").alias("dup_partner"))
+    )
+    return (
+        media.select(
+            F.col("media_id").alias("doc_id"),
+            "byte_len",
+            "content_md5",
+            F.col("source").alias("media_source"),
+        )
+        .join(
+            hashed.select(F.col("media_id").alias("doc_id"), "phash"), "doc_id"
+        )
+        # no broadcast hint: the partner table is corpus-dependent (all
+        # docs could have near-dups) — let AQE pick at runtime
+        .join(partners, "doc_id", "left")
     )
 
 
