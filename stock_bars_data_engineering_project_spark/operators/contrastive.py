@@ -109,7 +109,11 @@ def contrastive_pairs(
             ).alias("_bkt"),
         )
         picked = (
-            slots.join(rows, "_bkt")
+            # anchors are training-batch-sized (module contract), so the
+            # (anchor x slot) table broadcasts and the corpus rows side
+            # never shuffles — without the hint Spark falls back to a
+            # corpus-wide SortMergeJoin on the bucket id
+            F.broadcast(slots).join(rows, "_bkt")
             .filter(F.col("other_id") != F.col("anchor_id"))
             .groupBy("anchor_id", "slot")
             # deterministic pick inside the bucket: hash-minimal row
@@ -128,7 +132,11 @@ def contrastive_pairs(
             F.col("query_id").alias("anchor_id"), F.col("vec_id").alias("other_id")
         )
         rand = (
-            picked.join(taken, ["anchor_id", "other_id"], "left_anti")
+            # same size contract: |anchors| x k id pairs — broadcast the
+            # exclusion set rather than sort-merge two tiny tables
+            picked.join(
+                F.broadcast(taken), ["anchor_id", "other_id"], "left_anti"
+            )
             .select(
                 "anchor_id",
                 F.lit("rand").alias("role"),
