@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalars import sql_round
+from ..functions.scalars import event_micros, sql_round
 from ..operators.merge import upsert_frames
 from ..sources.readers import load_table
 from ..streaming.stateful import first_seen_per_key
@@ -167,22 +167,39 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_dedup",
     oracle="""
-SELECT user_id, ts AS first_ts, event_id AS first_event_id, value AS first_value
+SELECT 'first_seen' AS variant,
+       user_id, ts AS first_ts, event_id AS first_event_id, value AS first_value
 FROM (
     SELECT user_id, ts, event_id, value,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
 ) WHERE rn = 1
+UNION ALL
+SELECT 'wm_dedup' AS variant,
+       user_id, ts AS first_ts, event_id AS first_event_id, value AS first_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
 """,
     tags=("streaming", "stateful"),
 )
 def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState):
-    keyed first-seen dedup — one output row per user ever, state
-    persisted in the state store. Drained with availableNow into a
-    memory sink; the oracle is the batch gaps-free formulation
-    (row_number = 1 per key by event time)."""
+    """Two stateful streaming dedup surfaces as tagged arms of one row
+    (consolidated back into the driver window in round 6 — both were
+    previously pinned only by tests/test_streaming.py):
+
+    - 'first_seen': custom stateful operator (applyInPandasWithState) —
+      keyed first-seen dedup, one output row per user ever, state
+      persisted in the state store. Oracle is the batch gaps-free
+      formulation (row_number = 1 per key by event time).
+    - 'wm_dedup': the built-in ``dropDuplicatesWithinWatermark`` over an
+      AT-LEAST-ONCE source — the staged feed contains every event twice
+      (two parquet copies), and the drain must emit each event exactly
+      once. Oracle is simply the distinct slice: exactly-once despite a
+      duplicated delivery. The watermark rides a derived event-time
+      column (``as_event_time`` discipline, session-tz independent) so
+      the emitted ``first_ts`` stays the untouched source NTZ value.
+    """
     batch = load_table(spark, sf_dir, "events").filter(
         F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
     )
@@ -190,7 +207,31 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.readStream.schema(batch.schema).parquet(src)
     out = first_seen_per_key(events, key="user_id")
     run_stream_to_memory(out, "stream_stateful_dedup", output_mode="append")
-    return spark.table("stream_stateful_dedup")
+    first_seen = spark.table("stream_stateful_dedup").select(
+        F.lit("first_seen").alias("variant"),
+        "user_id", "first_ts", "first_event_id", "first_value",
+    )
+
+    src2 = _stage_events_dir(
+        sf_dir, batch.unionByName(batch), tag="ge20240125_x2"
+    )
+    dup_stream = spark.readStream.schema(batch.schema).parquet(src2)
+    deduped = (
+        dup_stream.withColumn(
+            "_et", F.timestamp_micros(event_micros(dup_stream, "ts"))
+        )
+        .withWatermark("_et", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            F.lit("wm_dedup").alias("variant"),
+            "user_id",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            F.col("value").alias("first_value"),
+        )
+    )
+    run_stream_to_memory(deduped, "stream_wm_dedup", output_mode="append")
+    return first_seen.unionByName(spark.table("stream_wm_dedup"))
 
 
 # stream_tumbling_hourly was consolidated out of the registry: the
@@ -206,7 +247,8 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'inner' AS variant,
        p.event_id AS purchase_id,
        p.user_id AS user_id,
-       v.event_id AS view_id
+       v.event_id AS view_id,
+       CAST(NULL AS VARCHAR) AS seg
 FROM events p
 JOIN events v
   ON p.user_id = v.user_id
@@ -219,7 +261,8 @@ UNION ALL
 SELECT 'outer' AS variant,
        p.event_id AS purchase_id,
        p.user_id AS user_id,
-       v.event_id AS view_id
+       v.event_id AS view_id,
+       CAST(NULL AS VARCHAR) AS seg
 FROM events p
 LEFT JOIN events v
   ON p.user_id = v.user_id
@@ -230,6 +273,16 @@ LEFT JOIN events v
 WHERE p.event_type = 'purchase'
   AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
   AND p.ts <  TIMESTAMP '2024-01-30 00:00:00'
+UNION ALL
+SELECT 'static' AS variant,
+       p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       CAST(NULL AS BIGINT) AS view_id,
+       c.c_mktsegment AS seg
+FROM events p
+JOIN customer c ON p.user_id = c.c_custkey
+WHERE p.event_type = 'purchase'
+  AND p.ts >= TIMESTAMP '2024-01-25 00:00:00'
 """,
     tags=("streaming", "join", "outer"),
 )
@@ -252,7 +305,14 @@ def q_stream_interval_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       watermark (max event time minus the 1h delay — the corpus runs
       to 01-30 ~23:xx at every SF), making the availableNow drain
       deterministic and equal to the batch left-outer interval join —
-      null emissions included, which the inner arm cannot check."""
+      null emissions included, which the inner arm cannot check.
+    - 'static' (round 6): stream-static enrichment — the purchase
+      stream joined to the STATIC customer dimension inside the
+      streaming query (broadcast per micro-batch, no state, append
+      mode), emitting the joined c_mktsegment. Every purchase's
+      user_id resolves in the dim at every SF, so the arm is the batch
+      inner join. Previously pinned only by
+      tests/test_streaming.py::test_stream_static_join_matches_batch."""
     from ..streaming.joins import interval_join, interval_join_outer
 
     batch = load_table(spark, sf_dir, "events").filter(
@@ -284,18 +344,40 @@ def q_stream_interval_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink)
 
     inner = drain(interval_join, False, "stream_ij_inner").select(
-        F.lit("inner").alias("variant"), "purchase_id", "user_id", "view_id"
+        F.lit("inner").alias("variant"), "purchase_id", "user_id", "view_id",
+        F.lit(None).cast("string").alias("seg"),
     )
     outer = drain(interval_join_outer, True, "stream_ij_outer").select(
-        F.lit("outer").alias("variant"), "purchase_id", "user_id", "view_id"
+        F.lit("outer").alias("variant"), "purchase_id", "user_id", "view_id",
+        F.lit(None).cast("string").alias("seg"),
     )
-    return inner.unionByName(outer)
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    purchases = spark.readStream.schema(schema).parquet(src).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = purchases.join(
+        F.broadcast(cust), purchases.user_id == cust.c_custkey
+    ).select(
+        F.lit("static").alias("variant"),
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    run_stream_to_memory(enriched, "stream_ij_static", output_mode="append")
+    static = spark.table("stream_ij_static")
+
+    return inner.unionByName(outer).unionByName(static)
 
 
-# stream_static_join and stream_dedup_within_watermark were
-# consolidated out of the registry (round-2): the stream-static
-# broadcast enrichment and dropDuplicatesWithinWatermark semantics stay
-# pinned by tests/test_streaming.py (stream == batch, across restart
-# and duplicated-source feeds); the registry keeps three real
-# readStream drains for the driver (stateful dedup, inner interval
-# join, outer interval join with watermark-closed null emission).
+# Every streaming surface is driver-gated as of round 6: stateful
+# first-seen dedup + dropDuplicatesWithinWatermark (arms of
+# stream_stateful_dedup), inner/outer interval joins + stream-static
+# enrichment (arms of stream_interval_join_suite), epoch-log rollup
+# maintenance (rollup_maintenance 'stream' arm), band-index dedup
+# ingest (stream_dedup_ingest), and the cross-restart EMA state store
+# (ewma_per_user 'stream' arm). tests/test_streaming.py additionally
+# pins stream == batch across arbitrary micro-batching and restarts.
