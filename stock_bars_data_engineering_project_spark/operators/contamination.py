@@ -194,6 +194,13 @@ def scrub_against(
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("_cov"))
     )
+    return _rebuild_minus_covered(base, covered)
+
+
+def _rebuild_minus_covered(base: DataFrame, covered: DataFrame) -> DataFrame:
+    """Shared rebuild: drop each document's covered 1-based positions
+    and re-join the kept tokens. ``base`` is (doc_id, toks); ``covered``
+    is (doc_id, _cov array<int>), absent docs pass through intact."""
     joined = base.join(covered, "doc_id", "left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     # kept positions via set difference, then positions -> tokens: an
@@ -211,6 +218,74 @@ def scrub_against(
         F.size(cov).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def exact_substr_scrub(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup (the suffix-array pass of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed at k-gram granularity): every occurrence of a k-token
+    span that appears ``min_count``-or-more times ANYWHERE in the corpus
+    — across documents or repeated within one — is removed EXCEPT the
+    globally first occurrence (ordered by (doc_id, position)), which
+    survives in place. Overlapping duplicated grams merge into longer
+    scrubbed spans via the position union, so a long duplicated passage
+    is kept once and excised everywhere else, which is the paper's
+    semantics without materializing a suffix array.
+
+    Contrast with :func:`boilerplate_scrub`: that pass keys on
+    document frequency (>= df_cap distinct docs) and scrubs EVERY
+    occurrence; this pass keys on raw occurrence count (>= 2) and keeps
+    a canonical copy — dedup, not removal.
+
+    Scale shape: the winner table (gram -> count + min-(doc_id,pos)) is
+    ONE partial-aggregable groupBy whose Zipf head collapses map-side;
+    it is corpus-sized, so the occurrence/winner join is a sort-merge
+    join on the gram key (AQE-skew-eligible) rather than a broadcast —
+    the document text itself never rides either shuffle, only
+    (doc_id, pos, gram). A window (row_number per gram) would do it in
+    one shuffle but serializes each hot gram's occurrence list in a
+    single task; the agg+join shape is the skew-safe choice at 100 TB.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    document, same contract as :func:`boilerplate_scrub`.
+    """
+    from ..sources.readers import balance
+
+    if min_count < 2:
+        raise ValueError("exact_substr_scrub: min_count must be >= 2")
+    toks = tokens(F.col(text_col))
+    base = balance(df).select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    pos_grams = positional_grams(df, k, id_col=id_col, text_col=text_col)
+    winners = (
+        pos_grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keep"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .select("gram", "keep")
+    )
+    dup_occ = pos_grams.join(winners, "gram").filter(
+        ~(
+            (F.col("doc_id") == F.col("keep.doc_id"))
+            & (F.col("pos") == F.col("keep.pos"))
+        )
+    )
+    covered = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    return _rebuild_minus_covered(base, covered)
 
 
 def dedup_paragraphs(

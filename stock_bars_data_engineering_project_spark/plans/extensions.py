@@ -33,6 +33,7 @@ from ..operators.contamination import (
     boilerplate_scrub,
     contamination_overlap,
     dedup_paragraphs,
+    exact_substr_scrub,
 )
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
@@ -785,6 +786,32 @@ FROM (
                                chr(10) || chr(10) ORDER BY pos), '') AS clean
     FROM ranked GROUP BY doc_id
 )
+UNION ALL
+SELECT 'exact_substr' AS tag, t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(coalesce(c.ps, [])) AS BIGINT) AS n_affected,
+       {sql_round('len(coalesce(c.ps, [])) / len(t.toks)', 4)} AS ratio,
+       coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks)+1)
+                        if NOT list_contains(coalesce(c.ps, []), i)], ' '), '')
+           AS payload
+FROM btoks t LEFT JOIN (
+    WITH esgrams AS (
+        SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        FROM btoks, unnest(range(1, len(toks) - 6)) AS r(i)
+    ),
+    esrank AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY gram) AS cnt
+        FROM esgrams
+    ),
+    escov AS (
+        SELECT DISTINCT doc_id, p
+        FROM esrank, unnest(range(pos, pos + 8)) AS r(p)
+        WHERE cnt >= 2 AND rn > 1
+    )
+    SELECT doc_id, list(p) AS ps FROM escov GROUP BY doc_id
+) c USING (doc_id)
 """,
     tags=("text", "contamination", "boilerplate", "paragraphs"),
 )
@@ -802,8 +829,16 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
       are removed and the cleaned text itself rides as the payload
       column, so the oracle gates the REBUILT text, not just counts.
 
-    Both arms df-cap/broadcast-bound the hot side; the corpus text is
-    never joined all-pairs."""
+    - 'exact_substr' (round 6): exact-substring dedup (Lee et al. 2022
+      at 8-gram granularity, operators/contamination.exact_substr_scrub)
+      — every duplicated 8-token span is kept at its globally first
+      (doc_id, pos) occurrence and scrubbed everywhere else; the
+      rebuilt text rides as the payload. One partial-aggregable winner
+      groupBy + a sort-merge occurrence/winner join on the gram key —
+      no window over hot grams, no broadcast of a corpus-sized side.
+
+    Every arm df-cap/broadcast-bounds or partial-aggregates its hot
+    side; the corpus text is never joined all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
@@ -854,7 +889,19 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ratio"),
         F.col("clean_text").alias("payload"),
     )
-    return overlap_arm.unionByName(scrub_arm).unionByName(para_arm)
+    es_arm = exact_substr_scrub(docs, k=8).select(
+        F.lit("exact_substr").alias("tag"),
+        "doc_id",
+        "n_tokens",
+        F.col("n_removed").alias("n_affected"),
+        round_half_up(F.col("n_removed") / F.col("n_tokens"), 4).alias("ratio"),
+        F.col("clean_text").alias("payload"),
+    )
+    return (
+        overlap_arm.unionByName(scrub_arm)
+        .unionByName(para_arm)
+        .unionByName(es_arm)
+    )
 
 
 _SIMHASH_SQL = f"""

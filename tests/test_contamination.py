@@ -333,3 +333,97 @@ def test_dedup_paragraphs_matches_python_reference(spark):
         for r in dedup_paragraphs(docs).collect()
     }
     assert got == expect
+
+
+def _exact_substr_replay(rows, k, min_count=2):
+    """Direct Python reference for exact_substr_scrub."""
+    toks = {d: text.split(" ") for d, text in rows}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in sorted(toks.items()):
+        for i in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[i : i + k]), []).append((d, i + 1))
+    cov: dict[int, set[int]] = {d: set() for d in toks}
+    for g, os_ in occ.items():
+        if len(os_) < min_count:
+            continue
+        keep = min(os_)
+        for d, p in os_:
+            if (d, p) != keep:
+                cov[d].update(range(p, p + k))
+    return {
+        d: (
+            len(ts),
+            len(cov[d]),
+            " ".join(t for j, t in enumerate(ts, start=1) if j not in cov[d]),
+        )
+        for d, ts in toks.items()
+    }
+
+
+def test_exact_substr_scrub_matches_python_reference(spark):
+    """Generated corpus with cross-doc shared passages AND within-doc
+    repetition — the operator must equal the direct replay exactly
+    (counts and rebuilt text)."""
+    import random
+
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        exact_substr_scrub,
+    )
+
+    rng = random.Random(7)
+    passages = [
+        " ".join(f"shared{i}w{j}" for j in range(6)) for i in range(4)
+    ]
+    rows = []
+    for d in range(30):
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.5:
+                parts.append(passages[rng.randrange(len(passages))])
+            else:
+                parts.append(
+                    " ".join(f"d{d}u{rng.randrange(1000)}" for _ in range(5))
+                )
+        rows.append((d, " ".join(parts)))
+    # plant within-doc repetition: one doc repeats a passage twice
+    rows.append((30, passages[0] + " filler " + passages[0]))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in exact_substr_scrub(docs, k=3).collect()
+    }
+    assert got == _exact_substr_replay(rows, k=3)
+
+
+def test_exact_substr_scrub_keeper_and_identity(spark):
+    """The globally first (doc_id, pos) occurrence survives in place;
+    a corpus with no duplicated k-gram passes through untouched; docs
+    shorter than k tokens are exempt; min_count < 2 is rejected."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        exact_substr_scrub,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} tail one"),
+            (2, f"{shared} other trailing content here"),
+            (3, "totally distinct vocabulary nothing shared whatsoever"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in exact_substr_scrub(docs, k=8).collect()}
+    # doc 1 holds the first occurrence (pos 3) -> intact
+    assert got[1].n_removed == 0 and shared in got[1].clean_text
+    # doc 2's copy starts at pos 1 but doc_id orders after doc 1 -> scrubbed
+    assert got[2].n_removed == 8 and shared not in got[2].clean_text
+    assert got[2].clean_text == "other trailing content here"
+    assert got[3].n_removed == 0
+    assert got[4].n_removed == 0 and got[4].clean_text == "tiny"
+
+    with pytest.raises(ValueError):
+        exact_substr_scrub(docs, k=8, min_count=1)
