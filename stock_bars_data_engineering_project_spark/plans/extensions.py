@@ -149,22 +149,82 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH {_SH_CTE}
-SELECT doc_a, doc_b, jaccard
+WITH {_SH_CTE},
+fz_base AS (
+    SELECT doc_id, array_to_string(string_split(text, ' ')[1:3], ' ') AS nm
+    FROM documents
+),
+fz_ent AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN substr(nm, 1, length(nm) - 1)
+                WHEN doc_id % 3 = 1 THEN nm || 'x'
+                ELSE nm END AS name
+    FROM fz_base
+),
+fz_blk AS (
+    SELECT doc_id, name, string_split(lower(name), ' ')[1] AS blk FROM fz_ent
+)
+SELECT 'jaccard' AS variant, doc_a, doc_b, score
 FROM (
-    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {sql_round(_JACCARD, 4)} AS jaccard
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {sql_round(_JACCARD, 4)} AS score
     FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
 )
-WHERE jaccard >= 0.7
+WHERE score >= 0.7
+UNION ALL
+SELECT 'fuzzy' AS variant, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.name, b.name) AS DOUBLE) AS score
+FROM fz_blk a JOIN fz_blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE abs(length(a.name) - length(b.name)) <= 2
+  AND levenshtein(a.name, b.name) <= 2
 """,
-    tags=("dedup",),
+    tags=("dedup", "fuzzy"),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard >= 0.7 via inverted-index join
-    (pairs must share a shingle — no quadratic cross join, no LSH
-    recall loss). The oracle brute-forces all pairs; results must agree
-    because jaccard >= 0.7 implies a shared shingle."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    """Two blocked pairwise-matching surfaces as tagged arms:
+
+    - 'jaccard': exact all-pairs 3-gram Jaccard >= 0.7 via
+      inverted-index join (pairs must share a shingle — no quadratic
+      cross join, no LSH recall loss). The oracle brute-forces all
+      pairs; results must agree because jaccard >= 0.7 implies a
+      shared shingle.
+    - 'fuzzy' (round 6): the entity-resolution join
+      (operators/fuzzy.fuzzy_dedup_pairs) — the corpus has no natural
+      near-identical name column (part names are massively duplicated
+      verbatim), so the arm SYNTHESIZES one both engines replicate
+      exactly: each doc's first-3-token name, with a deterministic
+      typo class by doc_id % 3 (truncate last char / append a char /
+      unchanged). Blocked on the lowercased first token, length-pruned,
+      bounded-levenshtein verified (max_dist=2); the oracle replays the
+      identical blocking contract with DuckDB's levenshtein, gating
+      pair MEMBERSHIP and the distances."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs).select(
+        F.lit("jaccard").alias("variant"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+
+    from ..operators.fuzzy import fuzzy_dedup_pairs
+
+    nm = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3))
+    base = docs.select("doc_id", nm.alias("nm"))
+    name = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.col("nm").substr(F.lit(1), F.length("nm") - 1),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("nm"), F.lit("x")))
+        .otherwise(F.col("nm"))
+    )
+    ent = base.select("doc_id", name.alias("name"))
+    fuzzy = fuzzy_dedup_pairs(ent, "doc_id", "name", max_dist=2).select(
+        F.lit("fuzzy").alias("variant"),
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("edit_dist").cast("double").alias("score"),
+    )
+    return jac.unionByName(fuzzy)
 
 
 # 60-bit SimHash: per token, h1 = first 7 hex chars (28 bits), h2 = next
@@ -1990,6 +2050,66 @@ _MULTI_CASE_SQL = (
     + f") < 0.05 THEN 'unknown' {_MULTI_BRANCHES} END"
 )
 
+# Gopher panel replay (operators/quality.gopher_panel, paper defaults):
+# every rule recomputed in DuckDB over the same derived columns —
+# toksg (\s+ split, empties dropped), lines (\n split, trimmed,
+# empties dropped), gramsf (2-grams over the whitespace-flattened
+# text). All ratios are exact-integer divisions, so the boolean rules
+# are bit-safe cross-engine.
+_G_STOPS = "['the','be','to','of','and','that','have','with']"
+_G_NELL = (
+    "((length(text) - length(replace(text, '...', ''))) / 3"
+    " + length(text) - length(replace(text, {chr_ell}, '')))".format(
+        chr_ell="'…'"
+    )
+)
+_GOPHER_RULES_SQL = [
+    # word count in [50, 100000]
+    "len(toksg) >= 50 AND len(toksg) <= 100000",
+    # mean word length in [3, 10]
+    "len(toksg) > 0 AND list_sum(list_transform(toksg, t -> length(t)))::DOUBLE"
+    " / len(toksg) BETWEEN 3.0 AND 10.0",
+    # hash AND ellipsis symbol-to-word ratios each <= 0.1
+    "len(toksg) > 0"
+    " AND (length(text) - length(replace(text, '#', '')))::DOUBLE / len(toksg) <= 0.1"
+    f" AND {_G_NELL}::DOUBLE / len(toksg) <= 0.1",
+    # bullet-started line share <= 0.9
+    "len(lines) = 0 OR len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))::DOUBLE"
+    " / len(lines) <= 0.9",
+    # ellipsis-ended line share <= 0.3
+    "len(lines) = 0 OR len(list_filter(lines,"
+    " l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE / len(lines) <= 0.3",
+    # alpha-word fraction >= 0.8
+    "len(toksg) > 0 AND len(list_filter(toksg, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE"
+    " / len(toksg) >= 0.8",
+    # >= 2 distinct Gopher stopwords present
+    f"len(list_filter({_G_STOPS},"
+    " s -> list_contains(list_transform(toksg, t -> lower(t)), s))) >= 2",
+    # duplicate-line fraction <= 0.3
+    "len(lines) = 0 OR (len(lines) - len(list_distinct(lines)))::DOUBLE"
+    " / len(lines) <= 0.3",
+    # duplicate-line character-mass fraction <= 0.2
+    "len(lines) = 0 OR (list_sum(list_transform(lines, l -> length(l)))"
+    " - list_sum(list_transform(list_distinct(lines), l -> length(l))))::DOUBLE"
+    " / list_sum(list_transform(lines, l -> length(l))) <= 0.2",
+    # top 2-gram token share <= 0.2
+    "(CASE WHEN len(gramsf) > 0 THEN"
+    " CAST(list_aggregate(list_transform(list_distinct(gramsf),"
+    " g -> len(list_filter(gramsf, x -> x = g))), 'max') AS DOUBLE)"
+    " / len(gramsf) ELSE 0.0 END) <= 0.2",
+]
+_GOPHER_KEEP_SQL = " AND ".join(
+    f"COALESCE(({r}), false)" for r in _GOPHER_RULES_SQL
+)
+_GOPHER_NFAIL_SQL = (
+    f"CAST({len(_GOPHER_RULES_SQL)} - ("
+    + " + ".join(
+        f"(CASE WHEN COALESCE(({r}), false) THEN 1 ELSE 0 END)"
+        for r in _GOPHER_RULES_SQL
+    )
+    + ") AS INT)"
+)
+
 
 @register(
     "text_metrics",
@@ -2017,17 +2137,27 @@ SELECT doc_id,
            (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint,
        {_SIMHASH_SQL} AS simhash,
        {_SCRUB_SQL} AS scrubbed,
-       CAST(length(text) - length({_SCRUB_SQL}) AS BIGINT) AS delta_chars
+       CAST(length(text) - length({_SCRUB_SQL}) AS BIGINT) AS delta_chars,
+       {_GOPHER_KEEP_SQL} AS gopher_keep,
+       {_GOPHER_NFAIL_SQL} AS gopher_n_fail
 FROM (
-    SELECT doc_id, text, lang, toks, grams,
+    SELECT doc_id, text, lang, toks, grams, toksg, lines, gramsf,
            {_MULTI_RATIO_SQL}
     FROM (
         SELECT doc_id, text, lang,
                string_split(text, ' ') AS toks,
                [array_to_string(l[j:j+1], ' ') for j in range(1, len(l))] AS grams,
                list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                           x -> x != '') AS toksm
-        FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS l
+                           x -> x != '') AS toksm,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toksg,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           x -> trim(x)), x -> x != '') AS lines,
+               [array_to_string(lf[j:j+1], ' ') for j in range(1, len(lf))]
+                   AS gramsf
+        FROM (SELECT doc_id, text, lang, string_split(text, ' ') AS l,
+                     string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                  ' ') AS lf
               FROM documents)
     )
 )
@@ -2053,9 +2183,21 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit votes) is the whole cost, and a single-row-group parquet
     file would otherwise execute on one core (measured 3.0s vs 5.7s at
     sf0.1). Every column bit-matched against the DuckDB replay."""
+    from ..operators.quality import gopher_panel
     from ..sources.readers import balance
 
     d = balance(load_table(spark, sf_dir, "documents"))
+    # the Gopher rule panel rides the same scan (map-only codegen);
+    # `keep` + the failed-rule count expose EVERY rule to the oracle —
+    # a wrong rule flips some document's count even when keep holds.
+    # (On this jargon corpus the stopword rule legitimately fails every
+    # doc — GOPHER_STOPWORDS never appear — so keep is uniformly false
+    # and n_fail carries the per-rule discrimination.)
+    d = gopher_panel(d)
+    rule_cols = [c for c in d.columns if c.startswith("rule_")]
+    n_fail_expr = F.lit(len(rule_cols))
+    for c in rule_cols:
+        n_fail_expr = n_fail_expr - F.col(c).cast("int")
     t = F.col("text")
     grams = word_shingles(t, 2)
     has_grams = F.size(grams) > 0
@@ -2082,6 +2224,8 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash60(tokens(t)).alias("simhash"),
         _scrubbed(t).alias("scrubbed"),
         (F.length(t) - F.length(_scrubbed(t))).cast("long").alias("delta_chars"),
+        F.col("keep").alias("gopher_keep"),
+        n_fail_expr.cast("int").alias("gopher_n_fail"),
     )
 
 
