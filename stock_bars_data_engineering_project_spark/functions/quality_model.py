@@ -96,3 +96,156 @@ def quality_scores(
         F.count(F.lit(1)).alias("n_features"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("qscore"),
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = 8,
+    lr: float = 16.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Train the hashed linear classifier IN the engine — full-batch
+    logistic regression over the same unigram+bigram hashing-trick
+    features :func:`quality_scores` scores with, so the trained
+    ``(bucket, weight)`` table is a drop-in replacement for the derived
+    one (swap = the same broadcast/shuffle join, plan shape unchanged).
+
+    Per iteration (the Lloyd-iteration discipline of
+    operators/similarity.kmeans_refine):
+      1. margins: features ⋈ weights (hash join on the bucket id) +
+         ONE partial-aggregable groupBy(doc) — p_d = sigmoid(GAIN *
+         mean bucket weight);
+      2. gradient: residuals GAIN*(p_d - y_d)/n_d joined back to the
+         feature table (join on the doc id), then ONE partial-agg
+         groupBy(bucket) taking the per-bucket MEAN residual — a
+         deterministic document-frequency preconditioner (plain
+         sum-gradient descent is hopelessly ill-conditioned here: a
+         Zipf-head bucket's gradient is ~1000x a discriminative rare
+         bucket's, and any single learning rate either diverges on the
+         head or never moves the tail; dividing by the bucket's
+         occurrence count equalizes per-bucket step sizes, the same
+         diagonal trick AdaGrad approximates adaptively);
+      3. update: weights left-join gradient, w -= lr * g, then
+         ``localCheckpoint`` — persist alone leaves the logical plan
+         nested and Catalyst re-analysis grows quadratically with the
+         iteration count (measured: >600 s for 8 iterations with
+         persist, 8 s with checkpoint truncation; the bpe.py /
+         kmeans_refine lesson).
+
+    ``stats`` (optional dict) receives ``loss`` and ``acc`` lists with
+    n_iters+1 entries — evaluated BEFORE each update plus once after
+    the last, so callers can assert the training laws (loss monotone
+    non-increasing, accuracy above the label prior). Mean margins and
+    mean gradients are partial-agg floats, so trained weights are NOT
+    bit-replayable cross-engine; gate them with law flags (the
+    kmeans 'trained_laws' pattern), and pin arithmetic against a numpy
+    replay in pytest with a tolerance.
+
+    Returns the trained ``(bucket, weight)`` table (every bucket seen
+    in the corpus; weights start at 0, so the init loss is ln 2).
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    if label_col not in df.columns:
+        raise ValueError(f"label column {label_col!r} not in input")
+
+    feats = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("double").alias("_y"),
+            F.explode(doc_features(F.col(text_col))).alias("_f"),
+        )
+        .select("_id", "_y", feature_bucket(F.col("_f")).alias("bucket"))
+        .localCheckpoint()
+    )
+    weights = (
+        feats.select("bucket").distinct().withColumn("w", F.lit(0.0))
+        .localCheckpoint()
+    )
+    losses: list[float] = []
+    accs: list[float] = []
+    for i in range(n_iters + 1):
+        margins = (
+            feats.join(weights, "bucket", "left")
+            .groupBy("_id", "_y")
+            .agg(
+                F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_s"),
+                F.count(F.lit(1)).alias("_nf"),
+            )
+            .withColumn(
+                "_p",
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.lit(GAIN) * F.col("_s") / F.col("_nf"))),
+            )
+            .localCheckpoint()
+        )
+        row = margins.agg(
+            F.avg(
+                -(
+                    F.col("_y") * F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
+                    + (1 - F.col("_y"))
+                    * F.log(F.greatest(1 - F.col("_p"), F.lit(1e-12)))
+                )
+            ).alias("loss"),
+            F.avg(
+                ((F.col("_p") >= 0.5).cast("double") == F.col("_y")).cast(
+                    "double"
+                )
+            ).alias("acc"),
+        ).collect()[0]
+        losses.append(float(row.loss))
+        accs.append(float(row.acc))
+        if i == n_iters:
+            break
+        resid = margins.select(
+            "_id",
+            (F.lit(GAIN) * (F.col("_p") - F.col("_y")) / F.col("_nf")).alias(
+                "_r"
+            ),
+        )
+        grad = feats.join(resid, "_id").groupBy("bucket").agg(
+            F.avg("_r").alias("_g")
+        )
+        weights = (
+            weights.join(grad, "bucket", "left")
+            .select(
+                "bucket",
+                (F.col("w") - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0))).alias(
+                    "w"
+                ),
+            )
+            .localCheckpoint()
+        )
+    if stats is not None:
+        stats["loss"] = losses
+        stats["acc"] = accs
+    return weights.select("bucket", F.col("w").alias("weight"))
+
+
+def score_with_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a TRAINED ``(bucket, weight)`` table — the
+    same plan shape as :func:`quality_scores` with the derived-weight
+    expression swapped for the join this module's docstring promises.
+    Unseen buckets score 0 (the training init). Returns
+    ``(id_col, n_features, qscore)``."""
+    feats = df.select(
+        F.col(id_col), F.explode(doc_features(F.col(text_col))).alias("_feat")
+    ).select(id_col, feature_bucket(F.col("_feat")).alias("bucket"))
+    joined = feats.join(weights, "bucket", "left").select(
+        id_col, F.coalesce(F.col("weight"), F.lit(0.0)).alias("_w")
+    )
+    margin = F.avg("_w") * GAIN
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_features"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("qscore"),
+    )

@@ -521,8 +521,13 @@ UNION ALL
 SELECT tag, doc_id, term, score, rank FROM (
     {_bpe_rules_sql(_BPE_MERGES, 2)}
 )
+UNION ALL
+SELECT 'train_laws' AS tag, CAST(NULL AS BIGINT) AS doc_id,
+       unnest(['init_loss_ln2', 'loss_monotone', 'loss_decreased',
+               'class_separation']) AS term,
+       CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
 """,
-    tags=("text", "tfidf", "vocab", "surprisal", "classifier", "bpe"),
+    tags=("text", "tfidf", "vocab", "surprisal", "classifier", "bpe", "training"),
 )
 def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-statistics suite in one result: (a) per-document top-3 terms
@@ -635,12 +640,90 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "tag string, doc_id bigint, term string, score double, rank int",
     )
+    # (f) classifier TRAINING (functions/quality_model.py
+    # train_quality_classifier): full-batch preconditioned logistic
+    # regression over the same hashed feature space as (d), trained
+    # in-engine against a deterministic learnable label (doc contains
+    # the token 'slow'). Partial-agg float means make the weights
+    # non-bit-replayable, so the arm emits the TRAINING CONTRACT as
+    # law flags the oracle pins to literal 1.0 (the kmeans
+    # trained_laws pattern); the arithmetic itself is numpy-replay-
+    # pinned in tests/test_classifier_training.py. Training is
+    # memoized per process per (sf_dir, mtime) — a model is a
+    # build-once artifact, same argument as the ANN index memo.
+    train_arm = spark.createDataFrame(
+        [
+            ("train_laws", None, name, flag, None)
+            for name, flag in _classifier_train_laws(spark, sf_dir, docs)
+        ],
+        "tag string, doc_id bigint, term string, score double, rank int",
+    )
     return (
         tfidf_arm.unionByName(vocab_arm)
         .unionByName(surprisal_arm)
         .unionByName(qscore_arm)
         .unionByName(bpe_arm)
+        .unionByName(train_arm)
     )
+
+
+_TRAIN_LAWS_MEMO: dict = {}
+_TRAIN_LAW_NAMES = (
+    "init_loss_ln2",
+    "loss_monotone",
+    "loss_decreased",
+    "class_separation",
+)
+
+
+def _classifier_train_laws(spark, sf_dir: str, docs) -> list[tuple[str, float]]:
+    """Train the classifier on the corpus and evaluate the four laws
+    (1-row driver scalars, the pca_project pattern): init loss is
+    exactly ln 2 (all-zero weights), loss non-increasing across every
+    iteration at the registered lr, final loss <= 0.8 * initial, and
+    the trained model separates the class means of p by >= 0.1
+    (accuracy is threshold-quantized and its margin over the label
+    prior is corpus-dependent; mean separation is the continuous,
+    SF-stable form of the same claim)."""
+    import math
+    import os
+
+    from ..functions.quality_model import (
+        score_with_weights,
+        train_quality_classifier,
+    )
+
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    cached = _TRAIN_LAWS_MEMO.get(key)
+    if cached is not None:
+        return cached
+    label = F.array_contains(
+        F.split(F.lower(F.col("text")), " "), "slow"
+    ).cast("double")
+    d = docs.select("doc_id", "text", label.alias("label"))
+    stats: dict = {}
+    weights = train_quality_classifier(
+        d, "label", n_iters=8, lr=16.0, stats=stats
+    )
+    losses = stats["loss"]
+    sep = (
+        score_with_weights(d, weights)
+        .join(d.select("doc_id", "label"), "doc_id")
+        .groupBy("label")
+        .agg(F.avg("qscore").alias("mp"))
+        .collect()
+    )
+    mp = {r.label: r.mp for r in sep}
+    tol = 1.0 + 1e-9
+    flags = [
+        float(abs(losses[0] - math.log(2.0)) <= 1e-12),
+        float(all(b <= a * tol for a, b in zip(losses, losses[1:]))),
+        float(losses[-1] <= 0.8 * losses[0]),
+        float(mp.get(1.0, 0.0) - mp.get(0.0, 1.0) >= 0.1),
+    ]
+    out = list(zip(_TRAIN_LAW_NAMES, flags))
+    _TRAIN_LAWS_MEMO[key] = out
+    return out
 
 
 # calendar_features was consolidated into p1_rename_project (its date-

@@ -54,6 +54,10 @@ from stock_bars_data_engineering_project_spark.operators.contamination import ( 
     boilerplate_scrub,
     contamination_overlap,
     dedup_paragraphs,
+    exact_substr_scrub,
+)
+from stock_bars_data_engineering_project_spark.operators.fuzzy import (  # noqa: E402
+    fuzzy_dedup_pairs,
 )
 from stock_bars_data_engineering_project_spark.operators.retrieval import (  # noqa: E402
     bm25_topk,
@@ -242,6 +246,27 @@ def run(
         # winner, non-winner join, rebuild) at one occurrence per doc;
         # within-replica exact duplicates are the only winners
         "paragraph_dedup": lambda: dedup_paragraphs(docs),
+        # exact-substring dedup (Lee et al.): replica token-suffixing
+        # keeps duplicated 8-gram structure within each replica and
+        # shares none across, so winners and covered spans grow
+        # linearly; the curve should track the gram partial-agg plus
+        # the occurrence/winner join (the two corpus-sized exchanges)
+        "exact_substr": lambda: exact_substr_scrub(docs),
+        # blocked fuzzy entity-resolution self-join over first-3-token
+        # names: first-token blocks grow linearly in COUNT (suffixed
+        # vocab) at roughly constant size, so candidate pairs — and the
+        # bounded-levenshtein verify, the only real CPU — grow linearly
+        "fuzzy_names": lambda: fuzzy_dedup_pairs(
+            docs.select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice(F.split(F.col("text"), " "), 1, 3)
+                ).alias("name"),
+            ),
+            "doc_id",
+            "name",
+            max_dist=2,
+        ),
         # BM25: FIXED 25-query set (replica ids are offset, so doc_id
         # < 25 stays 25 rows at every scale) against the linearly
         # growing corpus — the curve should track the corpus
