@@ -192,9 +192,14 @@ def lang_id_profiles(
     def _cand(lang: str, words: tuple[str, ...]) -> Column:
         # bind the literal array OUTSIDE the lambda: a second lambda
         # parameter would receive the element INDEX column from
-        # F.filter, not the word list
+        # F.filter, not the word list. try_divide: a zero-token
+        # document must classify 'unknown', not kill the job with an
+        # ANSI divide-by-zero (the NULL ratio loses to the -1.0 init
+        # below, matching the oracle's COALESCE(greatest(...), -1.0))
         stops = F.array(*[F.lit(w) for w in words])
-        ratio = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) / n
+        ratio = F.try_divide(
+            F.size(F.filter(toks, lambda t: F.array_contains(stops, t))), n
+        )
         return F.struct(F.lit(lang).alias("lang"), ratio.alias("r"))
 
     cands = F.array(*[_cand(lang, words) for lang, words in profiles.items()])

@@ -206,8 +206,12 @@ def bars_analysis_two_phase(
         .join(
             buckets.select(key, "_bucket", "_unsafe"), on=[key, "_bucket"], how="left"
         )
-        .withColumn(
-            "value",
+        # the guard is a FILTER, not a column expression: riding it on
+        # a projectable column (an earlier revision put it inside
+        # `value`) lets a caller's select() prune the guard away with
+        # the column, silently returning wrong boundary frames — a
+        # filter survives any downstream projection
+        .filter(
             F.when(
                 F.col("_unsafe"),
                 F.raise_error(
@@ -217,8 +221,8 @@ def bars_analysis_two_phase(
                         "frames would need carry from two buckets back; use a "
                         "coarser bucket"
                     )
-                ).cast("double"),
-            ).otherwise(F.col("value")),
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
         )
         .drop("_keep", "_bucket", "_unsafe")
     )

@@ -1505,6 +1505,13 @@ def _ann_incremental_index(spark, sf_dir: str, emb):
     key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
     wh = _ANN_INDEX_MEMO.get(key)
     if wh is not None and os.path.isdir(wh.root):
+        # refresh the dir's mtime on every reuse: scratch_warehouse's
+        # 30-minute age-gated reaper (in ANY concurrent process) judges
+        # liveness by mtime, which is otherwise frozen at build time —
+        # an index a long bench session is actively probing must not
+        # age into reap eligibility under a concurrently-running
+        # pytest/check_oracle
+        os.utime(wh.root, None)
         return wh
     wh = scratch_warehouse(spark, "ann_incremental_rows")
     build_ann_index(
@@ -2127,10 +2134,16 @@ _MULTI_BRANCHES = " ".join(
     + f" THEN '{lang}'"
     for i, lang in enumerate(_MULTI_LANGS)
 )
+# COALESCE(-1.0): a zero-token document's ratios are all NULL in
+# DuckDB (x/0 -> NULL), and a bare `greatest(NULL..) < 0.05` is NULL —
+# the CASE would fall through to the last branch's unconditional TRUE
+# and classify the empty doc as the final profile language, while the
+# Spark side's density fold keeps its -1.0 init and answers 'unknown'.
+# Folding NULL to -1.0 mirrors the Spark init exactly.
 _MULTI_CASE_SQL = (
-    "CASE WHEN greatest("
+    "CASE WHEN COALESCE(greatest("
     + ", ".join(f"r_{lang}" for lang in _MULTI_LANGS)
-    + f") < 0.05 THEN 'unknown' {_MULTI_BRANCHES} END"
+    + f"), -1.0) < 0.05 THEN 'unknown' {_MULTI_BRANCHES} END"
 )
 
 # Gopher panel replay (operators/quality.gopher_panel, paper defaults):

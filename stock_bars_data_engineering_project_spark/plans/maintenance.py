@@ -28,9 +28,8 @@ def _py_round_half_up(x: float, scale: int) -> float:
     return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
 
 
-# moved to registry.scratch_warehouse so plans/extensions.py (which this
-# module imports from) can share it without an import cycle
-_scratch_warehouse = scratch_warehouse
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +146,7 @@ def q_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own _epoch partition (replay-idempotent by construction), and
     # the read-time combine over epochs must equal the direct oracle
     # recompute, exactly like the batch fold
-    wh = _scratch_warehouse(spark, "rollup_stream_rows")
+    wh = scratch_warehouse(spark, "rollup_stream_rows")
     src = os.path.join(wh.root, "_src")
     ckpt = os.path.join(wh.root, "_ckpt")
     ev.filter(F.col("event_id") % 3 != 2).write.mode("append").parquet(src)
@@ -241,7 +240,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental_dedup import ingest_batch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wh = _scratch_warehouse(spark, "inc_dedup_rows")
+    wh = scratch_warehouse(spark, "inc_dedup_rows")
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") <= half))
     ingest_batch(spark, wh, docs.filter(F.col("doc_id") > half))
@@ -481,7 +480,7 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price", F.col("price") + F.lit(10.0)
     )
 
-    wh = _scratch_warehouse(spark, "warehouse_changes_rows")
+    wh = scratch_warehouse(spark, "warehouse_changes_rows")
     wh.overwrite(state1, "t")
     v1 = wh.versions("t")[-1]
     wh.append(inserts, "t")
@@ -543,7 +542,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.incremental import dedup_ingest_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wh = _scratch_warehouse(spark, "stream_dedup_ingest_rows")
+    wh = scratch_warehouse(spark, "stream_dedup_ingest_rows")
     src = os.path.join(wh.root, "_src")
     ckpt = os.path.join(wh.root, "_ckpt")
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]

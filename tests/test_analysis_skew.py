@@ -98,3 +98,18 @@ def test_two_phase_raises_on_sparse_middle_bucket(spark):
     df = _bars(spark, rows)
     with pytest.raises(Exception, match="two_phase"):
         bars_analysis_two_phase(df, _bucket()).collect()
+
+
+def test_two_phase_guard_survives_column_pruning(spark):
+    """The sparse-bucket guard must fire even when the caller projects
+    away every repaired value column — an earlier revision rode the
+    raise_error on the `value` column, which Catalyst pruned with it."""
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [("A", t0 + datetime.timedelta(hours=i), 5.0 + i) for i in range(8)]
+    rows += [("A", t0 + datetime.timedelta(days=1, hours=1), 50.0)]
+    rows += [
+        ("A", t0 + datetime.timedelta(days=2, hours=i), 9.0 + i) for i in range(8)
+    ]
+    df = _bars(spark, rows)
+    with pytest.raises(Exception, match="two_phase"):
+        bars_analysis_two_phase(df, _bucket()).select("stock").collect()

@@ -390,3 +390,26 @@ def test_lang_id_profiles_guards(spark):
 
     with pytest.raises(ValueError, match="at least one language"):
         lang_id_profiles(F.lit("x"), profiles={})
+
+
+def test_lang_id_profiles_empty_doc_is_unknown(spark):
+    """A zero-token document must classify 'unknown' — not kill the job
+    with an ANSI divide-by-zero (the density divisor is the token
+    count), and not fall through to the last profile language in the
+    oracle's CASE (both found and fixed by review)."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.text import (
+        lang_id_profiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "\n\t")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", lang_id_profiles(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {0: "unknown", 1: "unknown", 2: "unknown"}
