@@ -381,3 +381,30 @@ def test_dedup_paragraphs_matches_python_scan(spark, doc_paras, min_chars):
         for r in dedup_paragraphs(docs, min_chars=min_chars).collect()
     }
     assert got == expect
+
+
+_docs_corpus = st.lists(
+    st.lists(st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs_corpus, st.integers(2, 3))
+def test_exact_substr_matches_python_replay(spark, token_lists, k):
+    """exact_substr_scrub ≡ the direct Python replay for ANY corpus over
+    a tiny alphabet (maximal gram collisions — the adversarial case for
+    winner selection and span merging)."""
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        exact_substr_scrub,
+    )
+    from tests.test_contamination import _exact_substr_replay
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in exact_substr_scrub(docs, k=k).collect()
+    }
+    assert got == _exact_substr_replay(rows, k=k)
