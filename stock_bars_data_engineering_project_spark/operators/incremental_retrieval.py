@@ -1,0 +1,230 @@
+"""Persisted, incrementally maintained BM25 index.
+
+:func:`bm25_topk` (operators/retrieval.py) re-tokenizes and re-counts
+the whole corpus on every call — the right shape for ad-hoc mining,
+and the wrong one for a serving/eval loop that issues queries all day
+against a 100 TB corpus. This module is the lexical analog of
+``incremental_ann.py``: the term statistics live in the warehouse,
+new document batches fold in at O(batch) cost, and a query touches
+only the postings partitions its own tokens hash into.
+
+Warehouse tables (``table`` = the index name):
+
+- ``<table>__postings`` — (bkt, token, doc_id, tf, dl), the inverted
+  index, hive-partitioned by ``bkt`` = the shared 48-bit md5 bucket of
+  the token (``n_buckets`` dirs). A query's probe set is the bucket
+  ids of ITS OWN tokens — a driver-side literal IN list bounded by the
+  query vocabulary, so the scan is statically partition-pruned the
+  same way ann_query prunes cid lists. ``dl`` is denormalized onto
+  each posting so scoring never joins a doc-stats table.
+- ``<table>__docs`` — (doc_id, dl): membership (the replay-idempotence
+  anti-join target, the same at-least-once discipline as
+  incremental_dedup's ingest) plus exact per-doc lengths.
+- ``<table>__meta`` — ONE row (n_docs, sum_dl, n_dl, n_buckets):
+  mergeable corpus scalars. dl is integral, so the sums are EXACT and
+  per-batch increments commute — avgdl = sum_dl / n_dl is one double
+  division however many batches arrived (``bm25_topk``'s F.avg over
+  the same rows agrees to the ulp absorbed by the ranking round).
+
+Equivalence contract: tf/dl/df are per-doc or per-token integer counts
+— batch-invariant — so ``bm25_query`` over a built+ingested index
+returns exactly ``bm25_topk`` over the union corpus (pinned in
+tests/test_incremental_retrieval.py), while reading only the probed
+buckets instead of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bucket48
+from ..sinks.warehouse import ParquetWarehouse
+from .retrieval import _term_counts, score_topk
+
+
+def _postings_table(table: str) -> str:
+    return f"{table}__postings"
+
+
+def _docs_table(table: str) -> str:
+    return f"{table}__docs"
+
+
+def _meta_table(table: str) -> str:
+    return f"{table}__meta"
+
+
+def _batch_postings(
+    batch: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    # repartition by bkt before the hive-partitioned write: without it
+    # every shuffle partition writes a sliver into every bucket dir —
+    # the same small-files discipline as build_ann_index
+    return (
+        _term_counts(batch, id_col, text_col)
+        .select(
+            md5_bucket48(F.col("token"), n_buckets).alias("bkt"),
+            "token",
+            F.col("id").alias("doc_id"),
+            "tf",
+            "dl",
+        )
+        .repartition("bkt")
+    )
+
+
+def _batch_doc_stats(
+    batch: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    from ..functions.text import tokens
+
+    dl = F.size(
+        F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+    )
+    return batch.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
+
+
+def _meta_delta(doc_stats: DataFrame) -> tuple[int, int, int]:
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        F.count("dl").alias("n_dl"),
+    ).collect()[0]
+    return int(row.n_docs), int(row.sum_dl or 0), int(row.n_dl)
+
+
+def build_bm25_index(
+    wh: ParquetWarehouse,
+    docs: DataFrame,
+    table: str = "bm25_index",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the index from scratch: one tokenize+count pass over
+    the corpus (the only time the full corpus is ever scanned)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = docs.sparkSession
+    wh.overwrite(
+        _batch_postings(docs, n_buckets, id_col, text_col),
+        _postings_table(table),
+        partition_by=("bkt",),
+    )
+    doc_stats = _batch_doc_stats(docs, id_col, text_col)
+    wh.overwrite(doc_stats, _docs_table(table))
+    n_docs, sum_dl, n_dl = _meta_delta(doc_stats)
+    wh.overwrite(
+        spark.createDataFrame(
+            [(n_docs, sum_dl, n_dl, n_buckets)],
+            "n_docs long, sum_dl long, n_dl long, n_buckets int",
+        ),
+        _meta_table(table),
+    )
+
+
+def ingest_docs(
+    wh: ParquetWarehouse,
+    batch: DataFrame,
+    table: str = "bm25_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold a new document batch into the index at O(batch) cost:
+    already-indexed doc_ids anti-join away first (an at-least-once
+    redelivery therefore appends NOTHING and leaves meta untouched —
+    the exactly-once-by-idempotence discipline of
+    incremental_dedup.ingest_batch), then the survivors' postings and
+    doc rows APPEND (new doc_ids are new rows; no partition rewrite)
+    and the 1-row meta advances by the batch's exact integer delta.
+    Returns the number of newly indexed documents. Documents are
+    immutable under their id (the index-module contract shared with
+    incremental_ann): re-ingesting a changed text under an old id is
+    ignored, not merged."""
+    spark = batch.sparkSession
+    meta = wh.read(_meta_table(table)).collect()[0]
+    known = wh.read(_docs_table(table)).select("doc_id")
+    new_docs = batch.join(
+        known, batch[id_col] == known["doc_id"], "left_anti"
+    ).localCheckpoint()  # consumed three times below; anti-join runs once
+    doc_stats = _batch_doc_stats(new_docs, id_col, text_col)
+    n_docs, sum_dl, n_dl = _meta_delta(doc_stats)
+    if n_docs == 0:
+        return 0
+    wh.append(
+        _batch_postings(new_docs, int(meta.n_buckets), id_col, text_col),
+        _postings_table(table),
+    )
+    wh.append(doc_stats, _docs_table(table))
+    wh.overwrite(
+        spark.createDataFrame(
+            [
+                (
+                    int(meta.n_docs) + n_docs,
+                    int(meta.sum_dl) + sum_dl,
+                    int(meta.n_dl) + n_dl,
+                    int(meta.n_buckets),
+                )
+            ],
+            "n_docs long, sum_dl long, n_dl long, n_buckets int",
+        ),
+        _meta_table(table),
+    )
+    return n_docs
+
+
+def bm25_query(
+    wh: ParquetWarehouse,
+    queries: DataFrame,
+    table: str = "bm25_index",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    n_salt: int = 8,
+) -> DataFrame:
+    """Top-k BM25 per query against the STORED index — identical
+    semantics and output schema to :func:`retrieval.bm25_topk` over the
+    indexed corpus, with the corpus-side recompute replaced by a
+    statically-pruned postings scan: the probe set is the md5 buckets
+    of the query's own tokens (driver-side literal IN — bounded by the
+    query vocabulary, the ann_query idiom), and document frequencies
+    come from the probed partitions alone."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    spark = queries.sparkSession
+    meta = wh.read(_meta_table(table)).collect()[0]
+
+    qterms = _term_counts(queries, query_id_col, query_text_col).select(
+        F.col("id").alias("query_id"), "token"
+    )
+    qvocab = qterms.select("token").distinct()
+    probe_bkts = [
+        r.bkt
+        for r in qvocab.select(
+            md5_bucket48(F.col("token"), int(meta.n_buckets)).alias("bkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = (
+        wh.read(_postings_table(table))
+        .filter(F.col("bkt").isin(probe_bkts))
+        .join(F.broadcast(qvocab), "token", "left_semi")
+    )
+    dfreq = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # n_dl == 0 (every indexed doc had NULL text) degrades avgdl to
+    # NULL, matching bm25_topk's F.avg over the same rows
+    avgdl = float(meta.sum_dl) / float(meta.n_dl) if meta.n_dl else None
+    stats = spark.createDataFrame(
+        [(float(meta.n_docs), avgdl)],
+        "n_docs double, avgdl double",
+    )
+    doc_terms = postings.select(
+        F.col("doc_id").alias("id"), "dl", "token", "tf"
+    )
+    return score_topk(doc_terms, qterms, dfreq, stats, k, k1, b, n_salt)

@@ -116,6 +116,25 @@ def bm25_topk(
         F.avg("dl").alias("avgdl"),
     )
 
+    return score_topk(doc_terms, qterms, dfreq, stats, k, k1, b, n_salt)
+
+
+def score_topk(
+    doc_terms: DataFrame,
+    qterms: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    n_salt: int,
+) -> DataFrame:
+    """Shared BM25 scoring + ranking tail: ``doc_terms`` is
+    (id, dl, token, tf) from either a live corpus scan (:func:`bm25_topk`)
+    or the persisted postings (operators/incremental_retrieval.bm25_query);
+    ``qterms``/``dfreq``/``stats`` are the broadcast-sized sides. One
+    shared expression tree keeps the two paths' per-term doubles
+    bit-identical."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -2587,30 +2587,57 @@ WITH corpus AS (
     CROSS JOIN stats st
     GROUP BY qt.query_id, tf.doc_id
 )
-SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
-FROM (
-    -- rank on the 6-dp ROUNDED score, mirroring bm25_topk: raw-double
-    -- ranking would tie-break identical-profile docs differently per
-    -- engine when the sum order perturbs the last ulp
-    SELECT query_id, doc_id, bm25,
-           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY {sql_round('bm25', 6)} DESC,
-                                            doc_id) AS INT) AS rank
-    FROM scored
+SELECT 'recompute' AS variant, query_id, doc_id, bm25, rank FROM (
+    SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+    FROM (
+        -- rank on the 6-dp ROUNDED score, mirroring bm25_topk:
+        -- raw-double ranking would tie-break identical-profile docs
+        -- differently per engine when the sum order perturbs the ulp
+        SELECT query_id, doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY {sql_round('bm25', 6)} DESC,
+                                                doc_id) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
 )
-WHERE rank <= 10
+UNION ALL
+SELECT 'index' AS variant, query_id, doc_id, bm25, rank FROM (
+    SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+    FROM (
+        SELECT query_id, doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY {sql_round('bm25', 6)} DESC,
+                                                doc_id) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 10
+)
 """,
-    tags=("retrieval", "text", "topk"),
+    tags=("retrieval", "text", "topk", "index"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 retrieval (operators/retrieval.py): the first 25
-    documents serve as the query set against the rest of the corpus —
-    top-10 per query with the Lucene-form positive idf, ranked
-    skew-proof through the salted top-k. The query vocabulary
-    broadcasts into the corpus scan (non-query tokens never enter the
-    tf shuffle) and document frequency is computed for query terms
-    only; the oracle recomputes the full formula term-for-term with
-    matching operator precedence."""
+    """Okapi BM25 retrieval, two arms sharing one oracle ranking:
+
+    - 'recompute' (operators/retrieval.py bm25_topk): the first 25
+      documents serve as the query set against the rest of the corpus
+      — top-10 per query with the Lucene-form positive idf, ranked
+      skew-proof through the salted top-k. The query vocabulary
+      broadcasts into the corpus scan (non-query tokens never enter
+      the tf shuffle) and document frequency is computed for query
+      terms only; the oracle recomputes the full formula term-for-term
+      with matching operator precedence.
+    - 'index' (round 6, operators/incremental_retrieval.py): the SAME
+      queries answered from the persisted inverted index — built on
+      the even-id half, odd-id half folded in by ingest_docs (the full
+      maintenance chain, memoized per process like the ANN index), and
+      probed via the query tokens' md5 buckets as STATIC partition
+      filters. tf/dl/df are batch-invariant integer counts, so the arm
+      must return the recompute arm's exact rows (both arms check
+      against the same oracle ranking); index ≡ one-shot, replay
+      idempotence, and the pruned plan shape stay pinned in
+      tests/test_incremental_retrieval.py."""
+    from ..operators.incremental_retrieval import bm25_query
     from ..operators.retrieval import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2618,10 +2645,43 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") < 25).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    out = bm25_topk(corpus, queries, k=10)
-    return out.select(
-        "query_id",
-        "doc_id",
-        round_half_up(F.col("bm25"), 4).alias("bm25"),
-        "rank",
+
+    def _round(df: DataFrame, variant: str) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            "query_id",
+            "doc_id",
+            round_half_up(F.col("bm25"), 4).alias("bm25"),
+            "rank",
+        )
+
+    recompute = _round(bm25_topk(corpus, queries, k=10), "recompute")
+    wh = _bm25_index(spark, sf_dir, corpus)
+    index = _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
+    return recompute.unionByName(index)
+
+
+_BM25_INDEX_MEMO: dict = {}
+
+
+def _bm25_index(spark, sf_dir: str, corpus):
+    """Build (even ids) + ingest (odd ids) the persisted BM25 index,
+    memoized per process per (sf_dir, documents mtime) — the
+    _ann_incremental_index discipline, including the mtime refresh
+    that keeps the concurrent scratch reaper off a live index."""
+    import os
+
+    from ..operators.incremental_retrieval import build_bm25_index, ingest_docs
+
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    wh = _BM25_INDEX_MEMO.get(key)
+    if wh is not None and os.path.isdir(wh.root):
+        os.utime(wh.root, None)
+        return wh
+    wh = scratch_warehouse(spark, "bm25_index_rows")
+    build_bm25_index(
+        wh, corpus.filter(F.col("doc_id") % 2 == 0), table="bm25_idx"
     )
+    ingest_docs(wh, corpus.filter(F.col("doc_id") % 2 == 1), table="bm25_idx")
+    _BM25_INDEX_MEMO[key] = wh
+    return wh

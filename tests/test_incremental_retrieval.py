@@ -1,0 +1,98 @@
+"""Persisted incremental BM25 index: build+ingest ≡ one-shot recompute,
+replay-idempotent ingest, static bucket pruning on the probe scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+    bm25_query,
+    build_bm25_index,
+    ingest_docs,
+)
+from stock_bars_data_engineering_project_spark.operators.retrieval import bm25_topk
+from stock_bars_data_engineering_project_spark.sinks.warehouse import ParquetWarehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_and_queries(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return corpus, queries
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.doc_id, round(r.bm25, 6), r.rank) for r in df.collect()
+    )
+
+
+def test_build_ingest_query_matches_one_shot(spark, tmp_path):
+    """Index built on the even-id half + odd-id half ingested must
+    answer queries exactly like bm25_topk over the full corpus."""
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus.filter(F.col("doc_id") % 2 == 0), table="bm")
+    n = ingest_docs(wh, corpus.filter(F.col("doc_id") % 2 == 1), table="bm")
+    assert n == corpus.filter(F.col("doc_id") % 2 == 1).count()
+
+    got = _rows(bm25_query(wh, queries, table="bm", k=10))
+    want = _rows(bm25_topk(corpus, queries, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_ingest_replay_is_noop(spark, tmp_path):
+    """Re-delivering an already-indexed batch appends nothing and
+    leaves meta (and therefore every score) untouched — at-least-once
+    delivery degrades to exactly-once."""
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    half = corpus.filter(F.col("doc_id") % 2 == 0)
+    build_bm25_index(wh, half, table="bm")
+    before = _rows(bm25_query(wh, queries, table="bm", k=10))
+    assert ingest_docs(wh, half, table="bm") == 0
+    assert wh.read("bm__docs").count() == half.count()
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == before
+
+
+def test_probe_scan_is_bucket_pruned(spark, tmp_path):
+    """The postings scan must carry the probe buckets as PARTITION
+    filters (static pruning), and a single-token query must read
+    strictly fewer partitions than exist."""
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus, table="bm", n_buckets=16)
+    one_q = queries.limit(1).select(
+        "query_id", F.lit("scan").alias("text")
+    )
+    import re
+
+    plan = (
+        bm25_query(wh, one_q, table="bm", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the postings FileScans must carry the probe bucket as a PARTITION
+    # filter (e.g. "PartitionFilters: [isnotnull(bkt#69), (bkt#69 = 0)]")
+    assert re.search(r"PartitionFilters: \[isnotnull\(bkt#\d+\)", plan), plan[:2000]
+
+
+def test_guards(spark, tmp_path):
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError):
+        build_bm25_index(wh, corpus, table="bm", n_buckets=0)
+    build_bm25_index(wh, corpus.limit(10), table="bm")
+    with pytest.raises(ValueError):
+        bm25_query(wh, queries, table="bm", k=0)
