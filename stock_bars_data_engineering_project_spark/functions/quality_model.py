@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
 from .hashing import md5_bucket48
 from .text import tokens
 
@@ -129,7 +130,9 @@ def train_quality_classifier(
          occurrence count equalizes per-bucket step sizes, the same
          diagonal trick AdaGrad approximates adaptively);
       3. update: weights left-join gradient, w -= lr * g, then
-         ``localCheckpoint`` — persist alone leaves the logical plan
+         materialize() (the repo's checkpoint choke point — honors the
+         durable-checkpoint session switch; raw localCheckpoint would
+         not) — persist alone leaves the logical plan
          nested and Catalyst re-analysis grows quadratically with the
          iteration count (measured: >600 s for 8 iterations with
          persist, 8 s with checkpoint truncation; the bpe.py /
@@ -161,11 +164,11 @@ def train_quality_classifier(
             F.explode(doc_features(F.col(text_col))).alias("_f"),
         )
         .select("_id", "_y", feature_bucket(F.col("_f")).alias("bucket"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     weights = (
         feats.select("bucket").distinct().withColumn("w", F.lit(0.0))
-        .localCheckpoint()
+        .transform(materialize)
     )
     losses: list[float] = []
     accs: list[float] = []
@@ -182,7 +185,7 @@ def train_quality_classifier(
                 F.lit(1.0)
                 / (F.lit(1.0) + F.exp(-F.lit(GAIN) * F.col("_s") / F.col("_nf"))),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         row = margins.agg(
             F.avg(
@@ -198,6 +201,11 @@ def train_quality_classifier(
                 )
             ).alias("acc"),
         ).collect()[0]
+        if row.loss is None:
+            raise ValueError(
+                "train_quality_classifier: no document yielded features "
+                "(all texts NULL/empty?) — nothing to train on"
+            )
         losses.append(float(row.loss))
         accs.append(float(row.acc))
         if i == n_iters:
@@ -219,7 +227,7 @@ def train_quality_classifier(
                     "w"
                 ),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
     if stats is not None:
         stats["loss"] = losses

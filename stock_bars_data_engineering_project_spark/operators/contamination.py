@@ -200,7 +200,11 @@ def scrub_against(
 def _rebuild_minus_covered(base: DataFrame, covered: DataFrame) -> DataFrame:
     """Shared rebuild: drop each document's covered 1-based positions
     and re-join the kept tokens. ``base`` is (doc_id, toks); ``covered``
-    is (doc_id, _cov array<int>), absent docs pass through intact."""
+    is (doc_id, _cov array<int>), absent docs pass through intact.
+    NULL text (toks NULL) passes through as NULL — n_tokens NULL,
+    n_removed 0, clean_text NULL — not as the empty string a
+    fully-scrubbed document legitimately produces (dedup_paragraphs'
+    NULL contract; found by review)."""
     joined = base.join(covered, "doc_id", "left")
     cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     # kept positions via set difference, then positions -> tokens: an
@@ -216,7 +220,9 @@ def _rebuild_minus_covered(base: DataFrame, covered: DataFrame) -> DataFrame:
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(cov).cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
+        F.when(F.col("toks").isNotNull(), F.concat_ws(" ", kept)).alias(
+            "clean_text"
+        ),
     )
 
 
@@ -391,14 +397,23 @@ def ingest_scrub_batch(
 
     Mergeability: with append-only doc ids each document contributes to
     exactly one batch's counts, so per-gram distinct-doc counts ADD
-    across batches — the merged table equals a full-corpus recount
+    across batches — the combined state equals a full-corpus recount
     (pinned in tests). Singletons must be KEPT: a gram appearing once
     per batch across df_cap batches is hot, and pruning df=1 rows would
-    silently lose those counts. The state is therefore distinct-gram-
-    cardinality-sized (the same O(corpus-vocabulary) class as
-    incremental_dedup's band index), rewritten per batch as a
-    snapshot — at streaming cadence use the epoch-log pattern
-    (streaming/incremental.py) instead of this read-modify-write.
+    silently lose those counts.
+
+    Exactly-once under at-least-once delivery (the epoch-log pattern of
+    streaming/incremental.rollup_maintenance_stream): each batch's
+    counts land via keyed merge into their own ``_epoch`` partition,
+    where the epoch id is CONTENT-ADDRESSED (order-free 2x48-bit hash
+    fold of the batch's doc ids + count). A redelivered batch derives
+    the identical epoch and rewrites the identical partition — a no-op
+    — with NO read-modify-write of prior state, so there is no crash
+    window in which a replay could double-count (the previous snapshot
+    read-merge-overwrite here double-counted a batch redelivered after
+    its commit). Read the combined (gram, gram_df) state with
+    :func:`gram_count_state`; fold history into one base partition with
+    :func:`compact_gram_state` when epoch count grows.
 
     Law: the returned scrub of THIS batch is identical to running
     :func:`boilerplate_scrub` over the full corpus and restricting to
@@ -413,18 +428,70 @@ def ingest_scrub_batch(
     """
     pos_grams = positional_grams(batch, k, id_col=id_col, text_col=text_col)
     batch_counts = gram_doc_frequency(pos_grams)
-    if wh.exists(counts_table):
-        merged = (
-            wh.read(counts_table)
-            .unionByName(batch_counts)
-            .groupBy("gram")
-            .agg(F.sum("gram_df").alias("gram_df"))
-        )
-    else:
-        merged = batch_counts
-    merged = materialize(merged)  # sever from the old snapshot
-    wh.overwrite(merged, counts_table)
-    hot = wh.read(counts_table).filter(F.col("gram_df") >= df_cap).select("gram")
+    epoch = _content_epoch(batch, id_col)
+    wh.merge(
+        batch_counts.withColumn("_epoch", F.lit(epoch)),
+        counts_table,
+        keys=("gram", "_epoch"),
+        partition_by=("_epoch",),
+    )
+    hot = (
+        gram_count_state(wh, counts_table)
+        .filter(F.col("gram_df") >= df_cap)
+        .select("gram")
+    )
     return scrub_against(
         batch, hot, k, id_col=id_col, text_col=text_col, pos_grams=pos_grams
     )
+
+
+def _content_epoch(batch: DataFrame, id_col: str) -> str:
+    """Deterministic content-addressed epoch id for a batch: two
+    independent order-free 48-bit xor folds over the doc ids plus the
+    row count — partial-aggregable (no driver-side id list), identical
+    for a redelivered batch, and loudly NULL-guarded (a NULL id cannot
+    be content-addressed or replay-deduped; md5_bucket48's documented
+    caller obligation)."""
+    from ..functions.hashing import md5_bucket48
+
+    span = 1 << 48
+    row = batch.agg(
+        F.bit_xor(md5_bucket48(F.col(id_col), span, salt="e1")).alias("x1"),
+        F.bit_xor(md5_bucket48(F.col(id_col), span, salt="e2")).alias("x2"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    if (row.nulls or 0) > 0:
+        raise ValueError(
+            f"ingest_scrub_batch: {row.nulls} NULL {id_col} rows — ids must "
+            "be non-NULL for content-addressed replay idempotence"
+        )
+    return f"{(row.x1 or 0):012x}{(row.x2 or 0):012x}n{row.n}"
+
+
+def gram_count_state(
+    wh, counts_table: str = "gram_counts"
+) -> DataFrame:
+    """Combined (gram, gram_df) over all epoch partitions — per-gram
+    sums are exact integers, so the combine equals a full-corpus
+    recount however the batches were sliced."""
+    return (
+        wh.read(counts_table)
+        .groupBy("gram")
+        .agg(F.sum("gram_df").alias("gram_df"))
+    )
+
+
+def compact_gram_state(wh, counts_table: str = "gram_counts") -> None:
+    """Fold every epoch into the single ``_epoch='base'`` partition
+    ('base' is 4 chars; content ids are 24 hex + 'n' + count, so no
+    collision). Run at a DELIVERY BARRIER only — i.e. when every batch
+    handed to ingest_scrub_batch has been acked upstream: a redelivery
+    arriving AFTER compaction would re-land its epoch beside the base
+    that already absorbed it and double-count (the identical
+    operational constraint as streaming/incremental's
+    compact_rollup_state, whose checkpoint makes the barrier explicit)."""
+    state = materialize(gram_count_state(wh, counts_table)).withColumn(
+        "_epoch", F.lit("base")
+    )
+    wh.overwrite(state, counts_table, partition_by=("_epoch",))

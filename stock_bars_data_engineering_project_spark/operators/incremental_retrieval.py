@@ -20,11 +20,25 @@ Warehouse tables (``table`` = the index name):
 - ``<table>__docs`` — (doc_id, dl): membership (the replay-idempotence
   anti-join target, the same at-least-once discipline as
   incremental_dedup's ingest) plus exact per-doc lengths.
-- ``<table>__meta`` — ONE row (n_docs, sum_dl, n_dl, n_buckets):
-  mergeable corpus scalars. dl is integral, so the sums are EXACT and
-  per-batch increments commute — avgdl = sum_dl / n_dl is one double
-  division however many batches arrived (``bm25_topk``'s F.avg over
-  the same rows agrees to the ulp absorbed by the ranking round).
+- ``<table>__meta`` — ONE row (n_buckets): the immutable hashing
+  config. Corpus scalars (n_docs, sum_dl, n_dl) are DERIVED from
+  ``__docs`` at query time with one skinny partial-agg — deriving
+  rather than incrementally maintaining them removes the crash window
+  in which a half-committed ingest would leave scalar state
+  permanently out of step with the tables it summarizes. dl is
+  integral, so the sums are exact and avgdl = sum_dl / n_dl is one
+  double division however the corpus was batched (``bm25_topk``'s
+  F.avg over the same rows agrees to the ulp absorbed by the ranking
+  round).
+
+Crash consistency: an ingest commits postings first, then ``__docs``.
+A crash between the two leaves orphan postings whose doc is not yet a
+member — redelivery (anti-join sees no membership) appends the same
+postings again and then the docs rows; the query path deduplicates
+postings on their full row (tf/dl are deterministic per doc, so the
+duplicates are identical), which heals the overlap exactly. NULL doc
+ids are rejected loudly — they can neither be replay-deduped nor
+counted.
 
 Equivalence contract: tf/dl/df are per-doc or per-token integer counts
 — batch-invariant — so ``bm25_query`` over a built+ingested index
@@ -39,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bucket48
+from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
 from .retrieval import _term_counts, score_topk
 
@@ -82,16 +97,21 @@ def _batch_doc_stats(
     dl = F.size(
         F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
     )
-    return batch.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
-
-
-def _meta_delta(doc_stats: DataFrame) -> tuple[int, int, int]:
-    row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        F.count("dl").alias("n_dl"),
-    ).collect()[0]
-    return int(row.n_docs), int(row.sum_dl or 0), int(row.n_dl)
+    # loud NULL-id guard (md5_bucket48's documented caller obligation,
+    # and the replay anti-join can never match a NULL): a filter-borne
+    # raise_error survives any downstream projection
+    guarded = batch.filter(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"bm25 index: NULL {id_col} — ids must be non-NULL for "
+                    "replay-idempotent ingest"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    return guarded.select(F.col(id_col).alias("doc_id"), dl.alias("dl"))
 
 
 def build_bm25_index(
@@ -102,24 +122,25 @@ def build_bm25_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Materialize the index from scratch: one tokenize+count pass over
-    the corpus (the only time the full corpus is ever scanned)."""
+    """Materialize the index from scratch: one tokenize+count pass for
+    the postings plus one skinny doc-length pass (zero-token docs have
+    no postings rows but must still be members, so __docs cannot be
+    derived from the postings)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = docs.sparkSession
+    # __docs is the membership table ingest anti-joins against, so it
+    # commits LAST (after postings): a crash in between leaves orphan
+    # postings a redelivery re-appends, which the query path's
+    # full-row dedup heals (module docstring, "Crash consistency")
     wh.overwrite(
         _batch_postings(docs, n_buckets, id_col, text_col),
         _postings_table(table),
         partition_by=("bkt",),
     )
-    doc_stats = _batch_doc_stats(docs, id_col, text_col)
-    wh.overwrite(doc_stats, _docs_table(table))
-    n_docs, sum_dl, n_dl = _meta_delta(doc_stats)
+    wh.overwrite(_batch_doc_stats(docs, id_col, text_col), _docs_table(table))
     wh.overwrite(
-        spark.createDataFrame(
-            [(n_docs, sum_dl, n_dl, n_buckets)],
-            "n_docs long, sum_dl long, n_dl long, n_buckets int",
-        ),
+        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
         _meta_table(table),
     )
 
@@ -133,45 +154,32 @@ def ingest_docs(
 ) -> int:
     """Fold a new document batch into the index at O(batch) cost:
     already-indexed doc_ids anti-join away first (an at-least-once
-    redelivery therefore appends NOTHING and leaves meta untouched —
-    the exactly-once-by-idempotence discipline of
+    redelivery of a COMMITTED batch therefore appends nothing — the
+    exactly-once-by-idempotence discipline of
     incremental_dedup.ingest_batch), then the survivors' postings and
-    doc rows APPEND (new doc_ids are new rows; no partition rewrite)
-    and the 1-row meta advances by the batch's exact integer delta.
-    Returns the number of newly indexed documents. Documents are
-    immutable under their id (the index-module contract shared with
-    incremental_ann): re-ingesting a changed text under an old id is
-    ignored, not merged."""
-    spark = batch.sparkSession
+    membership rows APPEND, postings first (see the module docstring's
+    crash-consistency contract: a crash between the two appends is
+    healed by redelivery plus the query path's full-row dedup; corpus
+    scalars are derived from __docs at query time, so there is no
+    scalar state to drift). Returns the number of newly indexed
+    documents. Documents are immutable under their id (the
+    index-module contract shared with incremental_ann): re-ingesting a
+    changed text under an old id is ignored, not merged."""
     meta = wh.read(_meta_table(table)).collect()[0]
     known = wh.read(_docs_table(table)).select("doc_id")
-    new_docs = batch.join(
-        known, batch[id_col] == known["doc_id"], "left_anti"
-    ).localCheckpoint()  # consumed three times below; anti-join runs once
+    new_docs = materialize(
+        batch.join(known, batch[id_col] == known["doc_id"], "left_anti")
+    )  # consumed three times below; anti-join runs once
     doc_stats = _batch_doc_stats(new_docs, id_col, text_col)
-    n_docs, sum_dl, n_dl = _meta_delta(doc_stats)
-    if n_docs == 0:
+    n_new = int(doc_stats.agg(F.count(F.lit(1)).alias("n")).collect()[0].n)
+    if n_new == 0:
         return 0
     wh.append(
         _batch_postings(new_docs, int(meta.n_buckets), id_col, text_col),
         _postings_table(table),
     )
     wh.append(doc_stats, _docs_table(table))
-    wh.overwrite(
-        spark.createDataFrame(
-            [
-                (
-                    int(meta.n_docs) + n_docs,
-                    int(meta.sum_dl) + sum_dl,
-                    int(meta.n_dl) + n_dl,
-                    int(meta.n_buckets),
-                )
-            ],
-            "n_docs long, sum_dl long, n_dl long, n_buckets int",
-        ),
-        _meta_table(table),
-    )
-    return n_docs
+    return n_new
 
 
 def bm25_query(
@@ -194,7 +202,8 @@ def bm25_query(
     come from the probed partitions alone."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    spark = queries.sparkSession
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
     meta = wh.read(_meta_table(table)).collect()[0]
 
     qterms = _term_counts(queries, query_id_col, query_text_col).select(
@@ -213,16 +222,23 @@ def bm25_query(
         wh.read(_postings_table(table))
         .filter(F.col("bkt").isin(probe_bkts))
         .join(F.broadcast(qvocab), "token", "left_semi")
+        # full-row dedup: heals the duplicated postings a crashed-and-
+        # redelivered ingest can leave behind (tf/dl are deterministic
+        # per doc, so duplicates are identical rows); runs on the
+        # already-pruned probe slice, not the corpus
+        .dropDuplicates(["token", "doc_id"])
     )
     dfreq = postings.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    # n_dl == 0 (every indexed doc had NULL text) degrades avgdl to
-    # NULL, matching bm25_topk's F.avg over the same rows
-    avgdl = float(meta.sum_dl) / float(meta.n_dl) if meta.n_dl else None
-    stats = spark.createDataFrame(
-        [(float(meta.n_docs), avgdl)],
-        "n_docs double, avgdl double",
+    # corpus scalars derived from membership, never incrementally
+    # maintained (module docstring): exact integer sums, one skinny
+    # partial-agg; avg matches bm25_topk's F.avg over the same rows to
+    # the ulp the ranking round absorbs (NULL-text docs have NULL dl —
+    # skipped by sum/count(dl), counted by n_docs — on both paths)
+    stats = wh.read(_docs_table(table)).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("dl")).alias("avgdl"),
     )
     doc_terms = postings.select(
         F.col("doc_id").alias("id"), "dl", "token", "tf"

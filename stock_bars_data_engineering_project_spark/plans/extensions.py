@@ -898,10 +898,12 @@ SELECT 'boilerplate' AS tag, t.doc_id,
        {sql_round('len(coalesce(c.ps, [])) / len(t.toks)', 4)} AS ratio,
        -- coalesce: DuckDB's array_to_string([]) is NULL; Spark's
        -- concat_ws over an empty array is '' — align on '' for the
-       -- fully-scrubbed-document case
+       -- fully-scrubbed-document case. NULL text stays NULL (the
+       -- operator's pass-through contract), distinct from ''.
+       CASE WHEN t.toks IS NULL THEN NULL ELSE
        coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks)+1)
                         if NOT list_contains(coalesce(c.ps, []), i)], ' '), '')
-           AS payload
+       END AS payload
 FROM btoks t LEFT JOIN covs c USING (doc_id)
 UNION ALL
 SELECT 'paragraphs' AS tag, doc_id,
@@ -946,9 +948,10 @@ SELECT 'exact_substr' AS tag, t.doc_id,
        CAST(len(t.toks) AS BIGINT) AS n_tokens,
        CAST(len(coalesce(c.ps, [])) AS BIGINT) AS n_affected,
        {sql_round('len(coalesce(c.ps, [])) / len(t.toks)', 4)} AS ratio,
+       CASE WHEN t.toks IS NULL THEN NULL ELSE
        coalesce(array_to_string([t.toks[i] for i in range(1, len(t.toks)+1)
                         if NOT list_contains(coalesce(c.ps, []), i)], ' '), '')
-           AS payload
+       END AS payload
 FROM btoks t LEFT JOIN (
     WITH esgrams AS (
         SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram

@@ -177,6 +177,8 @@ def test_incremental_scrub_two_batches_equals_full(spark, tmp_path):
     counts reconciles exactly to the full-corpus scrub."""
     from stock_bars_data_engineering_project_spark.operators.contamination import (
         boilerplate_scrub,
+        compact_gram_state,
+        gram_count_state,
         gram_doc_frequency,
         ingest_scrub_batch,
         positional_grams,
@@ -205,10 +207,10 @@ def test_incremental_scrub_two_batches_equals_full(spark, tmp_path):
         for r in ingest_scrub_batch(wh, batch2, k=3, df_cap=3).collect()
     }
 
-    # (a) counts table == full recount
+    # (a) combined epoch-log state == full recount
     stored = {
         (r.gram, r.gram_df)
-        for r in wh.read("gram_counts").collect()
+        for r in gram_count_state(wh).collect()
     }
     expect_counts = {
         (r.gram, r.gram_df)
@@ -218,6 +220,21 @@ def test_incremental_scrub_two_batches_equals_full(spark, tmp_path):
     # "rare repeated span" promoted to df 3 across batches
     assert ("rare repeated span", 3) in stored
 
+    # (a') at-least-once redelivery is a no-op: same content epoch,
+    # identical partition rewritten, combined state unchanged
+    ingest_scrub_batch(wh, batch2, k=3, df_cap=3).collect()
+    assert {
+        (r.gram, r.gram_df) for r in gram_count_state(wh).collect()
+    } == expect_counts
+
+    # (a'') compaction folds epochs into one base partition, state
+    # unchanged
+    compact_gram_state(wh)
+    assert {
+        (r.gram, r.gram_df) for r in gram_count_state(wh).collect()
+    } == expect_counts
+    assert wh.read("gram_counts").select("_epoch").distinct().count() == 1
+
     # (b) batch-2 scrub == full scrub restricted to batch-2 docs
     full_scrub = {
         r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
@@ -226,7 +243,7 @@ def test_incremental_scrub_two_batches_equals_full(spark, tmp_path):
     assert out2 == {d: full_scrub[d] for d in out2}
 
     # (c) re-scrub of everything vs current counts == full scrub
-    hot = wh.read("gram_counts").filter(F.col("gram_df") >= 3).select("gram")
+    hot = gram_count_state(wh).filter(F.col("gram_df") >= 3).select("gram")
     rescrub = {
         r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
         for r in scrub_against(full, hot, 3).collect()
@@ -427,3 +444,26 @@ def test_exact_substr_scrub_keeper_and_identity(spark):
 
     with pytest.raises(ValueError):
         exact_substr_scrub(docs, k=8, min_count=1)
+
+
+def test_scrubs_pass_null_text_through_as_null(spark):
+    """NULL text emits (NULL, 0, NULL) — distinct from the '' a
+    fully-scrubbed document produces (found by review: the rebuild
+    previously collapsed NULL text to '')."""
+    from stock_bars_data_engineering_project_spark.operators.contamination import (
+        boilerplate_scrub,
+        exact_substr_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "some ordinary words here now")],
+        "doc_id long, text string",
+    )
+    for fn in (
+        lambda d: boilerplate_scrub(d, k=3, df_cap=2),
+        lambda d: exact_substr_scrub(d, k=3),
+    ):
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+               for r in fn(docs).collect()}
+        assert got[1] == (None, 0, None)
+        assert got[2] == (5, 0, "some ordinary words here now")

@@ -96,3 +96,42 @@ def test_guards(spark, tmp_path):
     build_bm25_index(wh, corpus.limit(10), table="bm")
     with pytest.raises(ValueError):
         bm25_query(wh, queries, table="bm", k=0)
+
+
+def test_crash_window_duplicate_postings_heal(spark, tmp_path):
+    """Simulate a crash between the postings append and the docs
+    append: the batch's postings are on disk but its docs rows are not.
+    Redelivery re-appends the postings (duplicates) plus the docs rows;
+    the query path's full-row dedup must heal to the one-shot answer."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        _batch_postings,
+        _postings_table,
+    )
+
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    even = corpus.filter(F.col("doc_id") % 2 == 0)
+    odd = corpus.filter(F.col("doc_id") % 2 == 1)
+    build_bm25_index(wh, even, table="bm")
+    # crash simulation: postings landed, membership did not
+    wh.append(_batch_postings(odd, 64, "doc_id", "text"), _postings_table("bm"))
+    # redelivery: anti-join sees no membership, ingests the whole batch
+    assert ingest_docs(wh, odd, table="bm") == odd.count()
+
+    got = _rows(bm25_query(wh, queries, table="bm", k=10))
+    want = _rows(bm25_topk(corpus, queries, k=10))
+    assert got == want
+
+
+def test_null_doc_id_rejected_loudly(spark, tmp_path):
+    corpus, _ = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus.limit(20), table="bm")
+    bad = spark.createDataFrame(
+        [(None, "some text with tokens")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        ingest_docs(wh, bad, table="bm")
+    with pytest.raises(Exception, match="k1"):
+        bm25_query(wh, corpus.limit(1).select(
+            F.col("doc_id").alias("query_id"), "text"), table="bm", b=1.5)
