@@ -244,3 +244,26 @@ def bm25_query(
         F.col("doc_id").alias("id"), "dl", "token", "tf"
     )
     return score_topk(doc_terms, qterms, dfreq, stats, k, k1, b, n_salt)
+
+
+def index_occupancy(
+    wh: ParquetWarehouse, table: str = "bm25_index"
+) -> DataFrame:
+    """Per-bucket posting counts plus the global max/mean skew ratio —
+    the rebuild/re-bucket trigger metric (incremental_ann's
+    list_occupancy for the lexical index: a Zipf-head token inflating
+    one bucket makes that bucket's probe cost the index's worst case).
+    One partial-aggregating pass over the skinny postings."""
+    counts = (
+        wh.read(_postings_table(table))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+    )
+    stats = counts.agg(
+        F.max("n_postings").alias("_mx"), F.avg("n_postings").alias("_mean")
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "bkt",
+        "n_postings",
+        (F.col("_mx") / F.col("_mean")).alias("skew_ratio"),
+    )

@@ -135,3 +135,25 @@ def test_null_doc_id_rejected_loudly(spark, tmp_path):
     with pytest.raises(Exception, match="k1"):
         bm25_query(wh, corpus.limit(1).select(
             F.col("doc_id").alias("query_id"), "text"), table="bm", b=1.5)
+
+
+def test_occupancy_and_compaction_preserve_answers(spark, tmp_path):
+    """index_occupancy covers every bucket; warehouse compaction of the
+    append-accumulated postings (the small-files bound for a
+    long-lived index) must not change any answer."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        index_occupancy,
+    )
+
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus.filter(F.col("doc_id") % 2 == 0), table="bm")
+    ingest_docs(wh, corpus.filter(F.col("doc_id") % 2 == 1), table="bm")
+
+    occ = index_occupancy(wh, table="bm").collect()
+    assert sum(r.n_postings for r in occ) == wh.read("bm__postings").count()
+    assert all(r.skew_ratio >= 1.0 for r in occ)
+
+    before = _rows(bm25_query(wh, queries, table="bm", k=10))
+    wh.compact("bm__postings")  # inherits the bkt hive layout
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == before
