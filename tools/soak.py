@@ -168,6 +168,34 @@ def stage(spark, scale: int) -> str:
     return out
 
 
+_BM25_SOAK_WH: dict = {}
+
+
+def _bm25_probe(spark, path: str, docs):
+    """Query the persisted BM25 index for the staged corpus, building
+    it on first touch (the warm-up pass in isolated mode, so timed runs
+    pay only the probe — an index is a build-once artifact)."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        bm25_query,
+        build_bm25_index,
+    )
+    from stock_bars_data_engineering_project_spark.sinks.warehouse import (
+        ParquetWarehouse,
+    )
+
+    wh = _BM25_SOAK_WH.get(path)
+    if wh is None:
+        wh = ParquetWarehouse(spark, os.path.join(path, "_bm25_idx"))
+        build_bm25_index(
+            wh, docs.filter(F.col("doc_id") >= 25), table="idx"
+        )
+        _BM25_SOAK_WH[path] = wh
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_query(wh, queries, table="idx", k=10)
+
+
 def run(
     spark,
     path: str,
@@ -279,6 +307,12 @@ def run(
             ),
             k=10,
         ),
+        # persisted-BM25 probe: the index is built ONCE per staged
+        # corpus (inside the untimed warm-up pass via the memo below),
+        # so the timed runs measure what a serving loop pays — the
+        # statically-pruned postings probe — against the same linearly
+        # growing corpus the 'bm25' recompute op re-tokenizes per call
+        "bm25_index_probe": lambda: _bm25_probe(spark, path, docs),
         "interval_join": lambda: interval_join(
             events.filter(F.col("event_type") == "purchase"),
             events.filter(F.col("event_type") == "view"),
