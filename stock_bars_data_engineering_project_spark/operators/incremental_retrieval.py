@@ -218,7 +218,9 @@ def bm25_query(
         .distinct()
         .collect()
     ]
-    postings = (
+    postings = _live(
+        wh,
+        table,
         wh.read(_postings_table(table))
         .filter(F.col("bkt").isin(probe_bkts))
         .join(F.broadcast(qvocab), "token", "left_semi")
@@ -226,17 +228,18 @@ def bm25_query(
         # redelivered ingest can leave behind (tf/dl are deterministic
         # per doc, so duplicates are identical rows); runs on the
         # already-pruned probe slice, not the corpus
-        .dropDuplicates(["token", "doc_id"])
+        .dropDuplicates(["token", "doc_id"]),
     )
     dfreq = postings.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    # corpus scalars derived from membership, never incrementally
-    # maintained (module docstring): exact integer sums, one skinny
-    # partial-agg; avg matches bm25_topk's F.avg over the same rows to
-    # the ulp the ranking round absorbs (NULL-text docs have NULL dl —
-    # skipped by sum/count(dl), counted by n_docs — on both paths)
-    stats = wh.read(_docs_table(table)).agg(
+    # corpus scalars derived from LIVE membership (tombstones excluded),
+    # never incrementally maintained (module docstring): exact integer
+    # sums, one skinny partial-agg; avg matches bm25_topk's F.avg over
+    # the same rows to the ulp the ranking round absorbs (NULL-text
+    # docs have NULL dl — skipped by sum/count(dl), counted by n_docs —
+    # on both paths)
+    stats = _live(wh, table, wh.read(_docs_table(table))).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("dl")).alias("avgdl"),
     )
@@ -267,3 +270,68 @@ def index_occupancy(
         "n_postings",
         (F.col("_mx") / F.col("_mean")).alias("skew_ratio"),
     )
+
+
+def _deleted_table(table: str) -> str:
+    return f"{table}__deleted"
+
+
+def delete_docs(
+    wh: ParquetWarehouse, doc_ids, table: str = "bm25_index"
+) -> None:
+    """Delete documents from the index as TOMBSTONES: the ids append to
+    ``__deleted`` and every query anti-joins them out (postings,
+    membership, and the corpus scalars all exclude tombstoned docs), so
+    a delete is O(ids) however large the index — physically rewriting
+    the postings would touch every bucket partition the doc's tokens
+    hash into, which for ordinary text is most of them.
+    :func:`apply_deletes` folds tombstones into the files at
+    compaction. Idempotent by construction (duplicate tombstones
+    change nothing). ``doc_ids`` is a 1-column DataFrame or an iterable
+    of ids. A tombstoned id stays dead to both queries and re-ingest
+    until apply_deletes physically drops it — delete-then-reinsert of
+    CHANGED content is apply_deletes-then-ingest (the immutable-id
+    contract shared with incremental_ann)."""
+    if not isinstance(doc_ids, DataFrame):
+        spark = wh.read(_meta_table(table)).sparkSession
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).filter(
+        F.when(
+            F.col("doc_id").isNull(),
+            F.raise_error(F.lit("bm25 index: NULL doc_id tombstone")).cast(
+                "boolean"
+            ),
+        ).otherwise(F.lit(True))
+    )
+    if wh.exists(_deleted_table(table)):
+        wh.append(ids, _deleted_table(table))
+    else:
+        wh.overwrite(ids, _deleted_table(table))
+
+
+def _live(wh: ParquetWarehouse, table: str, df: DataFrame) -> DataFrame:
+    """Anti-join the tombstone set out of any frame carrying doc_id."""
+    if not wh.exists(_deleted_table(table)):
+        return df
+    dead = wh.read(_deleted_table(table)).select("doc_id").distinct()
+    return df.join(dead, "doc_id", "left_anti")
+
+
+def apply_deletes(wh: ParquetWarehouse, table: str = "bm25_index") -> None:
+    """Compaction: physically drop tombstoned docs from the postings
+    and membership tables, then clear the tombstones. Run at the same
+    delivery barrier as any compaction; afterwards a previously deleted
+    id may be re-ingested as a new document."""
+    if not wh.exists(_deleted_table(table)):
+        return
+    wh.overwrite(
+        materialize(_live(wh, table, wh.read(_postings_table(table)))),
+        _postings_table(table),
+    )
+    wh.overwrite(
+        materialize(_live(wh, table, wh.read(_docs_table(table)))),
+        _docs_table(table),
+    )
+    wh.drop(_deleted_table(table))

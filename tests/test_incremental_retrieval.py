@@ -157,3 +157,47 @@ def test_occupancy_and_compaction_preserve_answers(spark, tmp_path):
     before = _rows(bm25_query(wh, queries, table="bm", k=10))
     wh.compact("bm__postings")  # inherits the bkt hive layout
     assert _rows(bm25_query(wh, queries, table="bm", k=10)) == before
+
+
+def test_tombstone_delete_and_apply(spark, tmp_path):
+    """delete_docs tombstones: queries immediately equal the one-shot
+    over the surviving corpus (scores, df, and avgdl all exclude the
+    deleted docs); deletion is idempotent; apply_deletes folds the
+    tombstones physically (bkt layout preserved) with answers
+    unchanged, after which the id may be re-ingested."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        apply_deletes,
+        delete_docs,
+    )
+
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus, table="bm")
+
+    dead_ids = [r.doc_id for r in corpus.limit(40).collect()][:25]
+    survivors = corpus.filter(~F.col("doc_id").isin(dead_ids))
+    delete_docs(wh, dead_ids, table="bm")
+    delete_docs(wh, dead_ids[:5], table="bm")  # idempotent re-delete
+
+    want = _rows(bm25_topk(survivors, queries, k=10))
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == want
+    # tombstoned ids are dead to re-ingest until physically applied
+    assert ingest_docs(wh, corpus.filter(F.col("doc_id").isin(dead_ids[:3])),
+                       table="bm") == 0
+
+    apply_deletes(wh, table="bm")
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == want
+    assert not wh.exists("bm__deleted")
+    # physical apply preserved the hive layout: a single-token probe
+    # still prunes statically (multi-token queries print an IN-list
+    # partition filter without the isnotnull this regex keys on)
+    import re
+    one_q = queries.limit(1).select("query_id", F.lit("scan").alias("text"))
+    plan = (
+        bm25_query(wh, one_q, table="bm", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PartitionFilters: \[isnotnull\(bkt#\d+\)", plan)
+    # after apply, a deleted id re-ingests as a fresh document
+    assert ingest_docs(wh, corpus.filter(F.col("doc_id") == dead_ids[0]),
+                       table="bm") == 1
