@@ -1,6 +1,7 @@
 """Corpus-model quality scoring — signals that need the corpus itself
 as the model (unlike functions/text.py's per-row heuristics, which are
-map-only): today the CCNet-style unigram-LM surprisal gate.
+map-only): the CCNet-style unigram-LM surprisal gate and its bigram
+stupid-backoff upgrade.
 
 Scale shape: the model is the corpus's own token-count table —
 token-cardinality-sized (the same bound TF-IDF's document-frequency
@@ -62,6 +63,104 @@ def unigram_surprisal(
             F.avg(-F.log(F.col("n").cast("double") / F.col("total"))).alias(
                 "score"
             )
+        )
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.4,
+    unigram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own bigram
+    LM with stupid backoff (Brants et al. 2007): for each adjacent token
+    pair (prev, cur),
+
+        p = c2(prev, cur) / c1(prev)        if the bigram survives
+                                            min_count pruning,
+          = alpha * c1(cur) / total         otherwise (backoff to the
+                                            unigram model),
+
+    and the score is mean(-ln p). This is the KenLM-shaped upgrade of
+    ``unigram_surprisal``: it additionally penalizes locally implausible
+    TRANSITIONS (shuffled words, templated gibberish with common tokens
+    in uncommon orders) that a bag-of-words model cannot see.
+
+    min_count pruning is the scale lever, not a tuning nicety: at corpus
+    scale the bigram table's cardinality is dominated by singletons
+    (Zipf tail squared), and pruning them bounds the only model-sized
+    join table while making the backoff branch real work — with the
+    corpus as its own model and no pruning, every observed bigram would
+    trivially hit the seen branch.
+
+    Scale shape: one partial-aggregable bigram wordcount (map-side
+    combine absorbs skew), one pruned-bigram left join, two
+    token-keyed unigram joins (the pruned tables are candidates for
+    AQE broadcast), one per-doc mean. Bigram pairing is map-only
+    zip_with over the token array — no lambda-body re-evaluation (the
+    word_shingles discipline, functions/text.py:101-107).
+
+    Documents with fewer than two non-empty tokens have no bigrams and
+    emit no row (they drop out of the explode on any engine). Returns
+    (id_col, score, n_bigrams) with the RAW double score — display
+    rounding belongs to the caller.
+
+    ``unigram_counts`` optionally supplies the (token, n) table from the
+    same tokenization (lower-cased whitespace tokens, empties dropped)
+    so a caller that already built the vocabulary skips one corpus pass.
+    """
+    ltoks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    # (prev, cur) adjacent pairs: zip the token array with its own
+    # 1-shifted copy; zip_with NULL-pads the shorter side, so the last
+    # element pairs (last_token, NULL) and the filter drops it.
+    bigrams = F.filter(
+        F.zip_with(
+            ltoks,
+            F.slice(ltoks, 2, F.size(ltoks)),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    pairs = docs.select(
+        id_col, F.explode(bigrams).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+
+    if unigram_counts is None:
+        unigram_counts = (
+            docs.select(F.explode(ltoks).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .filter(F.col("n2") >= min_count)
+    )
+    total = unigram_counts.agg(F.sum("n").cast("double").alias("total"))
+
+    c1p = unigram_counts.select(
+        F.col("token").alias("prev"), F.col("n").cast("double").alias("n_prev")
+    )
+    c1c = unigram_counts.select(
+        F.col("token").alias("cur"), F.col("n").cast("double").alias("n_cur")
+    )
+    p = F.when(
+        F.col("n2").isNotNull(), F.col("n2").cast("double") / F.col("n_prev")
+    ).otherwise(F.lit(alpha) * F.col("n_cur") / F.col("total"))
+    return (
+        pairs.join(c2, ["prev", "cur"], "left")
+        .join(c1p, "prev")
+        .join(c1c, "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.log(p)).alias("score"),
+            F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
 

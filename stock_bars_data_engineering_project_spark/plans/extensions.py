@@ -38,7 +38,7 @@ from ..operators.contamination import (
 from ..operators.rangejoin import range_join
 from ..operators.sampling import stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
-from ..operators.quality import unigram_surprisal
+from ..operators.quality import bigram_surprisal, unigram_surprisal
 from ..functions.hashing import simhash60
 from ..operators.dedup import (
     canonical_selection,
@@ -438,6 +438,29 @@ WITH toks AS (
     SELECT tf.doc_id, tf.token,
            {sql_round('tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0))', 6)} AS tfidf
     FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+), lmtoks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+    FROM documents
+), lmpairs AS (
+    SELECT doc_id, bg['prev'] AS prev, bg['cur'] AS cur
+    FROM (
+        SELECT doc_id,
+               unnest([{{'prev': toks[i], 'cur': toks[i+1]}}
+                       for i in range(1, len(toks))]) AS bg
+        FROM lmtoks
+    )
+), lmc1 AS (
+    SELECT t AS token, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM (SELECT unnest(toks) AS t FROM lmtoks)
+    GROUP BY t
+), lmc2 AS (
+    SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS n2
+    FROM lmpairs
+    GROUP BY prev, cur
+    HAVING COUNT(*) >= 2
+), lmtot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS total FROM lmc1
 )
 SELECT 'tfidf' AS tag, doc_id, term, score, rank
 FROM (
@@ -518,6 +541,21 @@ FROM (
     GROUP BY doc_id
 )
 UNION ALL
+SELECT 'bigram_lm' AS tag, doc_id, CAST(NULL AS VARCHAR) AS term,
+       {sql_round(
+           "AVG(-ln(CASE WHEN n2 IS NOT NULL THEN n2 / n_prev "
+           "ELSE 0.4 * n_cur / total END))", 4)} AS score,
+       CAST(COUNT(*) AS INT) AS rank
+FROM (
+    SELECT p.doc_id, c2.n2, c1p.n AS n_prev, c1c.n AS n_cur, tot.total
+    FROM lmpairs p
+    LEFT JOIN lmc2 c2 ON p.prev = c2.prev AND p.cur = c2.cur
+    JOIN lmc1 c1p ON p.prev = c1p.token
+    JOIN lmc1 c1c ON p.cur = c1c.token
+    CROSS JOIN lmtot tot
+)
+GROUP BY doc_id
+UNION ALL
 SELECT tag, doc_id, term, score, rank FROM (
     {_bpe_rules_sql(_BPE_MERGES, 2)}
 )
@@ -527,7 +565,16 @@ SELECT 'train_laws' AS tag, CAST(NULL AS BIGINT) AS doc_id,
                'class_separation']) AS term,
        CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
 """,
-    tags=("text", "tfidf", "vocab", "surprisal", "classifier", "bpe", "training"),
+    tags=(
+        "text",
+        "tfidf",
+        "vocab",
+        "surprisal",
+        "bigram_lm",
+        "classifier",
+        "bpe",
+        "training",
+    ),
 )
 def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-statistics suite in one result: (a) per-document top-3 terms
@@ -622,6 +669,22 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_features").cast("int").alias("rank"),
         )
     )
+    # (g) bigram-LM surprisal with stupid backoff (operators/quality.py
+    # bigram_surprisal): the transition-aware upgrade of arm (c) — the
+    # corpus's min_count-pruned bigram table is the model, unseen
+    # transitions back off to alpha * unigram. Reuses the (c)/(b) vocab
+    # counts as the unigram side (the `counts` plan is shared, one
+    # wordcount pass serves three arms); n_bigrams rides the rank
+    # column so the per-doc pair count is gated too.
+    bigram_lm_arm = bigram_surprisal(
+        docs, min_count=2, unigram_counts=counts
+    ).select(
+        F.lit("bigram_lm").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        round_half_up(F.col("score"), 4).alias("score"),
+        F.col("n_bigrams").cast("int").alias("rank"),
+    )
     # (e) BPE tokenizer training (operators/bpe.py): six sequential
     # merge rounds over the corpus word counts; the learned rule table
     # IS the model (a sanctioned O(n_merges) driver-side scalar) and
@@ -662,6 +725,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_arm.unionByName(vocab_arm)
         .unionByName(surprisal_arm)
         .unionByName(qscore_arm)
+        .unionByName(bigram_lm_arm)
         .unionByName(bpe_arm)
         .unionByName(train_arm)
     )

@@ -103,3 +103,89 @@ def test_stopword_list_is_the_papers(spark):
     assert GOPHER_STOPWORDS == (
         "the", "be", "to", "of", "and", "that", "have", "with",
     )
+
+
+# --- bigram-LM surprisal (stupid backoff) ---------------------------------
+
+
+def _bigram_docs(spark):
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "b x"), (4, "a"), (5, "")],
+        "doc_id long, text string",
+    )
+    return docs, bigram_surprisal
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Corpus: c1 = {a:4, b:4, x:1}, total 9; bigrams (a,b)x3 (b,a)x1
+    (b,x)x1; min_count=2 prunes everything but (a,b) — so doc 1 mixes
+    the seen branch (3/4) with the backoff branch (0.4*4/9), and doc 3
+    is pure backoff. Docs 4 (one token) and 5 (empty) emit no row."""
+    import math
+
+    docs, bigram_surprisal = _bigram_docs(spark)
+    out = {
+        r.doc_id: (r.score, r.n_bigrams)
+        for r in bigram_surprisal(docs, min_count=2).collect()
+    }
+    p_ab, p_ba, p_bx = 3 / 4, 0.4 * 4 / 9, 0.4 * 1 / 9
+    expect = {
+        1: ((-math.log(p_ab) * 2 - math.log(p_ba)) / 3, 3),
+        2: (-math.log(p_ab), 1),
+        3: (-math.log(p_bx), 1),
+    }
+    assert set(out) == set(expect)
+    for doc_id, (score, n) in expect.items():
+        assert abs(out[doc_id][0] - score) < 1e-12, doc_id
+        assert out[doc_id][1] == n, doc_id
+
+
+def test_bigram_surprisal_no_pruning_never_backs_off(spark):
+    """With min_count=1 and the corpus as its own model, every observed
+    bigram hits the seen branch: scores are pure conditional bigram
+    surprisal (and doc 3's singleton transition stops being punished by
+    the unigram backoff)."""
+    import math
+
+    docs, bigram_surprisal = _bigram_docs(spark)
+    out = {
+        r.doc_id: r.score
+        for r in bigram_surprisal(docs, min_count=1).collect()
+    }
+    # (b,x): c2=1, c1(b)=4 -> p = 1/4 (seen), not 0.4*1/9 (backoff)
+    assert abs(out[3] - (-math.log(1 / 4))) < 1e-12
+    # doc1: (a,b)=3/4 twice, (b,a)=1/4 once
+    assert abs(out[1] - (-(2 * math.log(3 / 4) + math.log(1 / 4)) / 3)) < 1e-12
+
+
+def test_bigram_surprisal_reuses_supplied_unigram_counts(spark):
+    """The shared-vocab path (the tfidf_vocab_suite wiring) must be
+    bit-identical to the recompute path."""
+    from pyspark.sql import functions as F
+
+    docs, bigram_surprisal = _bigram_docs(spark)
+    counts = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = {
+        r.doc_id: (r.score, r.n_bigrams)
+        for r in bigram_surprisal(docs).collect()
+    }
+    b = {
+        r.doc_id: (r.score, r.n_bigrams)
+        for r in bigram_surprisal(docs, unigram_counts=counts).collect()
+    }
+    assert a == b
