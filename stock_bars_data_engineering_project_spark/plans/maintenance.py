@@ -429,6 +429,27 @@ SELECT 'vacuum_law' AS variant, 'law' AS _change_type,
        CAST(-1 AS BIGINT) AS k,
        'restore_target_survives_vacuum' AS status,
        CAST(1.0 AS DOUBLE) AS price
+UNION ALL
+SELECT 'scd2' AS variant,
+       CAST(vf AS VARCHAR) || ':' || COALESCE(CAST(vt AS VARCHAR), 'open')
+           || ':' || CASE WHEN cur THEN 'true' ELSE 'false' END
+           AS _change_type,
+       k, status, price
+FROM (
+    SELECT s.k AS k, s.status AS status, s.price AS price,
+           1 AS vf, CAST(NULL AS INT) AS vt, TRUE AS cur
+    FROM state1 s JOIN final f ON s.k = f.k
+    WHERE s.status = f.status AND s.price = f.price
+    UNION ALL
+    SELECT s.k, s.status, s.price, 1 AS vf, 2 AS vt, FALSE AS cur
+    FROM state1 s LEFT JOIN final f ON s.k = f.k
+    WHERE f.k IS NULL OR s.status <> f.status OR s.price <> f.price
+    UNION ALL
+    SELECT f.k, f.status, f.price,
+           2 AS vf, CAST(NULL AS INT) AS vt, TRUE AS cur
+    FROM final f LEFT JOIN state1 s ON f.k = s.k
+    WHERE s.k IS NULL OR s.status <> f.status OR s.price <> f.price
+)
 """,
     tags=("warehouse", "cdc", "versioning"),
 )
@@ -450,7 +471,9 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces it at 100 TB, where CDC is a pure metadata read over
     immutable snapshots).
 
-    Two further arms drive the rollback surface under the driver:
+    Further arms (`scd2` below rides the same state transition as a
+    Kimball Type-2 dimension merge); two drive the rollback surface
+    under the driver:
 
     - `restore_state`: after the chain, ``restore(v1)`` (O(1) pointer
       flip) and re-read — the FULL restored table must equal the
@@ -487,6 +510,10 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.merge(updates, "t", keys=("k",))
     wh.overwrite(wh.read("t").filter(F.col("k") % 5 != 0), "t")
     cdc = wh.changes("t", v1, keys=("k",)).withColumn("variant", F.lit("cdc"))
+    # version-pinned read of the post-chain state, captured BEFORE the
+    # restore below flips the pointer back (same eager-resolution
+    # mechanism the cdc read relies on)
+    final_state = wh.read("t")
 
     # rollback surface: restore is an O(1) pointer flip; the re-read
     # (version-pinned eagerly, like the cdc read above) must equal the
@@ -512,7 +539,44 @@ def q_warehouse_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("vacuum_law", "law", -1, "restore_target_survives_vacuum", vacuum_ok)],
         "variant string, _change_type string, k bigint, status string, price double",
     )
-    return cdc.unionByName(restored).unionByName(law)
+
+    # scd2 arm: the SAME state transition (state1 -> final), this time
+    # as a Kimball Type-2 dimension merge (operators/merge.py
+    # scd2_init/scd2_merge) with delete detection on — the full
+    # versioned history (valid_from:valid_to:is_current, encoded into
+    # _change_type so the arm shares the row schema) is value-gated
+    # against the oracle's three-way classification. The source side is
+    # the warehouse's own version-pinned read of the post-chain state,
+    # so the arm also exercises snapshot reads feeding a dimension
+    # merge.
+    from ..operators.merge import scd2_init, scd2_merge
+
+    dim = scd2_merge(
+        scd2_init(state1, ("k",), 1),
+        final_state,
+        ("k",),
+        ("status", "price"),
+        2,
+        close_missing=True,
+    )
+    scd2 = dim.select(
+        F.lit("scd2").alias("variant"),
+        F.concat(
+            F.col("valid_from").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("open")),
+            F.lit(":"),
+            F.when(F.col("is_current"), F.lit("true")).otherwise(
+                F.lit("false")
+            ),
+        ).alias("_change_type"),
+        "k",
+        "status",
+        "price",
+    )
+    return (
+        cdc.unionByName(restored).unionByName(law).unionByName(scd2)
+    )
 
 
 @register(
