@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import event_micros, round_half_up, sql_round
+from ..operators.gapfill import calendar_fill
 from ..sources.readers import load_table
 from .registry import register
 
@@ -457,17 +458,43 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "resample_ohlc_daily",
     oracle=f"""
-SELECT user_id,
-       CAST(ts AS DATE) AS day,
-       {sql_round('arg_min(value, ts)', 4)} AS open_v,
-       {sql_round('MAX(value)', 4)} AS high_v,
-       {sql_round('MIN(value)', 4)} AS low_v,
-       {sql_round('arg_max(value, ts)', 4)} AS close_v,
-       COUNT(*) AS n_ticks
-FROM events
-GROUP BY user_id, CAST(ts AS DATE)
+WITH bars AS (
+    SELECT user_id,
+           CAST(ts AS DATE) AS day,
+           {sql_round('arg_min(value, ts)', 4)} AS open_v,
+           {sql_round('MAX(value)', 4)} AS high_v,
+           {sql_round('MIN(value)', 4)} AS low_v,
+           {sql_round('arg_max(value, ts)', 4)} AS close_v,
+           COUNT(*) AS n_ticks
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+), cal AS (
+    SELECT user_id,
+           CAST(UNNEST(generate_series(MIN(day), MAX(day),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bars
+    GROUP BY user_id
+), filled AS (
+    SELECT c.user_id, c.day, b.n_ticks,
+           last_value(b.close_v IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried
+    FROM cal c
+    LEFT JOIN bars b ON c.user_id = b.user_id AND c.day = b.day
+)
+SELECT 'bars' AS variant, user_id, day,
+       open_v, high_v, low_v, close_v, n_ticks
+FROM bars
+UNION ALL
+SELECT 'gapfilled' AS variant, user_id, day,
+       carried AS open_v, carried AS high_v,
+       carried AS low_v, carried AS close_v,
+       CAST(0 AS BIGINT) AS n_ticks
+FROM filled
+WHERE n_ticks IS NULL
 """,
-    tags=("agg", "resample", "ohlc"),
+    tags=("agg", "resample", "ohlc", "gapfill"),
 )
 def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick-to-bar resampling — the inverse of the reference's pipeline
@@ -476,10 +503,19 @@ def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — partial-aggregable, so 100 TB of ticks reduce map-side).
     Spark side keys min_by on (ts, event_id) for tie-robustness; the
     oracle's plain arg_min(ts) agrees because (user_id, ts) is unique
-    in this data."""
+    in this data.
+
+    The `gapfilled` arm completes each key's calendar
+    (operators/gapfill.calendar_fill): days inside a user's span with
+    no ticks get a synthetic flat candle at the carried close
+    (open=high=low=close=previous close, n_ticks=0) — the standard
+    bar-series convention downstream backtests assume. Each key expands
+    its OWN span (sequence+explode — no global calendar cross join);
+    the forward fill is one per-key window over calendar days, so the
+    sorted partition is bounded by span length, not tick volume."""
     ev = load_table(spark, sf_dir, "events")
     tie = F.struct(F.col("ts"), F.col("event_id"))
-    return ev.groupBy(
+    bars = ev.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(
         round_half_up(F.min_by("value", tie), 4).alias("open_v"),
@@ -488,6 +524,19 @@ def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.max_by("value", tie), 4).alias("close_v"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+    gaps = calendar_fill(bars, "user_id", "day", carry=("close_v",))
+    gap_arm = gaps.select(
+        F.lit("gapfilled").alias("variant"),
+        "user_id",
+        "day",
+        F.col("close_v").alias("open_v"),
+        F.col("close_v").alias("high_v"),
+        F.col("close_v").alias("low_v"),
+        F.col("close_v").alias("close_v"),
+        F.lit(0).cast("bigint").alias("n_ticks"),
+    )
+    bar_arm = bars.select(F.lit("bars").alias("variant"), *bars.columns)
+    return bar_arm.unionByName(gap_arm)
 
 
 @register(
