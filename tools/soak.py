@@ -74,7 +74,15 @@ from stock_bars_data_engineering_project_spark.operators.sketches import (  # no
     member_day_sets,
     retention_day_over_day,
 )
+from stock_bars_data_engineering_project_spark.operators.gapfill import (  # noqa: E402
+    calendar_fill,
+)
+from stock_bars_data_engineering_project_spark.operators.merge import (  # noqa: E402
+    scd2_init,
+    scd2_merge,
+)
 from stock_bars_data_engineering_project_spark.operators.quality import (  # noqa: E402
+    bigram_surprisal,
     unigram_surprisal,
 )
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
@@ -256,6 +264,46 @@ def run(
         # edge set; the iterative rounds execute eagerly inside the
         # lambda (per-round checkpoints), so the timing covers them
         "dedup_clusters": lambda: dedup_clusters(minhash_lsh_pairs(docs)),
+        # bigram-LM surprisal (stupid backoff): one bigram partial-agg
+        # wordcount + pruned-bigram/unigram joins against the exploded
+        # pair stream — bigram-table cardinality grows sub-linearly
+        # under min_count pruning while the scored side grows linearly,
+        # so the curve should track the pair explode (the unigram
+        # surprisal shape, one extra count shuffle)
+        "bigram_lm": lambda: bigram_surprisal(docs),
+        # calendar gap-fill over per-user daily bars: replica day-shifts
+        # grow spans (and with them the synthetic rows) linearly; the
+        # per-key ffill window sorts calendar days, not ticks
+        "gap_fill": lambda: calendar_fill(
+            events.groupBy(
+                "user_id", F.to_date("ts").alias("day")
+            ).agg(F.max("value").alias("close_v")),
+            "user_id",
+            "day",
+            ("close_v",),
+        ),
+        # SCD2 dimension merge: per-user current-value dim vs a
+        # half-perturbed re-extract — keys grow linearly with replica
+        # id offsets; one null-safe keyed full-outer join
+        "scd2_merge": lambda: scd2_merge(
+            scd2_init(
+                events.groupBy("user_id").agg(
+                    F.max("value").alias("v")
+                ),
+                ("user_id",),
+                1,
+            ),
+            events.groupBy("user_id").agg(
+                F.when(
+                    F.col("user_id") % 2 == 0, F.max("value") + 1.0
+                )
+                .otherwise(F.max("value"))
+                .alias("v")
+            ),
+            ("user_id",),
+            ("v",),
+            2,
+        ),
         # sketch-extended rollup state build: one partial-aggregating
         # pass; state size is O(groups), so the curve should track the
         # scan. HLL/KLL union cost is per-group-constant.
