@@ -408,3 +408,67 @@ def test_exact_substr_matches_python_replay(spark, token_lists, k):
         for r in exact_substr_scrub(docs, k=k).collect()
     }
     assert got == _exact_substr_replay(rows, k=k)
+
+
+_scd2_batches = st.lists(
+    st.dictionaries(st.integers(0, 3), st.integers(0, 2), max_size=4),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_scd2_batches)
+def test_scd2_matches_sequential_reference(spark, batches):
+    """SCD2 under ANY batch sequence (full-snapshot semantics,
+    close_missing=True) equals a sequential dict-based reference:
+    version intervals, closure stamps, re-appearing keys, and the
+    one-open-version invariant all follow."""
+    from stock_bars_data_engineering_project_spark.operators.merge import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    # reference
+    open_rows: dict[int, list] = {}
+    hist: list[tuple] = []
+    for stamp, batch in enumerate(batches, start=1):
+        if stamp == 1:
+            for k, v in batch.items():
+                open_rows[k] = [k, v, 1, None, True]
+            continue
+        for k, v in batch.items():
+            if k in open_rows:
+                if open_rows[k][1] != v:
+                    old = open_rows.pop(k)
+                    old[3], old[4] = stamp, False
+                    hist.append(tuple(old))
+                    open_rows[k] = [k, v, stamp, None, True]
+            else:
+                open_rows[k] = [k, v, stamp, None, True]
+        for k in [k for k in open_rows if k not in batch]:
+            old = open_rows.pop(k)
+            old[3], old[4] = stamp, False
+            hist.append(tuple(old))
+    want = sorted(hist + [tuple(r) for r in open_rows.values()])
+
+    schema = "k long, v long"
+    state = scd2_init(
+        spark.createDataFrame(list(batches[0].items()) or [], schema),
+        ("k",),
+        1,
+    )
+    for stamp, batch in enumerate(batches[1:], start=2):
+        state = scd2_merge(
+            state,
+            spark.createDataFrame(list(batch.items()) or [], schema),
+            ("k",),
+            ("v",),
+            stamp,
+            close_missing=True,
+        )
+    got = sorted(
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in state.collect()
+    )
+    assert got == want
