@@ -163,8 +163,10 @@ def test_bigram_surprisal_no_pruning_never_backs_off(spark):
 
 
 def test_bigram_surprisal_reuses_supplied_unigram_counts(spark):
-    """The shared-vocab path (the tfidf_vocab_suite wiring) must be
-    bit-identical to the recompute path."""
+    """The shared-vocab path (the tfidf_vocab_suite wiring) must equal
+    the recompute path. Scores compare to 1e-12, not bit-exactly: avg()
+    partials merge in shuffle-fetch order, which can differ between two
+    independent executions under load."""
     from pyspark.sql import functions as F
 
     docs, bigram_surprisal = _bigram_docs(spark)
@@ -188,4 +190,7 @@ def test_bigram_surprisal_reuses_supplied_unigram_counts(spark):
         r.doc_id: (r.score, r.n_bigrams)
         for r in bigram_surprisal(docs, unigram_counts=counts).collect()
     }
-    assert a == b
+    assert set(a) == set(b)
+    for doc_id, (score, n) in a.items():
+        assert b[doc_id][1] == n
+        assert abs(b[doc_id][0] - score) < 1e-12, doc_id
