@@ -46,6 +46,13 @@ def main() -> None:
         "under the corpus unigram model (e.g. 0.9 drops the worst 10%%)",
     )
     ap.add_argument(
+        "--surprisal-model",
+        choices=("unigram", "bigram"),
+        default="unigram",
+        help="with --surprisal-keep-frac: LM for the surprisal gate "
+        "(bigram = stupid-backoff transition model)",
+    )
+    ap.add_argument(
         "--boilerplate-df-cap",
         type=int,
         default=None,
@@ -89,6 +96,7 @@ def main() -> None:
             args.warehouse,
             export_jsonl_dir=args.export_jsonl,
             surprisal_keep_frac=args.surprisal_keep_frac,
+            surprisal_model=args.surprisal_model,
             boilerplate_df_cap=args.boilerplate_df_cap,
             classifier_min_score=args.classifier_min_score,
             mixture_alpha=args.mixture_alpha,

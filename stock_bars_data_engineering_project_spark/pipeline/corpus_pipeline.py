@@ -56,7 +56,11 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
-from ..operators.quality import gopher_panel, unigram_surprisal
+from ..operators.quality import (
+    bigram_surprisal,
+    gopher_panel,
+    unigram_surprisal,
+)
 from ..operators.sampling import alpha_mixture_sample, stable_split
 from ..sinks.warehouse import ParquetWarehouse
 from ..sources.readers import load_table
@@ -71,6 +75,7 @@ def prepare_corpus(
     max_contamination: float = 0.5,
     pack_budget: int = 2048,
     surprisal_keep_frac: float | None = None,
+    surprisal_model: str = "unigram",
     boilerplate_df_cap: int | None = None,
     classifier_min_score: float | None = None,
     mixture_alpha: float | None = None,
@@ -182,7 +187,15 @@ def prepare_corpus(
         # scalar from the mergeable percentile sketch; the gate itself
         # is a semi-join on doc_id. Token-less docs have no score row
         # and are dropped by the semi-join — documented contract.
-        scores = unigram_surprisal(corpus)
+        if surprisal_model == "bigram":
+            scores = bigram_surprisal(corpus).drop("n_bigrams")
+        elif surprisal_model == "unigram":
+            scores = unigram_surprisal(corpus)
+        else:
+            raise ValueError(
+                f"surprisal_model must be 'unigram' or 'bigram', got "
+                f"{surprisal_model!r}"
+            )
         thr = scores.agg(
             F.expr(
                 f"percentile_approx(score, {surprisal_keep_frac}D, 10000)"

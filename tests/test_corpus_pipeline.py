@@ -92,6 +92,37 @@ def test_surprisal_gate_stage(spark, tmp_path):
     assert "surprisal_gated" not in counts_off
 
 
+def test_surprisal_gate_bigram_model(spark, tmp_path):
+    """surprisal_model='bigram' swaps in the stupid-backoff bigram LM:
+    same funnel contract (stage present, bites, monotone); an unknown
+    model name refuses loudly."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    counts = run_corpus_pipeline(
+        spark,
+        SF,
+        str(tmp_path / "bigram"),
+        surprisal_keep_frac=0.8,
+        surprisal_model="bigram",
+    )
+    assert "surprisal_gated" in counts
+    assert counts["surprisal_gated"] < counts["decontaminated"]
+    assert counts["surprisal_gated"] >= int(0.7 * counts["decontaminated"])
+
+    with pytest.raises(ValueError, match="surprisal_model"):
+        run_corpus_pipeline(
+            spark,
+            SF,
+            str(tmp_path / "bad"),
+            surprisal_keep_frac=0.8,
+            surprisal_model="trigram",
+        )
+
+
 def test_new_cleaning_stages(spark, tmp_path):
     """Boilerplate scrub, classifier gate and alpha mixture: funnel
     stages appear only when switched on, stay monotone, and the scrub
