@@ -176,3 +176,62 @@ def score_topk(
     return out.select(
         "query_id", "doc_id", "bm25", F.col("rank").cast("int").alias("rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (lexical BM25 + semantic ANN
+    being the canonical pair): each list contributes ``1 / (k0 + rank)``
+    for the items it ranked, the per-(query, item) contributions sum,
+    and the fused top-k is ranked on the 6-dp ROUNDED score with an
+    item-id tiebreak (the bm25_topk ranking discipline — raw-double
+    ranking would tie-break differently per engine).
+
+    Every input must carry (query_col, item_col, rank). Scale shape:
+    the legs are already top-k-blocked, so the union holds at most
+    ``len(rankings) * k`` rows per query — the fusion window's fan-in is
+    bounded by construction and no salting is needed. With two legs the
+    score is a sum of at most two doubles (FP addition is commutative,
+    so the aggregate is deterministic); with more legs the 6-dp rounding
+    absorbs the accumulation-order ulp.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from ..functions.scalars import round_half_up
+
+    legs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("__rrf_item"),
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col("rank").cast("double"))
+            ).alias("__rrf_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), legs)
+        .groupBy("query_id", "__rrf_item")
+        .agg(F.sum("__rrf_c").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        round_half_up(F.col("score"), 6).desc(), F.col("__rrf_item")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__rrf_item").alias(item_col),
+            "score",
+            "rank",
+        )
+    )

@@ -2653,33 +2653,57 @@ WITH corpus AS (
     JOIN dfreq USING (token)
     CROSS JOIN stats st
     GROUP BY qt.query_id, tf.doc_id
-)
-SELECT 'recompute' AS variant, query_id, doc_id, bm25, rank FROM (
-    SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+), lexranks AS (
+    -- rank on the 6-dp ROUNDED score, mirroring bm25_topk:
+    -- raw-double ranking would tie-break identical-profile docs
+    -- differently per engine when the sum order perturbs the ulp
+    SELECT query_id, doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_round('bm25', 6)} DESC,
+                                            doc_id) AS INT) AS rank
+    FROM scored
+), semranks AS (
+    -- exact-cosine top-10 of each query's embedding (the _BRUTE_SQL
+    -- idiom: same fold order, 6-dp rounded ranking, id tiebreak)
+    SELECT query_id, vec_id, rank
     FROM (
-        -- rank on the 6-dp ROUNDED score, mirroring bm25_topk:
-        -- raw-double ranking would tie-break identical-profile docs
-        -- differently per engine when the sum order perturbs the ulp
-        SELECT query_id, doc_id, bm25,
+        SELECT query_id, vec_id,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY {sql_round('bm25', 6)} DESC,
-                                                doc_id) AS INT) AS rank
-        FROM scored
+                                       ORDER BY cos DESC, vec_id) AS INT)
+                   AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   {sql_round(_COS_DOUBLE, 6)} AS cos
+            FROM (SELECT vec_id, embedding AS va FROM embeddings
+                  WHERE vec_id < 25) q
+            JOIN (SELECT vec_id, embedding AS vb FROM embeddings
+                  WHERE vec_id >= 25) c ON true
+        )
     )
     WHERE rank <= 10
 )
+SELECT 'recompute' AS variant, query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+FROM lexranks WHERE rank <= 10
 UNION ALL
-SELECT 'index' AS variant, query_id, doc_id, bm25, rank FROM (
-    SELECT query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+SELECT 'index' AS variant, query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+FROM lexranks WHERE rank <= 10
+UNION ALL
+SELECT 'rrf' AS variant, query_id, doc_id, bm25, rank FROM (
+    SELECT query_id, doc_id, {sql_round('score', 4)} AS bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_round('score', 6)} DESC,
+                                            doc_id) AS INT) AS rank
     FROM (
-        SELECT query_id, doc_id, bm25,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY {sql_round('bm25', 6)} DESC,
-                                                doc_id) AS INT) AS rank
-        FROM scored
+        SELECT query_id, doc_id, SUM(1.0 / (60.0 + rank)) AS score
+        FROM (
+            SELECT query_id, doc_id, rank FROM lexranks WHERE rank <= 10
+            UNION ALL
+            SELECT query_id, vec_id AS doc_id, rank FROM semranks
+        )
+        GROUP BY query_id, doc_id
     )
-    WHERE rank <= 10
 )
+WHERE rank <= 10
 """,
     tags=("retrieval", "text", "topk", "index"),
 )
@@ -2703,9 +2727,23 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       must return the recompute arm's exact rows (both arms check
       against the same oracle ranking); index ≡ one-shot, replay
       idempotence, and the pruned plan shape stay pinned in
-      tests/test_incremental_retrieval.py."""
+      tests/test_incremental_retrieval.py.
+    - 'rrf' (round 7, operators/retrieval.py rrf_fuse): HYBRID
+      retrieval — the lexical leg (this row's bm25 ranking) fused with
+      a semantic leg (exact-cosine top-10 of each query's embedding,
+      vec_id < 25 against vec_id >= 25 — documents and embeddings
+      share the id space) by reciprocal-rank fusion, score = sum over
+      legs of 1/(60 + rank). The legs are top-k-blocked before fusion,
+      so the fusion window's fan-in is bounded at 2k rows per query
+      however large the corpus; both legs' rankings AND the fused
+      scores/ranks are replayed in SQL (two doubles sum commutatively,
+      so the aggregate is deterministic). Docs without an embedding
+      simply get no semantic contribution — the realistic
+      partial-coverage case, exercised at sf0.1 where the embedding
+      table covers 2/5 of the corpus ids."""
     from ..operators.incremental_retrieval import bm25_query
-    from ..operators.retrieval import bm25_topk
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") >= 25)
@@ -2722,10 +2760,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
 
-    recompute = _round(bm25_topk(corpus, queries, k=10), "recompute")
+    from ..materialize import materialize
+
+    # materialized: the lexical ranking feeds BOTH its own arm and the
+    # rrf fusion — without this the whole bm25 pipeline replays per
+    # consumer
+    lex = materialize(bm25_topk(corpus, queries, k=10))
+    recompute = _round(lex, "recompute")
     wh = _bm25_index(spark, sf_dir, corpus)
     index = _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
-    return recompute.unionByName(index)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        k=10,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), sem], k=10)
+    rrf = fused.select(
+        F.lit("rrf").alias("variant"),
+        "query_id",
+        "doc_id",
+        round_half_up(F.col("score"), 4).alias("bm25"),
+        "rank",
+    )
+    return recompute.unionByName(index).unionByName(rrf)
 
 
 _BM25_INDEX_MEMO: dict = {}

@@ -134,3 +134,94 @@ def test_bm25_guards(spark):
         bm25_topk(docs, queries, k=0)
     with pytest.raises(ValueError, match="k1 >= 0"):
         bm25_topk(docs, queries, b=1.5)
+
+
+# --- reciprocal-rank fusion ------------------------------------------------
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rank int"
+    )
+
+
+def test_rrf_hand_computed_fusion(spark):
+    """Two legs, one query: doc 100 ranked 1st lexically and 2nd
+    semantically beats doc 200 (2nd + 1st is the same score -> id
+    tiebreak), and a doc present in only one leg scores only that
+    contribution."""
+    from stock_bars_data_engineering_project_spark.operators.retrieval import rrf_fuse
+
+    lex = _ranked(spark, [(1, 100, 1), (1, 200, 2), (1, 300, 3)])
+    sem = _ranked(spark, [(1, 200, 1), (1, 100, 2)])
+    out = {
+        r.doc_id: (r.score, r.rank)
+        for r in rrf_fuse([lex, sem], k=10).collect()
+    }
+    s100 = 1 / 61 + 1 / 62
+    s200 = 1 / 62 + 1 / 61
+    s300 = 1 / 63
+    assert abs(out[100][0] - s100) < 1e-15
+    assert abs(out[200][0] - s200) < 1e-15
+    assert abs(out[300][0] - s300) < 1e-15
+    # identical fused scores -> lowest doc_id wins the tiebreak
+    assert out[100][1] == 1 and out[200][1] == 2 and out[300][1] == 3
+
+
+def test_rrf_k_cut_and_multi_query(spark):
+    from stock_bars_data_engineering_project_spark.operators.retrieval import rrf_fuse
+
+    lex = _ranked(
+        spark, [(q, d, r) for q in (1, 2) for r, d in enumerate((10, 20, 30), 1)]
+    )
+    sem = _ranked(spark, [(1, 40, 1), (2, 20, 1)])
+    out = rrf_fuse([lex, sem], k=2)
+    got = {(r.query_id, r.doc_id): r.rank for r in out.collect()}
+    # q1: all single-leg contributions; lex rank-1 (doc 10) wins,
+    # sem rank-1 (doc 40) ties it and loses on id
+    assert got == {(1, 10): 1, (1, 40): 2, (2, 20): 1, (2, 10): 2}
+
+
+def test_rrf_matches_registered_hybrid_arm_shape(spark):
+    """The registered 'rrf' arm's fusion on real tables: every fused row
+    must be explained by at least one leg, and any doc in BOTH legs'
+    top-10 must outscore the same ranks alone."""
+    from stock_bars_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = bm25_topk(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=10,
+    ).select("query_id", "doc_id", "rank")
+    sem = cosine_topk(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        k=10,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex, sem], k=10)
+    leg_keys = {
+        (r.query_id, r.doc_id) for r in lex.collect()
+    } | {(r.query_id, r.doc_id) for r in sem.collect()}
+    rows = fused.collect()
+    assert rows and all((r.query_id, r.doc_id) in leg_keys for r in rows)
+    assert all(1 <= r.rank <= 10 for r in rows)
+    both = {
+        (r.query_id, r.doc_id) for r in lex.collect()
+    } & {(r.query_id, r.doc_id) for r in sem.collect()}
+    single_max = 1 / 61  # best possible one-leg score
+    for r in rows:
+        if (r.query_id, r.doc_id) in both:
+            assert r.score > single_max
