@@ -235,3 +235,73 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def prf_expand(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lex_ranks: DataFrame,
+    k_fb: int = 5,
+    n_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the Rocchio/RM-family
+    first-pass trick, integer-weighted variant): take each query's top
+    ``k_fb`` first-pass documents, rank THEIR terms by total term
+    frequency within that feedback set (an exact integer, so the
+    cross-engine ranking needs no FP tolerance; term-ascending
+    tiebreak), drop terms the query already contains, and append the
+    top ``n_terms`` to the query text. BM25 treats the query as a term
+    SET, so append order is immaterial — the expansion is a set union.
+
+    ``lex_ranks`` is the first-pass ranking (query_id, doc_id, rank) —
+    pass the frame you already computed; this function does not re-run
+    retrieval. Scale shape: the feedback doc set is ≤ queries × k_fb
+    rows however large the corpus, so every stage here is
+    query-set-sized: one semi-join pulls the feedback texts, one
+    explode+groupBy counts their terms, one window takes the top-n. The
+    second retrieval pass the caller runs afterwards pays one more
+    corpus scan — the honest cost of PRF everywhere.
+
+    Returns (query_id, text) with the expanded text — feed it straight
+    back to :func:`bm25_topk`. Queries whose feedback terms are all
+    already in the query expand to themselves.
+    """
+    from pyspark.sql import Window
+
+    fb = lex_ranks.filter(F.col("rank") <= k_fb).select(
+        "query_id", F.col(id_col)
+    )
+    fb_texts = fb.join(
+        corpus.select(id_col, text_col), id_col
+    ).select("query_id", text_col)
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    fb_counts = (
+        fb_texts.select("query_id", F.explode(toks).alias("token"))
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    qterms = queries.select(
+        "query_id", F.explode(toks).alias("token")
+    ).distinct()
+    new_terms = fb_counts.join(qterms, ["query_id", "token"], "left_anti")
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("token")
+    )
+    picked = (
+        new_terms.withColumn("r", F.row_number().over(wnd))
+        .filter(F.col("r") <= n_terms)
+        .groupBy("query_id")
+        .agg(F.concat_ws(" ", F.collect_list("token")).alias("_exp"))
+    )
+    return queries.join(picked, "query_id", "left").select(
+        "query_id",
+        F.when(
+            F.col("_exp").isNull(), F.col(text_col)
+        )
+        .otherwise(F.concat(F.col(text_col), F.lit(" "), F.col("_exp")))
+        .alias(text_col),
+    )

@@ -2662,6 +2662,47 @@ WITH corpus AS (
                                    ORDER BY {sql_round('bm25', 6)} DESC,
                                             doc_id) AS INT) AS rank
     FROM scored
+), fbcounts AS (
+    -- PRF: total term frequency within each query's top-5 feedback
+    -- docs — exact integers, so the expansion ranking is FP-free
+    SELECT f.query_id, t.token, COUNT(*) AS w
+    FROM (SELECT query_id, doc_id FROM lexranks WHERE rank <= 5) f
+    JOIN (SELECT doc_id, unnest(toks) AS token FROM corpus) t
+      ON f.doc_id = t.doc_id
+    GROUP BY f.query_id, t.token
+), qterm2 AS (
+    -- expanded term set: original terms + top-10 new feedback terms
+    -- per query (weight desc, term asc)
+    SELECT query_id, token FROM qterm
+    UNION
+    SELECT query_id, token FROM (
+        SELECT fc.query_id, fc.token,
+               ROW_NUMBER() OVER (PARTITION BY fc.query_id
+                                  ORDER BY fc.w DESC, fc.token) AS r
+        FROM fbcounts fc
+        ANTI JOIN qterm q
+          ON fc.query_id = q.query_id AND fc.token = q.token
+    ) WHERE r <= 10
+), dfreq2 AS (
+    SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+    WHERE token IN (SELECT token FROM qterm2) GROUP BY token
+), prfranks AS (
+    SELECT query_id, doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY {sql_round('bm25', 6)} DESC,
+                                            doc_id) AS INT) AS rank
+    FROM (
+        SELECT qt.query_id, tf.doc_id,
+               SUM(ln(1.0 + (st.n_docs - dfreq2.df + 0.5) / (dfreq2.df + 0.5))
+                   * (tf.tf * 2.2
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)))
+               ) AS bm25
+        FROM tf
+        JOIN qterm2 qt USING (token)
+        JOIN dfreq2 USING (token)
+        CROSS JOIN stats st
+        GROUP BY qt.query_id, tf.doc_id
+    )
 ), semranks AS (
     -- exact-cosine top-10 of each query's embedding (the _BRUTE_SQL
     -- idiom: same fold order, 6-dp rounded ranking, id tiebreak)
@@ -2704,6 +2745,9 @@ SELECT 'rrf' AS variant, query_id, doc_id, bm25, rank FROM (
     )
 )
 WHERE rank <= 10
+UNION ALL
+SELECT 'prf' AS variant, query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
+FROM prfranks WHERE rank <= 10
 """,
     tags=("retrieval", "text", "topk", "index"),
 )
@@ -2740,9 +2784,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       so the aggregate is deterministic). Docs without an embedding
       simply get no semantic contribution — the realistic
       partial-coverage case, exercised at sf0.1 where the embedding
-      table covers 2/5 of the corpus ids."""
+      table covers 2/5 of the corpus ids.
+    - 'prf' (round 7, operators/retrieval.py prf_expand):
+      pseudo-relevance feedback — each query expands with the top-10
+      most frequent NEW terms of its top-5 first-pass documents
+      (integer weights, term-ascending tiebreak — the expansion
+      ranking is FP-free), then a second full Okapi pass retrieves
+      with the expanded term set. Expansion is query-set-sized; the
+      second pass pays one more corpus scan, PRF's honest cost
+      everywhere. The oracle replays the feedback counts, the
+      anti-joined term pick, and the entire second-pass scoring."""
     from ..operators.incremental_retrieval import bm25_query
-    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.retrieval import bm25_topk, prf_expand, rrf_fuse
     from ..operators.similarity import cosine_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2784,7 +2837,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("score"), 4).alias("bm25"),
         "rank",
     )
-    return recompute.unionByName(index).unionByName(rrf)
+
+    expanded = prf_expand(
+        corpus, queries, lex.select("query_id", "doc_id", "rank")
+    )
+    prf = _round(bm25_topk(corpus, expanded, k=10), "prf")
+    return (
+        recompute.unionByName(index).unionByName(rrf).unionByName(prf)
+    )
 
 
 _BM25_INDEX_MEMO: dict = {}

@@ -225,3 +225,84 @@ def test_rrf_matches_registered_hybrid_arm_shape(spark):
     for r in rows:
         if (r.query_id, r.doc_id) in both:
             assert r.score > single_max
+
+
+# --- pseudo-relevance feedback expansion -----------------------------------
+
+
+def test_prf_expand_picks_new_feedback_terms(spark):
+    """Expansion appends the most frequent feedback-doc terms the query
+    lacks (integer weight, term-asc tiebreak) and leaves queries whose
+    feedback adds nothing unchanged."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.retrieval import prf_expand
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "apple banana banana cherry"),
+            (101, "banana date"),
+            (102, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple"), (2, "unrelated words here")],
+        "query_id long, text string",
+    )
+    ranks = spark.createDataFrame(
+        # q1's feedback: docs 100+101; q2's: doc 102 (its own terms only)
+        [(1, 100, 1), (1, 101, 2), (2, 102, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {
+        r.query_id: r.text
+        for r in prf_expand(
+            corpus, queries, ranks, k_fb=5, n_terms=2
+        ).collect()
+    }
+    # q1 feedback terms minus 'apple': banana w=3, cherry w=1, date w=1
+    # -> top-2 = banana, cherry (tiebreak cherry < date)
+    got_terms = set(out[1].split())
+    assert got_terms == {"apple", "banana", "cherry"}
+    assert out[1].startswith("apple ")  # original text preserved in front
+    # q2: every feedback term already in the query -> unchanged
+    assert out[2] == "unrelated words here"
+    # k_fb cut: restrict q1's feedback to its rank-1 doc only
+    out_fb1 = {
+        r.query_id: set(r.text.split())
+        for r in prf_expand(
+            corpus, queries, ranks, k_fb=1, n_terms=2
+        ).collect()
+    }
+    assert out_fb1[1] == {"apple", "banana", "cherry"}  # from doc 100 only
+
+
+def test_prf_second_pass_recalls_expansion_matches(spark):
+    """End-to-end PRF property on real tables: the expanded second pass
+    must (a) keep every query answerable, (b) retrieve at least one doc
+    the first pass missed for some query (the point of expansion) while
+    every first-pass top-1 stays in the expanded candidate set."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        prf_expand,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    first = bm25_topk(corpus, queries, k=10)
+    expanded = prf_expand(
+        corpus, queries, first.select("query_id", "doc_id", "rank")
+    )
+    second = bm25_topk(corpus, expanded, k=10)
+    f = {(r.query_id, r.doc_id) for r in first.collect()}
+    s = {(r.query_id, r.doc_id) for r in second.collect()}
+    assert {q for q, _ in f} == {q for q, _ in s}  # same query coverage
+    assert s - f  # expansion surfaced new docs somewhere
