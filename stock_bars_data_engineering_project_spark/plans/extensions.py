@@ -2749,7 +2749,7 @@ UNION ALL
 SELECT 'prf' AS variant, query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
 FROM prfranks WHERE rank <= 10
 """,
-    tags=("retrieval", "text", "topk", "index"),
+    tags=("retrieval", "text", "topk", "index", "hybrid", "prf"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval, two arms sharing one oracle ranking:

@@ -61,6 +61,11 @@ from stock_bars_data_engineering_project_spark.operators.fuzzy import (  # noqa:
 )
 from stock_bars_data_engineering_project_spark.operators.retrieval import (  # noqa: E402
     bm25_topk,
+    prf_expand,
+    rrf_fuse,
+)
+from stock_bars_data_engineering_project_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
 )
 from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
     quality_scores,
@@ -354,6 +359,51 @@ def run(
                 F.col("doc_id").alias("query_id"), "text"
             ),
             k=10,
+        ),
+        # hybrid retrieval: both legs (bm25 recompute + brute cosine,
+        # each individually soaked above/below) + the RRF fusion —
+        # fusion input is legs x k x queries rows at ANY scale, so the
+        # curve should track the two legs' sum, fusion adding a
+        # constant
+        "rrf_hybrid": lambda: rrf_fuse(
+            [
+                bm25_topk(
+                    docs.filter(F.col("doc_id") >= 25),
+                    docs.filter(F.col("doc_id") < 25).select(
+                        F.col("doc_id").alias("query_id"), "text"
+                    ),
+                    k=10,
+                ).select("query_id", "doc_id", "rank"),
+                cosine_topk(
+                    emb.filter(F.col("vec_id") >= 25),
+                    emb.filter(F.col("vec_id") < 25),
+                    k=10,
+                ).select(
+                    "query_id", F.col("vec_id").alias("doc_id"), "rank"
+                ),
+            ],
+            k=10,
+        ),
+        # PRF: first pass + query-set-sized expansion + second full
+        # pass — the curve should run ~2x the bm25 recompute op (two
+        # corpus scans), with the expansion stages contributing O(1)
+        "bm25_prf": lambda: (
+            lambda corpus, queries: bm25_topk(
+                corpus,
+                prf_expand(
+                    corpus,
+                    queries,
+                    bm25_topk(corpus, queries, k=10).select(
+                        "query_id", "doc_id", "rank"
+                    ),
+                ),
+                k=10,
+            )
+        )(
+            docs.filter(F.col("doc_id") >= 25),
+            docs.filter(F.col("doc_id") < 25).select(
+                F.col("doc_id").alias("query_id"), "text"
+            ),
         ),
         # persisted-BM25 probe: the index is built ONCE per staged
         # corpus (inside the untimed warm-up pass via the memo below),
