@@ -1,0 +1,71 @@
+"""Ordered-funnel conversion analysis — "how many users did A, then B
+strictly after A, then C strictly after B" (the product-analytics
+staple; first-touch semantics: each step anchors at the EARLIEST
+qualifying event after the previous step's anchor).
+
+Scale shape: one type-filtered partial-agg ``min(ts)`` per step (the
+type predicate pushes into the scan) plus one user-keyed join per step
+transition — the join inputs are user-cardinality frames (one row per
+user that reached the step), never raw events, so a 100 TB event log
+reduces map-side before anything shuffles. No window over per-user
+history: a window formulation would sort every user's full event list,
+paying tick volume for a question whose answer needs only per-step
+minima.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step reach counts for an ordered funnel: row i carries
+    ``step_idx`` (1-based), ``step`` (the '>'-joined path so far) and
+    ``n_users`` — the number of users with a ``steps[0]`` event, then a
+    ``steps[1]`` event STRICTLY after their first ``steps[0]``, and so
+    on (first-touch anchoring). Same-timestamp events do NOT advance
+    the funnel (strict >): conversion cannot precede or tie its cause.
+
+    ``steps`` must be non-empty and duplicate-free (a repeated type is
+    almost always a bug — "view>view" would count a second view after
+    the first, which IS expressible but should be asked for explicitly
+    via distinct marker types).
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step types in {steps!r}")
+
+    frames = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(steps):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("__t")
+        )
+        if prev is None:
+            cur = ev_s.groupBy("u").agg(F.min("__t").alias("t"))
+        else:
+            cur = (
+                ev_s.join(prev.select("u", F.col("t").alias("__pt")), "u")
+                .filter(F.col("__t") > F.col("__pt"))
+                .groupBy("u")
+                .agg(F.min("__t").alias("t"))
+            )
+        frames.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(">".join(steps[: i + 1])).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    return reduce(lambda a, b: a.unionByName(b), frames)

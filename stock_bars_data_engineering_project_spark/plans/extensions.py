@@ -306,28 +306,62 @@ WITH ranked AS (
     SELECT user_id, ts, event_id, event_type,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
     FROM events
+), f1 AS (
+    SELECT user_id AS u, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), f2 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t
+    FROM events e JOIN f1 ON e.user_id = f1.u
+    WHERE e.event_type = 'click' AND e.ts > f1.t
+    GROUP BY e.user_id
+), f3 AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t
+    FROM events e JOIN f2 ON e.user_id = f2.u
+    WHERE e.event_type = 'purchase' AND e.ts > f2.t
+    GROUP BY e.user_id
 )
-SELECT user_id,
+SELECT 'seq' AS variant, user_id,
        COUNT(*) AS n_events,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
 FROM ranked
 WHERE rn <= 50
 GROUP BY user_id
+UNION ALL
+SELECT 'funnel' AS variant, CAST(NULL AS BIGINT) AS user_id,
+       n_events, seq
+FROM (
+    SELECT COUNT(*) AS n_events, 'view' AS seq FROM f1
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click' AS seq FROM f2
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3
+)
 """,
-    tags=("sequence", "agg"),
+    tags=("sequence", "agg", "funnel"),
 )
 def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered per-entity history construction (the behavioral-sequence
-    shape every event-history training pipeline needs): first 50 events
-    per user as a comma-joined type sequence. Order is made explicit —
-    collect_list alone has NO ordering guarantee after a shuffle, so the
-    list is collected as (ts, event_id, type) structs and array_sort'ed
-    (struct compare = lexicographic on fields) before projection. The
-    rank-filter prunes per-key history BEFORE collection (WindowGroupLimit),
-    bounding state at k rows per key regardless of key skew."""
+    shape every event-history training pipeline needs), two arms:
+
+    - 'seq': first 50 events per user as a comma-joined type sequence.
+      Order is made explicit — collect_list alone has NO ordering
+      guarantee after a shuffle, so the list is collected as (ts,
+      event_id, type) structs and array_sort'ed (struct compare =
+      lexicographic on fields) before projection. The rank-filter
+      prunes per-key history BEFORE collection (WindowGroupLimit),
+      bounding state at k rows per key regardless of key skew.
+    - 'funnel' (round 7, operators/funnel.py): ordered-funnel reach
+      counts for view > click > purchase with first-touch anchoring
+      and strict time ordering — per-step partial-agg min(ts) plus
+      user-keyed joins over user-cardinality frames; no per-user
+      history window, so the cost tracks distinct users, not tick
+      volume. The per-step user counts ride n_events, the step path
+      rides seq."""
+    from ..operators.funnel import funnel_steps
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
+    seq_arm = (
         ev.select(
             "user_id", "ts", "event_id", "event_type",
             F.row_number().over(w).alias("rn"),
@@ -348,7 +382,17 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("seq"),
         )
+        .select(F.lit("seq").alias("variant"), "user_id", "n_events", "seq")
     )
+    funnel_arm = funnel_steps(
+        ev, ("view", "click", "purchase")
+    ).select(
+        F.lit("funnel").alias("variant"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("n_users").alias("n_events"),
+        F.col("step").alias("seq"),
+    )
+    return seq_arm.unionByName(funnel_arm)
 
 
 # token_budget_mixture was consolidated into sampling_splits_suite
@@ -2814,11 +2858,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     from ..materialize import materialize
+    from ..operators.retrieval import corpus_stats_1row
+
+    # the 1-row corpus stats serve BOTH Okapi passes (recompute + prf
+    # second pass) — computed once instead of one tokenization each
+    stats = materialize(corpus_stats_1row(corpus))
 
     # materialized: the lexical ranking feeds BOTH its own arm and the
-    # rrf fusion — without this the whole bm25 pipeline replays per
-    # consumer
-    lex = materialize(bm25_topk(corpus, queries, k=10))
+    # rrf fusion AND the prf feedback pick — without this the whole
+    # bm25 pipeline replays per consumer
+    lex = materialize(bm25_topk(corpus, queries, k=10, stats=stats))
     recompute = _round(lex, "recompute")
     wh = _bm25_index(spark, sf_dir, corpus)
     index = _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
@@ -2841,7 +2890,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expanded = prf_expand(
         corpus, queries, lex.select("query_id", "doc_id", "rank")
     )
-    prf = _round(bm25_topk(corpus, expanded, k=10), "prf")
+    prf = _round(bm25_topk(corpus, expanded, k=10, stats=stats), "prf")
     return (
         recompute.unionByName(index).unionByName(rrf).unionByName(prf)
     )

@@ -1,0 +1,88 @@
+"""Ordered-funnel analysis (operators/funnel.funnel_steps): first-touch
+anchoring, strict time ordering, same-timestamp non-advancement,
+monotone reach, and the guard contracts."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from stock_bars_data_engineering_project_spark.operators.funnel import funnel_steps
+
+
+def _t(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def _run(spark, rows, steps=("view", "click", "purchase")):
+    return {
+        r.step: (r.step_idx, r.n_users)
+        for r in funnel_steps(_events(spark, rows), steps).collect()
+    }
+
+
+def test_funnel_counts_hand_computed(spark):
+    rows = [
+        # user 1 completes in order
+        (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "purchase"),
+        # user 2: click BEFORE view -> stops at view
+        (2, _t(1), "view"), (2, _t(0), "click"),
+        # user 3: view+click, purchase before click -> stops at click
+        (3, _t(0), "view"), (3, _t(1), "click"), (3, _t(0), "purchase"),
+        # user 4: never views (click+purchase only) -> not in funnel
+        (4, _t(0), "click"), (4, _t(1), "purchase"),
+    ]
+    got = _run(spark, rows)
+    assert got == {
+        "view": (1, 3),
+        "view>click": (2, 2),
+        "view>click>purchase": (3, 1),
+    }
+
+
+def test_first_touch_anchoring(spark):
+    """The SECOND view does not re-anchor: a click between view#1 and
+    view#2 counts (it is after the FIRST view)."""
+    rows = [
+        (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "view"),
+    ]
+    got = _run(spark, rows, steps=("view", "click"))
+    assert got["view>click"] == (2, 1)
+    # and a click before the first view never counts, even though it
+    # precedes the second view
+    rows2 = [(1, _t(1), "view"), (1, _t(0), "click"), (1, _t(2), "view")]
+    got2 = _run(spark, rows2, steps=("view", "click"))
+    assert got2["view>click"] == (2, 0)
+
+
+def test_same_timestamp_does_not_advance(spark):
+    rows = [(1, _t(0), "view"), (1, _t(0), "click")]
+    got = _run(spark, rows, steps=("view", "click"))
+    assert got == {"view": (1, 1), "view>click": (2, 0)}
+
+
+def test_reach_is_monotone_on_real_data(spark):
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r.step_idx: r.n_users
+        for r in funnel_steps(ev, ("view", "click", "purchase")).collect()
+    }
+    assert got[1] >= got[2] >= got[3] >= 0
+    assert got[1] > 0
+
+
+def test_guards(spark):
+    ev = _events(spark, [(1, _t(0), "view")])
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_steps(ev, ())
+    with pytest.raises(ValueError, match="duplicate step"):
+        funnel_steps(ev, ("view", "view"))
