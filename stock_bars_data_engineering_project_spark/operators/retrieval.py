@@ -77,12 +77,18 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "text",
     n_salt: int = 8,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, bm25, rank),
     rank 1..k by descending score, doc_id ascending as the
     deterministic tiebreak. Documents sharing no term with a query
     score 0 and are absent (the inverted-index contract); a query with
     no non-empty tokens matches nothing.
+
+    ``stats`` optionally supplies the 1-row (n_docs, avgdl) corpus
+    aggregate — a caller scoring the SAME corpus twice (the PRF second
+    pass) skips one full corpus tokenization. It MUST describe ``docs``
+    exactly (same rows, same tokenization).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -107,7 +113,16 @@ def bm25_topk(
     # Convention: n_docs counts every corpus row; avgdl averages over
     # docs whose text tokenizes (avg skips the NULL dl of NULL text) —
     # the oracle's COUNT(*) / AVG() pair behaves identically.
-    stats = docs.select(
+    if stats is None:
+        stats = corpus_stats_1row(docs, text_col=text_col)
+
+    return score_topk(doc_terms, qterms, dfreq, stats, k, k1, b, n_salt)
+
+
+def corpus_stats_1row(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 1-row (n_docs, avgdl) broadcast aggregate BM25 scoring needs
+    — factored out so multi-pass callers (PRF) compute it once."""
+    return docs.select(
         F.size(
             F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
         ).alias("dl")
@@ -115,8 +130,6 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-
-    return score_topk(doc_terms, qterms, dfreq, stats, k, k1, b, n_salt)
 
 
 def score_topk(
