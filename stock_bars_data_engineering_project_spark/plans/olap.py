@@ -139,6 +139,21 @@ UNION ALL
 SELECT 'retention', CAST(day AS VARCHAR), 'retained', retained FROM retn
 UNION ALL
 SELECT 'retention', CAST(day AS VARCHAR), 'churned', churned FROM retn
+UNION ALL
+SELECT 'cohort' AS tag, CAST(cohort_day AS VARCHAR) AS group_key,
+       'd' || CAST(day_off AS VARCHAR) AS metric,
+       CAST(n_users AS DOUBLE) AS value
+FROM (
+    SELECT f.cohort_day, (a.day - f.cohort_day) AS day_off,
+           COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+          FROM events) a
+    JOIN (SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id) f
+      ON a.u = f.u
+    WHERE (a.day - f.cohort_day) <= 7
+    GROUP BY f.cohort_day, (a.day - f.cohort_day)
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -357,11 +372,30 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+    # (f) cohort retention triangle (round 7, operators/funnel.py
+    # cohort_retention): users cohort by first active day; each
+    # (cohort_day, offset<=7) cell counts members active exactly that
+    # many days later. Complements the day-over-day Theta-sketch
+    # retention above (which asks "of yesterday's actives, how many
+    # returned?") with the acquisition-cohort view every growth
+    # dashboard wants. All stages reduce to user- or user-day
+    # cardinality before joining.
+    from ..operators.funnel import cohort_retention
+
+    cohort_arm = cohort_retention(ev, max_offset=7).select(
+        F.lit("cohort").alias("tag"),
+        F.col("cohort_day").cast("string").alias("group_key"),
+        F.concat(F.lit("d"), F.col("offset").cast("string")).alias(
+            "metric"
+        ),
+        F.col("n_users").cast("double").alias("value"),
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
         .unionByName(sketch_arm)
         .unionByName(ret_arm)
+        .unionByName(cohort_arm)
     )
 
 

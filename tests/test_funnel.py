@@ -86,3 +86,74 @@ def test_guards(spark):
         funnel_steps(ev, ())
     with pytest.raises(ValueError, match="duplicate step"):
         funnel_steps(ev, ("view", "view"))
+
+
+# --- cohort retention triangle ---------------------------------------------
+
+
+def test_cohort_retention_hand_computed(spark):
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    d = datetime.datetime
+    rows = [
+        # cohort 01-01: users 1,2; user 1 returns d1 and d2, user 2 d2
+        (1, d(2024, 1, 1, 9), "x"), (1, d(2024, 1, 2, 9), "x"),
+        (1, d(2024, 1, 3, 9), "x"),
+        (2, d(2024, 1, 1, 9), "x"), (2, d(2024, 1, 3, 9), "x"),
+        # two events same day -> one active day
+        (2, d(2024, 1, 3, 23), "x"),
+        # cohort 01-02: user 3 only, never returns
+        (3, d(2024, 1, 2, 9), "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.cohort_day.isoformat(), r.offset): r.n_users
+        for r in cohort_retention(ev, max_offset=7).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_cohort_offset_cap_and_guard(spark):
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    d = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 9), "x"), (1, d(2024, 3, 1, 9), "x")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = cohort_retention(ev, max_offset=7).collect()
+    assert {(r.offset, r.n_users) for r in got} == {(0, 1)}  # day-60 capped
+    with pytest.raises(ValueError, match="max_offset"):
+        cohort_retention(ev, max_offset=-1)
+
+
+def test_cohort_day0_equals_cohort_size_on_real_data(spark):
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        cohort_retention,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    tri = cohort_retention(ev, max_offset=3)
+    d0_total = (
+        tri.filter("offset = 0").agg(F.sum("n_users")).first()[0]
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert d0_total == n_users  # every user is in exactly one cohort
+    # monotone: no offset cell exceeds its cohort's day-0 size
+    d0 = {r.cohort_day: r.n_users for r in tri.filter("offset = 0").collect()}
+    for r in tri.collect():
+        assert r.n_users <= d0[r.cohort_day]
