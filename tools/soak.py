@@ -79,6 +79,10 @@ from stock_bars_data_engineering_project_spark.operators.sketches import (  # no
     member_day_sets,
     retention_day_over_day,
 )
+from stock_bars_data_engineering_project_spark.operators.funnel import (  # noqa: E402
+    cohort_retention,
+    funnel_steps,
+)
 from stock_bars_data_engineering_project_spark.operators.gapfill import (  # noqa: E402
     calendar_fill,
 )
@@ -287,6 +291,17 @@ def run(
             "day",
             ("close_v",),
         ),
+        # ordered funnel: per-step type-filtered min(ts) aggs +
+        # user-keyed joins over user-cardinality frames — the curve
+        # should track the three filtered scans, with join inputs
+        # growing in users (replica id offsets), not ticks
+        "funnel": lambda: funnel_steps(
+            events, ("view", "click", "purchase")
+        ),
+        # cohort retention triangle: first-day agg + (user, day)
+        # distinct + one keyed join; replica day-shifts grow cohorts
+        # linearly while the offset cap bounds each cohort's row count
+        "cohort": lambda: cohort_retention(events, max_offset=7),
         # SCD2 dimension merge: per-user current-value dim vs a
         # half-perturbed re-extract — keys grow linearly with replica
         # id offsets; one null-safe keyed full-outer join
