@@ -327,17 +327,44 @@ def a_scan_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s2_explode_tokens",
     oracle="""
-SELECT doc_id, unnest(string_split(text, ' ')) AS token
+SELECT 'tokens' AS variant, doc_id,
+       unnest(string_split(text, ' ')) AS token
 FROM documents
+UNION ALL
+SELECT 'json_props' AS variant, event_id AS doc_id,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) * 2 + 1
+            AS VARCHAR) AS token
+FROM events
 """,
-    tags=("explode",),
+    tags=("explode", "json"),
 )
 def s2_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: the flatten operator — nested collection -> one row per element,
     parent key carried along (the reference's dict-of-lists flatten,
-    assets.py:54-68, as a distributed explode)."""
+    assets.py:54-68, as a distributed explode).
+
+    The `json_props` arm (round 7) covers the OTHER semi-structured
+    shape: schema-on-read extraction from a JSON string column
+    (events.props) via ``from_json`` with a TYPED schema — the
+    arithmetic on the parsed INT (k*2+1) proves the value really
+    parsed as a number, not a substring (string math would diverge or
+    null out). Map-only, whole-stage codegen; at 100 TB this is the
+    standard first hop for event payloads that land as JSON blobs."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tokens_arm = docs.select(
+        F.lit("tokens").alias("variant"),
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    json_arm = ev.select(
+        F.lit("json_props").alias("variant"),
+        F.col("event_id").alias("doc_id"),
+        (F.from_json(F.col("props"), "k INT")["k"] * 2 + 1)
+        .cast("string")
+        .alias("token"),
+    )
+    return tokens_arm.unionByName(json_arm)
 
 
 # ---------------------------------------------------------------------------
