@@ -74,6 +74,7 @@ def bigram_surprisal(
     min_count: int = 2,
     alpha: float = 0.4,
     unigram_counts: DataFrame | None = None,
+    bigram_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean bigram surprisal under the corpus's own bigram
     LM with stupid backoff (Brants et al. 2007): for each adjacent token
@@ -111,6 +112,16 @@ def bigram_surprisal(
     ``unigram_counts`` optionally supplies the (token, n) table from the
     same tokenization (lower-cased whitespace tokens, empties dropped)
     so a caller that already built the vocabulary skips one corpus pass.
+
+    ``bigram_counts`` optionally supplies a (prev, cur, n2) table — a
+    FROZEN reference model (e.g. persisted from a trusted corpus via the
+    warehouse) instead of the scored corpus's own bigrams. This is the
+    realistic 100 TB shape: the gate scores incoming batches against a
+    fixed LM rather than re-deriving the model from the batch (which
+    would let a batch of correlated garbage normalize itself). The
+    supplied table is used as-is — apply min_count pruning before
+    persisting it; when supplied, ``unigram_counts`` should come from
+    the SAME reference corpus.
     """
     ltoks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
@@ -136,11 +147,14 @@ def bigram_surprisal(
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-    c2 = (
-        pairs.groupBy("prev", "cur")
-        .agg(F.count(F.lit(1)).alias("n2"))
-        .filter(F.col("n2") >= min_count)
-    )
+    if bigram_counts is None:
+        c2 = (
+            pairs.groupBy("prev", "cur")
+            .agg(F.count(F.lit(1)).alias("n2"))
+            .filter(F.col("n2") >= min_count)
+        )
+    else:
+        c2 = bigram_counts.select("prev", "cur", "n2")
     total = unigram_counts.agg(F.sum("n").cast("double").alias("total"))
 
     c1p = unigram_counts.select(

@@ -472,3 +472,98 @@ def test_scd2_matches_sequential_reference(spark, batches):
         for r in state.collect()
     )
     assert got == want
+
+
+_rank_lists = st.lists(
+    st.lists(st.integers(0, 9), min_size=1, max_size=8, unique=True),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rank_lists)
+def test_rrf_matches_python_reference(spark, legs):
+    """RRF fusion of ANY rank lists equals the dict reference: score =
+    sum over legs of 1/(60+rank), ranked by (6-dp-rounded score desc,
+    item asc), top-k cut."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stock_bars_data_engineering_project_spark.operators.retrieval import rrf_fuse
+
+    frames = [
+        spark.createDataFrame(
+            [(1, item, r + 1) for r, item in enumerate(leg)],
+            "query_id long, doc_id long, rank int",
+        )
+        for leg in legs
+    ]
+    k = 5
+    got = {
+        r.doc_id: (r.rank, round(r.score, 12))
+        for r in rrf_fuse(frames, k=k).collect()
+    }
+
+    scores: dict[int, float] = {}
+    for leg in legs:
+        for r, item in enumerate(leg):
+            scores[item] = scores.get(item, 0.0) + 1.0 / (60.0 + r + 1)
+
+    def _r6(x):
+        return float(
+            Decimal(x).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    ranked = sorted(scores.items(), key=lambda kv: (-_r6(kv[1]), kv[0]))[:k]
+    want = {
+        item: (i + 1, round(s, 12)) for i, (item, s) in enumerate(ranked)
+    }
+    assert got == want
+
+
+_sparse_series = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 15)),  # (key, day offset)
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sparse_series)
+def test_calendar_fill_dense_reconstruction_law(spark, cells):
+    """For ANY sparse daily series: union(observed, fill) is a dense
+    per-key calendar over [min, max], no (key, day) duplicates, and
+    every synthetic row carries the most recent prior observed value."""
+    from datetime import date, timedelta
+
+    from stock_bars_data_engineering_project_spark.operators.gapfill import (
+        calendar_fill,
+    )
+
+    base = date(2024, 1, 1)
+    rows = [
+        (k, base + timedelta(days=d), float(k * 100 + d)) for k, d in cells
+    ]
+    bars = spark.createDataFrame(rows, "k long, day date, v double")
+    fill = calendar_fill(bars, "k", "day", ("v",))
+    dense = {(r.k, r.day): (r.v, "obs") for r in bars.collect()}
+    for r in fill.collect():
+        assert (r.k, r.day) not in dense  # synthetic only where missing
+        dense[(r.k, r.day)] = (r.v, "fill")
+
+    by_key: dict[int, list] = {}
+    for (k, d), (v, kind) in dense.items():
+        by_key.setdefault(k, []).append((d, v, kind))
+    for k, series in by_key.items():
+        series.sort()
+        days = [d for d, _, _ in series]
+        assert days == [
+            days[0] + timedelta(days=i) for i in range(len(days))
+        ]  # dense span
+        last_obs = None
+        for d, v, kind in series:
+            if kind == "obs":
+                last_obs = v
+            else:
+                assert v == last_obs  # carried forward value

@@ -194,3 +194,78 @@ def test_bigram_surprisal_reuses_supplied_unigram_counts(spark):
     for doc_id, (score, n) in a.items():
         assert b[doc_id][1] == n
         assert abs(b[doc_id][0] - score) < 1e-12, doc_id
+
+
+def test_bigram_surprisal_frozen_reference_model(spark, tmp_path):
+    """The gate scores against a FROZEN persisted LM (the 100 TB shape:
+    a batch of correlated garbage must not normalize itself). Identical
+    corpus -> identical scores through a warehouse round-trip; a new
+    batch's own transitions don't enter the model, so an order the
+    reference never saw backs off even at min_count=1."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        bigram_surprisal,
+    )
+    from stock_bars_data_engineering_project_spark.sinks.warehouse import (
+        ParquetWarehouse,
+    )
+
+    docs, _ = _bigram_docs(spark)
+    # derive + persist the model exactly as the operator would
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+    )
+    c1 = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = docs.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.size(toks)),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                ),
+                lambda s: s["cur"].isNotNull(),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .filter(F.col("n2") >= 2)
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "lm"))
+    wh.overwrite(c1, "lm_unigrams")
+    wh.overwrite(c2, "lm_bigrams")
+
+    self_scores = {
+        r.doc_id: round(r.score, 10)
+        for r in bigram_surprisal(docs, min_count=2).collect()
+    }
+    frozen_scores = {
+        r.doc_id: round(r.score, 10)
+        for r in bigram_surprisal(
+            docs,
+            unigram_counts=wh.read("lm_unigrams"),
+            bigram_counts=wh.read("lm_bigrams"),
+        ).collect()
+    }
+    assert frozen_scores == self_scores
+
+    # a NEW batch with a transition the reference never saw: 'b a' is
+    # in the reference corpus (doc 1) but 'x a' is not — even with the
+    # batch containing 'x a' itself, the frozen model backs off
+    import math
+
+    batch = spark.createDataFrame([(9, "x a")], "doc_id long, text string")
+    got = bigram_surprisal(
+        batch,
+        unigram_counts=wh.read("lm_unigrams"),
+        bigram_counts=wh.read("lm_bigrams"),
+    ).collect()[0]
+    # backoff: 0.4 * c1(a)/total = 0.4 * 4/9
+    assert abs(got.score - (-math.log(0.4 * 4 / 9))) < 1e-12
