@@ -1,0 +1,141 @@
+"""Incrementally maintained n-gram language-model state — the persisted
+counterpart of operators/quality.bigram_surprisal's frozen-model mode.
+
+At 100 TB the surprisal gate scores incoming batches against a FIXED
+reference LM (a batch of correlated garbage must not normalize itself),
+and the reference model itself grows as new TRUSTED data is accepted.
+This module maintains that model incrementally: each accepted batch's
+unigram and bigram counts land in their own content-addressed epoch
+partition (the exactly-once-under-at-least-once epoch-log discipline of
+contamination.ingest_scrub_batch — a redelivered batch derives the
+identical epoch and rewrites the identical partition, a no-op, with no
+read-modify-write crash window), and the combined state is a pure
+epoch-sum read. Counts are exact integers, so the combined model equals
+a full recount of every accepted batch however deliveries were sliced.
+
+Counts are stored RAW (no min_count prune): per-(bigram, epoch)
+singletons must keep voting — a bigram appearing once per batch across
+many batches is a real transition — and storing raw keeps the prune
+threshold a read-time choice instead of a baked-in one.
+
+Tokenization matches quality.bigram_surprisal exactly (lower-cased
+whitespace tokens, empties dropped; zip_with adjacent pairing), so
+``lm_state`` output feeds straight into its ``unigram_counts`` /
+``bigram_counts`` parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .contamination import _content_epoch
+
+
+def _batch_lm_counts(
+    batch: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """One batch's (token, n) and (prev, cur, n2) — the same derivation
+    quality.bigram_surprisal performs on a self-modeled corpus."""
+    ltoks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    uni = (
+        batch.select(F.explode(ltoks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            ltoks,
+            F.slice(ltoks, 2, F.size(ltoks)),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    bi = (
+        batch.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return uni, bi
+
+
+def ingest_lm_batch(
+    wh,
+    batch: DataFrame,
+    uni_table: str = "lm_unigrams",
+    bi_table: str = "lm_bigrams",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Fold one accepted batch into the persisted LM. Returns the
+    content-addressed epoch id (a redelivery of the same batch lands
+    the identical epoch — replay-idempotent by construction; pinned in
+    tests). Batches must partition the accepted corpus by ``id_col``
+    (append-only ids), the same mergeability contract as
+    contamination.ingest_scrub_batch."""
+    uni, bi = _batch_lm_counts(batch, id_col, text_col)
+    epoch = _content_epoch(batch, id_col)
+    wh.merge(
+        uni.withColumn("_epoch", F.lit(epoch)),
+        uni_table,
+        keys=("token", "_epoch"),
+        partition_by=("_epoch",),
+    )
+    wh.merge(
+        bi.withColumn("_epoch", F.lit(epoch)),
+        bi_table,
+        keys=("prev", "cur", "_epoch"),
+        partition_by=("_epoch",),
+    )
+    return epoch
+
+
+def lm_state(
+    wh,
+    uni_table: str = "lm_unigrams",
+    bi_table: str = "lm_bigrams",
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The combined frozen model: (token, n) and min_count-pruned
+    (prev, cur, n2) over every accepted epoch — feed straight into
+    ``bigram_surprisal(batch, unigram_counts=uni, bigram_counts=bi)``.
+    Pruning happens HERE (read time), on the summed counts."""
+    uni = (
+        wh.read(uni_table)
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+    )
+    bi = (
+        wh.read(bi_table)
+        .groupBy("prev", "cur")
+        .agg(F.sum("n2").alias("n2"))
+        .filter(F.col("n2") >= min_count)
+    )
+    return uni, bi
+
+
+def compact_lm_state(
+    wh,
+    uni_table: str = "lm_unigrams",
+    bi_table: str = "lm_bigrams",
+) -> None:
+    """Fold every epoch into one ``_epoch='base'`` partition. Run at a
+    DELIVERY BARRIER only (every ingested batch acked upstream) — the
+    same operational constraint, for the same redelivery-double-count
+    reason, as contamination.compact_gram_state."""
+    from ..materialize import materialize
+
+    uni = materialize(
+        wh.read(uni_table).groupBy("token").agg(F.sum("n").alias("n"))
+    ).withColumn("_epoch", F.lit("base"))
+    wh.overwrite(uni, uni_table, partition_by=("_epoch",))
+    bi = materialize(
+        wh.read(bi_table)
+        .groupBy("prev", "cur")
+        .agg(F.sum("n2").alias("n2"))
+    ).withColumn("_epoch", F.lit("base"))
+    wh.overwrite(bi, bi_table, partition_by=("_epoch",))
