@@ -166,3 +166,82 @@ def ewma_stream(events: DataFrame, alpha: float = 0.1) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _funnel_state_schema(n: int) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f"t{i}", T.LongType()) for i in range(n)]
+    )
+
+
+def _funnel_update(steps: tuple):
+    n = len(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Advance the per-user funnel progress (micros per satisfied
+        step, prefix-shaped: t_i set only while t_{i-1} is set) over the
+        event-time-sorted batch slice. Under ordered arrival the first
+        qualifying event IS the minimal qualifying event, so the carried
+        state reproduces operators/funnel.funnel_steps' first-touch
+        strict-order semantics exactly (pinned by test)."""
+        prog = (
+            [v for v in state.get] if state.exists else [None] * n
+        )
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if not chunks:
+            return
+        full = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        changed = not state.exists
+        for ts, et in zip(full["ts"], full["event_type"]):
+            micros = ts.value // 1000
+            for i in range(n):
+                if prog[i] is not None or et != steps[i]:
+                    continue
+                if i == 0 or (
+                    prog[i - 1] is not None and micros > prog[i - 1]
+                ):
+                    prog[i] = micros
+                    changed = True
+                break  # an event can satisfy at most its own type's step
+        if changed:
+            state.update(tuple(prog))
+            step = 0
+            for v in prog:
+                if v is None:
+                    break
+                step += 1
+            yield pd.DataFrame({"user_id": [key[0]], "step": [step]})
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame, steps: tuple = ("view", "click", "purchase")
+) -> DataFrame:
+    """Streaming ordered-funnel progress: applyInPandasWithState carries
+    each user's satisfied-step timestamps across micro-batches and emits
+    (user_id, step) whenever a user's progress changes — step counts
+    over the emitted rows' per-user MAX reproduce the batch operator
+    (operators/funnel.funnel_steps) because progress is monotone.
+    Correctness requires event-time-ordered arrival across batches (the
+    ewma_stream contract: upstream watermark + sorted replay; within a
+    batch the slice is sorted here). State is n longs per user — bounded
+    however long the stream runs."""
+    it = {f.name: f.dataType for f in events.schema.fields}
+    out = T.StructType(
+        [
+            T.StructField("user_id", it["user_id"]),
+            T.StructField("step", T.IntegerType()),
+        ]
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update(tuple(steps)),
+        outputStructType=out,
+        stateStructType=_funnel_state_schema(len(steps)),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -475,3 +475,126 @@ def test_gopher_gate_on_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_matches_batch_operator(spark, tmp_path):
+    """Two event-time waves through a checkpointed availableNow drain:
+    per-user funnel progress carried in the state store must reproduce
+    the batch operator's per-step reach counts — including users whose
+    later steps arrive in the SECOND wave (state continuation across
+    the batch boundary)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.scalars import (
+        event_micros,
+    )
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        funnel_steps,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+    from stock_bars_data_engineering_project_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    steps = ("view", "click", "purchase")
+    expected = {
+        r.step_idx: r.n_users for r in funnel_steps(events, steps).collect()
+    }
+
+    micros = event_micros(events, "ts")
+    cut = events.agg(F.percentile(micros, F.lit(0.5))).first()[0]
+    src = str(tmp_path / "src")
+    events.filter(micros <= cut).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source orders oldest-first
+    events.filter(micros > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("funnel_stream_test").collect()
+    final = {}
+    for r in rows:  # progress is monotone: max emission = final state
+        final[r.user_id] = max(final.get(r.user_id, 0), r.step)
+    got = {
+        k: sum(1 for s in final.values() if s >= k)
+        for k in range(1, len(steps) + 1)
+    }
+    assert got == expected
+
+
+def test_streaming_funnel_state_continues_across_waves(spark, tmp_path):
+    """Deterministic continuation: the view arrives in wave 1, the click
+    only in wave 2 — the state store must remember wave 1's anchor for
+    the step-2 advance, and an out-of-order click (before the
+    remembered view) must NOT advance."""
+    import datetime as dt
+    import time as _time
+
+    from stock_bars_data_engineering_project_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, event_type string"
+        )
+
+    wave1 = _mk([(1, 10, t0, "view"), (2, 20, t0, "view")])
+    wave2 = _mk(
+        [
+            # user 1: click strictly after the wave-1 view -> advances
+            (1, 11, t0 + dt.timedelta(minutes=5), "click"),
+            # user 2: click at the SAME instant as its view -> no advance
+            (2, 21, t0, "click"),
+        ]
+    )
+    src = str(tmp_path / "src2")
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(wave1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel_stream(stream, ("view", "click"))
+        .writeStream.format("memory")
+        .queryName("funnel_stream_waves")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("funnel_stream_waves").collect()
+    final = {}
+    steps_seen = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.step)
+        steps_seen.setdefault(r.user_id, set()).add(r.step)
+    assert final == {1: 2, 2: 1}
+    # user 1 really advanced ACROSS the wave boundary
+    assert steps_seen[1] == {1, 2}
