@@ -258,6 +258,7 @@ def prf_expand(
     n_terms: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    query_text_col: str | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (the Rocchio/RM-family
     first-pass trick, integer-weighted variant): take each query's top
@@ -277,10 +278,14 @@ def prf_expand(
     second retrieval pass the caller runs afterwards pays one more
     corpus scan — the honest cost of PRF everywhere.
 
-    Returns (query_id, text) with the expanded text — feed it straight
-    back to :func:`bm25_topk`. Queries whose feedback terms are all
-    already in the query expand to themselves.
+    Returns (query_id, <query_text_col>) with the expanded text — feed
+    it straight back to :func:`bm25_topk`. Queries whose feedback terms
+    are all already in the query expand to themselves.
+    ``query_text_col`` defaults to ``text_col`` (corpus and queries
+    usually share the column name; pass it when they differ — the
+    bm25_topk signature symmetry).
     """
+    qtc = text_col if query_text_col is None else query_text_col
     from pyspark.sql import Window
 
     fb = lex_ranks.filter(F.col("rank") <= k_fb).select(
@@ -297,8 +302,11 @@ def prf_expand(
         .groupBy("query_id", "token")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    qtoks = F.filter(
+        tokens(F.lower(F.col(qtc))), lambda t: t != F.lit("")
+    )
     qterms = queries.select(
-        "query_id", F.explode(toks).alias("token")
+        "query_id", F.explode(qtoks).alias("token")
     ).distinct()
     new_terms = fb_counts.join(qterms, ["query_id", "token"], "left_anti")
     wnd = Window.partitionBy("query_id").orderBy(
@@ -313,8 +321,8 @@ def prf_expand(
     return queries.join(picked, "query_id", "left").select(
         "query_id",
         F.when(
-            F.col("_exp").isNull(), F.col(text_col)
+            F.col("_exp").isNull(), F.col(qtc)
         )
-        .otherwise(F.concat(F.col(text_col), F.lit(" "), F.col("_exp")))
-        .alias(text_col),
+        .otherwise(F.concat(F.col(qtc), F.lit(" "), F.col("_exp")))
+        .alias(qtc),
     )

@@ -306,3 +306,23 @@ def test_prf_second_pass_recalls_expansion_matches(spark):
     s = {(r.query_id, r.doc_id) for r in second.collect()}
     assert {q for q, _ in f} == {q for q, _ in s}  # same query coverage
     assert s - f  # expansion surfaced new docs somewhere
+
+
+def test_prf_expand_asymmetric_column_names(spark):
+    """Corpus text and query text may live under different column
+    names (the bm25_topk signature symmetry)."""
+    from stock_bars_data_engineering_project_spark.operators.retrieval import prf_expand
+
+    corpus = spark.createDataFrame(
+        [(100, "apple banana banana")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple")], "query_id long, q string"
+    )
+    ranks = spark.createDataFrame(
+        [(1, 100, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = prf_expand(
+        corpus, queries, ranks, n_terms=1, query_text_col="q"
+    ).collect()[0]
+    assert out.q == "apple banana"
