@@ -2574,11 +2574,15 @@ px AS (
     FROM hx, range(16) s(j)
 ),
 ph AS (
+    -- CAST guards against DuckDB widening the SUM to HUGEINT: int128
+    -- materializes to pandas as float64 via a rounding path that can
+    -- diverge from int64->float64 by 1 ULP (observed for 2/500 docs at
+    -- sf0.01), breaking the value hash even though the integers match.
     SELECT px.doc_id,
-           SUM(CASE WHEN p > mean THEN
+           CAST(SUM(CASE WHEN p > mean THEN
                CASE WHEN pos = 63 THEN (-9223372036854775807 - 1)
                     ELSE (1::BIGINT << pos) END
-               ELSE 0 END) AS phash
+               ELSE 0 END) AS BIGINT) AS phash
     FROM px JOIN (SELECT doc_id, AVG(p) AS mean FROM px GROUP BY doc_id) m
       ON px.doc_id = m.doc_id
     GROUP BY px.doc_id
