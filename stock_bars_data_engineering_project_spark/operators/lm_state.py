@@ -37,7 +37,16 @@ def _batch_lm_counts(
     batch: DataFrame, id_col: str, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """One batch's (token, n) and (prev, cur, n2) — the same derivation
-    quality.bigram_surprisal performs on a self-modeled corpus."""
+    quality.bigram_surprisal performs on a self-modeled corpus.
+    ``id_col`` is the column the batch-partitioning contract (see
+    ingest_lm_batch) is keyed on; its presence is enforced here so a
+    caller passing a batch without it fails loudly instead of silently
+    ingesting rows the contract cannot cover."""
+    if id_col not in batch.columns:
+        raise ValueError(
+            f"batch lacks id column {id_col!r} (columns: {batch.columns}); "
+            "the epoch-log contract partitions the corpus by this column"
+        )
     ltoks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
     )

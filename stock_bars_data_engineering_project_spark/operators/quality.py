@@ -122,6 +122,17 @@ def bigram_surprisal(
     supplied table is used as-is — apply min_count pruning before
     persisting it; when supplied, ``unigram_counts`` should come from
     the SAME reference corpus.
+
+    OOV contract (the frozen-model case that matters): tokens absent
+    from ``unigram_counts`` are scored KenLM-style as ``<unk>`` with
+    count 1 — the unigram joins are LEFT joins, an unseen ``cur`` backs
+    off to ``p = alpha * 1/total``, and a bigram whose ``prev`` is
+    unseen takes the backoff branch regardless of ``bigram_counts``.
+    Novel-garbage batches therefore get their most suspicious
+    transitions scored at maximum surprisal instead of silently dropped
+    from the per-doc mean, and a fully-OOV document still emits a score
+    row. In self-model mode every token is in the table, so the left
+    joins match inner-join behavior exactly.
     """
     ltoks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
@@ -163,13 +174,19 @@ def bigram_surprisal(
     c1c = unigram_counts.select(
         F.col("token").alias("cur"), F.col("n").cast("double").alias("n_cur")
     )
+    # seen branch requires BOTH the bigram and its prev count (a frozen
+    # model could in principle carry a bigram whose prev fell out of the
+    # unigram table — treat that as unseen rather than divide by NULL)
     p = F.when(
-        F.col("n2").isNotNull(), F.col("n2").cast("double") / F.col("n_prev")
-    ).otherwise(F.lit(alpha) * F.col("n_cur") / F.col("total"))
+        F.col("n2").isNotNull() & F.col("n_prev").isNotNull(),
+        F.col("n2").cast("double") / F.col("n_prev"),
+    ).otherwise(
+        F.lit(alpha) * F.coalesce(F.col("n_cur"), F.lit(1.0)) / F.col("total")
+    )
     return (
         pairs.join(c2, ["prev", "cur"], "left")
-        .join(c1p, "prev")
-        .join(c1c, "cur")
+        .join(c1p, "prev", "left")
+        .join(c1c, "cur", "left")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(

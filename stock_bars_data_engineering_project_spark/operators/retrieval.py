@@ -242,7 +242,7 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id",
+            F.col("query_id").alias(query_col),
             F.col("__rrf_item").alias(item_col),
             "score",
             "rank",
@@ -259,6 +259,7 @@ def prf_expand(
     id_col: str = "doc_id",
     text_col: str = "text",
     query_text_col: str | None = None,
+    query_id_col: str = "query_id",
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (the Rocchio/RM-family
     first-pass trick, integer-weighted variant): take each query's top
@@ -283,43 +284,46 @@ def prf_expand(
     are all already in the query expand to themselves.
     ``query_text_col`` defaults to ``text_col`` (corpus and queries
     usually share the column name; pass it when they differ — the
-    bm25_topk signature symmetry).
+    bm25_topk signature symmetry). ``query_id_col`` names the query id
+    column in BOTH ``queries`` and ``lex_ranks`` (the rrf_fuse
+    parameterization discipline) and is preserved in the output.
     """
     qtc = text_col if query_text_col is None else query_text_col
+    qid = query_id_col
     from pyspark.sql import Window
 
     fb = lex_ranks.filter(F.col("rank") <= k_fb).select(
-        "query_id", F.col(id_col)
+        qid, F.col(id_col)
     )
     fb_texts = fb.join(
         corpus.select(id_col, text_col), id_col
-    ).select("query_id", text_col)
+    ).select(qid, text_col)
     toks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
     )
     fb_counts = (
-        fb_texts.select("query_id", F.explode(toks).alias("token"))
-        .groupBy("query_id", "token")
+        fb_texts.select(qid, F.explode(toks).alias("token"))
+        .groupBy(qid, "token")
         .agg(F.count(F.lit(1)).alias("w"))
     )
     qtoks = F.filter(
         tokens(F.lower(F.col(qtc))), lambda t: t != F.lit("")
     )
     qterms = queries.select(
-        "query_id", F.explode(qtoks).alias("token")
+        qid, F.explode(qtoks).alias("token")
     ).distinct()
-    new_terms = fb_counts.join(qterms, ["query_id", "token"], "left_anti")
-    wnd = Window.partitionBy("query_id").orderBy(
+    new_terms = fb_counts.join(qterms, [qid, "token"], "left_anti")
+    wnd = Window.partitionBy(qid).orderBy(
         F.col("w").desc(), F.col("token")
     )
     picked = (
         new_terms.withColumn("r", F.row_number().over(wnd))
         .filter(F.col("r") <= n_terms)
-        .groupBy("query_id")
+        .groupBy(qid)
         .agg(F.concat_ws(" ", F.collect_list("token")).alias("_exp"))
     )
-    return queries.join(picked, "query_id", "left").select(
-        "query_id",
+    return queries.join(picked, qid, "left").select(
+        qid,
         F.when(
             F.col("_exp").isNull(), F.col(qtc)
         )

@@ -195,7 +195,11 @@ def _funnel_update(steps: tuple):
         full = pd.concat(chunks, ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
-        changed = not state.exists
+        # only an actual step advance marks the user changed — emitting
+        # (and persisting all-None state) on mere first sight would make
+        # append volume track distinct users rather than users with
+        # funnel progress, over-counting for raw-emission consumers
+        changed = False
         for ts, et in zip(full["ts"], full["event_type"]):
             micros = ts.value // 1000
             for i in range(n):

@@ -269,3 +269,46 @@ def test_bigram_surprisal_frozen_reference_model(spark, tmp_path):
     ).collect()[0]
     # backoff: 0.4 * c1(a)/total = 0.4 * 4/9
     assert abs(got.score - (-math.log(0.4 * 4 / 9))) < 1e-12
+
+
+def test_bigram_surprisal_frozen_model_oov_unk_handling(spark):
+    """OOV contract (ADVICE r7): a frozen reference model must PENALIZE
+    novel-garbage transitions, not silently drop them. Tokens absent
+    from the reference vocabulary score KenLM-style as <unk> with count
+    1 (p = alpha * 1/total), and a fully-OOV document still emits a
+    score row at maximal surprisal."""
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        bigram_surprisal,
+    )
+
+    # reference model: c1 = {a:4, b:4, x:1}, total 9; c2 = {(a,b): 3}
+    uni = spark.createDataFrame(
+        [("a", 4), ("b", 4), ("x", 1)], "token string, n long"
+    )
+    bi = spark.createDataFrame(
+        [("a", "b", 3)], "prev string, cur string, n2 long"
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "a b zz"),   # seen bigram + OOV-cur transition
+            (2, "zz qq"),    # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.score, r.n_bigrams)
+        for r in bigram_surprisal(
+            batch, unigram_counts=uni, bigram_counts=bi
+        ).collect()
+    }
+    p_ab = 3 / 4                # seen branch
+    p_unk = 0.4 * 1 / 9         # OOV cur -> <unk> count-1 backoff
+    assert set(out) == {1, 2}
+    assert out[1][1] == 2
+    assert abs(out[1][0] - (-(math.log(p_ab) + math.log(p_unk)) / 2)) < 1e-12
+    # fully-OOV doc: one bigram, both sides unseen -> pure <unk> backoff
+    assert out[2][1] == 1
+    assert abs(out[2][0] - (-math.log(p_unk))) < 1e-12

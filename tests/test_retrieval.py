@@ -326,3 +326,40 @@ def test_prf_expand_asymmetric_column_names(spark):
         corpus, queries, ranks, n_terms=1, query_text_col="q"
     ).collect()[0]
     assert out.q == "apple banana"
+
+
+def test_rrf_and_prf_respect_custom_column_names(spark):
+    """Parameterization contract (ADVICE r7): rrf_fuse must alias the
+    output query column back to query_col (not hardcode 'query_id'),
+    and prf_expand must key on query_id_col throughout."""
+    from stock_bars_data_engineering_project_spark.operators.retrieval import (
+        prf_expand,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [("q1", 100, 1), ("q1", 101, 2)], "qid string, item long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [("q1", 101, 1)], "qid string, item long, rank int"
+    )
+    fused = rrf_fuse([lex, sem], query_col="qid", item_col="item", k=5)
+    assert fused.columns == ["qid", "item", "score", "rank"]
+    assert {r.qid for r in fused.collect()} == {"q1"}
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "beta delta")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([("q1", "beta")], "qid string, text string")
+    ranks = spark.createDataFrame(
+        [("q1", 100, 1), ("q1", 101, 2)], "qid string, doc_id long, rank int"
+    )
+    out = prf_expand(
+        corpus, queries, ranks, k_fb=2, n_terms=2, query_id_col="qid"
+    )
+    assert out.columns == ["qid", "text"]
+    row = out.collect()[0]
+    assert row.qid == "q1"
+    got_terms = set(row.text.split())
+    assert "beta" in got_terms and got_terms > {"beta"}

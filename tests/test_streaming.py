@@ -598,3 +598,40 @@ def test_streaming_funnel_state_continues_across_waves(spark, tmp_path):
     assert final == {1: 2, 2: 1}
     # user 1 really advanced ACROSS the wave boundary
     assert steps_seen[1] == {1, 2}
+
+
+def test_streaming_funnel_no_emission_without_progress(spark, tmp_path):
+    """A user whose events satisfy no funnel step must emit NOTHING
+    (ADVICE r7): append volume tracks users WITH progress, not distinct
+    users — a raw-emission consumer must not over-count. Also pins that
+    progress-less users persist no state."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    wave = spark.createDataFrame(
+        [
+            (1, 10, t0, "view"),            # progress -> emits step 1
+            (2, 20, t0, "scroll"),          # no step matched -> silent
+            (3, 30, t0, "click"),           # step 2 without anchor -> silent
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    src = str(tmp_path / "src3")
+    wave.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(wave.schema).parquet(src)
+    q = (
+        funnel_stream(stream, ("view", "click"))
+        .writeStream.format("memory")
+        .queryName("funnel_stream_silent")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("funnel_stream_silent").collect()
+    assert {(r.user_id, r.step) for r in rows} == {(1, 1)}
