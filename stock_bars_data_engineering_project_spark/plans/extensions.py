@@ -336,6 +336,16 @@ FROM (
     UNION ALL
     SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3
 )
+UNION ALL
+SELECT 'funnel_stream' AS variant, CAST(NULL AS BIGINT) AS user_id,
+       n_events, seq
+FROM (
+    SELECT COUNT(*) AS n_events, 'view' AS seq FROM f1
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click' AS seq FROM f2
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3
+)
 """,
     tags=("sequence", "agg", "funnel"),
 )
@@ -356,7 +366,16 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       user-keyed joins over user-cardinality frames; no per-user
       history window, so the cost tracks distinct users, not tick
       volume. The per-step user counts ride n_events, the step path
-      rides seq."""
+      rides seq.
+    - 'funnel_stream' (round 8, streaming/stateful.py funnel_stream):
+      the same reach counts produced by the REAL streaming operator —
+      the event log arrives as two event-time-split parquet waves
+      through two SEPARATE availableNow drains sharing one checkpoint
+      (the ewma_per_user restart discipline: the per-user progress
+      state is persisted by drain 1 and RESTORED from the checkpoint by
+      drain 2), and the per-user max emitted step must reproduce the
+      batch operator's counts exactly. Cross-batch anchoring within a
+      wave stays pinned in tests/test_streaming.py."""
     from ..operators.funnel import funnel_steps
 
     ev = load_table(spark, sf_dir, "events")
@@ -392,7 +411,73 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("n_events"),
         F.col("step").alias("seq"),
     )
-    return seq_arm.unionByName(funnel_arm)
+
+    # streaming twin: two event-time waves, two drains, one checkpoint
+    import os
+
+    from ..streaming.stateful import funnel_stream
+
+    steps = ("view", "click", "purchase")
+    sub = ev.select("user_id", "event_id", "ts", "event_type")
+    cut_mid = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = scratch_warehouse(spark, "funnel_stream_rows").root
+    src = os.path.join(root, "_src")
+    outp = os.path.join(root, "_out")
+    ckpt = os.path.join(root, "_ckpt")
+
+    def drain() -> None:
+        q = (
+            funnel_stream(
+                spark.readStream.schema(sub.schema).parquet(src), steps
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # state-store partition pinning: the ewma_per_user deployment-dial
+    # argument (extensions.py q_ewma) — restored before the lazy arms run
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sub.filter(F.col("ts") < cut_mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+        sub.filter(F.col("ts") >= cut_mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # progress is monotone, so per-user max emission = final step; the
+    # left join keeps zero-reach steps at count 0 (the oracle's COUNT(*)
+    # over an empty per-step CTE)
+    final = (
+        spark.read.parquet(outp)
+        .groupBy("user_id")
+        .agg(F.max("step").alias("fstep"))
+    )
+    steps_df = spark.createDataFrame(
+        [(i + 1, ">".join(steps[: i + 1])) for i in range(len(steps))],
+        "k int, seq string",
+    )
+    stream_arm = (
+        steps_df.join(final, final.fstep >= steps_df.k, "left")
+        .groupBy("k", "seq")
+        .agg(F.count("user_id").alias("n_events"))
+        .select(
+            F.lit("funnel_stream").alias("variant"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            "n_events",
+            "seq",
+        )
+    )
+    return seq_arm.unionByName(funnel_arm).unionByName(stream_arm)
 
 
 # token_budget_mixture was consolidated into sampling_splits_suite
@@ -600,6 +685,21 @@ FROM (
 )
 GROUP BY doc_id
 UNION ALL
+SELECT 'lm_state' AS tag, doc_id, CAST(NULL AS VARCHAR) AS term,
+       {sql_round(
+           "AVG(-ln(CASE WHEN n2 IS NOT NULL THEN n2 / n_prev "
+           "ELSE 0.4 * n_cur / total END))", 4)} AS score,
+       CAST(COUNT(*) AS INT) AS rank
+FROM (
+    SELECT p.doc_id, c2.n2, c1p.n AS n_prev, c1c.n AS n_cur, tot.total
+    FROM lmpairs p
+    LEFT JOIN lmc2 c2 ON p.prev = c2.prev AND p.cur = c2.cur
+    JOIN lmc1 c1p ON p.prev = c1p.token
+    JOIN lmc1 c1c ON p.cur = c1c.token
+    CROSS JOIN lmtot tot
+)
+GROUP BY doc_id
+UNION ALL
 SELECT tag, doc_id, term, score, rank FROM (
     {_bpe_rules_sql(_BPE_MERGES, 2)}
 )
@@ -729,6 +829,32 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("score"), 4).alias("score"),
         F.col("n_bigrams").cast("int").alias("rank"),
     )
+    # (h) persisted incremental LM state (operators/lm_state.py): the
+    # corpus arrives as two doc_id-median-split batches, each folding
+    # its unigram/bigram counts into a content-addressed epoch partition
+    # of a scratch warehouse; the read-time combined state (min_count
+    # pruned on the SUMMED counts) then scores the corpus in frozen-
+    # model mode, and must equal arm (g)'s self-modeled scores exactly —
+    # combined state ≡ full recount, the stream_dedup_ingest gate
+    # pattern. Counts are exact integers, so no FP tolerance is needed
+    # across the warehouse round-trip.
+    from ..operators.lm_state import ingest_lm_batch, lm_state
+
+    lm_wh = scratch_warehouse(spark, "lm_state_rows")
+    lm_docs = docs.select("doc_id", "text")
+    lm_half = lm_docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    ingest_lm_batch(lm_wh, lm_docs.filter(F.col("doc_id") <= lm_half))
+    ingest_lm_batch(lm_wh, lm_docs.filter(F.col("doc_id") > lm_half))
+    lm_uni, lm_bi = lm_state(lm_wh, min_count=2)
+    lm_state_arm = bigram_surprisal(
+        docs, unigram_counts=lm_uni, bigram_counts=lm_bi
+    ).select(
+        F.lit("lm_state").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        round_half_up(F.col("score"), 4).alias("score"),
+        F.col("n_bigrams").cast("int").alias("rank"),
+    )
     # (e) BPE tokenizer training (operators/bpe.py): six sequential
     # merge rounds over the corpus word counts; the learned rule table
     # IS the model (a sanctioned O(n_merges) driver-side scalar) and
@@ -770,6 +896,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(surprisal_arm)
         .unionByName(qscore_arm)
         .unionByName(bigram_lm_arm)
+        .unionByName(lm_state_arm)
         .unionByName(bpe_arm)
         .unionByName(train_arm)
     )
