@@ -413,3 +413,125 @@ def test_lang_id_profiles_empty_doc_is_unknown(spark):
         ).collect()
     }
     assert got == {0: "unknown", 1: "unknown", 2: "unknown"}
+
+
+# --- real decode branch (synthesized PNG, no Pillow needed to WRITE) -------
+
+
+def _make_png(width: int, height: int, pixel_rows) -> bytes:
+    """Minimal valid 8-bit GRAYSCALE PNG from stdlib zlib+struct —
+    pixel_rows is height rows of width ints in [0, 255]. Lets the
+    PIL-gated decode branch execute against REAL image bytes in any
+    environment that has a codec, without needing one to write the
+    fixture."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixel_rows)  # filter 0/row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+_PNG_8X8_ROWS = [[(r * 8 + c) * 4 for c in range(8)] for r in range(8)]
+
+
+def test_synthesized_png_is_structurally_valid():
+    """Codec-free pin of the fixture writer: parse the chunk stream,
+    verify every CRC, and check the inflated IDAT carries exactly
+    height * (1 + width) filter-prefixed bytes — so the PIL-gated tests
+    below can never be broken by a malformed fixture."""
+    import struct
+    import zlib
+
+    png = _make_png(8, 8, _PNG_8X8_ROWS)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, seen, idat = 8, [], b""
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", png[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF, tag
+        seen.append(tag)
+        if tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+    assert len(zlib.decompress(idat)) == 8 * (1 + 8)
+
+
+def _pil_or_none():
+    from stock_bars_data_engineering_project_spark.operators.multimodal import _pil
+
+    return _pil()
+
+
+@pytest.mark.skipif(
+    _pil_or_none() is None,
+    reason="Pillow absent: the REAL decode branch cannot execute here — "
+    "install Pillow to exercise _gray8x8/resize_images' codec path "
+    "(the deterministic fake seam is pinned elsewhere)",
+)
+def test_real_gray8x8_reads_synthesized_pixels(spark):
+    """With a codec present, _gray8x8 must return the EXACT pixels the
+    PNG encodes (8x8 grayscale at native size: convert('L') + resize to
+    its own size are identities), and the Spark perceptual_hashes
+    default path must equal a pure-Python average_hash replay."""
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        _gray8x8,
+        average_hash,
+        perceptual_hashes,
+    )
+
+    png = _make_png(8, 8, _PNG_8X8_ROWS)
+    flat = [p for row in _PNG_8X8_ROWS for p in row]
+    assert _gray8x8(png) == flat
+
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    got = perceptual_hashes(df).collect()[0]
+    assert got.phash == average_hash(flat)
+
+
+@pytest.mark.skipif(
+    _pil_or_none() is None,
+    reason="Pillow absent: resize_images' codec path cannot execute here",
+)
+def test_real_resize_reencodes_payload(spark):
+    """With a codec present, resize_images must RE-ENCODE the payload
+    (not stamp-and-pass-through): bytes change, geometry stamps match,
+    and byte_len/content_md5 describe the NEW bytes."""
+    import hashlib
+    import io
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        _pil,
+        attach_binary_payload,
+        resize_images,
+    )
+
+    png = _make_png(8, 8, _PNG_8X8_ROWS)
+    src = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = attach_binary_payload(src).withColumn(
+        "payload", F.lit(bytearray(png))
+    )
+    row = resize_images(media, width=16, height=16).collect()[0]
+    out_bytes = bytes(row.payload)
+    assert out_bytes != png
+    assert row.resized_width == 16 and row.resized_height == 16
+    assert row.byte_len == len(out_bytes)
+    assert row.content_md5 == hashlib.md5(out_bytes).hexdigest()
+    img = _pil().open(io.BytesIO(out_bytes))
+    assert img.size == (16, 16)
