@@ -2964,11 +2964,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       pseudo-relevance feedback — each query expands with the top-10
       most frequent NEW terms of its top-5 first-pass documents
       (integer weights, term-ascending tiebreak — the expansion
-      ranking is FP-free), then a second full Okapi pass retrieves
-      with the expanded term set. Expansion is query-set-sized; the
-      second pass pays one more corpus scan, PRF's honest cost
-      everywhere. The oracle replays the feedback counts, the
-      anti-joined term pick, and the entire second-pass scoring."""
+      ranking is FP-free), then a second Okapi pass retrieves with the
+      expanded term set — answered from the PERSISTED inverted index
+      (round 8), so the corpus is tokenized once per row, not once per
+      pass; without an index PRF's honest cost is one more corpus
+      scan. The oracle replays the feedback counts, the anti-joined
+      term pick, and the entire second-pass scoring."""
     from ..operators.incremental_retrieval import bm25_query
     from ..operators.retrieval import bm25_topk, prf_expand, rrf_fuse
     from ..operators.similarity import cosine_topk
@@ -3018,10 +3019,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
 
+    # PRF second pass answers from the PERSISTED index rather than a
+    # second live corpus scan: tf/dl/df are batch-invariant integer
+    # counts and the scoring expression tree is shared (score_topk), so
+    # the doubles are identical to a recompute — proven by the 'index'
+    # arm hitting the same oracle ranking — while the corpus is
+    # tokenized ONCE per row instead of twice. This is why retrieval
+    # systems persist an inverted index at all; PRF's "one more corpus
+    # scan" cost only applies when no index exists.
     expanded = prf_expand(
         corpus, queries, lex.select("query_id", "doc_id", "rank")
     )
-    prf = _round(bm25_topk(corpus, expanded, k=10, stats=stats), "prf")
+    prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
     return (
         recompute.unionByName(index).unionByName(rrf).unionByName(prf)
     )
