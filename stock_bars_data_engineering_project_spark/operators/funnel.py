@@ -27,6 +27,7 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Per-step reach counts for an ordered funnel: row i carries
     ``step_idx`` (1-based), ``step`` (the '>'-joined path so far) and
@@ -34,6 +35,18 @@ def funnel_steps(
     ``steps[1]`` event STRICTLY after their first ``steps[0]``, and so
     on (first-touch anchoring). Same-timestamp events do NOT advance
     the funnel (strict >): conversion cannot precede or tie its cause.
+
+    ``within`` (e.g. ``"24 hours"``) adds the conversion-window
+    semantics product analytics usually asks for: each step must land
+    AT MOST that interval after the previous step's anchor (inclusive
+    upper bound; per-transition, not funnel-global). Anchoring stays
+    first-touch: the anchor is the MINIMUM qualifying event, and since
+    the window is a prefix of the qualifying range ((prev_t, prev_t+T]
+    starts at the bottom of (prev_t, inf)), the in-window set is
+    non-empty exactly when the unwindowed anchor itself lands in the
+    window — so windowing only removes users at a step, never
+    re-anchors a surviving user. ``None`` (default) keeps the
+    unbounded ordered funnel.
 
     ``steps`` must be non-empty and duplicate-free (a repeated type is
     almost always a bug — "view>view" would count a second view after
@@ -54,9 +67,15 @@ def funnel_steps(
         if prev is None:
             cur = ev_s.groupBy("u").agg(F.min("__t").alias("t"))
         else:
+            cond = F.col("__t") > F.col("__pt")
+            if within is not None:
+                cond = cond & (
+                    F.col("__t")
+                    <= F.col("__pt") + F.expr(f"INTERVAL {within}")
+                )
             cur = (
                 ev_s.join(prev.select("u", F.col("t").alias("__pt")), "u")
-                .filter(F.col("__t") > F.col("__pt"))
+                .filter(cond)
                 .groupBy("u")
                 .agg(F.min("__t").alias("t"))
             )

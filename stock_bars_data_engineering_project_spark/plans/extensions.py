@@ -319,6 +319,18 @@ WITH ranked AS (
     FROM events e JOIN f2 ON e.user_id = f2.u
     WHERE e.event_type = 'purchase' AND e.ts > f2.t
     GROUP BY e.user_id
+), f2w AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t
+    FROM events e JOIN f1 ON e.user_id = f1.u
+    WHERE e.event_type = 'click' AND e.ts > f1.t
+      AND e.ts <= f1.t + INTERVAL '24 hours'
+    GROUP BY e.user_id
+), f3w AS (
+    SELECT e.user_id AS u, MIN(e.ts) AS t
+    FROM events e JOIN f2w ON e.user_id = f2w.u
+    WHERE e.event_type = 'purchase' AND e.ts > f2w.t
+      AND e.ts <= f2w.t + INTERVAL '24 hours'
+    GROUP BY e.user_id
 )
 SELECT 'seq' AS variant, user_id,
        COUNT(*) AS n_events,
@@ -345,6 +357,16 @@ FROM (
     SELECT COUNT(*) AS n_events, 'view>click' AS seq FROM f2
     UNION ALL
     SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3
+)
+UNION ALL
+SELECT 'funnel_windowed' AS variant, CAST(NULL AS BIGINT) AS user_id,
+       n_events, seq
+FROM (
+    SELECT COUNT(*) AS n_events, 'view' AS seq FROM f1
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click' AS seq FROM f2w
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3w
 )
 """,
     tags=("sequence", "agg", "funnel"),
@@ -375,7 +397,12 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       state is persisted by drain 1 and RESTORED from the checkpoint by
       drain 2), and the per-user max emitted step must reproduce the
       batch operator's counts exactly. Cross-batch anchoring within a
-      wave stays pinned in tests/test_streaming.py."""
+      wave stays pinned in tests/test_streaming.py.
+    - 'funnel_windowed' (round 8): the conversion-window variant —
+      each step must land within 24 hours of the previous step's
+      anchor (inclusive; per-transition). At every SF the window
+      genuinely prunes (e.g. 150>60>25 vs the unbounded 150/150/150
+      at sf0.01), so the predicate is value-exercised, not vacuous."""
     from ..operators.funnel import funnel_steps
 
     ev = load_table(spark, sf_dir, "events")
@@ -407,6 +434,14 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ("view", "click", "purchase")
     ).select(
         F.lit("funnel").alias("variant"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("n_users").alias("n_events"),
+        F.col("step").alias("seq"),
+    )
+    windowed_arm = funnel_steps(
+        ev, ("view", "click", "purchase"), within="24 hours"
+    ).select(
+        F.lit("funnel_windowed").alias("variant"),
         F.lit(None).cast("bigint").alias("user_id"),
         F.col("n_users").alias("n_events"),
         F.col("step").alias("seq"),
@@ -477,7 +512,11 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq",
         )
     )
-    return seq_arm.unionByName(funnel_arm).unionByName(stream_arm)
+    return (
+        seq_arm.unionByName(funnel_arm)
+        .unionByName(windowed_arm)
+        .unionByName(stream_arm)
+    )
 
 
 # token_budget_mixture was consolidated into sampling_splits_suite

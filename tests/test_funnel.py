@@ -157,3 +157,53 @@ def test_cohort_day0_equals_cohort_size_on_real_data(spark):
     d0 = {r.cohort_day: r.n_users for r in tri.filter("offset = 0").collect()}
     for r in tri.collect():
         assert r.n_users <= d0[r.cohort_day]
+
+
+def test_funnel_steps_within_window(spark):
+    """Conversion-window semantics: each step must land <= `within`
+    after the previous step's anchor (inclusive bound, per-transition).
+    First-touch anchoring means windowing only removes users at a step
+    — the in-window set is non-empty exactly when the unwindowed
+    anchor is in-window."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: click 30min after view, purchase 30min after click -> full
+        (1, at(0), "view"), (1, at(30), "click"), (1, at(60), "purchase"),
+        # user 2: click 90min after view -> outside 1h window, stops at 1
+        (2, at(0), "view"), (2, at(90), "click"),
+        # user 3: click exactly 60min after view -> INCLUSIVE bound, advances;
+        # purchase 61min after click -> outside, stops at 2
+        (3, at(0), "view"), (3, at(60), "click"), (3, at(121), "purchase"),
+        # user 4: earliest click pre-dates the view (never qualifies),
+        # second click in-window -> advances via first-touch min over
+        # QUALIFYING events
+        (4, at(10), "view"), (4, at(5), "click"), (4, at(40), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.step: r.n_users
+        for r in funnel_steps(
+            ev, ("view", "click", "purchase"), within="1 hours"
+        ).collect()
+    }
+    assert got == {"view": 4, "view>click": 3, "view>click>purchase": 1}
+
+    # unbounded: user 2's 90-min click and user 3's 61-min purchase
+    # both advance — the window is what removed them above
+    unbounded = {
+        r.step: r.n_users
+        for r in funnel_steps(ev, ("view", "click", "purchase")).collect()
+    }
+    assert unbounded == {"view": 4, "view>click": 4, "view>click>purchase": 2}
