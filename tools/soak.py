@@ -118,12 +118,15 @@ TOKEN_RE = "([a-zA-Z0-9]+)"
 
 
 def stage(spark, scale: int) -> str:
-    if scale > 64:
-        # the embedding perturbation is a component rotation mod 64:
-        # replicas k and k+64 would be verbatim copies, and cross-replica
-        # pair growth would go quadratic by construction — the exact soak
-        # artifact the perturbations exist to prevent
-        raise ValueError("soak scales > 64 exceed the embedding-rotation period")
+    if scale > 128:
+        # embedding perturbation period: rotation mod 64 x sign-flip era
+        # mod 2 = 128 distinct isometries; replicas k and k+128 would be
+        # verbatim copies, and cross-replica pair growth would go
+        # quadratic by construction — the exact soak artifact the
+        # perturbations exist to prevent
+        raise ValueError(
+            "soak scales > 128 exceed the embedding perturbation period"
+        )
     out = os.path.join(WORK, f"x{scale}")
     # completion marker, not bare isdir: the directory exists from the
     # first parquet write, so an interrupted staging (or one from an
@@ -158,14 +161,25 @@ def stage(spark, scale: int) -> str:
             )
         )
         # component rotation: norm-preserving, decorrelates replicas so
-        # near-dup pair structure grows linearly, not quadratically
+        # near-dup pair structure grows linearly, not quadratically;
+        # past k=63 the rotation repeats, so odd ERAS (k // 64) addition-
+        # ally negate the even components — also an isometry (diagonal
+        # +-1), and for generic vectors the flipped copy's cosine against
+        # its unflipped twin is ~0, keeping cross-replica pairs dark
         r = k % 64
+        rot = F.concat(
+            F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
+        )
+        if (k // 64) % 2 == 1:
+            rot = F.zip_with(
+                rot,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, i: F.when(i % 2 == 0, -x).otherwise(x),
+            )
         v_parts.append(
             emb.select(
                 (F.col("vec_id") + k * n_emb).alias("vec_id"),
-                F.concat(
-                    F.slice("embedding", r + 1, 64 - r), F.slice("embedding", 1, r)
-                ).alias("embedding"),
+                rot.alias("embedding"),
             )
         )
     d = d_parts[0]
