@@ -490,27 +490,35 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     # progress is monotone, so per-user max emission = final step; the
-    # left join keeps zero-reach steps at count 0 (the oracle's COUNT(*)
-    # over an empty per-step CTE)
+    # per-step reach counts come from ONE aggregate melted with stack —
+    # no join (a step-threshold non-equi join would plan a nested-loop
+    # join, banned by the global scale-hazard audit), and coalesce
+    # keeps zero-reach steps at count 0 (the oracle's COUNT(*) over an
+    # empty per-step CTE)
     final = (
         spark.read.parquet(outp)
         .groupBy("user_id")
         .agg(F.max("step").alias("fstep"))
     )
-    steps_df = spark.createDataFrame(
-        [(i + 1, ">".join(steps[: i + 1])) for i in range(len(steps))],
-        "k int, seq string",
+    reach = final.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("fstep") >= k).cast("long")), F.lit(0)
+            ).alias(f"_c{k}")
+            for k in range(1, len(steps) + 1)
+        ]
     )
-    stream_arm = (
-        steps_df.join(final, final.fstep >= steps_df.k, "left")
-        .groupBy("k", "seq")
-        .agg(F.count("user_id").alias("n_events"))
-        .select(
-            F.lit("funnel_stream").alias("variant"),
-            F.lit(None).cast("bigint").alias("user_id"),
-            "n_events",
-            "seq",
-        )
+    stack_args = ", ".join(
+        "'{}', _c{}".format(">".join(steps[: i + 1]), i + 1)
+        for i in range(len(steps))
+    )
+    stream_arm = reach.select(
+        F.expr(f"stack({len(steps)}, {stack_args}) AS (seq, n_events)")
+    ).select(
+        F.lit("funnel_stream").alias("variant"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        "n_events",
+        "seq",
     )
     return (
         seq_arm.unionByName(funnel_arm)
