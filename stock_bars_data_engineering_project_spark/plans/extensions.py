@@ -1893,6 +1893,44 @@ WHERE rank <= 10
 """
 
 
+# int8-quantized serving replay: the corpus side is symmetric-int8
+# quantized (functions/vectors.quantize_int8: scale = max|x|/127,
+# q = floor(x/scale + 0.5) — HALF_UP toward +inf on both engines) and
+# dequantized before the exact-cosine scan; queries stay full
+# precision. Every reconstruction double is replayed component-for-
+# component, so the STORAGE-compression contract (4x smaller vectors,
+# bounded scale/2 per-component error) is value-gated, not just the
+# final ranking.
+_INT8_SQL = f"""
+WITH idq AS (
+    SELECT vec_id,
+           CASE WHEN mx > 0 THEN
+               [floor(CAST(embedding[i] AS DOUBLE) / (mx / 127.0) + 0.5)
+                * (mx / 127.0) for i in range(1, len(embedding) + 1)]
+           ELSE [CAST(0 AS DOUBLE) for i in range(1, len(embedding) + 1)]
+           END AS vb
+    FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    )
+),
+ipairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           {sql_round(_COS_DOUBLE, 6)} AS cos
+    FROM (SELECT vec_id, embedding AS va FROM embeddings WHERE vec_id < 5) q
+    JOIN idq c ON c.vec_id != q.vec_id
+)
+SELECT query_id, vec_id, cos, rank
+FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM ipairs
+)
+WHERE rank <= 10
+"""
+
+
 # squared-L2 between va/vb, identical fold order both engines
 _L2_AB = """
 list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2198,6 +2236,9 @@ ANN_TRAINED_LAWS = (
 SELECT 'brute' AS variant, query_id, vec_id, cos, rank
 FROM ({_BRUTE_SQL})
 UNION ALL
+SELECT 'int8' AS variant, query_id, vec_id, cos, rank
+FROM ({_INT8_SQL})
+UNION ALL
 SELECT 'stride' AS variant, query_id, vec_id, cos, rank
 FROM ({_IVF_STRIDE_SQL})
 UNION ALL
@@ -2241,6 +2282,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `brute`: exact top-10 cosine for 5 query vectors — corpus streams
       once against a broadcast query set, deterministic (cos, id)
       ranking. The recall baseline the approximate arms are judged by.
+    - `int8` (round 8): the QUANTIZED-SERVING path — the corpus side is
+      symmetric per-vector int8 (functions/vectors.quantize_int8,
+      4x smaller at rest than float32: the memory/IO lever that decides
+      whether a 100 TB vector corpus fits its serving tier), dequantized
+      map-side and scanned with the same exact-cosine ranking; queries
+      stay full precision. The oracle replays scale, the HALF_UP
+      component rounding, and every reconstruction double — so the
+      quantization ARITHMETIC is cross-engine-gated, not just the
+      ranking it produces.
     - `stride`: IVF with map-only coarse quantization against a
       broadcast centroid array (every 125th vector), nprobe=4 inverted
       lists probed per query, exact cosine rank within candidates. The
@@ -2313,6 +2363,15 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", F.col("rank").cast("int")
         )
     )
+    from ..functions.vectors import dequantize_int8, quantize_int8
+
+    corpus_dq = emb.select(
+        "vec_id",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    int8_arm = cosine_topk(corpus_dq, queries, k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
     stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
     pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
     lsh = lsh_ann_topk(emb, queries, k=10, n_planes=5, probe_radius=2)
@@ -2371,6 +2430,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _tag(brute, "brute")
+        .unionByName(_tag(int8_arm, "int8"))
         .unionByName(_tag(stride, "stride"))
         .unionByName(_tag(pq, "pq"))
         .unionByName(_tag(lsh, "lsh"))

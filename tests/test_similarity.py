@@ -380,3 +380,37 @@ def test_kmeans_exact_mean_matches_sql_replay(spark):
         (r[0], r[1], r[2], r[3]) for r in con.execute(_IVF_TRAINED_SQL).fetchall()
     }
     assert got == want
+
+
+def test_int8_serving_recall_near_brute(spark):
+    """The quantized-serving path (ann_topk_suite 'int8' arm): corpus
+    vectors dequantized from symmetric int8 must rank nearly identically
+    to full precision — per-component error is bounded by scale/2, so
+    top-10 recall vs brute should be high on real-shaped data."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from stock_bars_data_engineering_project_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    corpus_dq = emb.select(
+        "vec_id",
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+    )
+    int8 = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(corpus_dq, queries, k=10).collect()
+    }
+    recall = len(brute & int8) / len(brute)
+    assert recall >= 0.9, recall
