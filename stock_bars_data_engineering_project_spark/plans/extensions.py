@@ -1931,6 +1931,31 @@ WHERE rank <= 10
 """
 
 
+# Matryoshka prefix-truncation serving replay: BOTH sides truncate to
+# the first 16 components (functions/vectors.truncate_dims,
+# renormalize=False — cosine is scale-invariant, so the unit-renorm
+# variant ranks identically and stays pytest-pinned; the raw-slice
+# form keeps the replay arithmetic one fold on each engine) and rank
+# by exact cosine in the truncated space — the dimension-reduction
+# serving lever (4x less vector IO at 64->16) next to int8's 4x.
+_MRL_SQL = f"""
+WITH mpairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           {sql_round(_COS_DOUBLE, 6)} AS cos
+    FROM (SELECT vec_id, embedding[1:16] AS va FROM embeddings WHERE vec_id < 5) q
+    JOIN (SELECT vec_id, embedding[1:16] AS vb FROM embeddings) c
+      ON c.vec_id != q.vec_id
+)
+SELECT query_id, vec_id, cos, rank
+FROM (
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+    FROM mpairs
+)
+WHERE rank <= 10
+"""
+
+
 # squared-L2 between va/vb, identical fold order both engines
 _L2_AB = """
 list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -2239,6 +2264,9 @@ UNION ALL
 SELECT 'int8' AS variant, query_id, vec_id, cos, rank
 FROM ({_INT8_SQL})
 UNION ALL
+SELECT 'mrl' AS variant, query_id, vec_id, cos, rank
+FROM ({_MRL_SQL})
+UNION ALL
 SELECT 'stride' AS variant, query_id, vec_id, cos, rank
 FROM ({_IVF_STRIDE_SQL})
 UNION ALL
@@ -2291,6 +2319,12 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       component rounding, and every reconstruction double — so the
       quantization ARITHMETIC is cross-engine-gated, not just the
       ranking it produces.
+    - `mrl` (round 8): the TRUNCATION-serving path — both sides keep
+      only the first 16 of 64 components (functions/vectors
+      .truncate_dims; MRL-trained embeddings order information by
+      prefix) and rank by exact cosine in the truncated space: the
+      dimension-reduction IO lever next to int8's precision one. The
+      oracle replays the slice and the truncated-space fold.
     - `stride`: IVF with map-only coarse quantization against a
       broadcast centroid array (every 125th vector), nprobe=4 inverted
       lists probed per query, exact cosine rank within candidates. The
@@ -2372,6 +2406,19 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8_arm = cosine_topk(corpus_dq, queries, k=10).withColumn(
         "rank", F.col("rank").cast("int")
     )
+    from ..functions.vectors import truncate_dims
+
+    def _trunc(df):
+        return df.select(
+            "vec_id",
+            truncate_dims(
+                F.col("embedding"), 16, renormalize=False
+            ).alias("embedding"),
+        )
+
+    mrl_arm = cosine_topk(_trunc(emb), _trunc(queries), k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
     stride = ivf_topk(emb, queries, k=10, centroid_stride=125, nprobe=4)
     pq = pq_topk(emb, queries, k=10, m=4, dim=64, stride=32, rerank=32)
     lsh = lsh_ann_topk(emb, queries, k=10, n_planes=5, probe_radius=2)
@@ -2431,6 +2478,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _tag(brute, "brute")
         .unionByName(_tag(int8_arm, "int8"))
+        .unionByName(_tag(mrl_arm, "mrl"))
         .unionByName(_tag(stride, "stride"))
         .unionByName(_tag(pq, "pq"))
         .unionByName(_tag(lsh, "lsh"))
