@@ -36,7 +36,7 @@ from ..operators.contamination import (
     exact_substr_scrub,
 )
 from ..operators.rangejoin import range_join
-from ..operators.sampling import stable_split, stratified_sample
+from ..operators.sampling import hash_bucket, stable_split, stratified_sample
 from ..operators.ema import ewma_per_key
 from ..operators.quality import bigram_surprisal, unigram_surprisal
 from ..functions.hashing import simhash60
@@ -543,37 +543,51 @@ def _bpe_rules_sql(n_merges: int, min_cnt: int) -> str:
     VARCHAR fields fold correctly) and splits at the end — sound while
     no document token contains the unit-separator byte, which the
     synthetic corpus never does. Round r's counts depend on rounds
-    1..r-1's applications, so the merge application itself is
-    value-gated transitively even though only the rules are emitted."""
-    ctes = ["""bwc AS (
+    1..r-1's applications, so the merge application is value-gated
+    transitively through the rules — and DIRECTLY by the 'bpe_encode'
+    arm, which emits every vocabulary word's final segmentation from
+    the last symbol table (the ENCODE side of the tokenizer,
+    operators/bpe.py bpe_segment on the Spark side): the word identity
+    rides the fold chain so the per-word pieces, piece count, and
+    count-weighted corpus token contribution are all hash-compared.
+
+    Every chain CTE is AS MATERIALIZED: bsym_r is referenced up to
+    three times (next round's pair counts, next round's no-rule
+    fallback, and — for the last round — the encode arm), and DuckDB's
+    default inline-per-reference expansion re-evaluates the whole
+    prefix per reference, turning the 6-round chain ~8x-per-round
+    exponential (measured: 2.1 s at 4 rounds, minutes at 6).
+    Materialization makes it what it is on the Spark side: 6 linear
+    passes over a vocabulary-sized table (0.13 s)."""
+    ctes = ["""bwc AS MATERIALIZED (
     SELECT word, COUNT(*) AS n FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
     ) WHERE word != '' GROUP BY word
 ),
-bsym_0 AS (
-    SELECT n, list_transform(range(1, length(word) + 1), i -> word[i]) || ['</w>'] AS syms
+bsym_0 AS MATERIALIZED (
+    SELECT word, n, list_transform(range(1, length(word) + 1), i -> word[i]) || ['</w>'] AS syms
     FROM bwc
 )"""]
     for r in range(1, n_merges + 1):
         p = r - 1
-        ctes.append(f"""bpc_{r} AS (
+        ctes.append(f"""bpc_{r} AS MATERIALIZED (
     SELECT p.a AS a, p.b AS b, SUM(n) AS cnt
     FROM bsym_{p}, unnest(CASE WHEN len(syms) >= 2
         THEN list_transform(range(1, len(syms)), i -> {{'a': syms[i], 'b': syms[i+1]}})
         ELSE [] END) AS t(p)
     GROUP BY p.a, p.b
 ),
-bbest_{r} AS (
+bbest_{r} AS MATERIALIZED (
     SELECT a, b, cnt FROM bpc_{r} WHERE cnt >= {min_cnt}
     ORDER BY cnt DESC, a, b LIMIT 1
 ),
-bsym_{r} AS (
-    SELECT s.n,
+bsym_{r} AS MATERIALIZED (
+    SELECT s.word, s.n,
            list_filter(string_split(
                CASE WHEN s.r_.carry IS NULL THEN s.r_.out ELSE s.r_.out || s.r_.carry END,
                chr(31)), x_ -> x_ != '') AS syms
     FROM (
-        SELECT s0.n, list_reduce(
+        SELECT s0.word, s0.n, list_reduce(
             list_prepend({{'out': '', 'carry': NULL::VARCHAR}},
                          list_transform(s0.syms, s_ -> {{'out': '', 'carry': s_}})),
             (acc, x) -> CASE
@@ -583,9 +597,9 @@ bsym_{r} AS (
                                    ELSE acc.out || acc.carry || chr(31) END,
                       'carry': x.carry}} END) AS r_
         FROM bsym_{p} s0 CROSS JOIN bbest_{r} m
-    ) s(n, r_)
+    ) s(word, n, r_)
     UNION ALL
-    SELECT n, syms FROM bsym_{p} WHERE NOT EXISTS (SELECT 1 FROM bbest_{r})
+    SELECT word, n, syms FROM bsym_{p} WHERE NOT EXISTS (SELECT 1 FROM bbest_{r})
 )""")
     arms = "\nUNION ALL\n".join(
         f"SELECT 'bpe_rule' AS tag, CAST(NULL AS BIGINT) AS doc_id, "
@@ -593,6 +607,13 @@ bsym_{r} AS (
         f"CAST({r} AS INT) AS rank FROM bbest_{r}"
         for r in range(1, n_merges + 1)
     )
+    arms += f"""
+UNION ALL
+SELECT 'bpe_encode' AS tag, CAST(NULL AS BIGINT) AS doc_id,
+       word || ' -> ' || array_to_string(syms, ' ') AS term,
+       CAST(n * len(syms) AS DOUBLE) AS score,
+       CAST(len(syms) AS INT) AS rank
+FROM bsym_{n_merges}"""
     return "WITH " + ",\n".join(ctes) + "\n" + arms
 
 
@@ -908,9 +929,9 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle re-learns it from scratch — counts, the lexicographic
     # argmax tie-break, and the leftmost-first merge application are
     # all cross-engine-gated (each round's counts depend on every prior
-    # round's application). Batched non-interacting merge rounds and
-    # the encode side (bpe_segment) stay pinned in tests/test_bpe.py.
-    from ..operators.bpe import train_bpe
+    # round's application). Batched non-interacting merge rounds stay
+    # pinned in tests/test_bpe.py.
+    from ..operators.bpe import bpe_segment, train_bpe, word_counts
 
     rules = train_bpe(docs, n_merges=_BPE_MERGES)
     bpe_arm = spark.createDataFrame(
@@ -919,6 +940,24 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b, c) in enumerate(rules)
         ],
         "tag string, doc_id bigint, term string, score double, rank int",
+    )
+    # (e2) the tokenizer's ENCODE side (bpe_segment): replay the learned
+    # rules in training order over the corpus VOCABULARY — the same
+    # Heaps'-law collapse that makes training tractable makes encoding
+    # tractable (each distinct word is segmented once; a corpus-sized
+    # encode is this table joined back on the word). Per-word pieces,
+    # the piece count, and the count-weighted corpus token contribution
+    # (n * len(pieces) — summing this column IS the corpus BPE token
+    # count) are all value-gated against the oracle's fold chain.
+    encoded = bpe_segment(word_counts(docs), rules)
+    encode_arm = encoded.select(
+        F.lit("bpe_encode").alias("tag"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.concat(F.col("word"), F.lit(" -> "), F.concat_ws(" ", "pieces")).alias(
+            "term"
+        ),
+        (F.col("n") * F.size("pieces")).cast("double").alias("score"),
+        F.size("pieces").cast("int").alias("rank"),
     )
     # (f) classifier TRAINING (functions/quality_model.py
     # train_quality_classifier): full-batch preconditioned logistic
@@ -945,6 +984,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bigram_lm_arm)
         .unionByName(lm_state_arm)
         .unionByName(bpe_arm)
+        .unionByName(encode_arm)
         .unionByName(train_arm)
     )
 
@@ -1606,8 +1646,29 @@ FROM (
     ) t ON d.source IS NOT DISTINCT FROM t.source
 )
 WHERE b < thr
+UNION ALL
+SELECT 'curriculum' AS tag, doc_id,
+       'p' || CAST(phase AS VARCHAR) || '_s' ||
+       CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+            % 4 AS VARCHAR) AS label
+FROM (
+    WITH dsz AS (SELECT doc_id, len(string_split(text, ' ')) AS sz FROM documents),
+    cumh AS (
+        SELECT sz, SUM(c) OVER (ORDER BY sz) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT sz, COUNT(*) AS c FROM dsz GROUP BY sz)
+    ),
+    bounds AS (
+        SELECT k, MIN(sz) AS t
+        FROM cumh CROSS JOIN range(1, 10) kk(k)
+        WHERE cum * 10 >= k * n
+        GROUP BY k
+    )
+    SELECT d.doc_id,
+           (SELECT COUNT(*) FROM bounds b WHERE d.sz > b.t) AS phase
+    FROM dsz d
+)
 """,
-    tags=("sampling", "mixture", "tokens", "shuffle"),
+    tags=("sampling", "mixture", "tokens", "shuffle", "curriculum"),
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic sampling family in one tagged result, all
@@ -1630,9 +1691,16 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, broadcast back, membership by the same salted-hash rule
     — sqrt and division are correctly-rounded IEEE, so the thresholds
     are bit-identical across engines (operators/sampling.py
-    alpha_mixture_sample; alpha-law tests in tests/test_stats.py)."""
+    alpha_mixture_sample; alpha-law tests in tests/test_stats.py);
+    (f) curriculum-learning phase assignment (operators/sampling.py
+    curriculum_phases): the corpus ordered into 10 length-quantile
+    phases ('p0'..'p9', short documents first) with integer-exact
+    histogram-derived boundaries — no interpolated percentile, so no
+    cross-engine FP hazard — plus a salted 4-way shard within each
+    phase; label 'p{phase}_s{shard}' gates both assignments."""
     from ..operators.sampling import (
         alpha_mixture_sample,
+        curriculum_phases,
         shuffle_shards,
         token_budget_sample,
     )
@@ -1665,11 +1733,24 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, alpha=0.5, stratum_col="source", id_col="doc_id",
         size=token_count(F.col("text")),
     ).select(F.lit("alpha").alias("tag"), "doc_id", F.col("source").alias("label"))
+    curr_arm = curriculum_phases(
+        docs, size=F.size(F.split(F.col("text"), " "))
+    ).select(
+        F.lit("curriculum").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.lit("p"),
+            F.col("phase").cast("string"),
+            F.lit("_s"),
+            hash_bucket(F.col("doc_id"), 4, salt="curr").cast("string"),
+        ).alias("label"),
+    )
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
         .unionByName(shard_arm)
         .unionByName(alpha_arm)
+        .unionByName(curr_arm)
     )
 
 
