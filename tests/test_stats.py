@@ -283,3 +283,63 @@ def test_alpha_mixture_laws(spark):
         alpha_mixture_sample(df.withColumn("_thr", F.lit(1)), size=F.col("n"))
     with pytest.raises(ValueError, match="alpha"):
         alpha_mixture_sample(df, alpha=1.5, size=F.col("n"))
+
+
+def test_curriculum_phases_matches_python_replay(spark):
+    """curriculum_phases equals a pure-Python replay of its own
+    histogram-boundary contract on the real corpus: boundary t_k is the
+    smallest size whose cumulative count satisfies cum*P >= k*n (the
+    division-free form of ceil(k*n/P)), phase = #{boundaries strictly
+    below the doc's size}. Exact dict equality — the integer-only
+    boundary rule leaves nothing to tolerance."""
+    from collections import Counter
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        curriculum_phases,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    size = F.size(F.split(F.col("text"), " "))
+    rows = docs.select("doc_id", size.alias("sz")).collect()
+    n, P = len(rows), 10
+    hist = Counter(r.sz for r in rows)
+    cum, c = {}, 0
+    for s in sorted(hist):
+        c += hist[s]
+        cum[s] = c
+    thresholds = [
+        min(s for s in cum if cum[s] * P >= k * n) for k in range(1, P)
+    ]
+    expected = {
+        r.doc_id: sum(1 for t in thresholds if r.sz > t) for r in rows
+    }
+    got = {
+        r.doc_id: r.phase
+        for r in curriculum_phases(docs, size=size)
+        .select("doc_id", "phase")
+        .collect()
+    }
+    assert got == expected
+    # every phase is populated on the real corpus, and equal sizes
+    # never straddle a boundary (ties share a phase by construction)
+    assert set(got.values()) == set(range(P))
+    by_sz = {}
+    for r in rows:
+        by_sz.setdefault(r.sz, set()).add(got[r.doc_id])
+    assert all(len(ph) == 1 for ph in by_sz.values())
+
+
+def test_curriculum_phases_guards(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        curriculum_phases,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="n_phases"):
+        curriculum_phases(df, size=F.col("n"), n_phases=1)
+    with pytest.raises(ValueError, match="phase"):
+        curriculum_phases(
+            df.withColumn("phase", F.lit(0)), size=F.col("n")
+        )
