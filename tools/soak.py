@@ -67,6 +67,11 @@ from stock_bars_data_engineering_project_spark.operators.retrieval import (  # n
 from stock_bars_data_engineering_project_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
 )
+from stock_bars_data_engineering_project_spark.functions.vectors import (  # noqa: E402
+    dequantize_int8,
+    quantize_int8,
+    truncate_dims,
+)
 from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
     quality_scores,
 )
@@ -411,6 +416,38 @@ def run(
                     "query_id", F.col("vec_id").alias("doc_id"), "rank"
                 ),
             ],
+            k=10,
+        ),
+        # int8 quantized serving: symmetric per-vector quantize +
+        # dequantize (map-only, all codegen) feeding the brute cosine
+        # top-k against the FIXED 25-query set — the curve should track
+        # the corpus scan, quantization adding a per-row constant
+        "ann_int8": lambda: cosine_topk(
+            emb.filter(F.col("vec_id") >= 25).select(
+                "vec_id",
+                dequantize_int8(
+                    quantize_int8(F.col("embedding"))
+                ).alias("embedding"),
+            ),
+            emb.filter(F.col("vec_id") < 25),
+            k=10,
+        ),
+        # Matryoshka prefix serving: both sides truncated to 16 dims —
+        # 4x less dot-product work per row at every scale; the curve
+        # should track (and sit under) ann_int8's corpus scan
+        "ann_mrl": lambda: cosine_topk(
+            emb.filter(F.col("vec_id") >= 25).select(
+                "vec_id",
+                truncate_dims(
+                    F.col("embedding"), 16, renormalize=False
+                ).alias("embedding"),
+            ),
+            emb.filter(F.col("vec_id") < 25).select(
+                "vec_id",
+                truncate_dims(
+                    F.col("embedding"), 16, renormalize=False
+                ).alias("embedding"),
+            ),
             k=10,
         ),
         # PRF: first pass + query-set-sized expansion + second full
