@@ -1,0 +1,101 @@
+"""Distribution-drift detection — the monitoring half of a training
+pipeline.
+
+A corpus or feature store that is re-ingested continuously needs an
+automated answer to "did this batch's distribution move?": upstream
+schema changes, seasonality, a broken producer, or a poisoned source
+all show up as a shifted value distribution long before they show up as
+a failed expectation. The standard industry metric is the Population
+Stability Index (PSI — the symmetrized-per-bin form of KL divergence
+used in credit-risk model monitoring for decades):
+
+    PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+with the conventional reading PSI < 0.1 stable, 0.1-0.25 moderate
+shift, > 0.25 action required.
+
+Determinism contract (this engine's oracle discipline):
+
+- **Fixed bin edges**, not derived quantile edges: drift monitoring
+  best practice anyway (quantile edges move with the data they are
+  supposed to judge), and it keeps binning a pure ``floor(value/w)`` —
+  integer-exact in any engine, no interpolated-percentile FP hazard.
+- **Laplace (+1) smoothing over the observed bin set**: an empty bin on
+  either side would make ln(p/q) infinite; +1 over exactly the bins
+  observed in EITHER population keeps every input to ln a ratio of
+  exact integers, so p and q are single correctly-rounded divisions and
+  the only cross-engine wiggle is the final double sum (absorbed by
+  round_half_up, same as every corr/surprisal arm).
+
+Scale shape: one partial-aggregable ``groupBy(keys, bucket)`` over the
+fact table is the ONLY corpus-sized stage; totals and the PSI fold run
+on the (keys x bins)-sized count table. No window over raw rows, no
+driver collect.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_half_up
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_reference: Column,
+    keys: Sequence[str] = ("event_type",),
+    bin_width: float = 10.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PSI between the ``is_reference`` rows and the rest, per key
+    group. Returns one row per key group with columns: the keys,
+    ``psi`` (rounded), and the exact audit integers ``n_ref``,
+    ``n_cur``, ``n_bins`` — gating the population sizes and the bin
+    support alongside the statistic itself.
+
+    ``is_reference`` is any boolean Column (e.g. an even/odd epoch-day
+    split for temporal drift, or a batch-id predicate for
+    batch-over-batch drift). Rows where it is NULL are treated as
+    current — callers wanting a third bucket should filter first.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    bucket = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    ref_flag = F.when(is_reference, F.lit(1)).otherwise(F.lit(0))
+    # one corpus-sized partial-agg pass: per (key, bucket) side counts
+    counts = (
+        df.select(*keys, bucket.alias("_bucket"), ref_flag.alias("_is_ref"))
+        .groupBy(*keys, "_bucket")
+        .agg(
+            F.sum("_is_ref").alias("_c_ref"),
+            F.sum(F.lit(1) - F.col("_is_ref")).alias("_c_cur"),
+        )
+    )
+    # per-key totals via a window over the (keys x bins)-sized count
+    # table — NOT a self-join: an equi-join would silently drop a NULL
+    # key group (the exact hazard the sketch arm's eqNullSafe comment
+    # documents), while partitionBy treats NULL as a group like groupBy
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    joined = (
+        counts.withColumn("_n_ref", F.sum("_c_ref").over(w))
+        .withColumn("_n_cur", F.sum("_c_cur").over(w))
+        .withColumn("_n_bins", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("_c_ref") + F.lit(1.0)) / (F.col("_n_ref") + F.col("_n_bins"))
+    q = (F.col("_c_cur") + F.lit(1.0)) / (F.col("_n_cur") + F.col("_n_bins"))
+    return (
+        joined.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy(*keys)
+        .agg(
+            round_half_up(F.sum("_term"), round_dp).alias("psi"),
+            F.first("_n_ref").alias("n_ref"),
+            F.first("_n_cur").alias("n_cur"),
+            F.first("_n_bins").alias("n_bins"),
+        )
+    )

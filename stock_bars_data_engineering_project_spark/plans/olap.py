@@ -154,6 +154,48 @@ FROM (
     WHERE (a.day - f.cohort_day) <= 7
     GROUP BY f.cohort_day, (a.day - f.cohort_day)
 )
+UNION ALL
+SELECT 'psi' AS tag, event_type AS group_key, metric, value
+FROM (
+    WITH psi_cnt AS (
+        SELECT event_type, bucket,
+               SUM(is_ref) AS c_ref, SUM(1 - is_ref) AS c_cur
+        FROM (
+            SELECT event_type,
+                   CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+                   CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events
+        )
+        GROUP BY event_type, bucket
+    ),
+    psi_b AS (
+        SELECT event_type, c_ref, c_cur,
+               SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_bins
+        FROM psi_cnt
+    ),
+    psi_k AS (
+        SELECT event_type,
+               {sql_round(
+                   "SUM(((c_ref + 1.0) / (n_ref + n_bins)"
+                   " - (c_cur + 1.0) / (n_cur + n_bins))"
+                   " * ln(((c_ref + 1.0) / (n_ref + n_bins))"
+                   " / ((c_cur + 1.0) / (n_cur + n_bins))))", 6)} AS psi,
+               CAST(MAX(n_ref) AS DOUBLE) AS n_ref,
+               CAST(MAX(n_cur) AS DOUBLE) AS n_cur,
+               CAST(MAX(n_bins) AS DOUBLE) AS n_bins
+        FROM psi_b GROUP BY event_type
+    )
+    SELECT event_type, 'psi' AS metric, psi AS value FROM psi_k
+    UNION ALL
+    SELECT event_type, 'n_ref', n_ref FROM psi_k
+    UNION ALL
+    SELECT event_type, 'n_cur', n_cur FROM psi_k
+    UNION ALL
+    SELECT event_type, 'n_bins', n_bins FROM psi_k
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -390,12 +432,45 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_users").cast("double").alias("value"),
     )
+    # (g) PSI distribution drift (round 8, operators/drift.py): the
+    # standard model-monitoring statistic, computed per event type as
+    # temporal drift — reference = even epoch-day rows, current = odd —
+    # over fixed-width value bins with Laplace smoothing on the
+    # observed bin support. The audit integers (populations, bin count)
+    # ride along as metrics so the gate covers the inputs, not just the
+    # one rounded double.
+    from ..operators.drift import psi_drift
+
+    day_idx = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    psi_arm = (
+        psi_drift(ev, "value", is_reference=day_idx % 2 == 0)
+        .select(
+            "event_type",
+            "psi",
+            F.col("n_ref").cast("double").alias("n_ref"),
+            F.col("n_cur").cast("double").alias("n_cur"),
+            F.col("n_bins").cast("double").alias("n_bins"),
+        )
+        .melt(
+            ids=["event_type"],
+            values=["psi", "n_ref", "n_cur", "n_bins"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("psi").alias("tag"),
+            F.col("event_type").alias("group_key"),
+            "metric",
+            "value",
+        )
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
         .unionByName(sketch_arm)
         .unionByName(ret_arm)
         .unionByName(cohort_arm)
+        .unionByName(psi_arm)
     )
 
 
