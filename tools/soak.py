@@ -75,6 +75,7 @@ from stock_bars_data_engineering_project_spark.functions.vectors import (  # noq
 from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
     quality_scores,
 )
+from stock_bars_data_engineering_project_spark.operators.drift import psi_drift  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
     rollup_increment,
@@ -342,6 +343,19 @@ def run(
             ("user_id",),
             ("v",),
             2,
+        ),
+        # PSI distribution drift: one partial-agg (key, bucket) pass
+        # over the fact table, then windows/folds on the (keys x bins)
+        # count table — the curve should track the scan, like
+        # sketch_rollup
+        "psi": lambda: psi_drift(
+            events,
+            "value",
+            is_reference=F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            % 2
+            == 0,
         ),
         # sketch-extended rollup state build: one partial-aggregating
         # pass; state size is O(groups), so the curve should track the
