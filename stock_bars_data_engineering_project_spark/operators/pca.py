@@ -38,13 +38,15 @@ from ..functions.vectors import as_double, dot
 _SUFFSTATS_SCHEMA = "n long, colsum array<double>, gram array<double>"
 
 
-def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
-    """(count, mean vector, covariance matrix) of an embedding column.
-
-    Returns plain numpy objects (the d x d matrix is driver-sized by
-    design). Raises on vectors whose length differs from ``dim`` —
-    silent zero-padding would corrupt the moments.
-    """
+def suffstats_rows(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-partition PCA sufficient statistics: each partition emits ONE
+    row (n, colsum, gram) of d*(d+1) + 1 doubles — the mergeable state
+    everything else in this module (and operators/incremental_pca.py's
+    persisted epochs) is built from. Raises on vectors whose length
+    differs from ``dim`` — silent zero-padding would corrupt the
+    moments."""
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -66,7 +68,15 @@ def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
                 {"n": [n], "colsum": [s.tolist()], "gram": [g.ravel().tolist()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(_partial, schema=_SUFFSTATS_SCHEMA)
+    return df.select(vec_col).mapInPandas(_partial, schema=_SUFFSTATS_SCHEMA)
+
+
+def covariance_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64):
+    """(count, mean vector, covariance matrix) of an embedding column.
+
+    Returns plain numpy objects (the d x d matrix is driver-sized by
+    design)."""
+    parts = suffstats_rows(df, vec_col, dim)
     # element-wise array sums across the (one-row-per-partition) stats:
     # explode to (idx, value) and sum per idx — thousands of rows total,
     # one tiny shuffle regardless of corpus size
@@ -99,6 +109,13 @@ def fit_pca(
     component's largest-magnitude coordinate is positive (eigenvectors
     are sign-ambiguous; an unfixed sign flips between runs/platforms)."""
     n, mean, cov = covariance_stats(df, vec_col, dim)
+    return fit_pca_from_moments(n, mean, cov, k)
+
+
+def fit_pca_from_moments(n: int, mean, cov, k: int) -> dict:
+    """The driver-side half of :func:`fit_pca`, split out so a model can
+    be fitted from PERSISTED moments (operators/incremental_pca.py)
+    without re-scanning any corpus. Same determinism contract."""
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T  # k x d

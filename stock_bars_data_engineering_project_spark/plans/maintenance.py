@@ -264,6 +264,11 @@ _PCA_MODEL_FLAGS = (
     "eigen_sum_le_total",
     "orthonormal",
     "sign_convention",
+    # round 8 — persisted incremental moments (operators/incremental_pca.py)
+    "inc_n_exact",
+    "inc_mean_matches",
+    "inc_cov_matches",
+    "inc_replay_idempotent",
 )
 
 
@@ -374,6 +379,46 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     desc_ok = all(evs[i] >= evs[i + 1] - 1e-12 for i in range(_PCA_K - 1))
     sum_ok = float(np.sum(evs)) <= total_var * (1 + 1e-9) + 1e-9
+    # (round 8) persisted incremental moments (operators/
+    # incremental_pca.py): the corpus as two vec_id-median batches
+    # folded into content-addressed epoch partitions of a scratch
+    # warehouse; the combined state must equal a full recount — n
+    # EXACTLY, mean/covariance to relative 1e-9 (double moments
+    # accumulate with addition-order rounding, so this is the lm_state
+    # "combined ≡ recount" gate with FP-law flags in place of integer
+    # hash identity) — and a redelivered batch must leave the state
+    # bit-identical (the epoch rewrite is a no-op by content address).
+    # The recount is one extra scan of the embeddings table — fine
+    # here: this suite is a verification surface (the sketch-arm
+    # precedent), and a production refit reads ONLY the state.
+    from ..operators.incremental_pca import (
+        ingest_pca_batch,
+        pca_moments_state,
+    )
+    from ..operators.pca import covariance_stats
+
+    inc_wh = scratch_warehouse(spark, "pca_moments_rows")
+    half = emb.agg(F.expr("percentile(vec_id, 0.5D)")).first()[0]
+    b1 = emb.filter(F.col("vec_id") <= half)
+    ingest_pca_batch(inc_wh, b1, dim=_PCA_DIM)
+    ingest_pca_batch(
+        inc_wh, emb.filter(F.col("vec_id") > half), dim=_PCA_DIM
+    )
+    n_i, mean_i, cov_i = pca_moments_state(inc_wh, dim=_PCA_DIM)
+    ingest_pca_batch(inc_wh, b1, dim=_PCA_DIM)  # redelivery
+    n_r, mean_r, cov_r = pca_moments_state(inc_wh, dim=_PCA_DIM)
+    fn, fmean, fcov = covariance_stats(emb, dim=_PCA_DIM)
+
+    def _rel_close(a, b, tol=1e-9):
+        return float(np.max(np.abs(a - b))) <= tol * (
+            1.0 + float(np.max(np.abs(b)))
+        )
+
+    replay_ok = (
+        n_r == n_i
+        and np.array_equal(mean_r, mean_i)
+        and np.array_equal(cov_r, cov_i)
+    )
     model_rows = [
         (-1, "n_rows", float(n)),
         (-1, "total_variance", _py_round_half_up(total_var, 6)),
@@ -382,6 +427,10 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-1, "eigen_sum_le_total", 1.0 if sum_ok else 0.0),
         (-1, "orthonormal", 1.0 if gram_ok else 0.0),
         (-1, "sign_convention", 1.0 if sign_ok else 0.0),
+        (-1, "inc_n_exact", 1.0 if n_i == fn else 0.0),
+        (-1, "inc_mean_matches", 1.0 if _rel_close(mean_i, fmean) else 0.0),
+        (-1, "inc_cov_matches", 1.0 if _rel_close(cov_i, fcov) else 0.0),
+        (-1, "inc_replay_idempotent", 1.0 if replay_ok else 0.0),
     ]
     model_arm = spark.createDataFrame(
         model_rows, "component int, metric string, value double"
