@@ -75,10 +75,19 @@ def psi_drift(
             F.sum(F.lit(1) - F.col("_is_ref")).alias("_c_cur"),
         )
     )
-    # per-key totals via a window over the (keys x bins)-sized count
-    # table — NOT a self-join: an equi-join would silently drop a NULL
-    # key group (the exact hazard the sketch arm's eqNullSafe comment
-    # documents), while partitionBy treats NULL as a group like groupBy
+    return _psi_from_side_counts(counts, keys, round_dp)
+
+
+def _psi_from_side_counts(
+    counts: DataFrame, keys: Sequence[str], round_dp: int
+) -> DataFrame:
+    """The PSI fold shared by :func:`psi_drift` and
+    :func:`psi_vs_reference`: ``counts`` is the per-(keys, bin) side
+    table (columns ``keys..., _bucket, _c_ref, _c_cur``); totals come
+    from a window over it — NOT a self-join: an equi-join would
+    silently drop a NULL key group (the exact hazard the sketch arm's
+    eqNullSafe comment documents), while partitionBy treats NULL as a
+    group like groupBy."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys)
@@ -99,3 +108,65 @@ def psi_drift(
             F.first("_n_bins").alias("n_bins"),
         )
     )
+
+
+def psi_vs_reference(
+    cur_counts: DataFrame,
+    ref_counts: DataFrame,
+    ref_keys: Sequence[str] = ("event_type",),
+    window_cols: Sequence[str] = ("window_start",),
+    round_dp: int = 6,
+) -> DataFrame:
+    """PSI of each (ref_keys x window) population against a FROZEN
+    per-ref_keys reference histogram — the monitoring shape: the
+    reference is the accepted corpus's bin counts (built once,
+    persisted or broadcast), each arriving window is judged against it
+    without the reference moving.
+
+    ``cur_counts``: ``ref_keys + window_cols + (bucket, n)`` — e.g. the
+    drained output of a streaming per-window histogram aggregation.
+    ``ref_counts``: ``ref_keys + (bucket, n)``. Bin support per window
+    is the union of the window's bins and the reference's bins for its
+    key (reference bins missing from a window still vote — a vanished
+    mode is drift). Join keys must be non-NULL (the equi-joins here
+    would drop NULL groups; map NULLs to a sentinel first — psi_drift
+    is the NULL-tolerant single-frame form).
+
+    Scale shape: everything here runs on histogram-sized tables
+    (ref = keys x bins, cur = keys x windows x bins); the reference
+    side is broadcast onto the window list.
+    """
+    rk, wc = list(ref_keys), list(window_cols)
+    keys = rk + wc
+    windows = cur_counts.select(*keys).distinct()
+    expanded = windows.join(
+        F.broadcast(
+            ref_counts.select(
+                *rk,
+                F.col("bucket").alias("_bucket"),
+                F.col("n").alias("_c_ref"),
+            )
+        ),
+        rk,
+    )
+    # align the two sides by UNION + re-aggregation, NOT a full outer
+    # join: `expanded` and the current counts share lineage (both
+    # derive from cur_counts), and Spark's self-join resolution cannot
+    # disambiguate the shared attribute ids even through aliases when
+    # cur_counts is a view (e.g. a streaming memory sink). The union is
+    # also one exchange cheaper than the join it replaces.
+    side_rows = expanded.select(
+        *keys, "_bucket", "_c_ref", F.lit(0).cast("long").alias("_c_cur")
+    ).unionByName(
+        cur_counts.select(
+            *keys,
+            F.col("bucket").alias("_bucket"),
+            F.lit(0).cast("long").alias("_c_ref"),
+            F.col("n").alias("_c_cur"),
+        )
+    )
+    both = side_rows.groupBy(*keys, "_bucket").agg(
+        F.sum("_c_ref").alias("_c_ref"),
+        F.sum("_c_cur").alias("_c_cur"),
+    )
+    return _psi_from_side_counts(both, keys, round_dp)

@@ -196,6 +196,64 @@ FROM (
     UNION ALL
     SELECT event_type, 'n_bins', n_bins FROM psi_k
 )
+UNION ALL
+SELECT 'psi_stream' AS tag,
+       event_type || '@d' || CAST(day_idx AS VARCHAR) AS group_key,
+       metric, value
+FROM (
+    WITH scur AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day_idx,
+               CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    sref AS (
+        SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    sexp AS (
+        SELECT w.event_type, w.day_idx, r.bucket, r.n AS c_ref
+        FROM (SELECT DISTINCT event_type, day_idx FROM scur) w
+        JOIN sref r ON w.event_type = r.event_type
+    ),
+    sboth AS (
+        SELECT COALESCE(e.event_type, c.event_type) AS event_type,
+               COALESCE(e.day_idx, c.day_idx) AS day_idx,
+               COALESCE(e.c_ref, 0) AS c_ref,
+               COALESCE(c.n, 0) AS c_cur
+        FROM sexp e FULL OUTER JOIN scur c
+          ON e.event_type = c.event_type AND e.day_idx = c.day_idx
+         AND e.bucket = c.bucket
+    ),
+    sb AS (
+        SELECT event_type, day_idx, c_ref, c_cur,
+               SUM(c_ref) OVER (PARTITION BY event_type, day_idx) AS n_ref,
+               SUM(c_cur) OVER (PARTITION BY event_type, day_idx) AS n_cur,
+               COUNT(*) OVER (PARTITION BY event_type, day_idx) AS n_bins
+        FROM sboth
+    ),
+    sp AS (
+        SELECT event_type, day_idx,
+               {sql_round(
+                   "SUM(((c_ref + 1.0) / (n_ref + n_bins)"
+                   " - (c_cur + 1.0) / (n_cur + n_bins))"
+                   " * ln(((c_ref + 1.0) / (n_ref + n_bins))"
+                   " / ((c_cur + 1.0) / (n_cur + n_bins))))", 6)} AS psi,
+               CAST(MAX(n_ref) AS DOUBLE) AS n_ref,
+               CAST(MAX(n_cur) AS DOUBLE) AS n_cur,
+               CAST(MAX(n_bins) AS DOUBLE) AS n_bins
+        FROM sb GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx, 'psi' AS metric, psi AS value FROM sp
+    UNION ALL
+    SELECT event_type, day_idx, 'n_ref', n_ref FROM sp
+    UNION ALL
+    SELECT event_type, day_idx, 'n_cur', n_cur FROM sp
+    UNION ALL
+    SELECT event_type, day_idx, 'n_bins', n_bins FROM sp
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -464,6 +522,67 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # (h) STREAMING drift (round 8): the monitoring loop a production
+    # pipeline actually runs — a REAL readStream drain aggregates each
+    # day-window's value histogram per event type (day index =
+    # floor(epoch_us / 86.4e9), a session-tz-independent integer, so
+    # the drained counts are identical under any driver session tz),
+    # then every window is judged against the FROZEN whole-corpus
+    # reference histogram via operators/drift.psi_vs_reference —
+    # reference bins missing from a window still vote (a vanished mode
+    # is drift). The oracle replays the windowed PSI from the raw
+    # events, so the streaming counts must equal the batch counts
+    # exactly for the row to hash-match.
+    import os
+
+    from ..operators.drift import psi_vs_reference
+    from ..streaming.windows import run_stream_to_memory
+    from .registry import scratch_warehouse
+
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    ref_counts = ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sub = ev.select("event_id", "ts", "event_type", "value")
+    root = scratch_warehouse(spark, "psi_stream_rows").root
+    src = os.path.join(root, "_src")
+    sub.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(sub.schema).parquet(src)
+    day_idx = F.floor(
+        event_micros(stream, "ts") / F.lit(86400000000.0)
+    ).cast("long")
+    cur = stream.groupBy(
+        F.col("event_type"), day_idx.alias("day_idx"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_memory(cur, "stats_psi_stream", output_mode="complete")
+    psi_stream_arm = (
+        psi_vs_reference(
+            spark.table("stats_psi_stream"),
+            ref_counts,
+            ref_keys=("event_type",),
+            window_cols=("day_idx",),
+        )
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("@d"),
+                F.col("day_idx").cast("string"),
+            ).alias("group_key"),
+            "psi",
+            F.col("n_ref").cast("double").alias("n_ref"),
+            F.col("n_cur").cast("double").alias("n_cur"),
+            F.col("n_bins").cast("double").alias("n_bins"),
+        )
+        .melt(
+            ids=["group_key"],
+            values=["psi", "n_ref", "n_cur", "n_bins"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("psi_stream").alias("tag"), "group_key", "metric", "value"
+        )
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
@@ -471,6 +590,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ret_arm)
         .unionByName(cohort_arm)
         .unionByName(psi_arm)
+        .unionByName(psi_stream_arm)
     )
 
 

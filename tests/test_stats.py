@@ -403,3 +403,61 @@ def test_psi_drift_matches_python_replay(spark):
 
     with pytest.raises(ValueError, match="bin_width"):
         psi_drift(df, "value", is_reference=F.col("is_ref"), bin_width=0.0)
+
+
+def test_psi_vs_reference_matches_python_replay(spark):
+    """psi_vs_reference (the frozen-reference monitoring form feeding
+    the streaming arm): per-window PSI against a fixed per-key
+    reference histogram — reference bins absent from a window still
+    vote (a vanished mode is drift), window bins absent from the
+    reference still vote, and an identical window reads ~0."""
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.drift import (
+        psi_vs_reference,
+    )
+
+    ref_rows = [("a", 0, 30), ("a", 1, 10), ("b", 0, 20)]
+    cur_rows = [
+        ("a", 100, 0, 30), ("a", 100, 1, 10),   # window 100 ≡ reference
+        ("a", 101, 2, 40),                       # window 101: new mode only
+        ("b", 100, 0, 5),
+    ]
+    ref = spark.createDataFrame(ref_rows, "k string, bucket long, n long")
+    cur = spark.createDataFrame(
+        cur_rows, "k string, w long, bucket long, n long"
+    )
+    got = {
+        (r.k, r.w): r
+        for r in psi_vs_reference(
+            cur, ref, ref_keys=("k",), window_cols=("w",)
+        ).collect()
+    }
+
+    def replay(refc, curc):
+        bins = set(refc) | set(curc)
+        nr, nc, nb = sum(refc.values()), sum(curc.values()), len(bins)
+        psi = sum(
+            ((refc.get(b, 0) + 1.0) / (nr + nb)
+             - (curc.get(b, 0) + 1.0) / (nc + nb))
+            * math.log(((refc.get(b, 0) + 1.0) / (nr + nb))
+                       / ((curc.get(b, 0) + 1.0) / (nc + nb)))
+            for b in bins
+        )
+        return psi, nr, nc, nb
+
+    cases = {
+        ("a", 100): ({0: 30, 1: 10}, {0: 30, 1: 10}),
+        ("a", 101): ({0: 30, 1: 10}, {2: 40}),
+        ("b", 100): ({0: 20}, {0: 5}),
+    }
+    assert set(got) == set(cases)
+    for key, (refc, curc) in cases.items():
+        psi, nr, nc, nb = replay(refc, curc)
+        r = got[key]
+        assert abs(r.psi - psi) < 1e-6, (key, r.psi, psi)
+        assert (r.n_ref, r.n_cur, r.n_bins) == (nr, nc, nb), key
+    assert abs(got[("a", 100)].psi) < 0.01   # identical window: stable
+    assert got[("a", 101)].psi > 0.25        # disjoint window: actionable
+    # the reference's vanished bins were included in window 101's support
+    assert got[("a", 101)].n_bins == 3
