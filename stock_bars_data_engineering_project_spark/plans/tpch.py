@@ -155,6 +155,15 @@ WHERE EXISTS (
       AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
 )
 UNION ALL
+SELECT 'bloom_semi_urgent' AS tag, c.c_custkey AS id
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+UNION ALL
 SELECT 'intersect_purchase_view' AS tag, id FROM (
     SELECT user_id AS id FROM events WHERE event_type = 'purchase'
     INTERSECT
@@ -180,7 +189,14 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     no post-join distinct); (c) ANSI INTERSECT (distinct semantics) —
     users who both purchased and viewed; (d) EXCEPT — the snapshot diff
     behind incremental training-data refreshes (docs new relative to a
-    prior snapshot), planned as a left-anti hash join."""
+    prior snapshot), planned as a left-anti hash join; (e) the same
+    semi join through operators/bloom.bloom_semi_join (round 8) — the
+    probe side is pre-filtered by an md5 bloom bitmap built from the
+    urgent-order keys before the exact LEFT SEMI runs. A bloom can only
+    false-positive, so the arm's rows must EQUAL arm (b)'s against the
+    same EXISTS oracle — the exactness contract of runtime row-level
+    filtering, gated cross-engine (fp-rate and pre-filter mechanics are
+    pinned in tests/test_bloom.py)."""
     c = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
@@ -201,6 +217,13 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("semi_recent_urgent").alias("tag"), F.col("c_custkey").alias("id")
         )
     )
+    from ..operators.bloom import bloom_semi_join
+
+    bloom_semi = bloom_semi_join(
+        c.select("c_custkey"), recent, key="c_custkey", build_key="o_custkey"
+    ).select(
+        F.lit("bloom_semi_urgent").alias("tag"), F.col("c_custkey").alias("id")
+    )
     inter = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id")
@@ -214,7 +237,12 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = docs.subtract(prior).select(
         F.lit("except_new_docs").alias("tag"), F.col("doc_id").alias("id")
     )
-    return anti.unionByName(semi).unionByName(inter).unionByName(diff)
+    return (
+        anti.unionByName(semi)
+        .unionByName(bloom_semi)
+        .unionByName(inter)
+        .unionByName(diff)
+    )
 
 
 @register(
