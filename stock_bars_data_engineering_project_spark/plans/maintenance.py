@@ -269,6 +269,9 @@ _PCA_MODEL_FLAGS = (
     "inc_mean_matches",
     "inc_cov_matches",
     "inc_replay_idempotent",
+    # round 8 — the same state built through a REAL readStream +
+    # foreachBatch drain (streaming/incremental.pca_ingest_stream)
+    "inc_stream_matches",
 )
 
 
@@ -419,6 +422,32 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         and np.array_equal(mean_r, mean_i)
         and np.array_equal(cov_r, cov_i)
     )
+    # the STREAMING delivery of the same state: two parquet file waves
+    # through a real readStream + foreachBatch drain, each micro-batch
+    # folding its moments into a separate epoch log — the combined
+    # state must satisfy the same recount laws however the trigger
+    # sliced the backlog (moments are exactly additive; the epoch
+    # address makes replays bit-level no-ops)
+    import os as _os
+
+    from ..streaming.incremental import pca_ingest_stream
+
+    s_src = _os.path.join(inc_wh.root, "_pca_src")
+    s_ckpt = _os.path.join(inc_wh.root, "_pca_ckpt")
+    emb_sub = emb.select("vec_id", "embedding")
+    emb_sub.filter(F.col("vec_id") <= half).write.mode("append").parquet(s_src)
+    pca_ingest_stream(
+        spark, s_src, emb_sub.schema, inc_wh, s_ckpt,
+        table="pca_moments_stream", dim=_PCA_DIM,
+    )
+    emb_sub.filter(F.col("vec_id") > half).write.mode("append").parquet(s_src)
+    pca_ingest_stream(
+        spark, s_src, emb_sub.schema, inc_wh, s_ckpt,
+        table="pca_moments_stream", dim=_PCA_DIM,
+    )
+    n_s, mean_s, cov_s = pca_moments_state(
+        inc_wh, table="pca_moments_stream", dim=_PCA_DIM
+    )
     model_rows = [
         (-1, "n_rows", float(n)),
         (-1, "total_variance", _py_round_half_up(total_var, 6)),
@@ -431,6 +460,15 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-1, "inc_mean_matches", 1.0 if _rel_close(mean_i, fmean) else 0.0),
         (-1, "inc_cov_matches", 1.0 if _rel_close(cov_i, fcov) else 0.0),
         (-1, "inc_replay_idempotent", 1.0 if replay_ok else 0.0),
+        (
+            -1,
+            "inc_stream_matches",
+            1.0
+            if n_s == fn
+            and _rel_close(mean_s, fmean)
+            and _rel_close(cov_s, fcov)
+            else 0.0,
+        ),
     ]
     model_arm = spark.createDataFrame(
         model_rows, "component int, metric string, value double"

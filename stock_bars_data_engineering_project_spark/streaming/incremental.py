@@ -184,3 +184,56 @@ def dedup_ingest_stream(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def pca_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    table: str = "pca_moments",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    available_now: bool = True,
+):
+    """Streaming PCA-moment maintenance: each micro-batch's sufficient
+    statistics fold into the content-addressed epoch log
+    (operators/incremental_pca.ingest_pca_batch), so the projection /
+    whitening model stays refittable from state while the corpus
+    streams in — no history re-scan at any point.
+
+    Exactly-once composition, the dedup_ingest_stream argument: the
+    file-source offset checkpoint gives at-least-once micro-batch
+    delivery, and a replayed batch derives the identical content
+    address and rewrites the identical epoch partition — a bit-level
+    no-op. Moments are exactly additive, so ANY micro-batching of the
+    same files yields a combined state equal to the one-shot recount
+    (n exactly; mean/covariance to addition-order rounding — the
+    relative-1e-9 law the driver row flags).
+
+    Empty micro-batches (a trigger firing with no new files) are
+    skipped: there is nothing to address and nothing to add.
+    """
+    from ..operators.incremental_pca import ingest_pca_batch
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_pca_batch(
+            wh, batch, table=table, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -79,3 +79,37 @@ def test_guards(spark, emb, tmp_path):
     ingest_pca_batch(wh, emb.limit(10), id_col="vec_id", dim=DIM)
     with pytest.raises(ValueError, match="wrong dim"):
         pca_moments_state(wh, dim=32)
+
+
+def test_pca_ingest_stream_matches_recount(spark, emb, tmp_path):
+    """The streaming drain (streaming/incremental.pca_ingest_stream):
+    two parquet file waves through a real readStream + foreachBatch
+    fold must produce a combined state satisfying the same recount
+    laws as the batch path, however the trigger sliced the backlog."""
+    import os
+
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        pca_ingest_stream,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "pca_swh"))
+    src = os.path.join(str(tmp_path), "_src")
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+    sub = emb.select("vec_id", "embedding")
+    half = emb.agg(F.expr("percentile(vec_id, 0.5D)")).first()[0]
+
+    sub.filter(F.col("vec_id") <= half).write.mode("append").parquet(src)
+    pca_ingest_stream(spark, src, sub.schema, wh, ckpt, dim=DIM)
+    sub.filter(F.col("vec_id") > half).write.mode("append").parquet(src)
+    pca_ingest_stream(spark, src, sub.schema, wh, ckpt, dim=DIM)
+
+    n, mean, cov = pca_moments_state(wh, dim=DIM)
+    fn, fmean, fcov = covariance_stats(emb, dim=DIM)
+    assert n == fn
+    assert _rel_close(mean, fmean)
+    assert _rel_close(cov, fcov)
+
+    # a third drain with no new files is a no-op (offset checkpoint)
+    pca_ingest_stream(spark, src, sub.schema, wh, ckpt, dim=DIM)
+    n2, mean2, cov2 = pca_moments_state(wh, dim=DIM)
+    assert (n2, list(mean2)) == (n, list(mean))
