@@ -75,6 +75,7 @@ from stock_bars_data_engineering_project_spark.functions.vectors import (  # noq
 from stock_bars_data_engineering_project_spark.functions.quality_model import (  # noqa: E402
     quality_scores,
 )
+from stock_bars_data_engineering_project_spark.operators.bloom import bloom_semi_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.drift import psi_drift  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
@@ -343,6 +344,18 @@ def run(
             ("user_id",),
             ("v",),
             2,
+        ),
+        # bloom pre-filtered semi join: bitmap build is one partial-agg
+        # pass over the (linearly growing) purchase slice, membership a
+        # map-only codegen filter on the full stream — the curve should
+        # track the two scans; the bitmap collect is O(m), constant
+        "bloom_semi": lambda: bloom_semi_join(
+            events.select("event_id", "user_id"),
+            events.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("buyer_id")
+            ),
+            key="user_id",
+            build_key="buyer_id",
         ),
         # PSI distribution drift: one partial-agg (key, bucket) pass
         # over the fact table, then windows/folds on the (keys x bins)
