@@ -379,3 +379,67 @@ def curriculum_phases(
         start=F.lit(0),
     ).cast("int")
     return sized.withColumn("phase", phase).drop("_sz")
+
+
+def walk_forward_days(
+    df: DataFrame,
+    day_idx: Column,
+    n_folds: int = 3,
+    test_days: int = 5,
+    embargo_days: int = 2,
+) -> DataFrame:
+    """Leakage-safe walk-forward backtest folds over a time-keyed fact
+    table (the purged/embargoed cross-validation of financial ML — the
+    split a stock-bars pipeline must use where a hash split would leak
+    tomorrow's prices into training). Returns one row per
+    (day, fold): ``(day_idx, fold, role)`` with role in
+    {'train', 'embargo', 'test', 'future'}.
+
+    Fold k (0-based) tests on the k-th of the last ``n_folds``
+    consecutive ``test_days`` blocks; training uses only days STRICTLY
+    before the test block minus ``embargo_days`` (the embargo absorbs
+    label lookahead/serial correlation at the boundary); days after the
+    fold's test block are 'future' (unusable for that fold). Row-level
+    assignment is a pure function of the row's day, so the day-level
+    table IS the split — join it back on the day for row membership.
+
+    Determinism/scale shape: day boundaries derive from one min/max
+    aggregate (two driver scalars); the fold table is
+    (distinct days x n_folds) rows built from a broadcast fold list;
+    every comparison is integer day arithmetic — no timestamps, no FP,
+    no tz.
+    """
+    if n_folds <= 0 or test_days <= 0 or embargo_days < 0:
+        raise ValueError(
+            f"need n_folds > 0, test_days > 0, embargo_days >= 0; got "
+            f"{n_folds}, {test_days}, {embargo_days}"
+        )
+    days = df.select(day_idx.cast("long").alias("day_idx")).distinct()
+    bounds = days.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    ).first()
+    lo, hi = bounds.lo, bounds.hi
+    if lo is None:
+        raise ValueError("walk_forward_days: no days in input")
+    first_test_start = hi - n_folds * test_days + 1
+    if first_test_start - embargo_days <= lo:
+        raise ValueError(
+            f"walk_forward_days: not enough history — fold 0's training "
+            f"window is empty (days span [{lo}, {hi}], first test starts "
+            f"at {first_test_start}, embargo {embargo_days})"
+        )
+    folds = days.sparkSession.createDataFrame(
+        [(k,) for k in range(n_folds)], "fold int"
+    )
+    test_start = F.lit(first_test_start) + F.col("fold") * test_days
+    test_end = test_start + test_days - 1
+    d = F.col("day_idx")
+    role = (
+        F.when(d < test_start - embargo_days, "train")
+        .when(d < test_start, "embargo")
+        .when(d <= test_end, "test")
+        .otherwise("future")
+    )
+    return days.crossJoin(F.broadcast(folds)).select(
+        "day_idx", "fold", role.alias("role")
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import round_half_up, sql_round
+from ..functions.scalars import event_micros, round_half_up, sql_round
 from ..functions.text import (
     EN_STOPWORDS,
     LANG_PROFILES,
@@ -1662,6 +1662,26 @@ FROM (
 )
 WHERE b < thr
 UNION ALL
+SELECT 'walkforward' AS tag, day_idx AS doc_id,
+       'f' || CAST(fold AS VARCHAR) || ':' ||
+       CASE WHEN day_idx < ts0 + fold * 5 - 2 THEN 'train'
+            WHEN day_idx < ts0 + fold * 5 THEN 'embargo'
+            WHEN day_idx <= ts0 + fold * 5 + 4 THEN 'test'
+            ELSE 'future' END AS label
+FROM (
+    SELECT d.day_idx, f.fold, b.hi - 3 * 5 + 1 AS ts0
+    FROM (
+        SELECT DISTINCT CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT)
+               AS day_idx
+        FROM events
+    ) d
+    CROSS JOIN range(0, 3) f(fold)
+    CROSS JOIN (
+        SELECT MAX(CAST(FLOOR(epoch_ms(ts) / 86400000.0) AS BIGINT)) AS hi
+        FROM events
+    ) b
+)
+UNION ALL
 SELECT 'curriculum' AS tag, doc_id,
        'p' || CAST(phase AS VARCHAR) || '_s' ||
        CAST(('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
@@ -1712,12 +1732,21 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     phases ('p0'..'p9', short documents first) with integer-exact
     histogram-derived boundaries — no interpolated percentile, so no
     cross-engine FP hazard — plus a salted 4-way shard within each
-    phase; label 'p{phase}_s{shard}' gates both assignments."""
+    phase; label 'p{phase}_s{shard}' gates both assignments;
+    (g) leakage-safe walk-forward backtest folds over the EVENTS table
+    (operators/sampling.walk_forward_days, round 8): the purged/
+    embargoed time-series cross-validation financial ML requires —
+    fold k tests on the k-th of the last three 5-day blocks, trains
+    strictly before the block minus a 2-day embargo; the day-level
+    fold table IS the split (row membership is a pure function of the
+    row's day), emitted as (day_idx, 'f{fold}:{role}') with every
+    boundary an integer day comparison."""
     from ..operators.sampling import (
         alpha_mixture_sample,
         curriculum_phases,
         shuffle_shards,
         token_budget_sample,
+        walk_forward_days,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1760,12 +1789,27 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_bucket(F.col("doc_id"), 4, salt="curr").cast("string"),
         ).alias("label"),
     )
+    ev_wf = load_table(spark, sf_dir, "events")
+    wf_arm = walk_forward_days(
+        ev_wf,
+        day_idx=F.floor(event_micros(ev_wf, "ts") / F.lit(86400000000.0)),
+        n_folds=3,
+        test_days=5,
+        embargo_days=2,
+    ).select(
+        F.lit("walkforward").alias("tag"),
+        F.col("day_idx").alias("doc_id"),
+        F.concat(
+            F.lit("f"), F.col("fold").cast("string"), F.lit(":"), F.col("role")
+        ).alias("label"),
+    )
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
         .unionByName(shard_arm)
         .unionByName(alpha_arm)
         .unionByName(curr_arm)
+        .unionByName(wf_arm)
     )
 
 

@@ -461,3 +461,52 @@ def test_psi_vs_reference_matches_python_replay(spark):
     assert got[("a", 101)].psi > 0.25        # disjoint window: actionable
     # the reference's vanished bins were included in window 101's support
     assert got[("a", 101)].n_bins == 3
+
+
+def test_walk_forward_days_laws(spark):
+    """walk_forward_days: per-fold leakage laws on the real events
+    table — max train day + embargo < min test day, test blocks are
+    exactly test_days wide, consecutive folds' test blocks tile the
+    calendar tail, roles partition every (day, fold), and the
+    not-enough-history guard is loud."""
+    from collections import defaultdict
+
+    from stock_bars_data_engineering_project_spark.functions.scalars import (
+        event_micros,
+    )
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        walk_forward_days,
+    )
+
+    ev = load_table(spark, SF, "events")
+    day = F.floor(event_micros(ev, "ts") / F.lit(86400000000.0))
+    out = walk_forward_days(
+        ev, day_idx=day, n_folds=3, test_days=5, embargo_days=2
+    ).collect()
+    days = {r.day_idx for r in out}
+    by_fold = defaultdict(lambda: defaultdict(set))
+    for r in out:
+        by_fold[r.fold][r.role].add(r.day_idx)
+    assert set(by_fold) == {0, 1, 2}
+    hi = max(days)
+    for k in range(3):
+        roles = by_fold[k]
+        test = roles["test"]
+        assert len(test) == 5
+        assert max(test) - min(test) == 4  # contiguous block
+        # the three test blocks tile the last 15 days, newest fold last
+        assert min(test) == hi - (3 - k) * 5 + 1
+        # leakage law: every train day precedes test by > embargo
+        assert max(roles["train"]) + 2 < min(test)
+        assert roles["embargo"] == {min(test) - 2, min(test) - 1}
+        # partition law: each (day, fold) has exactly one role
+        assert sum(len(v) for v in roles.values()) == len(days)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not enough history"):
+        walk_forward_days(
+            ev, day_idx=day, n_folds=6, test_days=5, embargo_days=2
+        )
+    with pytest.raises(ValueError, match="n_folds"):
+        walk_forward_days(ev, day_idx=day, n_folds=0)
