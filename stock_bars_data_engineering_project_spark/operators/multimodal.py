@@ -366,3 +366,126 @@ def phash_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("b.id").alias("id_b"),
         hamming(F.col("a.phash"), F.col("b.phash")).cast("int").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: a REAL codec path with no external dependency
+# ---------------------------------------------------------------------------
+#
+# Unlike images (Pillow) and video (ffmpeg), WAV/PCM has a decoder in
+# the standard library — so the audio modality's decode seam EXECUTES
+# for real everywhere, the same closure the stdlib-synthesized PNG
+# fixture gave the image path in round 8. The synthesizer writes honest
+# RIFF/PCM bytes through `wave`; the decoder reads them back through
+# `wave` + numpy. A production pipeline swaps synth for object-storage
+# reads and this decoder for torchaudio/ffmpeg — the Spark-side
+# plumbing (binary column in, Arrow-batched mapInPandas, scalar
+# metrics out) is exactly what ships here.
+
+_WAV_RATE = 8000
+_WAV_AMP = 12000
+
+
+def synth_wav(
+    seed: int, n_samples: int, freq_hz: float, amp: int = _WAV_AMP
+) -> bytes:
+    """Real RIFF/PCM WAV bytes (mono, 16-bit, 8 kHz): a sine at
+    ``freq_hz`` — deterministic in (seed-derived) parameters, honest in
+    format: any WAV reader decodes it."""
+    import io
+    import math
+    import struct
+    import wave as wavmod
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h",
+                    int(round(amp * math.sin(2.0 * math.pi * freq_hz * i / _WAV_RATE))),
+                )
+                for i in range(n_samples)
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, float, float]:
+    """REAL audio decode (stdlib ``wave``): (n_samples, rms, peak) of a
+    mono 16-bit PCM payload. This is the executable counterpart of the
+    import-gated image decoder — no codec library needed."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    with wavmod.open(io.BytesIO(payload), "rb") as w:
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    if n == 0:
+        return 0, 0.0, 0.0
+    return n, float(np.sqrt(np.mean(pcm * pcm))), float(np.max(np.abs(pcm)))
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-row WAV payloads: n_samples = 800 + (id%50)*16
+    (SQL-replayable exactly), frequency 200 + (id%20)*20 Hz. Arrow-
+    batched mapInPandas — the bytes are born executor-side, never on
+    the driver."""
+    import pandas as pd
+
+    schema = f"{id_col} long, wav_payload binary"
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "wav_payload": [
+                        synth_wav(
+                            int(i),
+                            800 + (int(i) % 50) * 16,
+                            200.0 + (int(i) % 20) * 20.0,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_synth, schema=schema)
+
+
+def audio_metrics(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "wav_payload"
+) -> DataFrame:
+    """Per-payload audio scalars through the REAL decoder: one Arrow
+    batch in, (id, wav_samples, wav_rms, wav_peak) out — payload bytes
+    never outlive the stage (the multimodal scale rule: features
+    shuffle, media bytes don't)."""
+    import pandas as pd
+
+    schema = f"{id_col} long, wav_samples long, wav_rms double, wav_peak double"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {id_col: [], "wav_samples": [], "wav_rms": [], "wav_peak": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                n, rms, peak = decode_wav(bytes(payload))
+                out[id_col].append(int(i))
+                out["wav_samples"].append(n)
+                out["wav_rms"].append(rms)
+                out["wav_peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_decode, schema=schema)

@@ -3021,7 +3021,10 @@ SELECT d.doc_id,
        md5(d.text) AS content_md5,
        d.source AS media_source,
        ph.phash AS phash,
-       partners.dup_partner AS dup_partner
+       partners.dup_partner AS dup_partner,
+       800 + (d.doc_id % 50) * 16 AS wav_samples,
+       CAST(1.0 AS DOUBLE) AS wav_rms_ok,
+       CAST(1.0 AS DOUBLE) AS wav_peak_ok
 FROM documents d
 JOIN ph ON ph.doc_id = d.doc_id
 LEFT JOIN partners ON partners.doc_id = d.doc_id
@@ -3047,15 +3050,47 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       this radius, which is exactly what a divergence here would
       falsify). On this corpus near-dups are the exact re-encodes
       (identical payloads), the fake-decode contract.
+    - ``wav_*`` (round 8): the AUDIO modality through a REAL codec —
+      stdlib ``wave`` needs no external library, so unlike the
+      PIL-gated image decoder this decode seam executes everywhere.
+      Deterministic RIFF/PCM payloads are synthesized executor-side
+      (attach_wav_payload), decoded back by audio_metrics, and gated
+      three ways: the frame count exactly (the oracle recomputes
+      800 + (doc_id %% 50)*16 — a truncated or mis-framed decode
+      diverges), and the sine laws as flags vs literal 1.0 (RMS within
+      1%% of A/sqrt(2), peak in [0.99A, A] — measured worst-case over
+      the full parameter grid: 0.2%% / 0.998A).
     """
+    import math
+
     from ..operators.multimodal import (
+        _WAV_AMP,
         attach_binary_payload,
+        attach_wav_payload,
+        audio_metrics,
         fake_gray8x8,
         perceptual_hashes,
         phash_dup_pairs,
     )
 
     d = load_table(spark, sf_dir, "documents")
+    amp = float(_WAV_AMP)
+    target_rms = amp / math.sqrt(2.0)
+    wav_cols = audio_metrics(attach_wav_payload(d), id_col="doc_id").select(
+        "doc_id",
+        "wav_samples",
+        F.when(
+            F.abs(F.col("wav_rms") - target_rms) <= 0.01 * target_rms, 1.0
+        )
+        .otherwise(0.0)
+        .alias("wav_rms_ok"),
+        F.when(
+            (F.col("wav_peak") <= amp) & (F.col("wav_peak") >= 0.99 * amp),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("wav_peak_ok"),
+    )
     # one definition of the payload triple (operators/multimodal.py);
     # column pruning drops the unused payload bytes from the scan
     media = attach_binary_payload(d, passthrough=("source",))
@@ -3084,6 +3119,7 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no broadcast hint: the partner table is corpus-dependent (all
         # docs could have near-dups) — let AQE pick at runtime
         .join(partners, "doc_id", "left")
+        .join(wav_cols, "doc_id")
     )
 
 

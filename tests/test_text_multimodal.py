@@ -535,3 +535,49 @@ def test_real_resize_reencodes_payload(spark):
     assert row.content_md5 == hashlib.md5(out_bytes).hexdigest()
     img = _pil().open(io.BytesIO(out_bytes))
     assert img.size == (16, 16)
+
+
+def test_wav_roundtrip_and_laws():
+    """The audio modality's REAL codec path (stdlib wave, no external
+    dependency): synth_wav emits honest RIFF/PCM that decode_wav reads
+    back — exact frame count, sine RMS within 1% of A/sqrt(2), peak in
+    [0.99A, A] (worst-case over the arm's full parameter grid measured
+    at 0.2% / 0.998A), and the bytes start with a RIFF header any WAV
+    reader accepts."""
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        _WAV_AMP,
+        decode_wav,
+        synth_wav,
+    )
+
+    target = _WAV_AMP / math.sqrt(2.0)
+    for doc_id in (0, 7, 49, 101, 263):
+        n = 800 + (doc_id % 50) * 16
+        payload = synth_wav(doc_id, n, 200.0 + (doc_id % 20) * 20.0)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        ns, rms, peak = decode_wav(payload)
+        assert ns == n
+        assert abs(rms - target) <= 0.01 * target
+        assert 0.99 * _WAV_AMP <= peak <= _WAV_AMP
+    # empty payload decodes to zeros, not a crash
+    assert decode_wav(synth_wav(0, 0, 200.0)) == (0, 0.0, 0.0)
+
+
+def test_audio_metrics_distributed(spark):
+    """attach_wav_payload + audio_metrics: the Arrow-batched plumbing
+    returns one scalar row per input id with the exact frame counts."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_metrics,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(0, 120, 7)], "doc_id long")
+    out = audio_metrics(attach_wav_payload(df), id_col="doc_id").collect()
+    assert len(out) == df.count()
+    for r in out:
+        assert r.wav_samples == 800 + (r.doc_id % 50) * 16
+        assert r.wav_peak > 0
