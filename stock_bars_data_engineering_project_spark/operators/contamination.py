@@ -462,9 +462,11 @@ def _content_epoch(batch: DataFrame, id_col: str) -> str:
         F.sum(F.col(id_col).isNull().cast("int")).alias("nulls"),
     ).collect()[0]
     if (row.nulls or 0) > 0:
+        # no caller-specific prefix: this helper now addresses epochs for
+        # the scrub, LM, and PCA ingest paths alike
         raise ValueError(
-            f"ingest_scrub_batch: {row.nulls} NULL {id_col} rows — ids must "
-            "be non-NULL for content-addressed replay idempotence"
+            f"content-addressed epoch: {row.nulls} NULL {id_col} rows — ids "
+            "must be non-NULL for replay idempotence"
         )
     return f"{(row.x1 or 0):012x}{(row.x2 or 0):012x}n{row.n}"
 

@@ -24,8 +24,9 @@ still warehouse-trivial.
 Unlike the LM's integer counts, double moments accumulate with
 addition-order rounding, so "combined state ≡ full recount" here is a
 relative-1e-9 LAW (flag-gated in the driver row), not a bit-identity;
-replay idempotence IS exact (the rewritten epoch contributes the
-identical doubles).
+replay idempotence IS exact because it is STRUCTURAL — a redelivered
+batch's epoch is found already present and skipped before any moment
+is recomputed, so the state bytes cannot move.
 """
 
 from __future__ import annotations
@@ -67,18 +68,41 @@ def ingest_pca_batch(
     dim: int = 64,
 ) -> str:
     """Fold one accepted batch's moments into the persisted state.
-    Returns the content-addressed epoch id (redelivery rewrites the
-    identical partition — replay-idempotent). Batches must partition
-    the accepted corpus by ``id_col`` (append-only ids), the standard
+    Returns the content-addressed epoch id. Replay idempotence is
+    STRUCTURAL: a redelivered batch derives the identical epoch, which
+    is found already present and skipped before any moment is computed
+    — the state bytes are untouched, so idempotence never depends on
+    bit-identical recomputation of shuffled double sums (Spark's
+    partial-agg merge order is not deterministic; a rewrite could
+    legally differ in the last ULP). Batches must partition the
+    accepted corpus by ``id_col`` (append-only ids), the standard
     epoch-log mergeability contract; empty batches are rejected loudly
-    (an empty frame has no content address and no moments)."""
+    (an empty frame has no content address and no moments — the count
+    rides the epoch string, so the check is free).
+
+    Each ingest costs ONE suffstats pass over the batch plus the
+    id-column scan the content address needs: the moment rows are
+    locally materialized before the merge so the write does not
+    re-aggregate. ``dim`` is stamped onto every state row; the read
+    side refuses a state whose epochs disagree on it."""
     epoch = _content_epoch(batch, id_col)
-    rows = _batch_moment_rows(batch, vec_col, dim)
-    count_row = rows.filter(F.col("i") == -1).first()
-    if not count_row or not count_row.v:  # sum over an empty frame is NULL
+    if int(epoch.rsplit("n", 1)[-1]) == 0:
         raise ValueError("ingest_pca_batch: empty batch — nothing to ingest")
+    if wh.exists(table):
+        already = (
+            wh.read(table).filter(F.col("_epoch") == epoch).limit(1).count()
+        )
+        if already:
+            return epoch
+    from ..materialize import materialize
+
+    rows = materialize(
+        _batch_moment_rows(batch, vec_col, dim)
+        .withColumn("_epoch", F.lit(epoch))
+        .withColumn("_dim", F.lit(dim))
+    )
     wh.merge(
-        rows.withColumn("_epoch", F.lit(epoch)),
+        rows,
         table,
         keys=("i", "_epoch"),
         partition_by=("_epoch",),
@@ -102,6 +126,16 @@ def pca_moments_state(
             f"pca_moments_state: state table {table!r} is empty or lacks "
             "the count row — ingest at least one batch first"
         ) from e
+    dims = [r._dim for r in state.select("_dim").distinct().collect()]
+    if dims and (len(dims) > 1 or dims[0] != dim):
+        # a 32-dim epoch's i-range is a SUBSET of a 64-dim one, so mixed
+        # ingests could otherwise pass the row-count shape check below
+        # and silently pollute the covariance
+        raise ValueError(
+            f"pca_moments_state: state table {table!r} holds dim(s) "
+            f"{sorted(dims)}, read requested dim {dim} — wrong dim or a "
+            "mixed-dim ingest"
+        )
     summed = (
         state.groupBy("i")
         .agg(F.sum("v").alias("v"))

@@ -387,11 +387,11 @@ _WAV_AMP = 12000
 
 
 def synth_wav(
-    seed: int, n_samples: int, freq_hz: float, amp: int = _WAV_AMP
+    n_samples: int, freq_hz: float, amp: int = _WAV_AMP
 ) -> bytes:
     """Real RIFF/PCM WAV bytes (mono, 16-bit, 8 kHz): a sine at
-    ``freq_hz`` — deterministic in (seed-derived) parameters, honest in
-    format: any WAV reader decodes it."""
+    ``freq_hz`` — fully determined by its parameters (callers derive
+    them from row ids), honest in format: any WAV reader decodes it."""
     import io
     import math
     import struct
@@ -452,7 +452,6 @@ def attach_wav_payload(
                     id_col: ids,
                     "wav_payload": [
                         synth_wav(
-                            int(i),
                             800 + (int(i) % 50) * 16,
                             200.0 + (int(i) % 20) * 20.0,
                         )

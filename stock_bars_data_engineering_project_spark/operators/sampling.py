@@ -343,10 +343,12 @@ def curriculum_phases(
     """
     if n_phases < 2:
         raise ValueError(f"n_phases must be >= 2, got {n_phases}")
-    if "phase" in df.columns:
-        raise ValueError(
-            "curriculum_phases writes a 'phase' column; input already has one"
-        )
+    for c in ("phase", "_sz"):
+        if c in df.columns:
+            raise ValueError(
+                f"curriculum_phases writes a {c!r} column; input already "
+                "has one — rename it first"
+            )
     from pyspark.sql import Window
 
     sized = df.withColumn("_sz", size)

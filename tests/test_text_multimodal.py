@@ -555,14 +555,14 @@ def test_wav_roundtrip_and_laws():
     target = _WAV_AMP / math.sqrt(2.0)
     for doc_id in (0, 7, 49, 101, 263):
         n = 800 + (doc_id % 50) * 16
-        payload = synth_wav(doc_id, n, 200.0 + (doc_id % 20) * 20.0)
+        payload = synth_wav(n, 200.0 + (doc_id % 20) * 20.0)
         assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
         ns, rms, peak = decode_wav(payload)
         assert ns == n
         assert abs(rms - target) <= 0.01 * target
         assert 0.99 * _WAV_AMP <= peak <= _WAV_AMP
     # empty payload decodes to zeros, not a crash
-    assert decode_wav(synth_wav(0, 0, 200.0)) == (0, 0.0, 0.0)
+    assert decode_wav(synth_wav(0, 200.0)) == (0, 0.0, 0.0)
 
 
 def test_audio_metrics_distributed(spark):
