@@ -777,6 +777,24 @@ SELECT 'train_laws' AS tag, CAST(NULL AS BIGINT) AS doc_id,
        unnest(['init_loss_ln2', 'loss_monotone', 'loss_decreased',
                'class_separation']) AS term,
        CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
+UNION ALL
+SELECT 'heavy' AS tag, CAST(NULL AS BIGINT) AS doc_id, term,
+       CAST(n AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
+FROM (
+    SELECT lower(t.token) AS term, COUNT(*) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS t(token)
+    WHERE t.token != ''
+    GROUP BY lower(t.token)
+    HAVING COUNT(*) * 25 > (
+        SELECT COUNT(*)
+        FROM documents, unnest(string_split(text, ' ')) AS t2(token)
+        WHERE t2.token != ''
+    )
+)
+UNION ALL
+SELECT 'heavy' AS tag, CAST(NULL AS BIGINT) AS doc_id,
+       unnest(['mg_superset', 'mg_bounds', 'mg_bounded_size']) AS term,
+       CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
 """,
     tags=(
         "text",
@@ -992,6 +1010,71 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "tag string, doc_id bigint, term string, score double, rank int",
     )
+    # (i) heavy hitters at bounded memory (operators/heavy.py, round 8):
+    # the EXACT frequent-token set (> 1/25 of the token stream — at most
+    # 24 items by construction, SQL-replayable as integer arithmetic
+    # n*25 > total) is value-gated, and the Misra-Gries sketch that
+    # answers the same question with k counters per partition is
+    # law-gated against those exact counts: superset (every true heavy
+    # hitter is a merged candidate — guaranteed while the threshold
+    # exceeds the decrement budget Σd_i ≤ n/(k+1)), bounds (lo ≤ true ≤
+    # lo + Σd for every candidate), and per-partition size ≤ k. All law
+    # inputs are bounded frames (candidates ≤ k x partitions).
+    from ..materialize import materialize
+    from ..operators.heavy import merged_heavy_hitters, mg_summaries
+
+    tok_stream = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    total_row = counts.agg(F.sum("n").alias("t"))
+    exact_hh = (
+        counts.crossJoin(F.broadcast(total_row))
+        .filter(F.col("n") * 25 > F.col("t"))
+        .select("token", "n")
+    )
+    heavy_arm = exact_hh.select(
+        F.lit("heavy").alias("tag"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("token").alias("term"),
+        F.col("n").cast("double").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    _MG_K = 64
+    summaries = materialize(mg_summaries(tok_stream, "token", k=_MG_K))
+    cand, budget = merged_heavy_hitters(summaries)
+    total_d = budget.first().total_d
+    missing = exact_hh.join(
+        cand, exact_hh["token"] == cand["item"], "left_anti"
+    ).count()
+    bad_bounds = (
+        cand.join(counts, cand["item"] == counts["token"])
+        .filter(
+            (F.col("lo") > F.col("n"))
+            | (F.col("n") > F.col("lo") + F.lit(int(total_d)))
+        )
+        .count()
+    )
+    oversized = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("pid")
+        .count()
+        .filter(F.col("count") > _MG_K)
+        .count()
+    )
+    mg_laws_arm = spark.createDataFrame(
+        [
+            ("heavy", None, "mg_superset", 1.0 if missing == 0 else 0.0, None),
+            ("heavy", None, "mg_bounds", 1.0 if bad_bounds == 0 else 0.0, None),
+            (
+                "heavy",
+                None,
+                "mg_bounded_size",
+                1.0 if oversized == 0 else 0.0,
+                None,
+            ),
+        ],
+        "tag string, doc_id bigint, term string, score double, rank int",
+    )
     return (
         tfidf_arm.unionByName(vocab_arm)
         .unionByName(surprisal_arm)
@@ -1001,6 +1084,8 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe_arm)
         .unionByName(encode_arm)
         .unionByName(train_arm)
+        .unionByName(heavy_arm)
+        .unionByName(mg_laws_arm)
     )
 
 
