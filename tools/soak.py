@@ -76,6 +76,10 @@ from stock_bars_data_engineering_project_spark.functions.quality_model import ( 
     quality_scores,
 )
 from stock_bars_data_engineering_project_spark.operators.bloom import bloom_semi_join  # noqa: E402
+from stock_bars_data_engineering_project_spark.operators.heavy import (  # noqa: E402
+    merged_heavy_hitters,
+    mg_summaries,
+)
 from stock_bars_data_engineering_project_spark.operators.drift import psi_drift  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
@@ -344,6 +348,23 @@ def run(
             ("user_id",),
             ("v",),
             2,
+        ),
+        # Misra-Gries heavy hitters: one Arrow-batched map pass over the
+        # exploded token stream (k counters per partition, budget rows
+        # aside) + a k-x-partitions merge — the curve should track the
+        # explode, with the merge a constant
+        "heavy_mg": lambda: (
+            lambda s: merged_heavy_hitters(s)[0]
+        )(
+            mg_summaries(
+                docs.select(
+                    F.explode(F.split(F.lower(F.col("text")), " ")).alias(
+                        "token"
+                    )
+                ).filter(F.col("token") != ""),
+                "token",
+                k=64,
+            )
         ),
         # bloom pre-filtered semi join: bitmap build is one partial-agg
         # pass over the (linearly growing) purchase slice, membership a
