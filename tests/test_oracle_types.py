@@ -52,3 +52,37 @@ def test_no_oracle_column_is_hugeint():
         "oracle columns typed HUGEINT — wrap with CAST(... AS BIGINT) to "
         f"avoid the int128->float64 1-ULP hash hazard: {offenders}"
     )
+
+
+@pytest.mark.skipif(not SF_DIR.exists(), reason="driver testdata absent")
+def test_no_oracle_column_is_decimal():
+    """The sibling hazard for non-integers: a bare ``1.0`` literal (or
+    decimal arithmetic) types as DECIMAL, which pandas materializes as
+    ``decimal.Decimal`` objects — stringifying differently from Spark's
+    float64 and failing the value hash on EQUAL values (observed on the
+    multimodal row's wav law flags, round 8: '1.0' vs Decimal('1.0')).
+    Pin the type: every oracle column must DESCRIBE as non-DECIMAL; use
+    CAST(... AS DOUBLE) for literal flags and computed ratios."""
+    import __spark_entry__ as entrymod
+    from stock_bars_data_engineering_project_spark.sources.readers import (
+        TESTDATA_TABLES,
+    )
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+        dec = [(col, typ) for col, typ, *_ in desc if "DECIMAL" in typ.upper()]
+        if dec:
+            offenders[name] = dec
+
+    assert not offenders, (
+        "oracle columns typed DECIMAL — wrap with CAST(... AS DOUBLE) to "
+        f"avoid Decimal-vs-float64 hash divergence: {offenders}"
+    )
