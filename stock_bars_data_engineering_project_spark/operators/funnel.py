@@ -127,3 +127,79 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select("cohort_day", F.col("offset").cast("int"), "n_users")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    within: str = "24 hours",
+    model: str = "last",
+) -> DataFrame:
+    """Single-touch conversion attribution — which channel gets credit
+    for each conversion, the question every funnel report ends with.
+    ``model='last'`` credits the latest qualifying touch before the
+    conversion (the default of most product-analytics stacks),
+    ``'first'`` the earliest; a conversion with no touch inside
+    ``within`` is credited to ``'none'`` (the direct-conversion
+    bucket, reported rather than dropped). Returns
+    ``(event_type, n_conversions)`` with exact integer counts — no
+    fractional credit, so the result replays exactly in any engine
+    (linear/positional multi-touch splits would put engine-dependent
+    float division in the gate).
+
+    Scale shape: one user-keyed equi-join between the conversion slice
+    and the touch slice, range-bounded by ``within`` — fan-out is
+    touches-per-user x conversions-per-user inside the window, the
+    irreducible size of the attribution relation — then a
+    conversion-keyed ROW_NUMBER over that bounded group picks the
+    credited touch. Ties on timestamp break by event_id, so the pick
+    is deterministic under any partitioning.
+    """
+    if model not in ("last", "first"):
+        raise ValueError(f"model must be 'last' or 'first', got {model!r}")
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    )
+    pairs = conv.join(
+        touch,
+        (conv["cu"] == touch["tu"])
+        & (touch["tts"] < conv["cts"])
+        & (touch["tts"] >= conv["cts"] - F.expr(f"INTERVAL {within}")),
+    )
+    order = (
+        [F.col("tts").desc(), F.col("tid").desc()]
+        if model == "last"
+        else [F.col("tts").asc(), F.col("tid").asc()]
+    )
+    w = Window.partitionBy("conv_id").orderBy(*order)
+    credited = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("ttype")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .select(F.col("ttype").alias("event_type"), "n_conversions")
+    )
+    n_conv = conv.agg(F.count(F.lit(1)).alias("n"))
+    n_credited = credited.agg(
+        F.coalesce(F.sum("n_conversions"), F.lit(0)).alias("c")
+    )
+    none_row = (
+        n_conv.crossJoin(n_credited)
+        .select(
+            F.lit("none").alias("event_type"),
+            (F.col("n") - F.col("c")).alias("n_conversions"),
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+    return credited.unionByName(none_row)

@@ -368,6 +368,54 @@ FROM (
     UNION ALL
     SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3w
 )
+UNION ALL
+SELECT 'attribution' AS variant, CAST(NULL AS BIGINT) AS user_id,
+       n_events, seq
+FROM (
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id AS cu, ts AS cts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS tu, ts AS tts, event_id AS tid,
+               event_type AS ttype
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+        SELECT c.conv_id, t.tts, t.tid, t.ttype
+        FROM conv c JOIN touch t
+          ON c.cu = t.tu AND t.tts < c.cts
+         AND t.tts >= c.cts - INTERVAL '24 hours'
+    ),
+    last_pick AS (
+        SELECT conv_id, ttype,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY tts DESC, tid DESC) AS rn
+        FROM pairs
+    ),
+    first_pick AS (
+        SELECT conv_id, ttype,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                   ORDER BY tts ASC, tid ASC) AS rn
+        FROM pairs
+    ),
+    nconv AS (SELECT COUNT(*) AS n FROM conv)
+    SELECT COUNT(*) AS n_events, 'last:' || ttype AS seq
+    FROM last_pick WHERE rn = 1 GROUP BY ttype
+    UNION ALL
+    SELECT nconv.n - (SELECT COUNT(*) FROM last_pick WHERE rn = 1),
+           'last:none'
+    FROM nconv
+    WHERE nconv.n > (SELECT COUNT(*) FROM last_pick WHERE rn = 1)
+    UNION ALL
+    SELECT COUNT(*) AS n_events, 'first:' || ttype AS seq
+    FROM first_pick WHERE rn = 1 GROUP BY ttype
+    UNION ALL
+    SELECT nconv.n - (SELECT COUNT(*) FROM first_pick WHERE rn = 1),
+           'first:none'
+    FROM nconv
+    WHERE nconv.n > (SELECT COUNT(*) FROM first_pick WHERE rn = 1)
+)
 """,
     tags=("sequence", "agg", "funnel"),
 )
@@ -402,8 +450,15 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       each step must land within 24 hours of the previous step's
       anchor (inclusive; per-transition). At every SF the window
       genuinely prunes (e.g. 150>60>25 vs the unbounded 150/150/150
-      at sf0.01), so the predicate is value-exercised, not vacuous."""
-    from ..operators.funnel import funnel_steps
+      at sf0.01), so the predicate is value-exercised, not vacuous.
+    - 'attribution' (round 8, operators/funnel.touch_attribution):
+      single-touch conversion attribution under BOTH standard models —
+      last-touch and first-touch — over the same view/click → purchase
+      journey, 24h lookback, direct conversions reported as 'none'.
+      Counts are exact integers (no fractional multi-touch credit in
+      the gate), ties break on event_id, and the oracle replays the
+      user-keyed range join and both ROW_NUMBER picks verbatim."""
+    from ..operators.funnel import funnel_steps, touch_attribution
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -446,6 +501,16 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users").alias("n_events"),
         F.col("step").alias("seq"),
     )
+
+    def _attr(model: str):
+        return touch_attribution(ev, model=model).select(
+            F.lit("attribution").alias("variant"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.col("n_conversions").alias("n_events"),
+            F.concat(F.lit(f"{model}:"), F.col("event_type")).alias("seq"),
+        )
+
+    attribution_arm = _attr("last").unionByName(_attr("first"))
 
     # streaming twin: two event-time waves, two drains, one checkpoint
     import os
@@ -524,6 +589,7 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_arm.unionByName(funnel_arm)
         .unionByName(windowed_arm)
         .unionByName(stream_arm)
+        .unionByName(attribution_arm)
     )
 
 

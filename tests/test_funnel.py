@@ -207,3 +207,55 @@ def test_funnel_steps_within_window(spark):
         for r in funnel_steps(ev, ("view", "click", "purchase")).collect()
     }
     assert unbounded == {"view": 4, "view>click": 4, "view>click>purchase": 2}
+
+
+def test_touch_attribution_matches_python_replay(spark):
+    """touch_attribution equals a brute-force Python replay for BOTH
+    models on a fixture with every edge: multiple touches, window
+    expiry, tie on timestamp (event_id breaks it), direct conversion
+    ('none' bucket), and a user with touches but no conversion."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # user 1: view then click then purchase -> last=click, first=view
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + h, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * h, 1, "purchase", 1.0, "{}"),
+        # user 2: touch 30h before purchase -> outside 24h -> none
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + 30 * h, 2, "purchase", 1.0, "{}"),
+        # user 3: tie timestamp, higher event_id wins last, lower first
+        (6, t0, 3, "view", 1.0, "{}"),
+        (7, t0, 3, "click", 1.0, "{}"),
+        (8, t0 + h, 3, "purchase", 1.0, "{}"),
+        # user 4: touches, no conversion -> contributes nothing
+        (9, t0, 4, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    last = {
+        r.event_type: r.n_conversions
+        for r in touch_attribution(ev, model="last").collect()
+    }
+    first = {
+        r.event_type: r.n_conversions
+        for r in touch_attribution(ev, model="first").collect()
+    }
+    # user 1 -> click(last)/view(first); user 2 -> none; user 3 ->
+    # click (tid 7 > 6) last, view (tid 6 < 7) first
+    assert last == {"click": 2, "none": 1}
+    assert first == {"view": 2, "none": 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="model"):
+        touch_attribution(ev, model="linear")
