@@ -203,3 +203,85 @@ def touch_attribution(
         .filter(F.col("n_conversions") > 0)
     )
     return credited.unionByName(none_row)
+
+
+def time_to_convert(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition conversion-latency summary for an ordered funnel:
+    for each adjacent step pair (same first-touch anchoring and strict
+    ordering as :func:`funnel_steps`), the number of converting users
+    and the LOWER MEDIAN of their conversion latencies in microseconds
+    — ``(transition, n_converted, p50_us)``.
+
+    The median is the integer order statistic (the smallest latency
+    whose cumulative count reaches half), NOT an interpolated
+    percentile: latencies are exact integer microsecond diffs, so the
+    summary replays exactly in any engine with zero FP tolerance — the
+    same no-interpolation stance as curriculum_phases' boundaries.
+
+    Scale shape: the anchor chain is funnel_steps' per-step min-agg
+    joins (user-cardinality frames); the median's cumulative window
+    runs per transition over the CONVERTING users' latencies. At
+    extreme user counts swap the exact order statistic for
+    ``approx_percentile`` — the operator keeps exactness as the
+    correctness baseline, the stats_suite argument.
+    """
+    if len(steps) < 2:
+        raise ValueError("time_to_convert needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate step types in {steps!r}")
+    from pyspark.sql import Window
+
+    from ..functions.scalars import event_micros
+
+    frames = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(steps):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("__t")
+        )
+        if prev is None:
+            cur = ev_s.groupBy("u").agg(F.min("__t").alias("t"))
+        else:
+            cur = (
+                ev_s.join(prev.select("u", F.col("t").alias("__pt")), "u")
+                .filter(F.col("__t") > F.col("__pt"))
+                .groupBy("u")
+                .agg(F.min("__t").alias("t"), F.min("__pt").alias("pt"))
+            )
+            durs = cur.select(
+                (
+                    event_micros(cur, "t") - event_micros(cur, "pt")
+                ).alias("dur_us")
+            )
+            w = Window.orderBy("dur_us").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            full = Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            med = (
+                durs.withColumn("_cum", F.count(F.lit(1)).over(w))
+                .withColumn("_n", F.count(F.lit(1)).over(full))
+                .filter(F.col("_cum") * 2 >= F.col("_n"))
+                .agg(
+                    F.min("dur_us").alias("p50_us"),
+                    F.first("_n").alias("n_converted"),
+                )
+            )
+            frames.append(
+                med.select(
+                    F.lit(f"{steps[i - 1]}>{s}").alias("transition"),
+                    F.coalesce(F.col("n_converted"), F.lit(0)).alias(
+                        "n_converted"
+                    ),
+                    "p50_us",
+                )
+            )
+        prev = cur
+    return reduce(lambda a, b: a.unionByName(b), frames)

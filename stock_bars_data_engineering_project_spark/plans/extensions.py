@@ -369,6 +369,42 @@ FROM (
     SELECT COUNT(*) AS n_events, 'view>click>purchase' AS seq FROM f3w
 )
 UNION ALL
+SELECT 'ttc' AS variant, CAST(NULL AS BIGINT) AS user_id,
+       n_events, seq
+FROM (
+    WITH d12 AS (
+        SELECT epoch_us(f2.t) - epoch_us(f1.t) AS dur_us
+        FROM f2 JOIN f1 ON f2.u = f1.u
+    ),
+    d23 AS (
+        SELECT epoch_us(f3.t) - epoch_us(f2.t) AS dur_us
+        FROM f3 JOIN f2 ON f3.u = f2.u
+    ),
+    m12 AS (
+        SELECT COALESCE(MAX(n), 0) AS n_converted, MIN(dur_us) AS p50_us
+        FROM (
+            SELECT dur_us, ROW_NUMBER() OVER (ORDER BY dur_us) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d12
+        ) WHERE rn * 2 >= n
+    ),
+    m23 AS (
+        SELECT COALESCE(MAX(n), 0) AS n_converted, MIN(dur_us) AS p50_us
+        FROM (
+            SELECT dur_us, ROW_NUMBER() OVER (ORDER BY dur_us) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM d23
+        ) WHERE rn * 2 >= n
+    )
+    SELECT n_converted AS n_events, 'n:view>click' AS seq FROM m12
+    UNION ALL
+    SELECT p50_us, 'p50us:view>click' FROM m12
+    UNION ALL
+    SELECT n_converted, 'n:click>purchase' FROM m23
+    UNION ALL
+    SELECT p50_us, 'p50us:click>purchase' FROM m23
+)
+UNION ALL
 SELECT 'attribution' AS variant, CAST(NULL AS BIGINT) AS user_id,
        n_events, seq
 FROM (
@@ -457,8 +493,19 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       journey, 24h lookback, direct conversions reported as 'none'.
       Counts are exact integers (no fractional multi-touch credit in
       the gate), ties break on event_id, and the oracle replays the
-      user-keyed range join and both ROW_NUMBER picks verbatim."""
-    from ..operators.funnel import funnel_steps, touch_attribution
+      user-keyed range join and both ROW_NUMBER picks verbatim.
+    - 'ttc' (round 8, operators/funnel.time_to_convert): per-transition
+      conversion-latency summary — converting-user count and the LOWER
+      MEDIAN latency in integer microseconds (the order statistic, not
+      an interpolated percentile — the curriculum_phases stance, so
+      the gate carries zero FP tolerance), anchored exactly like the
+      funnel arms (the oracle derives both from the same f1/f2/f3
+      CTEs)."""
+    from ..operators.funnel import (
+        funnel_steps,
+        time_to_convert,
+        touch_attribution,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -511,6 +558,20 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     attribution_arm = _attr("last").unionByName(_attr("first"))
+    ttc = time_to_convert(ev, ("view", "click", "purchase"))
+    ttc_arm = ttc.select(
+        F.lit("ttc").alias("variant"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.col("n_converted").alias("n_events"),
+        F.concat(F.lit("n:"), F.col("transition")).alias("seq"),
+    ).unionByName(
+        ttc.select(
+            F.lit("ttc").alias("variant"),
+            F.lit(None).cast("bigint").alias("user_id"),
+            F.col("p50_us").alias("n_events"),
+            F.concat(F.lit("p50us:"), F.col("transition")).alias("seq"),
+        )
+    )
 
     # streaming twin: two event-time waves, two drains, one checkpoint
     import os
@@ -590,6 +651,7 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(windowed_arm)
         .unionByName(stream_arm)
         .unionByName(attribution_arm)
+        .unionByName(ttc_arm)
     )
 
 

@@ -259,3 +259,44 @@ def test_touch_attribution_matches_python_replay(spark):
 
     with pytest.raises(ValueError, match="model"):
         touch_attribution(ev, model="linear")
+
+
+def test_time_to_convert_matches_python_replay(spark):
+    """time_to_convert: exact lower-median latency per transition on a
+    fixture with odd/even counts and non-converting users."""
+    import datetime as dt
+
+    from stock_bars_data_engineering_project_spark.operators.funnel import (
+        time_to_convert,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    eid = 0
+    # users 1..4 convert view->click with latencies 1, 2, 3, 10 min
+    # (even count -> lower median = 2 min); users 1..3 convert
+    # click->purchase with 5, 7, 9 min (odd -> median 7)
+    for u, lat in ((1, 1), (2, 2), (3, 3), (4, 10)):
+        rows += [(eid := eid + 1, t0, u, "view", 1.0, "{}"),
+                 (eid := eid + 1, t0 + lat * m, u, "click", 1.0, "{}")]
+    for u, lat in ((1, 5), (2, 7), (3, 9)):
+        click_t = t0 + {1: 1, 2: 2, 3: 3}[u] * m
+        rows.append((eid := eid + 1, click_t + lat * m, u, "purchase", 1.0, "{}"))
+    rows.append((eid := eid + 1, t0, 9, "view", 1.0, "{}"))  # never converts
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.transition: (r.n_converted, r.p50_us)
+        for r in time_to_convert(ev, ("view", "click", "purchase")).collect()
+    }
+    assert got["view>click"] == (4, 2 * 60 * 1_000_000)
+    assert got["click>purchase"] == (3, 7 * 60 * 1_000_000)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="two steps"):
+        time_to_convert(ev, ("view",))

@@ -93,6 +93,7 @@ from stock_bars_data_engineering_project_spark.operators.sketches import (  # no
 from stock_bars_data_engineering_project_spark.operators.funnel import (  # noqa: E402
     cohort_retention,
     funnel_steps,
+    touch_attribution,
 )
 from stock_bars_data_engineering_project_spark.operators.gapfill import (  # noqa: E402
     calendar_fill,
@@ -323,6 +324,12 @@ def run(
         "funnel": lambda: funnel_steps(
             events, ("view", "click", "purchase")
         ),
+        # single-touch attribution: user-keyed range join (conversions x
+        # touches inside the lookback, the irreducible attribution
+        # relation) + conversion-keyed ROW_NUMBER — replica id offsets
+        # grow users linearly, per-user journey size is constant, so
+        # the curve should track the join inputs
+        "attribution": lambda: touch_attribution(events, model="last"),
         # cohort retention triangle: first-day agg + (user, day)
         # distinct + one keyed join; replica day-shifts grow cohorts
         # linearly while the offset cap bounds each cohort's row count
