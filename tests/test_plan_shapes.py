@@ -116,6 +116,10 @@ _NLJ_ALLOWED = {
     # (the cid-sorted centroid array) broadcast into the map-only
     # argmin — the same reason the ann_topk rows are listed
     "dedup_embedding_pairs",
+    # attribution arm's 'none' bucket: 1-row total-conversions x 1-row
+    # credited-count cross — two broadcast scalars, the same
+    # scalar-subquery pattern as the rows above
+    "user_event_sequences",
 }
 
 
