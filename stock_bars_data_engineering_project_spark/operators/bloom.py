@@ -53,17 +53,11 @@ def _positions(key: Column, m_bits: int, n_hashes: int) -> list[Column]:
     ]
 
 
-def bloom_bitmap(
-    build: DataFrame,
-    key: str,
-    m_bits: int = 1 << 16,
-    n_hashes: int = 4,
-) -> list[int]:
-    """The build side's bloom bitmap as ``m_bits/32`` ints — a bounded
-    model artifact (like the BPE rule list or the PCA components): its
-    size is O(m_bits) regardless of build-side cardinality, so the
-    collect is sanctioned. One partial-aggregable pass; the groupBy has
-    at most m_bits/32 groups."""
+def _bitmap_rows(
+    build: DataFrame, key: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """The build side's bloom bitmap as (w, bits) rows — one
+    partial-aggregable pass, at most m_bits/32 groups."""
     if m_bits <= 0 or m_bits % _WORD != 0:
         raise ValueError(f"m_bits must be a positive multiple of {_WORD}")
     if n_hashes <= 0:
@@ -71,7 +65,7 @@ def bloom_bitmap(
     pos = F.explode(
         F.array(*_positions(F.col(key), m_bits, n_hashes))
     ).alias("pos")
-    rows = (
+    return (
         # NULL build keys contribute nothing: an equi-join never matches
         # NULL, so leaving them out preserves exact join semantics (and
         # a NULL md5 position would poison the word assembly). The probe
@@ -85,8 +79,24 @@ def bloom_bitmap(
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
     )
+
+
+def bloom_bitmap(
+    build: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> list[int]:
+    """The build side's bloom bitmap as ``m_bits/32`` ints — a bounded
+    model artifact (like the BPE rule list or the PCA components): its
+    size is O(m_bits) regardless of build-side cardinality, so the
+    collect is sanctioned AT SMALL m. Past ~2^18 bits do NOT collect:
+    a megabit bitmap as a plan literal blows up codegen and task
+    serialization (measured: the x64 soak went 5.4 s -> 101 s when the
+    literal grew to 131k elements) — use the broadcast bitmap-table
+    path (:func:`bloom_semi_join` switches automatically)."""
+    rows = _bitmap_rows(build, key, m_bits, n_hashes).collect()
     words = [0] * (m_bits // _WORD)
     for r in rows:
         words[r.w] = int(r.bits)
@@ -113,6 +123,56 @@ def bloom_might_contain(
     return cond
 
 
+# above this, the bitmap stops being a plan literal: a 131k-element
+# literal array took the x64 soak from 5.4 s to 101 s (codegen + task
+# binary size), so large bitmaps broadcast as a TABLE instead
+_LITERAL_MAX_BITS = 1 << 18
+
+
+def _bloom_prefilter_by_table(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    build_key: str,
+    m_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """The large-m membership test: the (w, bits) bitmap table stays a
+    DataFrame (never collected) and each hash position becomes one
+    map-side BROADCAST hash join + codegen bit check — no shuffle, no
+    literal, any m. A probe word absent from the table means no build
+    key ever hashed there: the left join's NULL bits fails the check
+    and the row drops, exactly the unset-bit semantics."""
+    bm = _bitmap_rows(build, build_key, m_bits, n_hashes)
+    pre = probe
+    for i in range(n_hashes):
+        p = md5_bucket48(F.col(key), m_bits, salt=f"bloom{i}")
+        t = F.broadcast(
+            bm.select(
+                F.col("w").alias(f"_bfw{i}"), F.col("bits").alias(f"_bfb{i}")
+            )
+        )
+        pre = (
+            pre.withColumn(f"_bfp{i}", p)
+            .join(t, (F.col(f"_bfp{i}") / _WORD).cast("int") == F.col(f"_bfw{i}"), "left")
+            .filter(
+                F.col(f"_bfb{i}").isNotNull()
+                & (
+                    (
+                        F.floor(
+                            F.col(f"_bfb{i}")
+                            / F.pow(F.lit(2.0), F.col(f"_bfp{i}") % _WORD)
+                        ).cast("long")
+                        % 2
+                    )
+                    == 1
+                )
+            )
+            .drop(f"_bfp{i}", f"_bfw{i}", f"_bfb{i}")
+        )
+    return pre
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -124,10 +184,20 @@ def bloom_semi_join(
     """LEFT SEMI join with a bloom pre-filter on the probe side: rows
     whose key cannot be in the build side never reach the join
     exchange. Result is EXACTLY ``probe ⋉ build`` (no false negatives);
-    at scale the win is the probe rows that never shuffle."""
+    at scale the win is the probe rows that never shuffle.
+
+    Bitmap transport switches on size: up to ``_LITERAL_MAX_BITS`` the
+    bitmap collects to a flat array literal (zero joins, pure codegen);
+    above it the bitmap stays a broadcast TABLE and membership is
+    ``n_hashes`` map-side broadcast joins — same bits, same result,
+    no driver literal (the x64 soak measured the literal path's cliff).
+    """
     bk = build_key or key
-    words = bloom_bitmap(build, bk, m_bits, n_hashes)
-    pre = probe.filter(
-        bloom_might_contain(F.col(key), words, m_bits, n_hashes)
-    )
+    if m_bits <= _LITERAL_MAX_BITS:
+        words = bloom_bitmap(build, bk, m_bits, n_hashes)
+        pre = probe.filter(
+            bloom_might_contain(F.col(key), words, m_bits, n_hashes)
+        )
+    else:
+        pre = _bloom_prefilter_by_table(probe, build, key, bk, m_bits, n_hashes)
     return pre.join(build, pre[key] == build[bk], "left_semi")

@@ -92,3 +92,29 @@ def test_guards(spark):
         bloom_bitmap(build, "k", m_bits=100)  # not a multiple of 32
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_bitmap(build, "k", n_hashes=0)
+
+
+def test_table_path_equals_literal_path_and_plain_semi(spark):
+    """Above _LITERAL_MAX_BITS the bitmap travels as a broadcast table
+    (n_hashes map-side joins) instead of a plan literal — same bits,
+    same exact result. Forced here with a large m on the real tables."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, SF, "customer").select("c_custkey")
+    orders = load_table(spark, SF, "orders")
+    recent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+
+    exact = sorted(
+        r.c_custkey
+        for r in c.join(
+            recent, c.c_custkey == recent.o_custkey, "left_semi"
+        ).collect()
+    )
+    got = sorted(
+        r.c_custkey
+        for r in bloom_semi_join(
+            c, recent, key="c_custkey", build_key="o_custkey",
+            m_bits=1 << 22,  # 4M bits -> the table path
+        ).collect()
+    )
+    assert got == exact
