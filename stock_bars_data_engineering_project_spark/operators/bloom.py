@@ -129,7 +129,7 @@ def bloom_might_contain(
 _LITERAL_MAX_BITS = 1 << 18
 
 
-def _bloom_prefilter_by_table(
+def _with_bloom_hit(
     probe: DataFrame,
     build: DataFrame,
     key: str,
@@ -137,14 +137,18 @@ def _bloom_prefilter_by_table(
     m_bits: int,
     n_hashes: int,
 ) -> DataFrame:
-    """The large-m membership test: the (w, bits) bitmap table stays a
-    DataFrame (never collected) and each hash position becomes one
-    map-side BROADCAST hash join + codegen bit check — no shuffle, no
-    literal, any m. A probe word absent from the table means no build
-    key ever hashed there: the left join's NULL bits fails the check
-    and the row drops, exactly the unset-bit semantics."""
+    """The large-m membership test as a COLUMN: the (w, bits) bitmap
+    table stays a DataFrame (never collected) and each hash position
+    becomes one map-side BROADCAST hash join + codegen bit check — no
+    shuffle, no literal, any m. Adds a boolean ``_bloom_hit``: true iff
+    every hash position's bit is set (a probe word absent from the
+    table means no build key ever hashed there — NULL bits reads as an
+    unset bit). A NULL probe key yields ``_bloom_hit`` = false: NULL
+    never equi-matches, so it is a certain non-member for both the
+    semi and the anti consumer."""
     bm = _bitmap_rows(build, build_key, m_bits, n_hashes)
     pre = probe
+    hit = F.lit(True)
     for i in range(n_hashes):
         p = md5_bucket48(F.col(key), m_bits, salt=f"bloom{i}")
         t = F.broadcast(
@@ -152,25 +156,25 @@ def _bloom_prefilter_by_table(
                 F.col("w").alias(f"_bfw{i}"), F.col("bits").alias(f"_bfb{i}")
             )
         )
-        pre = (
-            pre.withColumn(f"_bfp{i}", p)
-            .join(t, (F.col(f"_bfp{i}") / _WORD).cast("int") == F.col(f"_bfw{i}"), "left")
-            .filter(
-                F.col(f"_bfb{i}").isNotNull()
-                & (
-                    (
-                        F.floor(
-                            F.col(f"_bfb{i}")
-                            / F.pow(F.lit(2.0), F.col(f"_bfp{i}") % _WORD)
-                        ).cast("long")
-                        % 2
-                    )
-                    == 1
-                )
-            )
-            .drop(f"_bfp{i}", f"_bfw{i}", f"_bfb{i}")
+        pre = pre.withColumn(f"_bfp{i}", p).join(
+            t,
+            (F.col(f"_bfp{i}") / _WORD).cast("int") == F.col(f"_bfw{i}"),
+            "left",
         )
-    return pre
+        check = F.col(f"_bfb{i}").isNotNull() & (
+            (
+                F.floor(
+                    F.col(f"_bfb{i}")
+                    / F.pow(F.lit(2.0), F.col(f"_bfp{i}") % _WORD)
+                ).cast("long")
+                % 2
+            )
+            == 1
+        )
+        hit = hit & F.coalesce(check, F.lit(False))
+    return pre.withColumn("_bloom_hit", hit).drop(
+        *[c for i in range(n_hashes) for c in (f"_bfp{i}", f"_bfw{i}", f"_bfb{i}")]
+    )
 
 
 def bloom_semi_join(
@@ -199,5 +203,45 @@ def bloom_semi_join(
             bloom_might_contain(F.col(key), words, m_bits, n_hashes)
         )
     else:
-        pre = _bloom_prefilter_by_table(probe, build, key, bk, m_bits, n_hashes)
+        pre = (
+            _with_bloom_hit(probe, build, key, bk, m_bits, n_hashes)
+            .filter(F.col("_bloom_hit"))
+            .drop("_bloom_hit")
+        )
     return pre.join(build, pre[key] == build[bk], "left_semi")
+
+
+def bloom_anti_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    build_key: str | None = None,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """LEFT ANTI join with a bloom SHORTCUT: a probe row whose
+    membership test fails is a CERTAIN non-member (a bloom has no
+    false negatives) and is kept without ever touching the join — only
+    the passing rows (true members plus false positives) pay the exact
+    anti join. Result is EXACTLY ``probe ▷ build``; at scale the win is
+    that the typically-dominant non-matching majority never shuffles.
+
+    NULL probe keys never equi-match, so the anti join must KEEP them:
+    the NULL membership test routes them to the certain-miss branch
+    (the literal path's NULL test is NULL — ``~NULL`` would silently
+    drop the row, the exact hazard hash_bucket's guard documents — so
+    the split is on ``test IS TRUE``)."""
+    bk = build_key or key
+    if m_bits <= _LITERAL_MAX_BITS:
+        words = bloom_bitmap(build, bk, m_bits, n_hashes)
+        test = bloom_might_contain(F.col(key), words, m_bits, n_hashes)
+        hit = F.coalesce(test, F.lit(False))
+        tagged = probe.withColumn("_bloom_hit", hit)
+    else:
+        tagged = _with_bloom_hit(probe, build, key, bk, m_bits, n_hashes)
+    certain_miss = tagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit")
+    candidates = tagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
+    survivors = candidates.join(
+        build, candidates[key] == build[bk], "left_anti"
+    )
+    return certain_miss.unionByName(survivors)

@@ -155,6 +155,13 @@ WHERE EXISTS (
       AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
 )
 UNION ALL
+SELECT 'bloom_anti_no_urgent' AS tag, c.c_custkey AS id
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+UNION ALL
 SELECT 'bloom_semi_urgent' AS tag, c.c_custkey AS id
 FROM customer c
 WHERE EXISTS (
@@ -196,7 +203,12 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     false-positive, so the arm's rows must EQUAL arm (b)'s against the
     same EXISTS oracle — the exactness contract of runtime row-level
     filtering, gated cross-engine (fp-rate and pre-filter mechanics are
-    pinned in tests/test_bloom.py)."""
+    pinned in tests/test_bloom.py); (f) the ANTI-join shortcut
+    (bloom_anti_join, round 8): certain bloom misses are kept WITHOUT
+    touching the join, only passing candidates pay the exact anti join
+    — must EQUAL arm (a)'s rows against the same NOT EXISTS oracle
+    (NULL-keeping semantics and both bitmap transports pinned in
+    tests/test_bloom.py)."""
     c = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
@@ -217,12 +229,18 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("semi_recent_urgent").alias("tag"), F.col("c_custkey").alias("id")
         )
     )
-    from ..operators.bloom import bloom_semi_join
+    from ..operators.bloom import bloom_anti_join, bloom_semi_join
 
     bloom_semi = bloom_semi_join(
         c.select("c_custkey"), recent, key="c_custkey", build_key="o_custkey"
     ).select(
         F.lit("bloom_semi_urgent").alias("tag"), F.col("c_custkey").alias("id")
+    )
+    bloom_anti = bloom_anti_join(
+        c.select("c_custkey"), urgent, key="c_custkey", build_key="o_custkey"
+    ).select(
+        F.lit("bloom_anti_no_urgent").alias("tag"),
+        F.col("c_custkey").alias("id"),
     )
     inter = (
         ev.filter(F.col("event_type") == "purchase")
@@ -240,6 +258,7 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         anti.unionByName(semi)
         .unionByName(bloom_semi)
+        .unionByName(bloom_anti)
         .unionByName(inter)
         .unionByName(diff)
     )

@@ -118,3 +118,41 @@ def test_table_path_equals_literal_path_and_plain_semi(spark):
         ).collect()
     )
     assert got == exact
+
+
+def test_anti_join_exact_both_paths_and_null_kept(spark):
+    """bloom_anti_join: certain misses skip the join, result equals the
+    plain LEFT ANTI on both transports, and NULL probe keys are KEPT
+    (NULL never equi-matches — the certain-miss branch must route them,
+    not the literal test's NULL)."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.bloom import (
+        bloom_anti_join,
+    )
+
+    c = load_table(spark, SF, "customer").select("c_custkey")
+    orders = load_table(spark, SF, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    exact = sorted(
+        r.c_custkey
+        for r in c.join(
+            urgent, c.c_custkey == urgent.o_custkey, "left_anti"
+        ).collect()
+    )
+    for m in (M, 1 << 22):  # literal and table transports
+        got = sorted(
+            r.c_custkey
+            for r in bloom_anti_join(
+                c, urgent, key="c_custkey", build_key="o_custkey", m_bits=m
+            ).collect()
+        )
+        assert got == exact, m
+
+    probe = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    build = spark.createDataFrame([(1,)], "k long")
+    got = sorted(
+        (r.k if r.k is not None else -1)
+        for r in bloom_anti_join(probe, build, "k").collect()
+    )
+    assert got == [-1, 2]  # NULL kept, member dropped
