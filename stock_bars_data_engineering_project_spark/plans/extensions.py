@@ -3489,8 +3489,16 @@ WHERE rank <= 10
 UNION ALL
 SELECT 'prf' AS variant, query_id, doc_id, {sql_round('bm25', 4)} AS bm25, rank
 FROM prfranks WHERE rank <= 10
+UNION ALL
+SELECT 'trgm' AS variant, p.qid AS query_id, c.doc_id,
+       0.0 AS bm25,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+                               ORDER BY c.doc_id) AS INT) AS rank
+FROM (SELECT doc_id AS qid, substr(text, 11, 12) AS pat
+      FROM documents WHERE doc_id IN (1, 7, 13, 19)) p
+JOIN documents c ON c.doc_id >= 25 AND contains(c.text, p.pat)
 """,
-    tags=("retrieval", "text", "topk", "index", "hybrid", "prf"),
+    tags=("retrieval", "text", "topk", "index", "hybrid", "prf", "trgm"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval, two arms sharing one oracle ranking:
@@ -3535,7 +3543,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       (round 8), so the corpus is tokenized once per row, not once per
       pass; without an index PRF's honest cost is one more corpus
       scan. The oracle replays the feedback counts, the anti-joined
-      term pick, and the entire second-pass scoring."""
+      term pick, and the entire second-pass scoring.
+    - 'trgm' (round 8, operators/trigram.py substring_search): exact
+      substring search through the trigram inverted index — 12-char
+      patterns cut from four query docs, candidate docs gated on
+      containing ALL pattern trigrams, then contains()-verified. The
+      oracle is the plain full contains() scan, so the hash match pins
+      index ≡ scan — the law that makes a pg_trgm-style index safe to
+      answer LIKE '%...%' from at 100 TB."""
     from ..operators.incremental_retrieval import bm25_query
     from ..operators.retrieval import bm25_topk, prf_expand, rrf_fuse
     from ..operators.similarity import cosine_topk
@@ -3597,8 +3612,38 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, lex.select("query_id", "doc_id", "rank")
     )
     prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
+
+    # 'trgm' (round 8, operators/trigram.py): substring patterns cut
+    # from four query docs, answered via the trigram inverted index —
+    # postings -> all-trigrams candidate gate -> contains verify. The
+    # oracle is a DuckDB full contains() scan, so the cross-engine hash
+    # IS the index ≡ scan law (the bloom-arm gating pattern). ALL
+    # matches are emitted (no top-k): a 12-char pattern's selectivity
+    # bounds the result, and rank is a doc_id ordinal for schema parity.
+    patterns = docs.filter(F.col("doc_id").isin(1, 7, 13, 19)).select(
+        F.col("doc_id").alias("pattern_id"),
+        F.substring("text", 11, 12).alias("pattern"),
+    )
+    from pyspark.sql import Window
+
+    from ..operators.trigram import substring_search
+
+    matches = substring_search(corpus, patterns)
+    trgm = matches.select(
+        F.lit("trgm").alias("variant"),
+        F.col("pattern_id").alias("query_id"),
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("bm25"),
+        F.row_number()
+        .over(Window.partitionBy("pattern_id").orderBy("id"))
+        .cast("int")
+        .alias("rank"),
+    )
     return (
-        recompute.unionByName(index).unionByName(rrf).unionByName(prf)
+        recompute.unionByName(index)
+        .unionByName(rrf)
+        .unionByName(prf)
+        .unionByName(trgm)
     )
 
 

@@ -1,0 +1,108 @@
+"""Trigram-index substring search: index path ≡ scan path (the law the
+driver arm also pins cross-engine), the false-positive kill, the
+short-pattern fallback, and a pure-Python replay."""
+
+from __future__ import annotations
+
+from stock_bars_data_engineering_project_spark.operators.trigram import (
+    char_ngrams,
+    substring_scan,
+    substring_search,
+    trigram_postings,
+)
+
+import pyspark.sql.functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog outpaces a quick fox"),
+    (3, "lorem ipsum dolor sit amet"),
+    # trigram decoy for pattern "abcdef": posts abc/bcd/cde/def without
+    # containing the pattern — only the contains() verify rejects it
+    (4, "abcd cdef bcd cde xyz"),
+    (5, "abcdef embedded right here"),
+    (6, "ab"),  # shorter than one trigram: posts nothing
+]
+PATTERNS = [
+    (100, "quick brown"),
+    (101, "abcdef"),
+    (102, "zzz-absent"),
+    (103, "ox"),  # < 3 chars: documented scan fallback
+]
+
+
+def _expected():
+    return sorted(
+        (pid, did)
+        for pid, pat in PATTERNS
+        for did, text in DOCS
+        if pat in text
+    )
+
+
+def test_index_equals_scan_and_python(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(PATTERNS, ["pattern_id", "pattern"])
+    got = sorted(
+        (r.pattern_id, r.id)
+        for r in substring_search(docs, pats).collect()
+    )
+    via_scan = sorted(
+        (r.pattern_id, r.id) for r in substring_scan(docs, pats).collect()
+    )
+    assert got == via_scan == _expected()
+    # the decoy is a candidate killed by verify; the real doc survives
+    assert (101, 5) in got and (101, 4) not in got
+    # the 2-char pattern matched through the fallback arm
+    assert (103, 1) in got and (103, 2) in got
+
+
+def test_candidate_gate_admits_decoy_before_verify(spark):
+    """Pins WHY the verify is mandatory: the all-trigrams gate alone
+    admits doc 4 for pattern 'abcdef'."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    post = trigram_postings(docs)
+    tris = ["abc", "bcd", "cde", "def"]
+    cand = (
+        post.filter(F.col("trigram").isin(tris))
+        .groupBy("id")
+        .count()
+        .filter(F.col("count") == len(tris))
+    )
+    assert sorted(r.id for r in cand.collect()) == [4, 5]
+
+
+def test_char_ngrams_edges(spark):
+    df = spark.range(1).select(
+        char_ngrams(F.lit("abcd")).alias("a"),
+        char_ngrams(F.lit("ab")).alias("b"),
+        char_ngrams(F.lit("")).alias("c"),
+    )
+    row = df.collect()[0]
+    assert row.a == ["abc", "bcd"]
+    assert row.b == []
+    assert row.c == []
+
+
+def test_postings_are_distinct_per_doc(spark):
+    docs = spark.createDataFrame([(1, "aaaaaa")], ["doc_id", "text"])
+    post = trigram_postings(docs).collect()
+    assert [(r.trigram, r.id) for r in post] == [("aaa", 1)]
+
+
+def test_external_postings_reused(spark):
+    """A persisted index (here: a pre-materialized frame) answers the
+    probe without docs-side trigram work — the incremental story."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(
+        [(100, "quick brown")], ["pattern_id", "pattern"]
+    )
+    post = trigram_postings(docs).cache()
+    try:
+        got = sorted(
+            (r.pattern_id, r.id)
+            for r in substring_search(docs, pats, postings=post).collect()
+        )
+        assert got == [(100, 1), (100, 2)]
+    finally:
+        post.unpersist()
