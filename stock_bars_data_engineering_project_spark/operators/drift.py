@@ -170,3 +170,87 @@ def psi_vs_reference(
         F.sum("_c_cur").alias("_c_cur"),
     )
     return _psi_from_side_counts(both, keys, round_dp)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    k: float = 3.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier detection by the median/MAD rule — the
+    other half of batch monitoring next to :func:`psi_drift`: PSI says
+    "the distribution moved", this says "these are the rows that don't
+    belong" without the mean/stddev fragility (a single extreme value
+    inflates the stddev enough to hide itself; the breakdown point of
+    the median and the MAD is 50%).
+
+    A value is an outlier when ``|v - median| > k * 1.4826 * MAD``
+    (1.4826 scales the MAD to the stddev of a normal distribution, so
+    ``k`` reads in sigma units).
+
+    Determinism contract: the median and the MAD are rounded to
+    ``round_dp`` BEFORE the threshold comparison. Both engines see the
+    same parquet doubles, and subtraction/abs/multiply are IEEE-exact,
+    so once the two rounded statistics agree the outlier COUNT is
+    bitwise-reproducible — an unrounded threshold would let a 1-ULP
+    interpolation difference flip a row sitting exactly on the fence.
+    The MAD is likewise taken around the ROUNDED median so its input
+    set is engine-identical, not merely ULP-close.
+
+    Scale shape: three partial-aggregable passes over the fact table
+    (median; MAD around it; threshold count), each joined to a
+    BROADCAST group-sized statistics frame — no window over raw rows,
+    no driver collect. Exact interpolated `percentile` is the
+    correctness baseline, same stance as the percentile arms of the
+    stats suite: the 100 TB operating point swaps `approx_percentile`
+    (mergeable, one pass each) and its rank-error contract is already
+    pinned in tests/test_stats.py. Returns one row per group:
+    (keys..., median, mad, n, n_outliers).
+    """
+    ks = list(keys)
+    vc = F.col(value_col)
+
+    def _bjoin(left: DataFrame, right: DataFrame) -> DataFrame:
+        if not ks:
+            return left.crossJoin(F.broadcast(right))
+        cond = None
+        for kcol in ks:
+            c = left[kcol].eqNullSafe(right[f"_r_{kcol}"])
+            cond = c if cond is None else (cond & c)
+        return left.join(F.broadcast(right), cond).drop(
+            *[f"_r_{kcol}" for kcol in ks]
+        )
+
+    def _renamed(stats: DataFrame) -> DataFrame:
+        for kcol in ks:
+            stats = stats.withColumnRenamed(kcol, f"_r_{kcol}")
+        return stats
+
+    med = df.groupBy(*ks).agg(
+        round_half_up(
+            F.expr(f"percentile({value_col}, 0.5D)"), round_dp
+        ).alias("median")
+    )
+    with_med = _bjoin(df, _renamed(med))
+    # median/mad ride the downstream groupBys as grouping constants
+    # (the per-group broadcast stats are single-valued per key)
+    mad = with_med.groupBy(*ks, "median").agg(
+        round_half_up(
+            F.expr(f"percentile(abs({value_col} - median), 0.5D)"),
+            round_dp,
+        ).alias("mad"),
+    )
+    with_mad = _bjoin(df, _renamed(mad))
+    counted = with_mad.groupBy(*ks, "median", "mad").agg(
+        F.count(vc).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(vc - F.col("median"))
+                > F.lit(k) * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )
+    return counted.select(*ks, "median", "mad", "n", "n_outliers")

@@ -254,6 +254,41 @@ FROM (
     UNION ALL
     SELECT event_type, day_idx, 'n_bins', n_bins FROM sp
 )
+UNION ALL
+SELECT 'outliers' AS tag, event_type AS group_key, metric, value
+FROM (
+    WITH omed AS (
+        SELECT event_type, {sql_round('quantile_cont(value, 0.5)', 6)} AS med
+        FROM events GROUP BY event_type
+    ),
+    omad AS (
+        -- MAD around the ROUNDED median (engine-identical input set);
+        -- IS NOT DISTINCT FROM keeps a NULL event_type group alive
+        SELECT e.event_type, m.med,
+               {sql_round('quantile_cont(abs(e.value - m.med), 0.5)', 6)}
+                   AS mad
+        FROM events e
+        JOIN omed m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        GROUP BY e.event_type, m.med
+    ),
+    ocnt AS (
+        SELECT e.event_type, m.med, m.mad,
+               CAST(COUNT(e.value) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                  > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n_outliers
+        FROM events e
+        JOIN omad m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        GROUP BY e.event_type, m.med, m.mad
+    )
+    SELECT event_type, 'median' AS metric, med AS value FROM ocnt
+    UNION ALL
+    SELECT event_type, 'mad', mad FROM ocnt
+    UNION ALL
+    SELECT event_type, 'n', n FROM ocnt
+    UNION ALL
+    SELECT event_type, 'n_outliers', n_outliers FROM ocnt
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -583,6 +618,38 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("psi_stream").alias("tag"), "group_key", "metric", "value"
         )
     )
+    # (i) robust outliers (round 8, operators/drift.mad_outliers):
+    # per-type median/MAD fence — the row-level complement to the PSI
+    # arms' distribution-level drift. The median and MAD are rounded
+    # to 6dp BEFORE the threshold compare on BOTH engines, so the
+    # outlier count is bitwise-reproducible (subtraction/abs/multiply
+    # of identical doubles are IEEE-exact); the window_functions
+    # suite's mean/stddev zscore is the fragile cousin this fence
+    # replaces when the tail itself is what's being hunted.
+    from ..operators.drift import mad_outliers
+
+    out_arm = (
+        mad_outliers(ev, "value", keys=("event_type",))
+        .select(
+            "event_type",
+            "median",
+            "mad",
+            F.col("n").cast("double").alias("n"),
+            F.col("n_outliers").cast("double").alias("n_outliers"),
+        )
+        .melt(
+            ids=["event_type"],
+            values=["median", "mad", "n", "n_outliers"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("outliers").alias("tag"),
+            F.col("event_type").cast("string").alias("group_key"),
+            "metric",
+            "value",
+        )
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
@@ -591,6 +658,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cohort_arm)
         .unionByName(psi_arm)
         .unionByName(psi_stream_arm)
+        .unionByName(out_arm)
     )
 
 

@@ -510,3 +510,50 @@ def test_walk_forward_days_laws(spark):
         )
     with pytest.raises(ValueError, match="n_folds"):
         walk_forward_days(ev, day_idx=day, n_folds=0)
+
+
+def test_mad_outliers_matches_python_replay(spark):
+    from stock_bars_data_engineering_project_spark.operators.drift import mad_outliers
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.5), ("a", 3.0), ("a", 2.2),
+        ("a", 100.0),                      # the obvious outlier
+        ("b", 5.0), ("b", 5.0), ("b", 5.0),  # MAD = 0: any v != med flags
+        ("b", 5.1),
+        ("c", None), ("c", 7.0),           # NULLs never count
+        (None, 1.0), (None, 50.0), (None, 1.2),  # NULL group survives
+    ]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    got = {
+        r.grp: (r.median, r.mad, r.n, r.n_outliers)
+        for r in mad_outliers(df, "value", keys=("grp",)).collect()
+    }
+
+    def _med(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        m = (
+            vs[n // 2]
+            if n % 2
+            else vs[n // 2 - 1] + (vs[n // 2] - vs[n // 2 - 1]) * 0.5
+        )
+        return round(m, 6)
+
+    for grp in ("a", "b", "c", None):
+        vs = [v for g, v in rows if g == grp and v is not None]
+        med = _med(vs)
+        mad = _med([abs(v - med) for v in vs])
+        n_out = sum(1 for v in vs if abs(v - med) > 3 * 1.4826 * mad)
+        assert got[grp] == (med, mad, len(vs), n_out), grp
+    # sanity on the shape of the fixture itself
+    assert got["a"][3] == 1 and got["b"][3] == 1 and got["c"][3] == 0
+
+
+def test_mad_outliers_ungrouped_broadcast_scalar(spark):
+    from stock_bars_data_engineering_project_spark.operators.drift import mad_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 1000]], ["value"]
+    )
+    row = mad_outliers(df, "value").collect()[0]
+    assert row.n == 6 and row.n_outliers == 1 and row.median == 3.5
