@@ -338,3 +338,102 @@ def gopher_panel(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    unigram_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the phrase
+    detector behind word2vec-phrases / Gensim ``Phrases``: token pairs
+    that co-occur far more than their unigram frequencies predict
+    ("new york", "machine learning") are the multi-word units a
+    tokenizer or vocabulary pass should treat as one symbol.
+
+        PMI(a, b) = ln( p(a,b) / (p(a) p(b)) )
+                  = ln( (c2/N2) / ((c1a/N1) * (c1b/N1)) )
+
+    with c2 the adjacent-pair count (N2 pairs total) and c1 the unigram
+    counts (N1 tokens total). Every input is an exact integer count, so
+    the score is one double expression per surviving bigram — the
+    cross-engine contract is the same as the surprisal arms (round the
+    ln for display/ranking).
+
+    ``min_count`` prunes the Zipf singleton tail BEFORE the joins —
+    PMI's known failure mode is that hapax pairs of hapax words get the
+    maximum score, and the pruning is also what bounds the join tables
+    at corpus scale (the bigram_surprisal lever).
+
+    Scale shape: one partial-aggregable bigram wordcount + one unigram
+    wordcount, two token-keyed joins of the PRUNED pair table to the
+    unigram table (AQE broadcasts the pruned side), two 1-row count
+    scalars. Returns (prev, cur, n2, pmi) with the RAW double pmi;
+    ranking/rounding belong to the caller (ranking the full table is a
+    vocabulary-sized sort, not a corpus-sized one).
+
+    Tokenization is the shared corpus-model definition (lower-cased
+    whitespace tokens, empties dropped; pairs via the zip_with shift,
+    functions/text.py:101-107 discipline). ``unigram_counts``
+    optionally supplies the (token, n) table from that tokenization so
+    a caller that already built the vocabulary (the tfidf suite's
+    materialized wordcount) skips one corpus pass — the
+    bigram_surprisal contract."""
+    ltoks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+    bigrams = F.filter(
+        F.zip_with(
+            ltoks,
+            F.slice(ltoks, 2, F.size(ltoks)),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    pairs = docs.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
+    )
+    uni = unigram_counts
+    if uni is None:
+        uni = (
+            docs.select(F.explode(ltoks).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    c2 = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .filter(F.col("n2") >= min_count)
+    )
+    n1 = uni.agg(F.sum("n").cast("double").alias("_n1"))
+    n2tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n2tot"))
+    scored = (
+        c2.join(
+            uni.select(
+                F.col("token").alias("prev"),
+                F.col("n").cast("double").alias("_ca"),
+            ),
+            "prev",
+        )
+        .join(
+            uni.select(
+                F.col("token").alias("cur"),
+                F.col("n").cast("double").alias("_cb"),
+            ),
+            "cur",
+        )
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2tot))
+        .select(
+            "prev",
+            "cur",
+            "n2",
+            F.log(
+                (F.col("n2") / F.col("_n2tot"))
+                / ((F.col("_ca") / F.col("_n1")) * (F.col("_cb") / F.col("_n1")))
+            ).alias("pmi"),
+        )
+    )
+    return scored

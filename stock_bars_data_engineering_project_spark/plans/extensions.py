@@ -924,6 +924,29 @@ UNION ALL
 SELECT 'heavy' AS tag, CAST(NULL AS BIGINT) AS doc_id,
        unnest(['mg_superset', 'mg_bounds', 'mg_bounded_size']) AS term,
        CAST(1.0 AS DOUBLE) AS score, CAST(NULL AS INT) AS rank
+UNION ALL
+SELECT 'pmi' AS tag, CAST(NULL AS BIGINT) AS doc_id,
+       prev || ' ' || cur AS term, pmi AS score, rank
+FROM (
+    SELECT prev, cur, pmi,
+           -- rank on the ROUNDED score (the lexranks discipline)
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, prev, cur)
+                AS INT) AS rank
+    FROM (
+        SELECT c.prev, c.cur,
+               {sql_round(
+                   "ln((c.n2 / t.n2tot)"
+                   " / ((a.n / o.n1) * (b.n / o.n1)))", 6)} AS pmi
+        FROM (SELECT prev, cur, COUNT(*) AS n2 FROM lmpairs
+              GROUP BY prev, cur HAVING COUNT(*) >= 5) c
+        JOIN lmc1 a ON a.token = c.prev
+        JOIN lmc1 b ON b.token = c.cur
+        CROSS JOIN (SELECT CAST(SUM(n) AS DOUBLE) AS n1 FROM lmc1) o
+        CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n2tot
+                    FROM lmpairs) t
+    )
+)
+WHERE rank <= 30
 """,
     tags=(
         "text",
@@ -1225,6 +1248,31 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "tag string, doc_id bigint, term string, score double, rank int",
     )
+    # (j) PMI collocations (round 8, operators/quality.pmi_collocations):
+    # top-30 phrase candidates by pointwise mutual information over
+    # min_count-pruned adjacent pairs — the word2vec-phrases pass. The
+    # materialized wordcount serves as the unigram model (seventh
+    # consumer); distributed top-k first (TakeOrderedAndProject), THEN
+    # the 30-row ranking window — the vocab_arm discipline.
+    from ..operators.quality import pmi_collocations
+
+    pmis = pmi_collocations(docs, min_count=5, unigram_counts=counts)
+    wp = Window.orderBy(F.col("score").desc(), "prev", "cur")
+    pmi_arm = (
+        pmis.select(
+            "prev", "cur", round_half_up(F.col("pmi"), 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "prev", "cur")
+        .limit(30)
+        .withColumn("rank", F.row_number().over(wp).cast("int"))
+        .select(
+            F.lit("pmi").alias("tag"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.concat_ws(" ", "prev", "cur").alias("term"),
+            "score",
+            "rank",
+        )
+    )
     return (
         tfidf_arm.unionByName(vocab_arm)
         .unionByName(surprisal_arm)
@@ -1236,6 +1284,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(train_arm)
         .unionByName(heavy_arm)
         .unionByName(mg_laws_arm)
+        .unionByName(pmi_arm)
     )
 
 

@@ -312,3 +312,49 @@ def test_bigram_surprisal_frozen_model_oov_unk_handling(spark):
     # fully-OOV doc: one bigram, both sides unseen -> pure <unk> backoff
     assert out[2][1] == 1
     assert abs(out[2][0] - (-math.log(p_unk))) < 1e-12
+
+
+def test_pmi_collocations_matches_python_replay(spark):
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.quality import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big new york is loud"),
+            (2, "old york new york the city"),
+            (3, "new day new day new day"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.prev, r.cur): (r.n2, r.pmi)
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+
+    toks = []
+    pairs = []
+    for _, t in [(1, "new york is big new york is loud"),
+                 (2, "old york new york the city"),
+                 (3, "new day new day new day")]:
+        ws = [w for w in t.lower().split(" ") if w]
+        toks += ws
+        pairs += list(zip(ws, ws[1:]))
+    from collections import Counter
+
+    c1, c2 = Counter(toks), Counter(pairs)
+    n1, n2t = len(toks), len(pairs)
+    want = {
+        ab: (n, math.log((n / n2t) / ((c1[ab[0]] / n1) * (c1[ab[1]] / n1))))
+        for ab, n in c2.items()
+        if n >= 2
+    }
+    assert set(got) == set(want)
+    for ab in want:
+        assert got[ab][0] == want[ab][0]
+        assert abs(got[ab][1] - want[ab][1]) < 1e-12
+    # the collocation ranks above the frequent-but-independent pair
+    assert got[("new", "york")][1] > got[("is", "big")][1] if ("is", "big") in got else True
