@@ -445,3 +445,85 @@ def walk_forward_days(
     return days.crossJoin(F.broadcast(folds)).select(
         "day_idx", "fold", role.alias("role")
     )
+
+
+def reservoir_k(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    k: int,
+    seed: str = "res",
+) -> DataFrame:
+    """Deterministic exact-k per-group sample — the distributed,
+    re-runnable stand-in for reservoir sampling. Rate-based sampling
+    (:func:`deterministic_sample`) cannot promise "exactly k docs per
+    stratum"; ranking every row by a content hash and keeping the k
+    SMALLEST does (bottom-k sketch), and stays stable under corpus
+    growth in the bottom-k sense: a new document evicts at most one
+    incumbent, it never reshuffles the survivor set.
+
+    The hash is the engine-portable 48-bit md5 prefix (exact integer —
+    the ranking is FP-free), salted by ``seed`` so composition with the
+    split/sample hashes stays independent (the hash_bucket discipline).
+    Bottom-k is also MERGEABLE: the bottom-k of a union is the bottom-k
+    of the concatenated bottom-k's, which is why this form (not an
+    RNG reservoir) is the 100 TB idiom — per-partition bottom-k
+    combines without coordination, and the skew-proof salted ranking
+    (operators/skew.py) is exactly that two-phase merge.
+
+    Returns the sampled rows plus their ``rank`` within the group
+    (1..k by hash order — a stable priority for downstream truncation).
+    """
+    from ..functions.hashing import md5_bucket48
+
+    ranked = df.withColumn(
+        "_rkey", md5_bucket48(F.col(id_col), 1 << 48, salt=seed)
+    )
+    from .skew import salted_topk
+
+    return salted_topk(
+        ranked, keys, "_rkey", id_col, k=k, descending=False
+    ).drop("_rkey")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "wres",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Weighted exact-k per-group sample without replacement —
+    Efraimidis-Spirakis A-ES: each row draws a deterministic uniform
+    u from its id hash and ranks by ``u**(1/w)`` DESCENDING; the top-k
+    is a weighted sample without replacement (a row with twice the
+    weight has exactly twice the odds of out-ranking a rival). The
+    standard corpus-curation primitive for "keep k docs per source,
+    favoring the long/high-quality ones", and — like
+    :func:`reservoir_k` — mergeable, because a max-k of per-partition
+    max-k's is exact.
+
+    Determinism contract: u is (h48 %% 1_000_000 + 1) / 1e6 — one
+    correctly-rounded division of exact integers, identical in any
+    engine — and the A-ES key is rounded to ``round_dp`` BEFORE the
+    ranking with the id as tiebreak, so a sub-ULP pow() difference
+    between libms cannot flip an order (the lexranks discipline).
+    Weights must be >= 1 (integer token counts are the intended use);
+    w = 0 would put 1/w at infinity.
+    """
+    from ..functions.scalars import round_half_up
+    from ..functions.hashing import md5_bucket48
+    from .skew import salted_topk
+
+    u = (
+        md5_bucket48(F.col(id_col), 1_000_000, salt=seed) + 1
+    ) / 1_000_000.0
+    key = round_half_up(
+        F.pow(u, 1.0 / F.col(weight_col).cast("double")), round_dp
+    )
+    ranked = df.withColumn("_wkey", key)
+    return salted_topk(
+        ranked, keys, "_wkey", id_col, k=k, descending=True
+    ).drop("_wkey")

@@ -1986,6 +1986,41 @@ FROM (
            (SELECT COUNT(*) FROM bounds b WHERE d.sz > b.t) AS phase
     FROM dsz d
 )
+UNION ALL
+SELECT 'reservoir' AS tag, doc_id,
+       source || '#' || CAST(rank AS VARCHAR) AS label
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+               ('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)),
+                               1, 12))::BIGINT,
+               doc_id) AS rank
+    FROM documents
+)
+WHERE rank <= 5
+UNION ALL
+SELECT 'weighted' AS tag, doc_id,
+       source || '#' || CAST(rank AS VARCHAR) AS label
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY wkey DESC, doc_id) AS rank
+    FROM (
+        -- A-ES: u from the 48-bit md5 prefix (exact-integer mod and
+        -- one correctly-rounded division), key u^(1/w) rounded to 9dp
+        -- BEFORE ranking so a sub-ULP pow() libm difference cannot
+        -- flip an order
+        SELECT doc_id, source,
+               CAST(ROUND(CAST(
+                   pow((('0x' || substr(md5('wres:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                        % 1000000 + 1) / 1000000.0,
+                       1.0 / len(string_split(text, ' ')))
+               AS DECIMAL(30,10)), 9) AS DOUBLE) AS wkey
+        FROM documents
+    )
+)
+WHERE rank <= 5
 """,
     tags=("sampling", "mixture", "tokens", "shuffle", "curriculum"),
 )
@@ -2087,6 +2122,36 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("f"), F.col("fold").cast("string"), F.lit(":"), F.col("role")
         ).alias("label"),
     )
+    # 'reservoir' / 'weighted' (round 8, operators/sampling.py
+    # reservoir_k / weighted_sample_k): exact-k-per-stratum sampling —
+    # unweighted bottom-k on the FP-free 48-bit md5 rank, and the
+    # Efraimidis-Spirakis u^(1/w) key (w = token count) with the key
+    # rounded before ranking. Both ride the skew-proof salted top-k;
+    # the rank lands in the label so the oracle gates the ORDER of the
+    # survivors, not just membership.
+    from ..operators.sampling import reservoir_k, weighted_sample_k
+
+    res_arm = reservoir_k(docs, ("source",), "doc_id", k=5).select(
+        F.lit("reservoir").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("#"), F.col("rank").cast("string")
+        ).alias("label"),
+    )
+    wtd = weighted_sample_k(
+        docs.withColumn("_w", F.size(F.split("text", " "))),
+        ("source",),
+        "doc_id",
+        "_w",
+        k=5,
+    )
+    wtd_arm = wtd.select(
+        F.lit("weighted").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("#"), F.col("rank").cast("string")
+        ).alias("label"),
+    )
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
@@ -2094,6 +2159,8 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(alpha_arm)
         .unionByName(curr_arm)
         .unionByName(wf_arm)
+        .unionByName(res_arm)
+        .unionByName(wtd_arm)
     )
 
 

@@ -557,3 +557,58 @@ def test_mad_outliers_ungrouped_broadcast_scalar(spark):
     )
     row = mad_outliers(df, "value").collect()[0]
     assert row.n == 6 and row.n_outliers == 1 and row.median == 3.5
+
+
+def test_reservoir_k_matches_python_replay(spark):
+    import hashlib
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        reservoir_k,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    got = sorted(
+        (r.src, r.rank, r.doc_id)
+        for r in reservoir_k(df, ("src",), "doc_id", k=4).collect()
+    )
+
+    def h(i):
+        return int(hashlib.md5(f"res:{i}".encode()).hexdigest()[:12], 16)
+
+    want = []
+    for s in ("s0", "s1", "s2"):
+        ids = sorted(
+            (i for i, g in rows if g == s), key=lambda i: (h(i), i)
+        )[:4]
+        want += [(s, r + 1, i) for r, i in enumerate(ids)]
+    assert got == sorted(want)
+
+
+def test_weighted_sample_k_favors_heavy_and_replays(spark):
+    import hashlib
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    # weight 1000 vs 1: the heavy half should dominate the sample
+    rows = [(i, "g", 1000 if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "w"])
+    got = [
+        r.doc_id
+        for r in weighted_sample_k(
+            df, ("src",), "doc_id", "w", k=10
+        ).collect()
+    ]
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:12], 16)
+             % 1_000_000 + 1) / 1_000_000.0
+        return round(u ** (1.0 / w), 9)
+
+    want = sorted(
+        rows, key=lambda r: (-key(r[0], r[2]), r[0])
+    )[:10]
+    assert sorted(got) == sorted(i for i, _, _ in want)
+    assert sum(1 for i in got if i < 50) >= 8  # heavy side dominates

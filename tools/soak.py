@@ -80,7 +80,10 @@ from stock_bars_data_engineering_project_spark.operators.heavy import (  # noqa:
     merged_heavy_hitters,
     mg_summaries,
 )
-from stock_bars_data_engineering_project_spark.operators.drift import psi_drift  # noqa: E402
+from stock_bars_data_engineering_project_spark.operators.drift import (  # noqa: E402
+    mad_outliers,
+    psi_drift,
+)
 from stock_bars_data_engineering_project_spark.operators.ema import ewma_per_key  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.rollup import (  # noqa: E402
     rollup_increment,
@@ -104,7 +107,11 @@ from stock_bars_data_engineering_project_spark.operators.merge import (  # noqa:
 )
 from stock_bars_data_engineering_project_spark.operators.quality import (  # noqa: E402
     bigram_surprisal,
+    pmi_collocations,
     unigram_surprisal,
+)
+from stock_bars_data_engineering_project_spark.operators.trigram import (  # noqa: E402
+    substring_search,
 )
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
 from stock_bars_data_engineering_project_spark.streaming.joins import interval_join  # noqa: E402
@@ -567,6 +574,31 @@ def run(
             ),
             F.date_trunc("day", F.col("timestamp")),
         ),
+        # trigram substring search: FIXED 4-pattern set against the
+        # linearly growing corpus — the curve should track the posting
+        # build (explode of per-doc distinct trigrams, the only
+        # corpus-sized stage); the candidate gate and contains() verify
+        # run on the match set, which replica vowel-rotation keeps
+        # roughly linear
+        "trgm_search": lambda: substring_search(
+            docs.filter(F.col("doc_id") >= 25),
+            docs.filter(F.col("doc_id").isin(1, 7, 13, 19)).select(
+                F.col("doc_id").alias("pattern_id"),
+                F.substring("text", 11, 12).alias("pattern"),
+            ),
+        ),
+        # median/MAD outlier fence: three partial-agg passes over the
+        # fact table with broadcast group-stats joins — the curve
+        # should track 3x the scan, no window over raw rows
+        "mad_outliers": lambda: mad_outliers(
+            events, "value", keys=("event_type",)
+        ),
+        # PMI collocations: bigram + unigram partial-agg wordcounts,
+        # then joins on the min_count-PRUNED pair table — vocabulary
+        # (and with it the join fan-in) grows sub-linearly under
+        # replica token-suffixing, so the curve should track the pair
+        # explode
+        "pmi": lambda: pmi_collocations(docs, min_count=5),
     }
     measured = {
         n: f for n, f in ops.items() if ops_filter is None or n in ops_filter
