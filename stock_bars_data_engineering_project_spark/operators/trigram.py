@@ -166,6 +166,16 @@ def substring_search(
         .select("pattern_id", "id")
     )
 
+    # Driver-side probe of the SMALL pattern frame (patterns are
+    # broadcast everywhere in this module — bounded by contract, like
+    # BPE candidate batches): without it the fallback's crossJoin stays
+    # in the plan even when every pattern is indexable, and a
+    # BroadcastNestedLoopJoin with an empty build side still SCANS the
+    # corpus stream side — a full wasted pass at 100 TB. Found by the
+    # PLANS.md audit (bm25 row grew an NLJ after this arm landed).
+    if short.limit(1).count() == 0:
+        return verified
+
     fallback = substring_scan(
         docs,
         short,
