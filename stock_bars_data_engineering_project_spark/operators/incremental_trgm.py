@@ -1,0 +1,230 @@
+"""Persisted, incrementally maintained trigram substring index.
+
+:func:`operators.trigram.substring_search` derives the posting lists
+from the corpus inside the query plan — right for ad-hoc probes, wrong
+for a serving loop that answers ``LIKE '%...%'`` requests all day
+against a 100 TB corpus. This module is the substring analog of
+``incremental_retrieval.py`` (same warehouse discipline, same crash
+contract):
+
+- ``<table>__postings`` — (bkt, trigram, doc_id), hive-partitioned by
+  ``bkt`` = the 48-bit md5 bucket of the trigram. A probe's scan set
+  is the buckets of the PATTERN's own trigrams — a driver-side
+  literal IN bounded by the (small, broadcast-contract) pattern set,
+  so the read is statically partition-pruned like bm25_query /
+  ann_query.
+- ``<table>__docs`` — (doc_id): membership, the replay-idempotence
+  anti-join target (at-least-once redelivery of a committed batch
+  appends nothing).
+- ``<table>__meta`` — ONE row (n_buckets), the immutable hashing
+  config.
+
+Crash consistency is inherited verbatim from the BM25 index: ingest
+appends postings FIRST, then membership; a crash in between leaves
+orphan postings a redelivery re-appends, and the query path's
+full-row ``dropDuplicates`` (postings are deterministic per doc) heals
+the overlap on the already-pruned probe slice. The index stores NO
+text — the ``contains`` verify joins candidates back to the corpus
+table by id, reading only the text column of matching rows.
+
+Equivalence contract: postings are per-doc DISTINCT trigram sets —
+batch-invariant — so ``trgm_query`` over a built+ingested index equals
+``substring_search`` (and the plain scan) over the union corpus,
+pinned in tests/test_trigram.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bucket48
+from ..materialize import materialize
+from ..sinks.warehouse import ParquetWarehouse
+from .trigram import char_ngrams, substring_scan, trigram_postings
+
+
+def _postings_table(table: str) -> str:
+    return f"{table}__postings"
+
+
+def _docs_table(table: str) -> str:
+    return f"{table}__docs"
+
+
+def _meta_table(table: str) -> str:
+    return f"{table}__meta"
+
+
+def _batch_postings(
+    batch: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    # repartition by bkt before the hive-partitioned write (the
+    # small-files discipline shared by every index builder here)
+    return (
+        trigram_postings(batch, id_col=id_col, text_col=text_col)
+        .select(
+            md5_bucket48(F.col("trigram"), n_buckets).alias("bkt"),
+            "trigram",
+            F.col("id").alias("doc_id"),
+        )
+        .repartition("bkt")
+    )
+
+
+def _batch_members(batch: DataFrame, id_col: str) -> DataFrame:
+    guarded = batch.filter(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"trgm index: NULL {id_col} — ids must be non-NULL "
+                    "for replay-idempotent ingest"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    return guarded.select(F.col(id_col).alias("doc_id"))
+
+
+def build_trgm_index(
+    wh: ParquetWarehouse,
+    docs: DataFrame,
+    table: str = "trgm_index",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the index from scratch. Membership commits LAST
+    (docs shorter than 3 chars post nothing but must still be members,
+    and the crash contract needs postings-before-membership)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = docs.sparkSession
+    wh.overwrite(
+        _batch_postings(docs, n_buckets, id_col, text_col),
+        _postings_table(table),
+        partition_by=("bkt",),
+    )
+    wh.overwrite(_batch_members(docs, id_col), _docs_table(table))
+    wh.overwrite(
+        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        _meta_table(table),
+    )
+
+
+def ingest_docs(
+    wh: ParquetWarehouse,
+    batch: DataFrame,
+    table: str = "trgm_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Fold a new batch in at O(batch) cost — anti-join away known ids,
+    append survivors' postings then membership. Returns the number of
+    newly indexed documents; documents are immutable under their id
+    (the shared index-module contract)."""
+    meta = wh.read(_meta_table(table)).collect()[0]
+    known = wh.read(_docs_table(table)).select("doc_id")
+    new_docs = materialize(
+        batch.join(known, batch[id_col] == known["doc_id"], "left_anti")
+    )
+    members = _batch_members(new_docs, id_col)
+    n_new = int(members.agg(F.count(F.lit(1)).alias("n")).collect()[0].n)
+    if n_new == 0:
+        return 0
+    wh.append(
+        _batch_postings(new_docs, int(meta.n_buckets), id_col, text_col),
+        _postings_table(table),
+    )
+    wh.append(members, _docs_table(table))
+    return n_new
+
+
+def trgm_query(
+    wh: ParquetWarehouse,
+    docs: DataFrame,
+    patterns: DataFrame,
+    table: str = "trgm_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern_id_col: str = "pattern_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Exact substring matches (pattern_id, id) answered from the
+    STORED index — identical semantics and output to
+    ``substring_search`` over the indexed corpus, with the in-plan
+    posting build replaced by a statically-pruned postings scan.
+    ``docs`` supplies the text for the ``contains`` verify (the index
+    stores none) and for the sub-3-char scan fallback."""
+    meta = wh.read(_meta_table(table)).collect()[0]
+    pats = patterns.select(
+        F.col(pattern_id_col).alias("pattern_id"),
+        F.col(pattern_col).alias("pattern"),
+    )
+    short = pats.filter(F.length("pattern") < 3)
+    indexed = pats.filter(F.length("pattern") >= 3)
+
+    pat_tri = materialize(
+        indexed.select(
+            "pattern_id",
+            "pattern",
+            F.array_distinct(char_ngrams(F.col("pattern"))).alias("_tris"),
+        ).select(
+            "pattern_id",
+            "pattern",
+            F.size("_tris").alias("n_tri"),
+            F.explode("_tris").alias("trigram"),
+        )
+    )
+    # driver-side probe-bucket literal: bounded by the pattern set's
+    # trigram count (patterns are small by module contract)
+    probe_bkts = [
+        r.bkt
+        for r in pat_tri.select(
+            md5_bucket48(F.col("trigram"), int(meta.n_buckets)).alias("bkt")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = (
+        wh.read(_postings_table(table))
+        .filter(F.col("bkt").isin(probe_bkts))
+        .join(
+            F.broadcast(pat_tri.select("trigram").distinct()),
+            "trigram",
+            "left_semi",
+        )
+        # heals crashed-and-redelivered ingest duplicates on the pruned
+        # probe slice (module docstring, "Crash consistency")
+        .dropDuplicates(["trigram", "doc_id"])
+        .select("trigram", F.col("doc_id").alias("id"))
+    )
+    candidates = (
+        postings.join(F.broadcast(pat_tri), "trigram")
+        .groupBy("pattern_id", "pattern", "n_tri", "id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_tri"))
+        .select("pattern_id", "pattern", "id")
+    )
+    verified = (
+        candidates.join(
+            docs.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+            ),
+            "id",
+        )
+        .filter(F.contains(F.col("_text"), F.col("pattern")))
+        .select("pattern_id", "id")
+    )
+    if short.limit(1).count() == 0:
+        return verified
+    fallback = substring_scan(
+        docs,
+        short,
+        id_col=id_col,
+        text_col=text_col,
+        pattern_id_col="pattern_id",
+        pattern_col="pattern",
+    )
+    return verified.unionByName(fallback)

@@ -3660,13 +3660,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       pass; without an index PRF's honest cost is one more corpus
       scan. The oracle replays the feedback counts, the anti-joined
       term pick, and the entire second-pass scoring.
-    - 'trgm' (round 8, operators/trigram.py substring_search): exact
-      substring search through the trigram inverted index — 12-char
-      patterns cut from four query docs, candidate docs gated on
-      containing ALL pattern trigrams, then contains()-verified. The
-      oracle is the plain full contains() scan, so the hash match pins
-      index ≡ scan — the law that makes a pg_trgm-style index safe to
-      answer LIKE '%...%' from at 100 TB."""
+    - 'trgm' (round 8, operators/trigram.py +
+      operators/incremental_trgm.py): exact substring search from the
+      PERSISTED trigram inverted index (built + ingested halves, the
+      bm25-index maintenance chain; probed via static bucket partition
+      filters) — 12-char patterns cut from four query docs, candidate
+      docs gated on containing ALL pattern trigrams, then
+      contains()-verified. The oracle is the plain full contains()
+      scan, so the hash match pins index+ingest ≡ scan — the law that
+      makes a pg_trgm-style index safe to answer LIKE '%...%' from at
+      100 TB."""
     from ..operators.incremental_retrieval import bm25_query
     from ..operators.retrieval import bm25_topk, prf_expand, rrf_fuse
     from ..operators.similarity import cosine_topk
@@ -3729,22 +3732,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
 
-    # 'trgm' (round 8, operators/trigram.py): substring patterns cut
-    # from four query docs, answered via the trigram inverted index —
-    # postings -> all-trigrams candidate gate -> contains verify. The
-    # oracle is a DuckDB full contains() scan, so the cross-engine hash
-    # IS the index ≡ scan law (the bloom-arm gating pattern). ALL
-    # matches are emitted (no top-k): a 12-char pattern's selectivity
-    # bounds the result, and rank is a doc_id ordinal for schema parity.
+    # 'trgm' (round 8, operators/trigram.py +
+    # operators/incremental_trgm.py): substring patterns cut from four
+    # query docs, answered from the PERSISTED trigram inverted index —
+    # built on the even-id half, odd-id half folded in by ingest_docs
+    # (the full maintenance chain, memoized per process like the BM25
+    # index), probed via the patterns' trigram md5 buckets as STATIC
+    # partition filters, then the all-trigrams candidate gate and the
+    # contains verify. The oracle is a DuckDB full contains() scan, so
+    # the cross-engine hash IS the index+ingest ≡ scan law (the
+    # bloom-arm gating pattern). ALL matches are emitted (no top-k): a
+    # 12-char pattern's selectivity bounds the result, and rank is a
+    # doc_id ordinal for schema parity.
     patterns = docs.filter(F.col("doc_id").isin(1, 7, 13, 19)).select(
         F.col("doc_id").alias("pattern_id"),
         F.substring("text", 11, 12).alias("pattern"),
     )
     from pyspark.sql import Window
 
-    from ..operators.trigram import substring_search
+    from ..operators.incremental_trgm import trgm_query
 
-    matches = substring_search(corpus, patterns)
+    matches = trgm_query(
+        _trgm_index(spark, sf_dir, corpus), corpus, patterns, table="trgm_idx"
+    )
     trgm = matches.select(
         F.lit("trgm").alias("variant"),
         F.col("pattern_id").alias("query_id"),
@@ -3764,6 +3774,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BM25_INDEX_MEMO: dict = {}
+_TRGM_INDEX_MEMO: dict = {}
+
+
+def _trgm_index(spark, sf_dir: str, corpus):
+    """Build (even ids) + ingest (odd ids) the persisted trigram index,
+    memoized per process per (sf_dir, documents mtime) — the
+    _bm25_index discipline verbatim."""
+    import os
+
+    from ..operators.incremental_trgm import build_trgm_index, ingest_docs
+
+    key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+    wh = _TRGM_INDEX_MEMO.get(key)
+    if wh is not None and os.path.isdir(wh.root):
+        os.utime(wh.root, None)
+        return wh
+    wh = scratch_warehouse(spark, "trgm_index_rows")
+    build_trgm_index(
+        wh, corpus.filter(F.col("doc_id") % 2 == 0), table="trgm_idx"
+    )
+    ingest_docs(wh, corpus.filter(F.col("doc_id") % 2 == 1), table="trgm_idx")
+    _TRGM_INDEX_MEMO[key] = wh
+    return wh
 
 
 def _bm25_index(spark, sf_dir: str, corpus):

@@ -106,3 +106,92 @@ def test_external_postings_reused(spark):
         assert got == [(100, 1), (100, 2)]
     finally:
         post.unpersist()
+
+
+def _wh(spark, tmp_path):
+    from stock_bars_data_engineering_project_spark.sinks.warehouse import ParquetWarehouse
+
+    return ParquetWarehouse(spark, str(tmp_path / "wh"))
+
+
+def test_persisted_index_build_ingest_equals_scan(spark, tmp_path):
+    """Index built on even ids + odd ids ingested must answer exactly
+    like the scan (and substring_search) over the union corpus —
+    including the short-pattern fallback and the trigram decoy."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        ingest_docs,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(PATTERNS, ["pattern_id", "pattern"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs.filter(F.col("doc_id") % 2 == 0), table="tg")
+    n = ingest_docs(wh, docs.filter(F.col("doc_id") % 2 == 1), table="tg")
+    assert n == 3
+    got = sorted(
+        (r.pattern_id, r.id)
+        for r in trgm_query(wh, docs, pats, table="tg").collect()
+    )
+    assert got == _expected()
+
+
+def test_persisted_index_replay_is_noop(spark, tmp_path):
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        ingest_docs,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(
+        [(101, "abcdef")], ["pattern_id", "pattern"]
+    )
+    wh = _wh(spark, tmp_path)
+    half = docs.filter(F.col("doc_id") % 2 == 1)
+    build_trgm_index(wh, half, table="tg")
+    before = sorted(
+        (r.pattern_id, r.id)
+        for r in trgm_query(wh, docs, pats, table="tg").collect()
+    )
+    assert ingest_docs(wh, half, table="tg") == 0
+    assert wh.read("tg__docs").count() == half.count()
+    after = sorted(
+        (r.pattern_id, r.id)
+        for r in trgm_query(wh, docs, pats, table="tg").collect()
+    )
+    assert after == before == [(101, 5)]
+
+
+def test_persisted_index_short_doc_is_member(spark, tmp_path):
+    """Doc 6 ('ab') posts no trigram but must be a member, so its
+    re-ingest is a no-op rather than a perpetual re-append."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        ingest_docs,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs, table="tg")
+    assert ingest_docs(wh, docs.filter(F.col("doc_id") == 6), table="tg") == 0
+
+
+def test_probe_scans_only_pattern_buckets(spark, tmp_path):
+    """The postings read must carry the probe-bucket partition filter —
+    at 100 TB this is the difference between touching the pattern's
+    buckets and the whole index."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(
+        [(101, "abcdef")], ["pattern_id", "pattern"]
+    )
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs, table="tg")
+    plan = trgm_query(wh, docs, pats, table="tg")._jdf.queryExecution().executedPlan().toString()
+    assert "bkt IN" in plan or "bkt#" in plan  # partition filter present
