@@ -567,3 +567,88 @@ def test_calendar_fill_dense_reconstruction_law(spark, cells):
                 last_obs = v
             else:
                 assert v == last_obs  # carried forward value
+
+
+_alpha_docs = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+_alpha_pats = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=5),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_alpha_docs, _alpha_pats)
+def test_substring_search_equals_python_in(spark, docs, pats):
+    """Index path ≡ Python substring membership for ANY input — the
+    2-char alphabet maximizes shared trigrams (decoy pressure on the
+    candidate gate) and patterns below 3 chars exercise the fallback."""
+    from stock_bars_data_engineering_project_spark.operators.trigram import (
+        substring_search,
+    )
+
+    ddf = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    pdf = spark.createDataFrame(
+        list(enumerate(pats)), ["pattern_id", "pattern"]
+    )
+    got = sorted(
+        (r.pattern_id, r.id) for r in substring_search(ddf, pdf).collect()
+    )
+    want = sorted(
+        (pi, di)
+        for pi, p in enumerate(pats)
+        for di, d in enumerate(docs)
+        if p in d
+    )
+    assert got == want
+
+
+_res_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 1)),  # (id, group)
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_res_rows, st.integers(1, 4))
+def test_reservoir_bottom_k_is_mergeable(spark, rows, k):
+    """bottom-k(union) == bottom-k(bottom-k(half A) ∪ bottom-k(half B))
+    — the mergeability law that makes the hash-rank form the
+    distributed reservoir idiom — and both equal the Python replay."""
+    import hashlib
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        reservoir_k,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    whole = sorted(
+        (r.grp, r.rank, r.doc_id)
+        for r in reservoir_k(df, ("grp",), "doc_id", k=k).collect()
+    )
+    a = reservoir_k(
+        df.filter(F.col("doc_id") % 2 == 0), ("grp",), "doc_id", k=k
+    ).drop("rank")
+    b = reservoir_k(
+        df.filter(F.col("doc_id") % 2 == 1), ("grp",), "doc_id", k=k
+    ).drop("rank")
+    merged = sorted(
+        (r.grp, r.rank, r.doc_id)
+        for r in reservoir_k(a.unionByName(b), ("grp",), "doc_id", k=k).collect()
+    )
+    assert merged == whole
+
+    def h(i):
+        return int(hashlib.md5(f"res:{i}".encode()).hexdigest()[:12], 16)
+
+    want = []
+    for g in {g for _, g in rows}:
+        ids = sorted((i for i, gg in rows if gg == g), key=lambda i: (h(i), i))[:k]
+        want += [(g, r + 1, i) for r, i in enumerate(ids)]
+    assert whole == sorted(want)
