@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, top_gram_share, word_shingles
+from ..materialize import materialize
 
 # The Gopher paper's stop-word presence list (Rae et al. 2021, §A1.1) —
 # distinct from functions/text.py's EN_STOPWORDS, which feeds the
@@ -64,6 +65,39 @@ def unigram_surprisal(
                 "score"
             )
         )
+    )
+
+
+def _lower_tokens(text_col: str) -> Column:
+    """THE corpus-model tokenization, defined once: lower-cased
+    whitespace tokens, empties dropped — shared by every bigram/unigram
+    consumer in this module so the cross-engine contract cannot
+    desynchronize between operators."""
+    return F.filter(
+        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
+    )
+
+
+def _adjacent_pairs(
+    docs: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """(prev, cur) adjacent token pairs (optionally id-keyed): zip the
+    token array with its own 1-shifted copy; zip_with NULL-pads the
+    shorter side, so the last element pairs (last_token, NULL) and the
+    filter drops it. Map-only — the word_shingles no-lambda-body
+    re-evaluation discipline (functions/text.py:101-107)."""
+    ltoks = _lower_tokens(text_col)
+    bigrams = F.filter(
+        F.zip_with(
+            ltoks,
+            F.slice(ltoks, 2, F.size(ltoks)),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+        ),
+        lambda s: s["cur"].isNotNull(),
+    )
+    ids = [id_col] if id_col else []
+    return docs.select(*ids, F.explode(bigrams).alias("bg")).select(
+        *ids, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
     )
 
 
@@ -134,23 +168,8 @@ def bigram_surprisal(
     row. In self-model mode every token is in the table, so the left
     joins match inner-join behavior exactly.
     """
-    ltoks = F.filter(
-        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
-    )
-    # (prev, cur) adjacent pairs: zip the token array with its own
-    # 1-shifted copy; zip_with NULL-pads the shorter side, so the last
-    # element pairs (last_token, NULL) and the filter drops it.
-    bigrams = F.filter(
-        F.zip_with(
-            ltoks,
-            F.slice(ltoks, 2, F.size(ltoks)),
-            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-        ),
-        lambda s: s["cur"].isNotNull(),
-    )
-    pairs = docs.select(
-        id_col, F.explode(bigrams).alias("bg")
-    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    ltoks = _lower_tokens(text_col)
+    pairs = _adjacent_pairs(docs, text_col, id_col=id_col)
 
     if unigram_counts is None:
         unigram_counts = (
@@ -368,10 +387,14 @@ def pmi_collocations(
     at corpus scale (the bigram_surprisal lever).
 
     Scale shape: one partial-aggregable bigram wordcount + one unigram
-    wordcount, two token-keyed joins of the PRUNED pair table to the
-    unigram table (AQE broadcasts the pruned side), two 1-row count
-    scalars. Returns (prev, cur, n2, pmi) with the RAW double pmi;
-    ranking/rounding belong to the caller (ranking the full table is a
+    wordcount (MATERIALIZED when derived here — it feeds three
+    consumers), two token-keyed joins of the PRUNED pair table to the
+    unigram table (AQE broadcasts the pruned side), and two 1-row
+    scalars — the pair total comes from a map-only size aggregate over
+    the scan (size(tokens)-1 per doc, integer-identical to counting
+    the exploded pairs), never a second corpus explode. Returns
+    (prev, cur, n2, pmi) with the RAW double pmi; ranking/rounding
+    belong to the caller (ranking the full table is a
     vocabulary-sized sort, not a corpus-sized one).
 
     Tokenization is the shared corpus-model definition (lower-cased
@@ -381,23 +404,14 @@ def pmi_collocations(
     a caller that already built the vocabulary (the tfidf suite's
     materialized wordcount) skips one corpus pass — the
     bigram_surprisal contract."""
-    ltoks = F.filter(
-        tokens(F.lower(F.col(text_col))), lambda t: t != F.lit("")
-    )
-    bigrams = F.filter(
-        F.zip_with(
-            ltoks,
-            F.slice(ltoks, 2, F.size(ltoks)),
-            lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-        ),
-        lambda s: s["cur"].isNotNull(),
-    )
-    pairs = docs.select(F.explode(bigrams).alias("bg")).select(
-        F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur")
-    )
+    ltoks = _lower_tokens(text_col)
+    pairs = _adjacent_pairs(docs, text_col)
     uni = unigram_counts
     if uni is None:
-        uni = (
+        # vocabulary-sized (Heaps'-law sub-linear) and consumed three
+        # times below (total + two joins) — without the materialization
+        # each consumer replays the corpus explode
+        uni = materialize(
             docs.select(F.explode(ltoks).alias("token"))
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -408,7 +422,14 @@ def pmi_collocations(
         .filter(F.col("n2") >= min_count)
     )
     n1 = uni.agg(F.sum("n").cast("double").alias("_n1"))
-    n2tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("_n2tot"))
+    # total pair count WITHOUT a second corpus explode: per-doc pair
+    # counts are size(tokens)-1, a map-only aggregate over the scan —
+    # integer-identical to counting the exploded pairs
+    n2tot = docs.agg(
+        F.sum(F.greatest(F.size(ltoks) - 1, F.lit(0)))
+        .cast("double")
+        .alias("_n2tot")
+    )
     scored = (
         c2.join(
             uni.select(

@@ -476,8 +476,17 @@ def reservoir_k(
     """
     from ..functions.hashing import md5_bucket48
 
+    # loud NULL-id guard (the module's fail-fast stance, hash_bucket's
+    # rationale): a NULL id hashes to a NULL key, Spark sorts NULLs
+    # FIRST ascending, and the row would silently occupy a sample slot
     ranked = df.withColumn(
-        "_rkey", md5_bucket48(F.col(id_col), 1 << 48, salt=seed)
+        "_rkey",
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit("reservoir_k: NULL id — clean or filter ids first")
+            ),
+        ).otherwise(md5_bucket48(F.col(id_col), 1 << 48, salt=seed)),
     )
     from .skew import salted_topk
 
@@ -510,20 +519,41 @@ def weighted_sample_k(
     engine — and the A-ES key is rounded to ``round_dp`` BEFORE the
     ranking with the id as tiebreak, so a sub-ULP pow() difference
     between libms cannot flip an order (the lexranks discipline).
-    Weights must be >= 1 (integer token counts are the intended use);
-    w = 0 would put 1/w at infinity.
+    Weights must be >= 1 (integer token counts are the intended use)
+    and ids non-NULL — both enforced loudly: w <= 0 or NULL would make
+    the key 0/Infinity/NULL and silently corrupt the sample (never
+    sampled, always sampled, or NULL-ranked), and a NULL id can be
+    neither hashed nor tie-broken.
     """
     from ..functions.scalars import round_half_up
     from ..functions.hashing import md5_bucket48
     from .skew import salted_topk
 
+    w = F.col(weight_col).cast("double")
     u = (
         md5_bucket48(F.col(id_col), 1_000_000, salt=seed) + 1
     ) / 1_000_000.0
-    key = round_half_up(
-        F.pow(u, 1.0 / F.col(weight_col).cast("double")), round_dp
+    key = round_half_up(F.pow(u, 1.0 / w), round_dp)
+    guard = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit("weighted_sample_k: NULL id — clean ids first")
+            ),
+        )
+        .when(
+            w.isNull() | (w < 1),
+            F.raise_error(
+                F.lit(
+                    "weighted_sample_k: weights must be >= 1 and "
+                    "non-NULL (integer token counts are the intended "
+                    "use)"
+                )
+            ),
+        )
+        .otherwise(key)
     )
-    ranked = df.withColumn("_wkey", key)
+    ranked = df.withColumn("_wkey", guard)
     return salted_topk(
         ranked, keys, "_wkey", id_col, k=k, descending=True
     ).drop("_wkey")

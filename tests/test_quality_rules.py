@@ -356,5 +356,10 @@ def test_pmi_collocations_matches_python_replay(spark):
     for ab in want:
         assert got[ab][0] == want[ab][0]
         assert abs(got[ab][1] - want[ab][1]) < 1e-12
-    # the collocation ranks above the frequent-but-independent pair
-    assert got[("new", "york")][1] > got[("is", "big")][1] if ("is", "big") in got else True
+    # the collocation ranks above a pair that survives the prune but
+    # whose count is close to what its halves' frequencies predict:
+    # (day,new) is the wrap-around artifact of doc 3 — both halves
+    # frequent (new=6, day=3 of 20 tokens), co-count 2 of 17 pairs —
+    # while (new,york) co-occurs 3x against the same base rates
+    assert ("day", "new") in got
+    assert got[("new", "york")][1] > got[("day", "new")][1]

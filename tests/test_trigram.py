@@ -193,5 +193,16 @@ def test_probe_scans_only_pattern_buckets(spark, tmp_path):
     )
     wh = _wh(spark, tmp_path)
     build_trgm_index(wh, docs, table="tg")
-    plan = trgm_query(wh, docs, pats, table="tg")._jdf.queryExecution().executedPlan().toString()
-    assert "bkt IN" in plan or "bkt#" in plan  # partition filter present
+    plan = (
+        trgm_query(wh, docs, pats, table="tg")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the probe-bucket IN list must land in the scan's PartitionFilters
+    # clause — a mere bkt column reference elsewhere doesn't prune files
+    pf = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf and any("bkt" in ln and " IN " in ln.replace("IN (", " IN (")
+                      for ln in pf), plan
