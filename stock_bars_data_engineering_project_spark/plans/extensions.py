@@ -227,6 +227,26 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.unionByName(fuzzy)
 
 
+# PageRank's unrolled oracle rounds (operators/graph.pagerank, n_iter=3):
+# each round re-ranks from the previous round's 9dp-ROUNDED values —
+# identical inputs per round on both engines, so only the round's own
+# SUM fold order wiggles, absorbed by the rounding. 0.15/0.85 are
+# LITERALS on both sides (1 - 0.85 constant-folds to a different
+# double than the literal 0.15).
+_PR_ROUNDS_SQL = ",\n".join(
+    f"""pr_{r} AS (
+    SELECT e.dst AS node,
+           {sql_round('0.15 / n.n + 0.85 * SUM(p.pr / d.deg)', 9)} AS pr
+    FROM prne e
+    JOIN pr_{r - 1} p ON e.src = p.node
+    JOIN prdeg d ON e.src = d.src
+    CROSS JOIN prn n
+    GROUP BY e.dst, n.n
+)"""
+    for r in (1, 2, 3)
+)
+
+
 # 60-bit SimHash: per token, h1 = first 7 hex chars (28 bits), h2 = next
 # 8 hex chars (32 bits); bit j comes from h2 for j<32 else h1 — matching
 # functions/hashing.py's double-exact split. DuckDB shifts are integer-
@@ -270,13 +290,28 @@ ranked AS (
            ('0x' || substr(md5('split:' || CAST(c.cluster_id AS VARCHAR)), 1, 12))::BIGINT
                % 10000 AS b
     FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
-)
-SELECT doc_id, cluster_id, n_chars,
-       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep,
-       CASE WHEN b < 9000 THEN 'train'
-            WHEN b < 9500 THEN 'val'
-            ELSE 'test' END AS split
-FROM ranked
+),
+prne AS (
+    -- PageRank edge set: symmetric, NO self-loops (unlike `edges`,
+    -- whose self-edges exist for the reachability closure)
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+prn AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM prne),
+prdeg AS (SELECT src, COUNT(*) AS deg FROM prne GROUP BY src),
+pr_0 AS (
+    SELECT src AS node, {sql_round('1.0 / n', 9)} AS pr
+    FROM (SELECT DISTINCT src FROM prne) CROSS JOIN prn
+),
+{_PR_ROUNDS_SQL}
+SELECT r.doc_id, r.cluster_id, r.n_chars,
+       CAST(CASE WHEN r.rn = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN r.b < 9000 THEN 'train'
+            WHEN r.b < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       p.pr AS pr
+FROM ranked r JOIN pr_3 p ON r.doc_id = p.node
 """,
     tags=("dedup", "clusters", "canonical"),
 )
@@ -291,11 +326,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same components via a recursive-CTE transitive
     closure (an independent formulation — chains a~b~c without a~c must
     cluster together in both) and replays the keeper window and the
-    md5 split-bucket arithmetic exactly."""
+    md5 split-bucket arithmetic exactly.
+
+    The ``pr`` column (round 8, operators/graph.pagerank) adds 3-round
+    PageRank over the SAME verified pair graph — within-cluster
+    connectivity centrality next to the keeper's quality argmax — with
+    every round's rank 9dp-rounded before feeding the next, and the
+    oracle replaying the rounds as unrolled SQL (the BPE/k-means
+    discipline for iterative algorithms)."""
+    from ..materialize import materialize
+    from ..operators.graph import pagerank
+
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(minhash_lsh_pairs(docs))
-    return canonical_selection(clusters, docs).withColumn(
+    # the pair graph feeds BOTH the components iteration and PageRank —
+    # materialized so the LSH pipeline runs once
+    pairs = materialize(minhash_lsh_pairs(docs))
+    clusters = dedup_clusters(pairs)
+    base = canonical_selection(clusters, docs).withColumn(
         "keep", F.col("keep").cast("int")
+    )
+    pr = pagerank(pairs, n_iter=3)
+    return base.join(
+        pr.select(F.col("node").alias("doc_id"), "pr"), "doc_id"
     )
 
 
