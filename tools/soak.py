@@ -110,6 +110,7 @@ from stock_bars_data_engineering_project_spark.operators.quality import (  # noq
     pmi_collocations,
     unigram_surprisal,
 )
+from stock_bars_data_engineering_project_spark.operators.graph import pagerank  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.trigram import (  # noqa: E402
     substring_search,
 )
@@ -599,6 +600,13 @@ def run(
         # replica token-suffixing, so the curve should track the pair
         # explode
         "pmi": lambda: pmi_collocations(docs, min_count=5),
+        # 3-round PageRank over the verified near-dup pair graph: the
+        # LSH pair emission is the corpus-sized stage (same input as
+        # dedup_clusters); each rank round is a join+agg on the
+        # pair-graph-sized edge set, which replica vowel-rotation keeps
+        # linear — the curve should track minhash_lsh plus a
+        # graph-sized constant per round
+        "pagerank": lambda: pagerank(minhash_lsh_pairs(docs)),
     }
     measured = {
         n: f for n, f in ops.items() if ops_filter is None or n in ops_filter
