@@ -3427,7 +3427,18 @@ SELECT d.doc_id,
        partners.dup_partner AS dup_partner,
        800 + (d.doc_id % 50) * 16 AS wav_samples,
        CAST(1.0 AS DOUBLE) AS wav_rms_ok,
-       CAST(1.0 AS DOUBLE) AS wav_peak_ok
+       CAST(1.0 AS DOUBLE) AS wav_peak_ok,
+       -- frame-sampling replay (operators/multimodal.sample_frames,
+       -- n_frames=4, payload = utf-8 text bytes; the corpus is pure
+       -- ASCII at every SF, so byte and char slicing agree): frame 0
+       -- is the first step bytes, the LAST frame runs to the end
+       CAST(4 AS BIGINT) AS frame_n,
+       md5(substr(d.text, 1,
+           GREATEST(1, octet_length(CAST(d.text AS BLOB)) // 4)))
+           AS frame0_md5,
+       CAST(GREATEST(octet_length(CAST(d.text AS BLOB))
+           - 3 * GREATEST(1, octet_length(CAST(d.text AS BLOB)) // 4),
+           0) AS BIGINT) AS frame_tail_len
 FROM documents d
 JOIN ph ON ph.doc_id = d.doc_id
 LEFT JOIN partners ON partners.doc_id = d.doc_id
@@ -3497,6 +3508,26 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one definition of the payload triple (operators/multimodal.py);
     # column pruning drops the unused payload bytes from the scan
     media = attach_binary_payload(d, passthrough=("source",))
+    # frame sampling (round 8: the video modality's plumbing, driver-
+    # gated): the Arrow-batched 1->4 fan-out, re-aggregated per doc —
+    # frame 0's md5 and the tail frame's length gate the slicing
+    # arithmetic exactly, frame_n the fan-out count; one mapInPandas
+    # pass serves all three via min_by/max_by on the frame index
+    from .. operators.multimodal import sample_frames
+
+    frame_cols = (
+        sample_frames(media, n_frames=4)
+        .groupBy(F.col("media_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("frame_n"),
+            F.md5(F.min_by("frame_payload", "frame_idx")).alias(
+                "frame0_md5"
+            ),
+            F.octet_length(F.max_by("frame_payload", "frame_idx"))
+            .cast("long")
+            .alias("frame_tail_len"),
+        )
+    )
     hashed = perceptual_hashes(media, pixels_fn=fake_gray8x8)
     pairs = phash_dup_pairs(hashed, max_hamming=3)
     partners = (
@@ -3523,6 +3554,7 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # docs could have near-dups) — let AQE pick at runtime
         .join(partners, "doc_id", "left")
         .join(wav_cols, "doc_id")
+        .join(frame_cols, "doc_id")
     )
 
 
