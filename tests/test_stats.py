@@ -612,3 +612,28 @@ def test_weighted_sample_k_favors_heavy_and_replays(spark):
     )[:10]
     assert sorted(got) == sorted(i for i, _, _ in want)
     assert sum(1 for i in got if i < 50) >= 8  # heavy side dominates
+
+
+def test_sampler_guards_raise_loudly(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        reservoir_k,
+        weighted_sample_k,
+    )
+
+    bad_id = spark.createDataFrame(
+        [(None, "g", 5), (1, "g", 5)],
+        "doc_id long, src string, w long",
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL id"):
+        reservoir_k(bad_id, ("src",), "doc_id", k=1).collect()
+    with pytest.raises(SparkRuntimeException, match="NULL id"):
+        weighted_sample_k(bad_id, ("src",), "doc_id", "w", k=1).collect()
+    bad_w = spark.createDataFrame(
+        [(1, "g", 0), (2, "g", 5)],
+        "doc_id long, src string, w long",
+    )
+    with pytest.raises(SparkRuntimeException, match="weights must be"):
+        weighted_sample_k(bad_w, ("src",), "doc_id", "w", k=1).collect()
