@@ -289,6 +289,38 @@ FROM (
     UNION ALL
     SELECT event_type, 'n_outliers', n_outliers FROM ocnt
 )
+UNION ALL
+SELECT 'outliers_stream' AS tag,
+       event_type || '@d' || CAST(day_idx AS VARCHAR) AS group_key,
+       metric, value
+FROM (
+    WITH somed AS (
+        SELECT event_type, {sql_round('quantile_cont(value, 0.5)', 6)} AS med
+        FROM events GROUP BY event_type
+    ),
+    somad AS (
+        SELECT e.event_type, m.med,
+               {sql_round('quantile_cont(abs(e.value - m.med), 0.5)', 6)}
+                   AS mad
+        FROM events e
+        JOIN somed m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        GROUP BY e.event_type, m.med
+    ),
+    socur AS (
+        SELECT e.event_type,
+               CAST(FLOOR(epoch_ms(e.ts) / 86400000.0) AS BIGINT) AS day_idx,
+               CAST(COUNT(e.value) AS DOUBLE) AS n,
+               CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                  > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS n_outliers
+        FROM events e
+        JOIN somad m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        GROUP BY 1, 2
+    )
+    SELECT event_type, day_idx, 'n' AS metric, n AS value FROM socur
+    UNION ALL
+    SELECT event_type, day_idx, 'n_outliers', n_outliers FROM socur
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -628,8 +660,9 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replaces when the tail itself is what's being hunted.
     from ..operators.drift import mad_outliers
 
+    out_stats = mad_outliers(ev, "value", keys=("event_type",))
     out_arm = (
-        mad_outliers(ev, "value", keys=("event_type",))
+        out_stats
         .select(
             "event_type",
             "median",
@@ -650,6 +683,73 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # (j) streaming outlier fence (round 8): the SAME frozen batch
+    # median/MAD statistics broadcast into a stream-static join, with
+    # per-(type, day) outlier counts aggregated by a REAL availableNow
+    # drain — the online form of (i): a production gate scores
+    # incoming windows against a FROZEN fence, never against
+    # statistics the batch could skew in its own favor (the
+    # psi_stream / frozen-LM posture). Counts are exact integers over
+    # the 6dp-rounded fence, so the arm is FP-safe by the same
+    # argument as (i).
+    fence = out_stats.select(
+        F.col("event_type").alias("_fet"), "median", "mad"
+    )
+    sub_o = ev.select("event_id", "ts", "event_type", "value")
+    root_o = scratch_warehouse(spark, "outlier_stream_rows").root
+    src_o = os.path.join(root_o, "_src")
+    sub_o.write.mode("overwrite").parquet(src_o)
+    stream_o = spark.readStream.schema(sub_o.schema).parquet(src_o)
+    day_idx_o = F.floor(
+        event_micros(stream_o, "ts") / F.lit(86400000000.0)
+    ).cast("long")
+    joined_o = stream_o.join(
+        F.broadcast(fence),
+        stream_o["event_type"].eqNullSafe(F.col("_fet")),
+        "left",
+    )
+    cur_o = joined_o.groupBy(
+        stream_o["event_type"].alias("event_type"),
+        day_idx_o.alias("day_idx"),
+    ).agg(
+        F.count(F.col("value")).cast("double").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("median"))
+                > F.lit(3.0) * 1.4826 * F.col("mad"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("double")
+        .alias("n_outliers"),
+    )
+    run_stream_to_memory(
+        cur_o, "stats_outlier_stream", output_mode="complete"
+    )
+    out_stream_arm = (
+        spark.table("stats_outlier_stream")
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit("@d"),
+                F.col("day_idx").cast("string"),
+            ).alias("group_key"),
+            "n",
+            "n_outliers",
+        )
+        .melt(
+            ids=["group_key"],
+            values=["n", "n_outliers"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("outliers_stream").alias("tag"),
+            "group_key",
+            "metric",
+            "value",
+        )
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
@@ -659,6 +759,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(psi_arm)
         .unionByName(psi_stream_arm)
         .unionByName(out_arm)
+        .unionByName(out_stream_arm)
     )
 
 
