@@ -251,3 +251,40 @@ def corpus_report(
             round_half_up(F.avg("_q"), 4).alias("mean_quality"),
         )
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: tuple[str, ...], k: int = 10
+) -> DataFrame:
+    """Re-identification risk audit — the governance gate a training
+    corpus with user-linked metadata needs before release: every
+    combination of quasi-identifier values (the columns an adversary
+    could join against an external dataset) must be shared by at least
+    ``k`` rows, or the rows in that class are re-identifiable. The
+    standard k-anonymity report, as one aggregate:
+
+      * ``n_classes``: distinct quasi-identifier combinations,
+      * ``min_class_size``: the smallest class (the audit headline —
+        k-anonymity holds iff this is >= k),
+      * ``n_below_k``: how many classes violate,
+      * ``n_rows_at_risk``: how many rows sit in violating classes.
+
+    NULL quasi values form their own class (an adversary can join on
+    "field absent" too). Scale shape: one partial-aggregable groupBy
+    over the quasi columns, then a 4-scalar aggregate of the
+    class-sized count table — no row-level output, so the report never
+    leaks the rare classes it warns about.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_n").alias("min_class_size"),
+        F.sum((F.col("_n") < k).cast("long")).alias("n_below_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0)).alias(
+            "n_rows_at_risk"
+        ),
+    )

@@ -321,6 +321,30 @@ FROM (
     UNION ALL
     SELECT event_type, day_idx, 'n_outliers', n_outliers FROM socur
 )
+UNION ALL
+SELECT 'kanon' AS tag, 'documents:source+lang' AS group_key, metric, value
+FROM (
+    WITH kcls AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    krep AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_classes,
+               CAST(MIN(n) AS DOUBLE) AS min_class_size,
+               CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_below_k,
+               CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+                   AS n_rows_at_risk
+        FROM kcls
+    )
+    SELECT 'n_classes' AS metric, n_classes AS value FROM krep
+    UNION ALL
+    SELECT 'min_class_size', min_class_size FROM krep
+    UNION ALL
+    SELECT 'n_below_k', n_below_k FROM krep
+    UNION ALL
+    SELECT 'n_rows_at_risk', n_rows_at_risk FROM krep
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -750,6 +774,40 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # (k) k-anonymity audit (round 8, operators/validation.k_anonymity):
+    # the release-governance gate — quasi-identifier class sizes over
+    # the corpus metadata, reported as 4 scalars (never the rare
+    # classes themselves). One partial-agg groupBy + a 4-scalar fold.
+    from ..operators.validation import k_anonymity
+
+    kanon_arm = (
+        k_anonymity(
+            load_table(spark, sf_dir, "documents"), ("source", "lang"), k=10
+        )
+        .select(
+            F.col("n_classes").cast("double").alias("n_classes"),
+            F.col("min_class_size").cast("double").alias("min_class_size"),
+            F.col("n_below_k").cast("double").alias("n_below_k"),
+            F.col("n_rows_at_risk").cast("double").alias("n_rows_at_risk"),
+        )
+        .melt(
+            ids=[],
+            values=[
+                "n_classes",
+                "min_class_size",
+                "n_below_k",
+                "n_rows_at_risk",
+            ],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("kanon").alias("tag"),
+            F.lit("documents:source+lang").alias("group_key"),
+            "metric",
+            "value",
+        )
+    )
     return (
         seg_arm.unionByName(mkt_arm)
         .unionByName(hist_arm)
@@ -760,6 +818,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(psi_stream_arm)
         .unionByName(out_arm)
         .unionByName(out_stream_arm)
+        .unionByName(kanon_arm)
     )
 
 

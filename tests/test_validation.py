@@ -167,3 +167,29 @@ def test_corpus_report_rollup_and_python_replay(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         corpus_report(docs, group_cols=())
+
+
+def test_k_anonymity_report_and_guards(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        k_anonymity,
+    )
+
+    rows = (
+        [("a", "en")] * 5
+        + [("a", "de")] * 2
+        + [("b", "en")] * 1
+        + [(None, "en")] * 3   # NULL quasi value is its own class
+    )
+    df = spark.createDataFrame(rows, ["src", "lang"])
+    r = k_anonymity(df, ("src", "lang"), k=3).collect()[0]
+    assert (r.n_classes, r.min_class_size, r.n_below_k, r.n_rows_at_risk) == (
+        4, 1, 2, 3,
+    )
+    ok = k_anonymity(df, ("src", "lang"), k=1).collect()[0]
+    assert ok.n_below_k == 0 and ok.n_rows_at_risk == 0
+    with pytest.raises(ValueError):
+        k_anonymity(df, (), k=3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ("src",), k=0)
