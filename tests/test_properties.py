@@ -652,3 +652,50 @@ def test_reservoir_bottom_k_is_mergeable(spark, rows, k):
         ids = sorted((i for i, gg in rows if gg == g), key=lambda i: (h(i), i))[:k]
         want += [(g, r + 1, i) for r, i in enumerate(ids)]
     assert whole == sorted(want)
+
+
+_pr_pairs = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+        lambda t: t[0] != t[1]
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_pr_pairs, st.integers(1, 3))
+def test_pagerank_matches_replay_on_any_graph(spark, pairs, n_iter):
+    """PageRank ≡ the pure-Python replay (same per-round HALF_UP
+    rounding) and conserves mass, for ANY undirected pair graph —
+    duplicate pairs, both orientations, multiple components."""
+    from stock_bars_data_engineering_project_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {r.node: r.pr for r in pagerank(df, n_iter=n_iter).collect()}
+
+    def r9(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({s for s, _ in edges})
+    n = float(len(nodes))
+    deg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    pr = {v: r9(1.0 / n) for v in nodes}
+    for _ in range(n_iter):
+        pr = {
+            v: r9(
+                0.15 / n
+                + 0.85 * sum(pr[u] / deg[u] for u, w in sorted(edges) if w == v)
+            )
+            for v in nodes
+        }
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 2e-9, (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
