@@ -61,8 +61,15 @@ def pagerank(
         ).distinct(),
         durable=durable,
     )
+    # deg/contrib/n are static across rounds, so they materialize ONCE:
+    # reusing only the plan objects would re-execute the degree groupBy,
+    # the edges-deg join, and the countDistinct against the checkpointed
+    # edges inside every round's plan — n_iter redundant edge scans
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = edges.agg(F.countDistinct("src").cast("double").alias("n"))
+    n = materialize(
+        edges.agg(F.countDistinct("src").cast("double").alias("n")),
+        durable=durable,
+    )
     teleport = F.lit(1.0 - damping) if damping != 0.85 else F.lit(0.15)
 
     pr = materialize(
@@ -75,9 +82,9 @@ def pagerank(
         ),
         durable=durable,
     )
-    contrib_src = edges.join(
-        deg, "src"
-    )  # (src, dst, deg) — static per run, reused every round
+    contrib_src = materialize(
+        edges.join(deg, "src"), durable=durable
+    )  # (src, dst, deg) — static per run, computed once
     for _ in range(n_iter):
         pr = materialize(
             contrib_src.join(

@@ -3431,13 +3431,18 @@ SELECT d.doc_id,
        -- frame-sampling replay (operators/multimodal.sample_frames,
        -- n_frames=4, payload = utf-8 text bytes; the corpus is pure
        -- ASCII at every SF, so byte and char slicing agree): frame 0
-       -- is the first step bytes, the LAST frame runs to the end
+       -- is the first step bytes, the LAST frame runs to the end.
+       -- COALESCE mirrors sample_frames' NULL-payload -> b'' coercion
+       -- (4 empty frames), keeping the arm NULL-symmetric should a
+       -- future source emit NULL text
        CAST(4 AS BIGINT) AS frame_n,
-       md5(substr(d.text, 1,
-           GREATEST(1, octet_length(CAST(d.text AS BLOB)) // 4)))
+       md5(substr(COALESCE(d.text, ''), 1,
+           GREATEST(1,
+               octet_length(CAST(COALESCE(d.text, '') AS BLOB)) // 4)))
            AS frame0_md5,
-       CAST(GREATEST(octet_length(CAST(d.text AS BLOB))
-           - 3 * GREATEST(1, octet_length(CAST(d.text AS BLOB)) // 4),
+       CAST(GREATEST(octet_length(CAST(COALESCE(d.text, '') AS BLOB))
+           - 3 * GREATEST(1,
+               octet_length(CAST(COALESCE(d.text, '') AS BLOB)) // 4),
            0) AS BIGINT) AS frame_tail_len
 FROM documents d
 JOIN ph ON ph.doc_id = d.doc_id

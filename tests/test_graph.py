@@ -14,7 +14,11 @@ PAIRS = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)]
 
 
 def _r9(x: float) -> float:
-    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+    # round_half_up routes through decimal(30,10) BEFORE the 9dp round
+    # (functions/scalars.py) — the replay must double-round the same
+    # way or ~5% of values land 1e-9 off and iteration amplifies it
+    d10 = Decimal(repr(x)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+    return float(d10.quantize(Decimal("1e-9"), ROUND_HALF_UP))
 
 
 def _pr_ref(pairs, n_iter=3, d=0.85):
