@@ -288,3 +288,38 @@ def k_anonymity(
             "n_rows_at_risk"
         ),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: tuple[str, ...],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 - the metric's canonical name
+) -> DataFrame:
+    """k-anonymity's companion audit: a class can be large (k-anonymous)
+    yet still leak if every member shares the same SENSITIVE value —
+    the adversary learns the attribute without identifying the row.
+    l-diversity requires every quasi-identifier class to contain at
+    least ``l`` distinct sensitive values. Same leak-free report shape
+    as :func:`k_anonymity`: (n_classes, min_distinct_sensitive,
+    n_below_l) — classes themselves are never emitted. NULL sensitive
+    values count as a value (the absence of the attribute is itself
+    informative). One partial-aggregable groupBy at any scale.
+    """
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi column")
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    # count_distinct skips NULLs; the +max(is-null) term restores the
+    # NULL sensitive value as a countable class member
+    per = df.groupBy(*quasi_cols).agg(
+        (
+            F.count_distinct(F.col(sensitive_col))
+            + F.max(F.col(sensitive_col).isNull().cast("long"))
+        ).alias("_l")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_l").alias("min_distinct_sensitive"),
+        F.sum((F.col("_l") < l).cast("long")).alias("n_below_l"),
+    )

@@ -345,6 +345,31 @@ FROM (
     UNION ALL
     SELECT 'n_rows_at_risk', n_rows_at_risk FROM krep
 )
+UNION ALL
+SELECT 'kanon' AS tag, 'documents:source->lang' AS group_key, metric, value
+FROM (
+    WITH lcls AS (
+        -- distinct sensitive values per class; a NULL sensitive value
+        -- counts as a value (COUNT(DISTINCT) skips it, so restore via
+        -- the max-is-null term)
+        SELECT source,
+               COUNT(DISTINCT lang)
+                   + MAX(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS l
+        FROM documents GROUP BY source
+    ),
+    lrep AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_classes,
+               CAST(MIN(l) AS DOUBLE) AS min_distinct_sensitive,
+               CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS n_below_l
+        FROM lcls
+    )
+    SELECT 'l_n_classes' AS metric, n_classes AS value FROM lrep
+    UNION ALL
+    SELECT 'min_distinct_sensitive', min_distinct_sensitive FROM lrep
+    UNION ALL
+    SELECT 'n_below_l', n_below_l FROM lrep
+)
 """,
     tags=("agg", "stats", "corr", "histogram"),
 )
@@ -774,16 +799,39 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    # (k) k-anonymity audit (round 8, operators/validation.k_anonymity):
-    # the release-governance gate — quasi-identifier class sizes over
-    # the corpus metadata, reported as 4 scalars (never the rare
-    # classes themselves). One partial-agg groupBy + a 4-scalar fold.
-    from ..operators.validation import k_anonymity
+    # (k) k-anonymity + l-diversity audits (round 8,
+    # operators/validation.k_anonymity / l_diversity): the
+    # release-governance pair — quasi-identifier class sizes and
+    # per-class sensitive-value diversity over the corpus metadata,
+    # each reported as leak-free scalars (never the rare classes
+    # themselves). One partial-agg groupBy each.
+    from ..operators.validation import k_anonymity, l_diversity
 
-    kanon_arm = (
-        k_anonymity(
-            load_table(spark, sf_dir, "documents"), ("source", "lang"), k=10
+    gov_docs = load_table(spark, sf_dir, "documents")
+    ldiv_arm = (
+        l_diversity(gov_docs, ("source",), "lang", l=2)
+        .select(
+            F.col("n_classes").cast("double").alias("l_n_classes"),
+            F.col("min_distinct_sensitive")
+            .cast("double")
+            .alias("min_distinct_sensitive"),
+            F.col("n_below_l").cast("double").alias("n_below_l"),
         )
+        .melt(
+            ids=[],
+            values=["l_n_classes", "min_distinct_sensitive", "n_below_l"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .select(
+            F.lit("kanon").alias("tag"),
+            F.lit("documents:source->lang").alias("group_key"),
+            "metric",
+            "value",
+        )
+    )
+    kanon_arm = (
+        k_anonymity(gov_docs, ("source", "lang"), k=10)
         .select(
             F.col("n_classes").cast("double").alias("n_classes"),
             F.col("min_class_size").cast("double").alias("min_class_size"),
@@ -819,6 +867,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out_arm)
         .unionByName(out_stream_arm)
         .unionByName(kanon_arm)
+        .unionByName(ldiv_arm)
     )
 
 

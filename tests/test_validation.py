@@ -193,3 +193,24 @@ def test_k_anonymity_report_and_guards(spark):
         k_anonymity(df, (), k=3)
     with pytest.raises(ValueError):
         k_anonymity(df, ("src",), k=0)
+
+
+def test_l_diversity_report_and_guards(spark):
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        l_diversity,
+    )
+
+    rows = [
+        ("a", "en"), ("a", "de"), ("a", "fr"),   # 3 distinct
+        ("b", "en"), ("b", "en"),                # homogeneous: leaks
+        ("c", "en"), ("c", None),                # NULL counts as a value
+    ]
+    df = spark.createDataFrame(rows, ["src", "lang"])
+    r = l_diversity(df, ("src",), "lang", l=2).collect()[0]
+    assert (r.n_classes, r.min_distinct_sensitive, r.n_below_l) == (3, 1, 1)
+    with pytest.raises(ValueError):
+        l_diversity(df, (), "lang")
+    with pytest.raises(ValueError):
+        l_diversity(df, ("src",), "lang", l=0)
