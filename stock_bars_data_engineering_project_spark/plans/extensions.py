@@ -122,6 +122,28 @@ cand AS (
                AND a.doc_id < b.doc_id
 )"""
 
+# Lexical-quality SQL twins (functions/text.py), defined up here with
+# the other shared oracle fragments because the corpus-pipeline arm
+# (sampling_splits_suite) replays the quality gate long before the
+# text-analysis section.
+_STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+_STOP_RATIO_SQL = (
+    f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOPLIST_SQL}, lower(t)))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+_PUNCT_RATIO_SQL = (
+    "CAST(length(regexp_replace(text, '[a-zA-Z0-9" + "\\s" + "]', '', 'g')) AS DOUBLE)"
+    " / length(text)"
+)
+_QUALITY_SQL = sql_round(
+    "0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)"
+    " + 0.3 * (1.0 - least(1.0, (" + _PUNCT_RATIO_SQL + ") * 5.0))"
+    " + 0.3 * least(1.0, (" + _STOP_RATIO_SQL + ") * 10.0)",
+    4,
+)
+
 
 @register(
     "dedup_minhash_lsh",
@@ -1927,6 +1949,146 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composed corpus pipeline's end-to-end replay (pipeline/
+# corpus_pipeline.prepare_corpus with default knobs), unrolled as one
+# CTE chain: exact-dedup keepers -> MinHash-LSH near-dup keepers
+# (recursive-closure clusters, best-quality member) -> benchmark
+# decontamination (%20 slice, rounded ratio > 0.5 drops) -> PII scrub
+# (regexp_replace; this corpus contains no matches, so the stage is
+# exercised as an identity) -> 4dp-rounded composite quality gate ->
+# md5 split -> per-(split, source) greedy token packing. Reuses the
+# SAME shingle/signature/band fragments as the dedup oracles (the
+# one-definition rule), re-pointed at the dedup survivors.
+_PIPE_SH_CTE = _SH_CTE.replace("FROM documents", "FROM pdocs")
+_PIPE_ARM_SQL = (
+    """
+UNION ALL
+SELECT 'pipeline' AS tag, doc_id,
+       split || '#' || CAST(pack_id AS VARCHAR) || '#' ||
+       CAST(n_tokens AS VARCHAR) || '#' || md5(text) AS label
+FROM (
+    WITH RECURSIVE pdocs AS (
+        SELECT doc_id, text, lang, source, n_chars
+        FROM (
+            SELECT doc_id, text, lang, source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    """
+    + _PIPE_SH_CTE
+    + """,
+    """
+    + _SIG_BAND_CAND_CTES
+    + """,
+    ppairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b, """
+    + _JACCARD
+    + """ AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        ) WHERE jaccard >= 0.7
+    ),
+    pedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ppairs
+        UNION SELECT doc_b, doc_a FROM ppairs
+        UNION SELECT doc_a, doc_a FROM ppairs
+        UNION SELECT doc_b, doc_b FROM ppairs
+    ),
+    preach(src, dst) AS (
+        SELECT src, dst FROM pedges
+        UNION
+        SELECT r.src, e.dst FROM preach r JOIN pedges e ON r.dst = e.src
+    ),
+    pclusters AS (
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM preach GROUP BY src
+    ),
+    pdrop AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id) AS krn
+            FROM pclusters c JOIN pdocs d ON d.doc_id = c.doc_id
+        ) WHERE krn != 1
+    ),
+    ndocs AS (
+        SELECT p.* FROM pdocs p
+        ANTI JOIN pdrop dr ON p.doc_id = dr.doc_id
+    ),
+    nsh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(l[j:j+2], ' ')
+                              for j in range(1, len(l)-1)]) AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ndocs)
+        WHERE len(l) >= 3
+    ),
+    nbench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM nsh WHERE doc_id % 20 = 0
+    ),
+    ncorp AS (
+        SELECT doc_id, len(shingles) AS n_shingles,
+               unnest(shingles) AS shingle
+        FROM nsh WHERE doc_id % 20 <> 0
+    ),
+    contam AS (
+        SELECT doc_id FROM (
+            SELECT c.doc_id,
+                   CAST(ROUND(CAST(CAST(COUNT(*) AS DOUBLE) / c.n_shingles
+                        AS DECIMAL(30,10)), 4) AS DOUBLE) AS contamination
+            FROM ncorp c JOIN nbench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id, c.n_shingles
+        ) WHERE contamination > 0.5
+    ),
+    cdocs AS (
+        SELECT n.doc_id,
+               regexp_replace(regexp_replace(n.text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\d{3}[-.]\\d{3,4}[-.]\\d{4}', '<PHONE>', 'g') AS text,
+               n.source
+        FROM ndocs n
+        ANTI JOIN contam c ON n.doc_id = c.doc_id
+        WHERE n.doc_id % 20 <> 0
+    ),
+    qdocs AS (
+        SELECT doc_id, text, source FROM cdocs
+        WHERE """
+    + _QUALITY_SQL
+    + """ >= 0.3
+    ),
+    sdocs AS (
+        SELECT doc_id, text, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *,
+                   ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                   1, 12))::BIGINT % 10000 AS b
+            FROM qdocs
+        )
+    ),
+    packd AS (
+        SELECT doc_id, text, split, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY split, source
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sdocs
+    )
+    SELECT doc_id, text, split, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM packd
+)
+"""
+)
+
+
 @register(
     "sampling_splits_suite",
     oracle="""
@@ -2073,7 +2235,8 @@ FROM (
     )
 )
 WHERE rank <= 5
-""",
+"""
+    + _PIPE_ARM_SQL,
     tags=("sampling", "mixture", "tokens", "shuffle", "curriculum"),
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2204,6 +2367,31 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source"), F.lit("#"), F.col("rank").cast("string")
         ).alias("label"),
     )
+    # 'pipeline' (round 8): the COMPOSED corpus pipeline
+    # (pipeline/corpus_pipeline.prepare_corpus, default knobs) gated
+    # end-to-end at per-document granularity — survivorship through
+    # exact dedup, near-dup keeper selection, decontamination, and the
+    # quality gate, plus the exact split / pack_id / token count /
+    # scrubbed-text md5, all packed into the label. The oracle unrolls
+    # every stage as one CTE chain reusing the dedup oracles' shared
+    # fragments, so the PRODUCT path (not just its operators in
+    # isolation) is value-hash-checked cross-engine.
+    from ..pipeline.corpus_pipeline import prepare_corpus
+
+    pipe_corpus, _pipe_counts = prepare_corpus(docs)
+    pipe_arm = pipe_corpus.select(
+        F.lit("pipeline").alias("tag"),
+        "doc_id",
+        F.concat(
+            F.col("split"),
+            F.lit("#"),
+            F.col("pack_id").cast("string"),
+            F.lit("#"),
+            F.col("n_tokens").cast("string"),
+            F.lit("#"),
+            F.md5("text"),
+        ).alias("label"),
+    )
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
@@ -2213,6 +2401,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wf_arm)
         .unionByName(res_arm)
         .unionByName(wtd_arm)
+        .unionByName(pipe_arm)
     )
 
 
@@ -3034,24 +3223,6 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-
-_STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
-_STOP_RATIO_SQL = (
-    f"CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOPLIST_SQL}, lower(t)))) AS DOUBLE)"
-    " / len(string_split(text, ' '))"
-)
-
-
-_PUNCT_RATIO_SQL = (
-    "CAST(length(regexp_replace(text, '[a-zA-Z0-9" + "\\s" + "]', '', 'g')) AS DOUBLE)"
-    " / length(text)"
-)
-_QUALITY_SQL = sql_round(
-    "0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100.0)"
-    " + 0.3 * (1.0 - least(1.0, (" + _PUNCT_RATIO_SQL + ") * 5.0))"
-    " + 0.3 * least(1.0, (" + _STOP_RATIO_SQL + ") * 10.0)",
-    4,
-)
 
 _DUP_RATIO_SQL = sql_round(
     "1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 4
