@@ -26,11 +26,18 @@ ingestion skews list occupancy and degrades recall gradually (the
 standard IVF operational trade — FAISS retrains on the same signal).
 ``list_occupancy`` exposes the skew metric; rebuild with
 ``build_ann_index`` when its max/mean ratio drifts past policy.
-``vec_id`` identifies immutable content (same contract as the dedup
-index): re-ingesting an id with a different embedding that lands in a
-different list leaves the stale row behind — mutable vectors need
-delete-then-insert maintenance this module deliberately does not pay
-for.
+
+Deletes are TOMBSTONES — the exact mutation contract of the BM25 index
+(``incremental_retrieval.delete_docs``): :func:`delete_vectors` appends
+ids to ``<table>__deleted`` and every query anti-joins them out, so a
+delete is O(ids) however large the lists (physically rewriting would
+touch the cid partition each vector lives in — for a retraction stream
+from the dedup pipeline, most partitions most days).
+:func:`apply_deletes` folds the tombstones into the files at
+compaction, preserving the cid hive layout. ``vec_id`` identifies
+immutable content: a tombstoned id stays dead to both queries and
+re-ingest until apply_deletes physically drops it; delete-then-reinsert
+of CHANGED content is apply_deletes-then-ingest.
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up
 from ..functions.vectors import cosine
+from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
 from .similarity import ivf_assign, kmeans_refine, l2sq
 from .skew import salted_topk
@@ -47,6 +55,10 @@ from .skew import salted_topk
 
 def _centroids_table(table: str) -> str:
     return f"{table}__centroids"
+
+
+def _deleted_table(table: str) -> str:
+    return f"{table}__deleted"
 
 
 def build_ann_index(
@@ -89,8 +101,14 @@ def ingest_vectors(
     batch lands in; re-ingesting an identical batch rewrites identical
     partitions — idempotent."""
     cent = wh.read(_centroids_table(table))
+    # tombstoned ids are dead to re-ingest until apply_deletes drops
+    # them physically (the shared immutable-id contract with the BM25
+    # index) — without this anti-join the merge would rewrite a row the
+    # query path anti-joins out anyway, paying a partition rewrite for
+    # a vector that stays invisible
+    live_batch = _not_deleted(wh, table, batch, id_col)
     # same list co-location as the build write (see build_ann_index)
-    assigned = ivf_assign(batch, cent, vec_col, id_col).repartition("cid")
+    assigned = ivf_assign(live_batch, cent, vec_col, id_col).repartition("cid")
     wh.merge(assigned, table, keys=("cid", "vec_id"), partition_by=("cid",))
 
 
@@ -132,7 +150,11 @@ def ann_query(
         .select("query_id", "q_vec", "cid")
     )
     probed_cids = [r["cid"] for r in qc.select("cid").distinct().collect()]
-    index = wh.read(table).filter(F.col("cid").isin(probed_cids))
+    # tombstones anti-join out on the already-pruned probe slice, not
+    # the whole index (the bm25_query discipline)
+    index = _not_deleted(
+        wh, table, wh.read(table).filter(F.col("cid").isin(probed_cids)), "vec_id"
+    )
     cand = index.join(F.broadcast(qc), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -142,6 +164,66 @@ def ann_query(
     return salted_topk(scored, ("query_id",), "cos", "vec_id", k).select(
         "query_id", "vec_id", "cos", "rank"
     )
+
+
+def delete_vectors(
+    wh: ParquetWarehouse, vec_ids, table: str = "ann_index"
+) -> None:
+    """Delete vectors from the index as TOMBSTONES — the BM25 index's
+    ``delete_docs`` contract verbatim (incremental_retrieval.py): ids
+    append to ``__deleted`` and every query anti-joins them out, so a
+    delete is O(ids) however large the lists. Idempotent by
+    construction (duplicate tombstones change nothing). ``vec_ids`` is
+    a 1-column DataFrame or an iterable of ids. A tombstoned id stays
+    dead to both queries and re-ingest until :func:`apply_deletes`
+    physically drops it — delete-then-reinsert of CHANGED content is
+    apply_deletes-then-ingest (the shared immutable-id contract)."""
+    if not isinstance(vec_ids, DataFrame):
+        spark = wh.read(_centroids_table(table)).sparkSession
+        vec_ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id long"
+        )
+    ids = vec_ids.select(F.col(vec_ids.columns[0]).alias("vec_id")).filter(
+        F.when(
+            F.col("vec_id").isNull(),
+            F.raise_error(F.lit("ann index: NULL vec_id tombstone")).cast(
+                "boolean"
+            ),
+        ).otherwise(F.lit(True))
+    )
+    if wh.exists(_deleted_table(table)):
+        wh.append(ids, _deleted_table(table))
+    else:
+        wh.overwrite(ids, _deleted_table(table))
+
+
+def _not_deleted(
+    wh: ParquetWarehouse, table: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join the tombstone set out of any frame carrying vector ids."""
+    if not wh.exists(_deleted_table(table)):
+        return df
+    dead = wh.read(_deleted_table(table)).select("vec_id").distinct()
+    return df.join(
+        dead, df[id_col] == dead["vec_id"], "left_anti"
+    )
+
+
+def apply_deletes(wh: ParquetWarehouse, table: str = "ann_index") -> None:
+    """Compaction: physically drop tombstoned vectors from the inverted
+    lists, preserving the cid hive layout (so probe-time static
+    partition pruning survives the rewrite), then clear the tombstones.
+    Afterwards a previously deleted id may be re-ingested as a new
+    vector. Centroids are untouched — they were trained on the corpus
+    as it stood at build time, and retraining is ``build_ann_index``'s
+    job when ``list_occupancy`` says so."""
+    if not wh.exists(_deleted_table(table)):
+        return
+    live = materialize(
+        _not_deleted(wh, table, wh.read(table), "vec_id").repartition("cid")
+    )
+    wh.overwrite(live, table, partition_by=("cid",))
+    wh.drop(_deleted_table(table))
 
 
 def list_occupancy(wh: ParquetWarehouse, table: str = "ann_index") -> DataFrame:

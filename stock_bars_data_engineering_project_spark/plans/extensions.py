@@ -2581,7 +2581,11 @@ def _ann_incremental_index(spark, sf_dir: str, emb):
     in one session probe the stored lists like a real deployment."""
     import os
 
-    from ..operators.incremental_ann import build_ann_index, ingest_vectors
+    from ..operators.incremental_ann import (
+        build_ann_index,
+        delete_vectors,
+        ingest_vectors,
+    )
 
     key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
     wh = _ANN_INDEX_MEMO.get(key)
@@ -2603,6 +2607,17 @@ def _ann_incremental_index(spark, sf_dir: str, emb):
         refine_iters=0,
     )
     ingest_vectors(wh, emb.filter(F.col("vec_id") % 2 == 1), table="ann_idx")
+    # round-9 delete wave: tombstone the ids-ending-in-3 slice (never
+    # centroid seeds, so the frozen quantizer is untouched); every
+    # subsequent probe anti-joins them out, which the oracle replays as
+    # a candidate-side exclusion (_IVF_INCREMENTAL_SQL's cand_filter)
+    delete_vectors(
+        wh,
+        emb.filter(
+            F.col("vec_id") % _ANN_DELETED_MOD == _ANN_DELETED_REM
+        ).select("vec_id"),
+        table="ann_idx",
+    )
     _ANN_INDEX_MEMO[key] = wh
     return wh
 
@@ -2697,13 +2712,17 @@ list_reduce(list_prepend(CAST(0 AS DOUBLE),
 """
 
 
-def _ivf_sql(stride: int, nprobe: int) -> str:
+def _ivf_sql(stride: int, nprobe: int, cand_filter: str = "") -> str:
     """IVF top-10 replay for a deterministic stride-seeded quantizer:
     argmin assignment of the full corpus (ties to lowest cid), nprobe
     nearest lists per query, exact cosine rank within candidates. The
     final index state of the INCREMENTAL build (build on one id-slice,
     ingest the rest against the frozen centroids) equals this one-shot
-    assignment because per-row argmin assignment is batch-invariant."""
+    assignment because per-row argmin assignment is batch-invariant.
+    ``cand_filter`` (an ``AND ...`` clause on the candidate rows)
+    replays tombstone deletes: a tombstoned vector stays assigned in
+    the physical lists but is anti-joined out of every probe, which is
+    exactly a candidate-side exclusion here."""
     return f"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % {stride} = 0
@@ -2725,7 +2744,7 @@ probes AS (
 cand AS (
     SELECT p.query_id, p.q_vec AS va, a.vec_id, a.embedding AS vb
     FROM assign a JOIN probes p USING (cid)
-    WHERE a.vec_id != p.query_id
+    WHERE a.vec_id != p.query_id {cand_filter}
 )
 SELECT query_id, vec_id, cos, rank FROM (
     SELECT query_id, vec_id, cos,
@@ -2739,8 +2758,17 @@ _IVF_STRIDE_SQL = _ivf_sql(stride=125, nprobe=4)
 
 # The 'incremental' arm's replay: stride-100 quantizer (the seed rows
 # are all even ids, so seeding from the even-id build slice yields the
-# identical centroid set), nprobe=3.
-_IVF_INCREMENTAL_SQL = _ivf_sql(stride=100, nprobe=3)
+# identical centroid set), nprobe=3, minus the round-9 tombstone wave:
+# ids ending in 3 are deleted after ingest (never centroid seeds —
+# multiples of 100 end in 0 — so the frozen quantizer is unchanged and
+# the delete is purely a candidate-side exclusion, which is what the
+# tombstone anti-join IS).
+_ANN_DELETED_MOD, _ANN_DELETED_REM = 10, 3
+_IVF_INCREMENTAL_SQL = _ivf_sql(
+    stride=100,
+    nprobe=3,
+    cand_filter=f"AND a.vec_id % {_ANN_DELETED_MOD} != {_ANN_DELETED_REM}",
+)
 
 
 # index-ordered dot-product prefix fold over two double lists — mirrors
@@ -3074,12 +3102,19 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       (operators/incremental_ann.py) — build the IVF index on the
       even-id half (frozen stride-100 quantizer), ingest the odd-id
       half against the STORED centroids (map-only assign, merge pruned
-      to the touched cid partitions), then probe the index with a
-      bounded literal cid set (static partition pruning). The oracle
-      replays the equivalent one-shot stride-100 IVF — per-row argmin
-      assignment is batch-invariant, so build+ingest must land the
-      identical lists; build+ingest ≡ one-shot and replay-idempotence
-      stay pinned in tests/test_incremental_ann.py.
+      to the touched cid partitions), TOMBSTONE-delete the
+      ids-ending-in-3 slice (round 9: O(ids) delete, never a physical
+      rewrite — the BM25 delete_docs contract ported to vectors), then
+      probe the index with a bounded literal cid set (static partition
+      pruning) with the tombstones anti-joined out of the pruned probe
+      slice. The oracle replays the equivalent one-shot stride-100 IVF
+      minus the deleted slice — per-row argmin assignment is
+      batch-invariant and a tombstone is exactly a candidate-side
+      exclusion, so build+ingest+delete must answer identically;
+      build+ingest ≡ one-shot, replay-idempotent ingest, idempotent
+      re-delete, dead-to-reingest, and the hive-layout-preserving
+      apply_deletes compaction stay pinned in
+      tests/test_incremental_ann.py.
     - `contrastive_pos` / `contrastive_hard` / `contrastive_rand`:
       training-pair mining (operators/contrastive.py) melted onto the
       suite schema — positives are brute ranks 1..3, hard negatives

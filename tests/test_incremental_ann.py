@@ -63,6 +63,56 @@ def test_ingest_idempotent_and_occupancy(spark, emb, tmp_path):
     assert occ.select("skew_ratio").first()[0] >= 1.0
 
 
+def test_tombstone_delete_and_apply(spark, emb, tmp_path):
+    """delete_vectors tombstones: queries immediately equal the
+    one-shot ivf_topk over the surviving corpus with the same frozen
+    centroids; deletion is idempotent; a tombstoned id is dead to
+    re-ingest; apply_deletes folds the tombstones physically (cid hive
+    layout preserved) with answers unchanged, after which the id may be
+    re-ingested — delete-coverage parity with the BM25 index
+    (test_incremental_retrieval.py::test_tombstone_delete_and_apply)."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_ann import (
+        apply_deletes,
+        delete_vectors,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_ann_index(wh, emb.filter(F.col("vec_id") % 2 == 0), "idx",
+                    centroid_stride=40, refine_iters=1)
+    ingest_vectors(wh, emb.filter(F.col("vec_id") % 2 == 1), "idx")
+
+    dead_ids = [r.vec_id for r in
+                emb.filter(F.col("vec_id") % 10 == 3).limit(30).collect()]
+    survivors = emb.filter(~F.col("vec_id").isin(dead_ids))
+    delete_vectors(wh, dead_ids, table="idx")
+    delete_vectors(wh, dead_ids[:5], table="idx")  # idempotent re-delete
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = wh.read("idx__centroids")
+    want = _rows(ivf_topk(survivors, queries, k=5, nprobe=3, centroids=cent))
+    assert _rows(ann_query(wh, queries, "idx", k=5, nprobe=3)) == want
+
+    # tombstoned ids are dead to re-ingest until physically applied
+    n_before = wh.read("idx").count()
+    ingest_vectors(wh, emb.filter(F.col("vec_id").isin(dead_ids[:3])), "idx")
+    assert wh.read("idx").count() == n_before
+    assert _rows(ann_query(wh, queries, "idx", k=5, nprobe=3)) == want
+
+    apply_deletes(wh, table="idx")
+    assert _rows(ann_query(wh, queries, "idx", k=5, nprobe=3)) == want
+    assert not wh.exists("idx__deleted")
+    assert wh.read("idx").filter(F.col("vec_id").isin(dead_ids)).count() == 0
+    # physical apply preserved the cid hive layout (static pruning path)
+    plan = (
+        wh.read("idx").filter(F.col("cid").isin([0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    # after apply, a deleted id re-ingests as a fresh vector
+    ingest_vectors(wh, emb.filter(F.col("vec_id") == dead_ids[0]), "idx")
+    assert wh.read("idx").filter(F.col("vec_id") == dead_ids[0]).count() == 1
+
+
 def test_probe_scan_partition_prunes(spark, emb, tmp_path):
     """The literal IN probe filter must reach the scan as a partition
     filter on the cid-partitioned index (files outside the probed lists
