@@ -31,6 +31,16 @@ Equivalence contract: postings are per-doc DISTINCT trigram sets —
 batch-invariant — so ``trgm_query`` over a built+ingested index equals
 ``substring_search`` (and the plain scan) over the union corpus,
 pinned in tests/test_trigram.py.
+
+Deletes are TOMBSTONES, the mutation contract shared by all three
+persisted indexes (BM25 ``delete_docs``, ANN ``delete_vectors``):
+:func:`delete_docs` appends ids to ``<table>__deleted`` and every
+query anti-joins them out (candidate postings AND the sub-3-char scan
+fallback), so a delete is O(ids) — physically rewriting would touch
+every bucket partition the doc's trigrams hash into, which for
+ordinary text is most of them. :func:`apply_deletes` folds tombstones
+into the files at compaction, preserving the bkt hive layout; a
+tombstoned id stays dead to both queries and re-ingest until then.
 """
 
 from __future__ import annotations
@@ -54,6 +64,68 @@ def _docs_table(table: str) -> str:
 
 def _meta_table(table: str) -> str:
     return f"{table}__meta"
+
+
+def _deleted_table(table: str) -> str:
+    return f"{table}__deleted"
+
+
+def delete_docs(wh: ParquetWarehouse, doc_ids, table: str = "trgm_index") -> None:
+    """Tombstone-delete documents: O(ids) append to ``__deleted``,
+    anti-joined out of every probe until :func:`apply_deletes` folds
+    them physically. Idempotent (duplicate tombstones change nothing);
+    ``doc_ids`` is a 1-column DataFrame or an iterable of ids. The
+    BM25/ANN delete contract verbatim (incremental_retrieval.py:279)."""
+    if not isinstance(doc_ids, DataFrame):
+        spark = wh.read(_meta_table(table)).sparkSession
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id long"
+        )
+    ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("doc_id")).filter(
+        F.when(
+            F.col("doc_id").isNull(),
+            F.raise_error(F.lit("trgm index: NULL doc_id tombstone")).cast(
+                "boolean"
+            ),
+        ).otherwise(F.lit(True))
+    )
+    if wh.exists(_deleted_table(table)):
+        wh.append(ids, _deleted_table(table))
+    else:
+        wh.overwrite(ids, _deleted_table(table))
+
+
+def _live(wh: ParquetWarehouse, table: str, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Anti-join the tombstone set out of any frame carrying doc ids."""
+    if not wh.exists(_deleted_table(table)):
+        return df
+    dead = wh.read(_deleted_table(table)).select(
+        F.col("doc_id").alias("__dead_id")
+    ).distinct()
+    return df.join(
+        dead, df[id_col] == dead["__dead_id"], "left_anti"
+    )
+
+
+def apply_deletes(wh: ParquetWarehouse, table: str = "trgm_index") -> None:
+    """Compaction: physically drop tombstoned docs from the postings
+    (bkt hive layout preserved, so probe-time static pruning survives)
+    and membership, then clear the tombstones; afterwards a previously
+    deleted id may be re-ingested as a new document."""
+    if not wh.exists(_deleted_table(table)):
+        return
+    wh.overwrite(
+        materialize(
+            _live(wh, table, wh.read(_postings_table(table))).repartition("bkt")
+        ),
+        _postings_table(table),
+        partition_by=("bkt",),
+    )
+    wh.overwrite(
+        materialize(_live(wh, table, wh.read(_docs_table(table)))),
+        _docs_table(table),
+    )
+    wh.drop(_deleted_table(table))
 
 
 def _batch_postings(
@@ -150,13 +222,17 @@ def trgm_query(
     text_col: str = "text",
     pattern_id_col: str = "pattern_id",
     pattern_col: str = "pattern",
+    max_pattern_trigrams: int = 100_000,
 ) -> DataFrame:
     """Exact substring matches (pattern_id, id) answered from the
     STORED index — identical semantics and output to
     ``substring_search`` over the indexed corpus, with the in-plan
     posting build replaced by a statically-pruned postings scan.
     ``docs`` supplies the text for the ``contains`` verify (the index
-    stores none) and for the sub-3-char scan fallback."""
+    stores none) and for the sub-3-char scan fallback. Patterns are
+    broadcast-small by module contract; ``max_pattern_trigrams`` makes
+    that contract LOUD — an oversized pattern frame fails fast instead
+    of silently building a huge broadcast + driver literal."""
     meta = wh.read(_meta_table(table)).collect()[0]
     pats = patterns.select(
         F.col(pattern_id_col).alias("pattern_id"),
@@ -177,8 +253,18 @@ def trgm_query(
             F.explode("_tris").alias("trigram"),
         )
     )
-    # driver-side probe-bucket literal: bounded by the pattern set's
-    # trigram count (patterns are small by module contract)
+    # loud broadcast-contract guard: pat_tri is already materialized,
+    # so this count re-runs nothing
+    n_tri_total = pat_tri.count()
+    if n_tri_total > max_pattern_trigrams:
+        raise ValueError(
+            f"trgm_query: pattern set expands to {n_tri_total} trigrams "
+            f"(> max_pattern_trigrams={max_pattern_trigrams}) — patterns "
+            "must stay broadcast-small; raise the cap explicitly or "
+            "batch the pattern frame"
+        )
+    # driver-side probe-bucket literal: DISTINCT buckets, so bounded by
+    # min(pattern trigram count, n_buckets) — never corpus-sized
     probe_bkts = [
         r.bkt
         for r in pat_tri.select(
@@ -187,13 +273,19 @@ def trgm_query(
         .distinct()
         .collect()
     ]
+    # tombstones anti-join out on the already-pruned probe slice, not
+    # the whole postings table (the bm25_query/ann_query discipline)
     postings = (
-        wh.read(_postings_table(table))
-        .filter(F.col("bkt").isin(probe_bkts))
-        .join(
-            F.broadcast(pat_tri.select("trigram").distinct()),
-            "trigram",
-            "left_semi",
+        _live(
+            wh,
+            table,
+            wh.read(_postings_table(table))
+            .filter(F.col("bkt").isin(probe_bkts))
+            .join(
+                F.broadcast(pat_tri.select("trigram").distinct()),
+                "trigram",
+                "left_semi",
+            ),
         )
         # heals crashed-and-redelivered ingest duplicates on the pruned
         # probe slice (module docstring, "Crash consistency")
@@ -219,8 +311,18 @@ def trgm_query(
     )
     if short.limit(1).count() == 0:
         return verified
+    # the scan fallback answers over LIVE INDEX MEMBERS only (the
+    # caller's corpus frame semi-joined against tombstone-free
+    # membership): the indexed arm's answer surface is exactly the live
+    # members, and the fallback must match it — otherwise a deleted or
+    # never-ingested doc would match sub-3-char patterns while being
+    # invisible to every indexed probe
+    members = _live(wh, table, wh.read(_docs_table(table)))
+    live_docs = docs.join(
+        members, docs[id_col] == members["doc_id"], "left_semi"
+    )
     fallback = substring_scan(
-        docs,
+        live_docs,
         short,
         id_col=id_col,
         text_col=text_col,

@@ -3907,7 +3907,8 @@ SELECT 'trgm' AS variant, p.qid AS query_id, c.doc_id,
                                ORDER BY c.doc_id) AS INT) AS rank
 FROM (SELECT doc_id AS qid, substr(text, 11, 12) AS pat
       FROM documents WHERE doc_id IN (1, 7, 13, 19)) p
-JOIN documents c ON c.doc_id >= 25 AND contains(c.text, p.pat)
+JOIN documents c ON c.doc_id >= 25 AND c.doc_id % 10 != 3
+                AND contains(c.text, p.pat)
 """,
     tags=("retrieval", "text", "topk", "index", "hybrid", "prf", "trgm"),
 )
@@ -3961,10 +3962,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       bm25-index maintenance chain; probed via static bucket partition
       filters) — 12-char patterns cut from four query docs, candidate
       docs gated on containing ALL pattern trigrams, then
-      contains()-verified. The oracle is the plain full contains()
-      scan, so the hash match pins index+ingest ≡ scan — the law that
-      makes a pg_trgm-style index safe to answer LIKE '%...%' from at
-      100 TB."""
+      contains()-verified. Round 9 adds a TOMBSTONE-delete wave
+      (corpus ids ending in 3, delete_docs — the shared O(ids) index
+      mutation contract): the probe anti-joins tombstones on the
+      pruned slice, and the oracle is the plain full contains() scan
+      over the SURVIVORS, so the hash match pins
+      index+ingest+delete ≡ scan — the law that makes a pg_trgm-style
+      index safe to answer LIKE '%...%' from at 100 TB; idempotent
+      re-delete, dead-to-reingest, and layout-preserving apply_deletes
+      stay pinned in tests/test_trigram.py."""
     from ..operators.incremental_retrieval import bm25_query
     from ..operators.retrieval import bm25_topk, prf_expand, rrf_fuse
     from ..operators.similarity import cosine_topk
@@ -4078,7 +4084,11 @@ def _trgm_index(spark, sf_dir: str, corpus):
     _bm25_index discipline verbatim."""
     import os
 
-    from ..operators.incremental_trgm import build_trgm_index, ingest_docs
+    from ..operators.incremental_trgm import (
+        build_trgm_index,
+        delete_docs,
+        ingest_docs,
+    )
 
     key = (sf_dir, os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
     wh = _TRGM_INDEX_MEMO.get(key)
@@ -4090,6 +4100,14 @@ def _trgm_index(spark, sf_dir: str, corpus):
         wh, corpus.filter(F.col("doc_id") % 2 == 0), table="trgm_idx"
     )
     ingest_docs(wh, corpus.filter(F.col("doc_id") % 2 == 1), table="trgm_idx")
+    # round-9 delete wave: tombstone the corpus ids ending in 3 — every
+    # probe anti-joins them out, replayed in the oracle as a survivor
+    # filter on the full contains() scan
+    delete_docs(
+        wh,
+        corpus.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        table="trgm_idx",
+    )
     _TRGM_INDEX_MEMO[key] = wh
     return wh
 

@@ -206,3 +206,81 @@ def test_probe_scans_only_pattern_buckets(spark, tmp_path):
     ]
     assert pf and any("bkt" in ln and " IN " in ln.replace("IN (", " IN (")
                       for ln in pf), plan
+
+def test_persisted_index_tombstone_delete_and_apply(spark, tmp_path):
+    """delete_docs tombstones: indexed probes AND the short-pattern scan
+    fallback immediately answer over survivors only; deletion is
+    idempotent; a tombstoned id is dead to re-ingest; apply_deletes
+    folds tombstones physically (bkt hive layout preserved) with
+    answers unchanged, after which the id re-ingests fresh — delete
+    parity with the BM25/ANN indexes."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        apply_deletes,
+        build_trgm_index,
+        delete_docs,
+        ingest_docs,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(PATTERNS, ["pattern_id", "pattern"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs.filter(F.col("doc_id") % 2 == 0), table="tg")
+    ingest_docs(wh, docs.filter(F.col("doc_id") % 2 == 1), table="tg")
+
+    # delete docs 1 (matches 'quick brown' + the 'ox' fallback) and 5
+    # (the only true 'abcdef' match)
+    delete_docs(wh, [1, 5], table="tg")
+    delete_docs(wh, [1], table="tg")  # idempotent re-delete
+    want = sorted(
+        (pid, did)
+        for pid, pat in PATTERNS
+        for did, text in DOCS
+        if pat in text and did not in (1, 5)
+    )
+
+    def _got():
+        return sorted(
+            (r.pattern_id, r.id)
+            for r in trgm_query(wh, docs, pats, table="tg").collect()
+        )
+
+    assert _got() == want
+    assert (103, 1) not in _got()  # fallback arm also excludes tombstones
+
+    # tombstoned ids are dead to re-ingest until physically applied
+    assert ingest_docs(wh, docs.filter(F.col("doc_id") == 1), table="tg") == 0
+    assert _got() == want
+
+    apply_deletes(wh, table="tg")
+    assert _got() == want
+    assert not wh.exists("tg__deleted")
+    assert wh.read("tg__postings").filter(F.col("doc_id").isin([1, 5])).count() == 0
+    # physical apply preserved the bkt hive layout (static pruning path)
+    plan = (
+        trgm_query(wh, docs, spark.createDataFrame(
+            [(101, "abcdef")], ["pattern_id", "pattern"]), table="tg")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert any("bkt" in ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    # after apply, a deleted id re-ingests as a fresh document
+    assert ingest_docs(wh, docs.filter(F.col("doc_id") == 1), table="tg") == 1
+    assert (100, 1) in _got() and (103, 1) in _got()
+
+
+def test_trgm_query_pattern_size_cap_is_loud(spark, tmp_path):
+    """An oversized pattern frame must fail fast with the documented
+    guard, not silently build a huge broadcast."""
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(PATTERNS, ["pattern_id", "pattern"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs, table="tg")
+    with pytest.raises(ValueError, match="max_pattern_trigrams"):
+        trgm_query(wh, docs, pats, table="tg", max_pattern_trigrams=3)
