@@ -184,6 +184,7 @@ def bloom_semi_join(
     build_key: str | None = None,
     m_bits: int = 1 << 16,
     n_hashes: int = 4,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """LEFT SEMI join with a bloom pre-filter on the probe side: rows
     whose key cannot be in the build side never reach the join
@@ -195,10 +196,20 @@ def bloom_semi_join(
     above it the bitmap stays a broadcast TABLE and membership is
     ``n_hashes`` map-side broadcast joins — same bits, same result,
     no driver literal (the x64 soak measured the literal path's cliff).
-    """
+
+    ``words``: a bitmap previously built by :func:`bloom_bitmap` over
+    the SAME build side and (m_bits, n_hashes) config. A bloom bitmap
+    is a build-once artifact (the BPE-rules/PCA-components class): a
+    serving loop amortizes the two build jobs (bitmap agg + collect)
+    across every probe, so callers that probe repeatedly should build
+    once and pass it here. A stale or mismatched bitmap silently
+    changes results — the caller owns that invariant (literal path
+    only; ignored on the broadcast-table path where no collect exists
+    to amortize)."""
     bk = build_key or key
     if m_bits <= _LITERAL_MAX_BITS:
-        words = bloom_bitmap(build, bk, m_bits, n_hashes)
+        if words is None:
+            words = bloom_bitmap(build, bk, m_bits, n_hashes)
         pre = probe.filter(
             bloom_might_contain(F.col(key), words, m_bits, n_hashes)
         )
@@ -218,6 +229,7 @@ def bloom_anti_join(
     build_key: str | None = None,
     m_bits: int = 1 << 16,
     n_hashes: int = 4,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """LEFT ANTI join with a bloom SHORTCUT: a probe row whose
     membership test fails is a CERTAIN non-member (a bloom has no
@@ -230,10 +242,15 @@ def bloom_anti_join(
     the NULL membership test routes them to the certain-miss branch
     (the literal path's NULL test is NULL — ``~NULL`` would silently
     drop the row, the exact hazard hash_bucket's guard documents — so
-    the split is on ``test IS TRUE``)."""
+    the split is on ``test IS TRUE``).
+
+    ``words``: optional precomputed bitmap — same build-once amortize
+    contract (and caller-owned staleness invariant) as
+    :func:`bloom_semi_join`."""
     bk = build_key or key
     if m_bits <= _LITERAL_MAX_BITS:
-        words = bloom_bitmap(build, bk, m_bits, n_hashes)
+        if words is None:
+            words = bloom_bitmap(build, bk, m_bits, n_hashes)
         test = bloom_might_contain(F.col(key), words, m_bits, n_hashes)
         hit = F.coalesce(test, F.lit(False))
         tagged = probe.withColumn("_bloom_hit", hit)

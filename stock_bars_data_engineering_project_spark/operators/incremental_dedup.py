@@ -101,9 +101,13 @@ def ingest_batch(
     index_table: str = "corpus_bands",
     threshold: float = 0.7,
     k: int = 3,
-) -> dict[str, int]:
+    return_survivors: bool = False,
+) -> dict[str, int] | tuple[dict[str, int], DataFrame]:
     """Dedup ``new_docs`` against themselves AND the stored corpus, then
-    commit survivors + their band keys. Returns per-stage counts."""
+    commit survivors + their band keys. Returns per-stage counts; with
+    ``return_survivors`` also the batch's newly retained docs (the
+    delta a composed refresh pipeline feeds its downstream stages —
+    batch-sized, already materialized, so the caller re-runs nothing)."""
     counts = {"batch_raw": new_docs.count()}
 
     batch = exact_dedup(new_docs)
@@ -121,11 +125,11 @@ def ingest_batch(
         # first batch: standard in-batch near-dedup
         clusters = dedup_clusters(minhash_lsh_pairs(batch, k=k, threshold=threshold))
         drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-        survivors = batch.join(drops, "doc_id", "left_anti")
+        survivors = materialize(batch.join(drops, "doc_id", "left_anti"))
         counts["survivors"] = survivors.count()
         wh.overwrite(survivors, corpus_table)
         wh.overwrite(band_index(survivors, k=k), index_table)
-        return counts
+        return (counts, survivors) if return_survivors else counts
     # Self-heal: the corpus and index commit as two warehouse
     # transactions; a crash between them leaves corpus docs unindexed
     # (invisible to every future near-dup check) — or, after a
@@ -185,7 +189,7 @@ def ingest_batch(
     pairs_bb = _verify_pairs(cand_bb, batch, batch, threshold, k)
     clusters = dedup_clusters(pairs_bb)
     drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    survivors = batch.join(drops, "doc_id", "left_anti")
+    survivors = materialize(batch.join(drops, "doc_id", "left_anti"))
     counts["survivors"] = survivors.count()
 
     if counts["survivors"]:
@@ -196,4 +200,4 @@ def ingest_batch(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
         wh.append(survivor_bands, index_table)
-    return counts
+    return (counts, survivors) if return_survivors else counts

@@ -80,12 +80,26 @@ def prepare_corpus(
     classifier_min_score: float | None = None,
     mixture_alpha: float | None = None,
     gopher: dict | None = None,
+    keeper: str = "quality",
+    benchmark: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-8 and return (final corpus frame, per-stage counts).
 
     The benchmark used for decontamination is the deterministic
     doc_id % 20 == 0 slice (standing in for a real eval suite); those
-    docs never enter the training corpus themselves.
+    docs never enter the training corpus themselves. Pass ``benchmark``
+    (a docs-shaped frame) to decontaminate against a FROZEN eval suite
+    instead — the realistic deployment (an eval release is pinned
+    before ingestion starts, it does not grow with the corpus), and the
+    configuration under which an incremental refresh
+    (:func:`refresh_corpus`) can reproduce this one-shot's output
+    batch-by-batch. Benchmark ids are excluded from the training
+    corpus either way.
+
+    ``keeper`` picks the near-dup cluster keeper policy: ``"quality"``
+    (default) keeps the best-quality member via canonical_selection;
+    ``"first"`` keeps the lowest id — the order-invariant policy an
+    incremental refresh with monotone ids reproduces exactly.
 
     ``surprisal_keep_frac`` (e.g. 0.9) switches on the unigram-LM gate:
     keep the fraction of documents with the LOWEST corpus-unigram
@@ -131,12 +145,23 @@ def prepare_corpus(
     deduped = exact_dedup(docs)
     counts["exact_dedup"] = deduped.count()
 
-    # keep each near-dup cluster's best-quality member (longest text),
-    # not merely the lowest id — canonical_selection's keeper window
+    # keeper="quality": each near-dup cluster's best-quality member
+    # (longest text), not merely the lowest id — canonical_selection's
+    # keeper window. keeper="first": the lowest id (= cluster_id), the
+    # order-invariant policy incremental refresh reproduces.
     clusters = dedup_clusters(minhash_lsh_pairs(deduped))
-    near_drops = canonical_selection(
-        clusters, deduped, quality_col="n_chars"
-    ).filter(~F.col("keep")).select("doc_id")
+    if keeper == "quality":
+        near_drops = canonical_selection(
+            clusters, deduped, quality_col="n_chars"
+        ).filter(~F.col("keep")).select("doc_id")
+    elif keeper == "first":
+        near_drops = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+    else:
+        raise ValueError(
+            f"keeper must be 'quality' or 'first', got {keeper!r}"
+        )
     # truncate lineage here: everything upstream (shingling, 16-seed
     # MinHash, cluster iterations) would otherwise recompute on every
     # later stage count
@@ -145,10 +170,16 @@ def prepare_corpus(
     )
     counts["near_dedup"] = deduped.count()
 
-    benchmark = deduped.filter(F.col("doc_id") % 20 == 0)
-    corpus = deduped.filter(F.col("doc_id") % 20 != 0)
+    if benchmark is None:
+        bench_docs = deduped.filter(F.col("doc_id") % 20 == 0)
+        corpus = deduped.filter(F.col("doc_id") % 20 != 0)
+    else:
+        bench_docs = benchmark
+        corpus = deduped.join(
+            benchmark.select("doc_id"), "doc_id", "left_anti"
+        )
     contaminated = (
-        contamination_overlap(corpus, benchmark)
+        contamination_overlap(corpus, bench_docs)
         .filter(F.col("contamination") > max_contamination)
         .select("doc_id")
     )
@@ -275,6 +306,147 @@ def prepare_corpus(
     counts["quality_gated"] = int(quality_obs.get["n"])
     counts["final"] = final_n
     return corpus, counts
+
+
+def refresh_corpus(
+    spark: SparkSession,
+    wh: ParquetWarehouse,
+    batch: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.3,
+    max_contamination: float = 0.5,
+    pack_budget: int = 2048,
+    table: str = "training_corpus",
+) -> dict[str, int]:
+    """Incrementally fold ONE document batch into the published
+    training corpus — the composed refresh path (round 9): every stage
+    of :func:`prepare_corpus`'s core chain runs at O(batch) cost
+    against persisted state, never re-processing the corpus.
+
+        batch
+          1. exact + near-dup dedup against the PERSISTED corpus/band
+             index (operators/incremental_dedup.ingest_batch — the
+             batch is hashed once; the corpus is never re-shingled)
+          2. benchmark-id exclusion + decontamination against the
+             FROZEN benchmark (a pinned eval release — the realistic
+             contract, and the one that makes incremental ≡ one-shot)
+          3. PII scrub, composite quality gate, stable split
+             (all map-only, per-document — batch-local by construction)
+          4. sequence packing CONTINUED from the published corpus: the
+             per-(split, source) token base is DERIVED from the
+             published table with one skinny partial-agg (the bm25
+             corpus-scalars stance — deriving rather than maintaining
+             removes the crash window where a half-committed refresh
+             leaves scalar state out of step), and the batch's
+             running sums stack on top
+          5. idempotent MERGE into the published table, then the
+             batch's processed-id membership append
+
+    Equivalence law (driver-gated as the 'refresh' arm of
+    sampling_splits_suite, plus the pytest pin in
+    tests/test_corpus_pipeline.py): refreshing batches with MONOTONE
+    doc_ids (each batch's ids after every published id — the
+    append-only ingest norm) reproduces
+    ``prepare_corpus(union, keeper="first", benchmark=...)`` row for
+    row. Monotonicity is what keeps both the lowest-id keeper and the
+    pack cumsum order-invariant; near-dup relations that chain only
+    through a dropped doc across batches could legitimately diverge
+    (the incremental_dedup_two_batch caveat — absent on the driver
+    corpora, which is what the arm checks).
+
+    Crash/replay contract: commit order is (corpus+index) ->
+    published-rows MERGE -> processed-ids append. Redelivery of a
+    committed batch dedups to an empty delta (no-op); a crash anywhere
+    in between is healed on the next call by the reconcile step —
+    docs retained in the dedup corpus but never processed (the
+    ``__processed`` membership anti-join) re-enter the gate chain,
+    whose stages are all deterministic per-document, and the final
+    merge is idempotent on doc_id."""
+    from ..operators.incremental_dedup import ingest_batch
+
+    processed_t = f"{table}__processed"
+    _counts, survivors = ingest_batch(
+        spark, wh, batch, return_survivors=True
+    )
+    counts = dict(_counts)
+
+    # reconcile: dedup-retained docs that never finished stage-B
+    # processing (crash heal; empty in normal operation). Processed
+    # membership covers BOTH published and gate-dropped docs, so the
+    # anti-join is crash-window-sized, not dropped-set-sized.
+    if wh.exists(processed_t):
+        missing = wh.read("corpus_docs").join(
+            wh.read(processed_t), "doc_id", "left_anti"
+        ).join(survivors.select("doc_id"), "doc_id", "left_anti")
+        delta = survivors.unionByName(missing, allowMissingColumns=False)
+    else:
+        delta = survivors
+    delta = materialize(delta.join(
+        benchmark.select("doc_id"), "doc_id", "left_anti"
+    ))
+    counts["delta"] = delta.count()
+    if counts["delta"] == 0:
+        return counts
+
+    contaminated = (
+        contamination_overlap(delta, benchmark)
+        .filter(F.col("contamination") > max_contamination)
+        .select("doc_id")
+    )
+    clean = delta.join(contaminated, "doc_id", "left_anti")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    clean = clean.withColumn("text", scrubbed).filter(
+        quality_score(F.col("text")) >= min_quality
+    )
+    clean = stable_split(clean).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+
+    # pack base derived from the published table EXCLUDING the delta
+    # ids (a crashed earlier attempt may have merged some of them
+    # already — excluding makes the base deterministic under replay)
+    if wh.exists(table):
+        published = wh.read(table).join(
+            delta.select("doc_id"), "doc_id", "left_anti"
+        )
+        base = published.groupBy("split", "source").agg(
+            F.sum("n_tokens").alias("_base_cum")
+        )
+    else:
+        base = None
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = clean.withColumn("cum", F.sum("n_tokens").over(w))
+    if base is not None:
+        rows = (
+            rows.join(base, ["split", "source"], "left")
+            .withColumn(
+                "cum", F.col("cum") + F.coalesce(F.col("_base_cum"), F.lit(0))
+            )
+            .drop("_base_cum")
+        )
+    rows = materialize(
+        rows.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / pack_budget).cast(
+                "long"
+            ),
+        ).drop("cum")
+    )
+    counts["published"] = rows.count()
+    if counts["published"]:
+        wh.merge(rows, table, keys=("doc_id",))
+    done = delta.select("doc_id")
+    if wh.exists(processed_t):
+        wh.append(done, processed_t)
+    else:
+        wh.overwrite(done, processed_t)
+    return counts
 
 
 def run_corpus_pipeline(

@@ -2089,6 +2089,38 @@ FROM (
 )
 
 
+# The 'refresh' arm's replay (round 9): the SAME composed-pipeline CTE
+# chain re-parameterized to the configuration an incremental refresh
+# reproduces exactly — keeper = lowest id (order-invariant under
+# monotone batch ids) and decontamination against the FROZEN raw %20
+# benchmark (a pinned eval release, not one that grows with the
+# corpus). Derived from _PIPE_ARM_SQL by three surgical rewrites, each
+# asserted below so silent drift in the base SQL fails at import.
+_REFRESH_NBENCH_OLD = """nbench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM nsh WHERE doc_id % 20 = 0
+    ),"""
+_REFRESH_NBENCH_NEW = """nbench AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM (
+            SELECT list_distinct([array_to_string(l[j:j+2], ' ')
+                                  for j in range(1, len(l)-1)]) AS shingles
+            FROM (SELECT string_split(text, ' ') AS l FROM documents
+                  WHERE doc_id % 20 = 0)
+            WHERE len(l) >= 3
+        )
+    ),"""
+_REFRESH_KEEPER_OLD = "ORDER BY d.n_chars DESC, c.doc_id) AS krn"
+_REFRESH_KEEPER_NEW = "ORDER BY c.doc_id) AS krn"
+for _frag in ("'pipeline' AS tag", _REFRESH_NBENCH_OLD, _REFRESH_KEEPER_OLD):
+    assert _frag in _PIPE_ARM_SQL, f"refresh-arm rewrite target drifted: {_frag[:40]}"
+_REFRESH_ARM_SQL = (
+    _PIPE_ARM_SQL.replace("'pipeline' AS tag", "'refresh' AS tag")
+    .replace(_REFRESH_NBENCH_OLD, _REFRESH_NBENCH_NEW)
+    .replace(_REFRESH_KEEPER_OLD, _REFRESH_KEEPER_NEW)
+)
+
+
 @register(
     "sampling_splits_suite",
     oracle="""
@@ -2236,7 +2268,8 @@ FROM (
 )
 WHERE rank <= 5
 """
-    + _PIPE_ARM_SQL,
+    + _PIPE_ARM_SQL
+    + _REFRESH_ARM_SQL,
     tags=("sampling", "mixture", "tokens", "shuffle", "curriculum"),
 )
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,19 +2412,44 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.corpus_pipeline import prepare_corpus
 
     pipe_corpus, _pipe_counts = prepare_corpus(docs)
-    pipe_arm = pipe_corpus.select(
-        F.lit("pipeline").alias("tag"),
-        "doc_id",
-        F.concat(
-            F.col("split"),
-            F.lit("#"),
-            F.col("pack_id").cast("string"),
-            F.lit("#"),
-            F.col("n_tokens").cast("string"),
-            F.lit("#"),
-            F.md5("text"),
-        ).alias("label"),
-    )
+
+    def _pipe_label(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("tag"),
+            "doc_id",
+            F.concat(
+                F.col("split"),
+                F.lit("#"),
+                F.col("pack_id").cast("string"),
+                F.lit("#"),
+                F.col("n_tokens").cast("string"),
+                F.lit("#"),
+                F.md5("text"),
+            ).alias("label"),
+        )
+
+    pipe_arm = _pipe_label(pipe_corpus, "pipeline")
+
+    # 'refresh' (round 9): the INCREMENTAL composed refresh
+    # (pipeline/corpus_pipeline.refresh_corpus) — the corpus arrives as
+    # two doc_id-median-split batches; each flows through
+    # persisted-state dedup (ingest_batch band index) -> frozen-
+    # benchmark decontam -> scrub/quality gate/split -> pack
+    # CONTINUATION (per-(split, source) token base derived from the
+    # published table) -> idempotent merge, batch 1 never re-processed.
+    # The oracle replays the ONE-SHOT composition (keeper = lowest id,
+    # frozen raw %20 benchmark), so the cross-engine hash IS the
+    # two-batch ≡ one-shot law for the whole composed product path;
+    # replay no-op and crash-heal stay pinned in
+    # tests/test_corpus_pipeline.py.
+    from ..pipeline.corpus_pipeline import refresh_corpus
+
+    wh_r = scratch_warehouse(spark, "corpus_refresh_rows")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    refresh_corpus(spark, wh_r, docs.filter(F.col("doc_id") <= half), bench)
+    refresh_corpus(spark, wh_r, docs.filter(F.col("doc_id") > half), bench)
+    refresh_arm = _pipe_label(wh_r.read("training_corpus"), "refresh")
     return (
         split_arm.unionByName(strat_arm)
         .unionByName(budget_arm)
@@ -2402,6 +2460,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(res_arm)
         .unionByName(wtd_arm)
         .unionByName(pipe_arm)
+        .unionByName(refresh_arm)
     )
 
 

@@ -190,3 +190,85 @@ def test_gopher_gate_stage(spark):
 
     _, counts_off = prepare_corpus(docs)
     assert "gopher_gated" not in counts_off
+
+
+def test_incremental_refresh_equals_one_shot(spark, tmp_path):
+    """The composed refresh law (round 9): two monotone-id batches
+    through refresh_corpus (persisted-state dedup -> frozen-benchmark
+    decontam -> scrub/gate/split -> pack-continuation -> merge) must
+    publish exactly what prepare_corpus(union, keeper='first',
+    benchmark=frozen) computes in one shot — without re-processing
+    batch 1, and idempotently under batch replay."""
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+        refresh_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= half)
+    b2 = docs.filter(F.col("doc_id") > half)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    c1 = refresh_corpus(spark, wh, b1, benchmark)
+    c2 = refresh_corpus(spark, wh, b2, benchmark)
+    assert c1["published"] > 0 and c2["published"] > 0
+
+    got = wh.read("training_corpus").select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    want, _ = prepare_corpus(docs, keeper="first", benchmark=benchmark)
+    want = want.select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # replaying a committed batch is a no-op: empty delta, table unchanged
+    c3 = refresh_corpus(spark, wh, b2, benchmark)
+    assert c3["delta"] == 0
+    again = wh.read("training_corpus").select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_incremental_refresh_crash_heal(spark, tmp_path):
+    """A crash between the dedup-state commit and the publish merge
+    (simulated by ingesting a batch into the dedup state only) is
+    healed by the next refresh's reconcile step: the stranded docs
+    re-enter the gate chain and the final table equals the one-shot."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_dedup import (
+        ingest_batch,
+    )
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+        refresh_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= half)
+    b2 = docs.filter(F.col("doc_id") > half)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    c1 = refresh_corpus(spark, wh, b1, benchmark)
+    assert c1["published"] > 0
+    # crash simulation: batch 2's dedup state commits, publish never runs
+    ingest_batch(spark, wh, b2)
+    # redelivery: the batch dedups to nothing, but the reconcile
+    # anti-join finds the stranded survivors and publishes them
+    c2 = refresh_corpus(spark, wh, b2, benchmark)
+    assert c2["survivors"] == 0 and c2["delta"] > 0 and c2["published"] > 0
+
+    got = wh.read("training_corpus").select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    want, _ = prepare_corpus(docs, keeper="first", benchmark=benchmark)
+    want = want.select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
