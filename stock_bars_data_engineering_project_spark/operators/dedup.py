@@ -685,6 +685,120 @@ def dedup_clusters(
     )
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    max_iters: int = 30,
+    durable: bool | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    rounds — the scale-path twin of :func:`dedup_clusters` with the
+    SAME contract (every doc in some pair labeled with the smallest
+    reachable doc_id; equality with min-label propagation pinned in
+    tests/test_graph.py).
+
+    Why a twin: min-label propagation needs O(component diameter)
+    rounds with a full materialization each — fine for the shallow
+    star-shaped clusters near-dup graphs usually produce, quadratic
+    wall-clock on the long chains they sometimes produce (a template
+    that drifts one token per revision builds a path graph). The
+    alternating algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14) contracts paths EXPONENTIALLY —
+    O(log n) rounds on any topology:
+
+    - large-star: every node's strictly-larger neighbors re-wire to
+      the minimum of its closed neighborhood (one groupBy-min + join
+      on the directed edge list);
+    - small-star: every node's smaller-or-equal neighbors re-wire the
+      same way, keeping the graph connected while flattening it toward
+      a star per component.
+
+    Both steps are one aggregate + one join over the (pair-graph-
+    sized, corpus-small) edge set, shuffle-keyed on node id; the fixed
+    point is a forest of stars whose centers are the component minima,
+    read off as (doc_id, cluster_id). Per-round materialization and
+    the ``durable`` dial are shared with the propagation twin.
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the
+    soak/SCALING instrumentation that shows the round-count win.
+    """
+    # (larger, smaller)-oriented edge list, one row per undirected edge
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = _materialize_rounds(edges, durable)
+    members = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    members = _materialize_rounds(members, durable)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetrize, then every strictly-larger neighbor of u hooks
+        # onto m(u) = min(N(u) ∪ {u}); output re-oriented (larger,
+        # smaller) because m(u) <= u < v
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is (larger, smaller)-oriented, so N(u) here is exactly the
+        # smaller neighborhood: every neighbor (and u itself) hooks
+        # onto its minimum; orientation is preserved (v > m, u > m)
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        j = e.join(m, "u")
+        return (
+            j.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+
+    for i in range(max_iters):
+        new_edges = _materialize_rounds(
+            _small_star(_large_star(edges)), durable
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            if stats is not None:
+                stats["rounds"] = i + 1
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iters} "
+            "alternating rounds; raise max_iters"
+        )
+    # fixed point: a star forest of (child, root) edges, root = the
+    # component minimum; roots appear only on the v side, so their own
+    # label rows come from the members complement.
+    child = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    )
+    roots = members.join(
+        child.select(F.col("doc_id").alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return child.unionByName(roots)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -199,6 +199,15 @@ def mad_outliers(
     The MAD is likewise taken around the ROUNDED median so its input
     set is engine-identical, not merely ULP-close.
 
+    Degenerate groups (ADVICE round 8): when more than half a group's
+    values equal its median — constant or heavily quantized columns —
+    the MAD is 0, the fence has zero width, and the rule would flag
+    EVERY value differing from the median (potentially most of the
+    group: a pathological count, not an outlier signal). Such groups
+    report ``n_outliers`` as NULL — "the robust scale is undefined
+    here, pick another detector" — rather than a misleading number;
+    the median/mad/n columns still report so the caller can see why.
+
     Scale shape: three partial-aggregable passes over the fact table
     (median; MAD around it; threshold count), each joined to a
     BROADCAST group-sized statistics frame — no window over raw rows,
@@ -253,4 +262,14 @@ def mad_outliers(
             ).otherwise(0)
         ).alias("n_outliers"),
     )
-    return counted.select(*ks, "median", "mad", "n", "n_outliers")
+    # MAD=0 degenerate guard (docstring): a zero-width fence flags
+    # everything off-median — report NULL, not a pathological count
+    return counted.select(
+        *ks,
+        "median",
+        "mad",
+        "n",
+        F.when(F.col("mad") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_outliers"))
+        .alias("n_outliers"),
+    )

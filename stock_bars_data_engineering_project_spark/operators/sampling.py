@@ -506,7 +506,7 @@ def weighted_sample_k(
 ) -> DataFrame:
     """Weighted exact-k per-group sample without replacement —
     Efraimidis-Spirakis A-ES: each row draws a deterministic uniform
-    u from its id hash and ranks by ``u**(1/w)`` DESCENDING; the top-k
+    u from its id hash and ranks by the A-ES key DESCENDING; the top-k
     is a weighted sample without replacement (a row with twice the
     weight has exactly twice the odds of out-ranking a rival). The
     standard corpus-curation primitive for "keep k docs per source,
@@ -514,14 +514,25 @@ def weighted_sample_k(
     :func:`reservoir_k` — mergeable, because a max-k of per-partition
     max-k's is exact.
 
+    The ranking key is ``ln(u)/w`` — the monotone-equivalent log form
+    of the textbook ``u**(1/w)`` (ln is strictly increasing, so the
+    order is identical before rounding) chosen for DYNAMIC RANGE under
+    the pre-rank rounding: at w ~ 1e6 (token counts of huge docs)
+    ``u**(1/w)`` compresses into [0.999986, 1] where ``round_dp=9``
+    keeps only ~14 distinct values and selection silently degrades to
+    the id tiebreak, while ``ln(u)/w`` spans [-1.4e-5, -1e-9] with
+    ~10^4 distinct rounded values (ADVICE round 8). Very large weights
+    still compress eventually — at w >~ 1e8 consider raising
+    ``round_dp`` on both engines.
+
     Determinism contract: u is (h48 %% 1_000_000 + 1) / 1e6 — one
     correctly-rounded division of exact integers, identical in any
     engine — and the A-ES key is rounded to ``round_dp`` BEFORE the
-    ranking with the id as tiebreak, so a sub-ULP pow() difference
+    ranking with the id as tiebreak, so a sub-ULP ln() difference
     between libms cannot flip an order (the lexranks discipline).
     Weights must be >= 1 (integer token counts are the intended use)
     and ids non-NULL — both enforced loudly: w <= 0 or NULL would make
-    the key 0/Infinity/NULL and silently corrupt the sample (never
+    the key 0/-Infinity/NULL and silently corrupt the sample (never
     sampled, always sampled, or NULL-ranked), and a NULL id can be
     neither hashed nor tie-broken.
     """
@@ -533,7 +544,7 @@ def weighted_sample_k(
     u = (
         md5_bucket48(F.col(id_col), 1_000_000, salt=seed) + 1
     ) / 1_000_000.0
-    key = round_half_up(F.pow(u, 1.0 / w), round_dp)
+    key = round_half_up(F.log(u) / w, round_dp)
     guard = (
         F.when(
             F.col(id_col).isNull(),

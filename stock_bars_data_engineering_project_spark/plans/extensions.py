@@ -355,15 +355,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connectivity centrality next to the keeper's quality argmax — with
     every round's rank 9dp-rounded before feeding the next, and the
     oracle replaying the rounds as unrolled SQL (the BPE/k-means
-    discipline for iterative algorithms)."""
+    discipline for iterative algorithms).
+
+    Round 9: the components come from ``dedup_clusters_star`` — the
+    large-star/small-star alternating algorithm (O(log n) rounds on
+    any topology, vs min-label propagation's O(diameter)) — so the
+    scale-path implementation is the one the oracle's transitive
+    closure value-gates; star ≡ propagation equality and the
+    round-count win on a 200-node path graph are pinned in
+    tests/test_graph.py."""
     from ..materialize import materialize
+    from ..operators.dedup import dedup_clusters_star
     from ..operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
     # the pair graph feeds BOTH the components iteration and PageRank —
     # materialized so the LSH pipeline runs once
     pairs = materialize(minhash_lsh_pairs(docs))
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters_star(pairs)
     base = canonical_selection(clusters, docs).withColumn(
         "keep", F.col("keep").cast("int")
     )
@@ -2253,15 +2262,17 @@ FROM (
                               ORDER BY wkey DESC, doc_id) AS rank
     FROM (
         -- A-ES: u from the 48-bit md5 prefix (exact-integer mod and
-        -- one correctly-rounded division), key u^(1/w) rounded to 9dp
-        -- BEFORE ranking so a sub-ULP pow() libm difference cannot
-        -- flip an order
+        -- one correctly-rounded division), key ln(u)/w — the monotone-
+        -- equivalent log form of u^(1/w), rounded to 9dp BEFORE
+        -- ranking so a sub-ULP ln() libm difference cannot flip an
+        -- order (round 9: the log key keeps ~10^4 distinct rounded
+        -- values at w ~ 1e6 where u^(1/w) kept ~14)
         SELECT doc_id, source,
                CAST(ROUND(CAST(
-                   pow((('0x' || substr(md5('wres:' ||
+                   ln((('0x' || substr(md5('wres:' ||
                         CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                        % 1000000 + 1) / 1000000.0,
-                       1.0 / len(string_split(text, ' ')))
+                        % 1000000 + 1) / 1000000.0)
+                       / len(string_split(text, ' '))
                AS DECIMAL(30,10)), 9) AS DOUBLE) AS wkey
         FROM documents
     )

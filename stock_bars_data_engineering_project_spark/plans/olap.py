@@ -272,11 +272,15 @@ FROM (
         GROUP BY e.event_type, m.med
     ),
     ocnt AS (
+        -- MAD=0 degenerate guard (operators/drift.mad_outliers): a
+        -- zero-width fence reports NULL, not everything-off-median
         SELECT e.event_type, m.med, m.mad,
                CAST(COUNT(e.value) AS DOUBLE) AS n,
-               CAST(SUM(CASE WHEN abs(e.value - m.med)
-                                  > 3 * 1.4826 * m.mad
-                             THEN 1 ELSE 0 END) AS DOUBLE) AS n_outliers
+               CASE WHEN m.mad = 0 THEN NULL ELSE
+                   CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                      > 3 * 1.4826 * m.mad
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS n_outliers
         FROM events e
         JOIN omad m ON e.event_type IS NOT DISTINCT FROM m.event_type
         GROUP BY e.event_type, m.med, m.mad
@@ -310,9 +314,11 @@ FROM (
         SELECT e.event_type,
                CAST(FLOOR(epoch_ms(e.ts) / 86400000.0) AS BIGINT) AS day_idx,
                CAST(COUNT(e.value) AS DOUBLE) AS n,
-               CAST(SUM(CASE WHEN abs(e.value - m.med)
-                                  > 3 * 1.4826 * m.mad
-                             THEN 1 ELSE 0 END) AS DOUBLE) AS n_outliers
+               CASE WHEN MAX(m.mad) = 0 THEN NULL ELSE
+                   CAST(SUM(CASE WHEN abs(e.value - m.med)
+                                      > 3 * 1.4826 * m.mad
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+               END AS n_outliers
         FROM events e
         JOIN somad m ON e.event_type IS NOT DISTINCT FROM m.event_type
         GROUP BY 1, 2
@@ -762,14 +768,19 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_idx_o.alias("day_idx"),
     ).agg(
         F.count(F.col("value")).cast("double").alias("n"),
-        F.sum(
-            F.when(
-                F.abs(F.col("value") - F.col("median"))
-                > F.lit(3.0) * 1.4826 * F.col("mad"),
-                1,
-            ).otherwise(0)
+        # MAD=0 degenerate guard — matches mad_outliers' NULL contract
+        F.when(
+            F.max(F.col("mad")) == 0, F.lit(None).cast("double")
         )
-        .cast("double")
+        .otherwise(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("median"))
+                    > F.lit(3.0) * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+        )
         .alias("n_outliers"),
     )
     run_stream_to_memory(

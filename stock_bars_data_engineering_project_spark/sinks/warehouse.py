@@ -58,6 +58,12 @@ _LAYOUT = "_LAYOUT"
 class ParquetWarehouse:
     spark: SparkSession
     root: str
+    # Writer-lock contention policy (round 9): transient contention —
+    # another pipeline step holding the same table's lock for the
+    # read->snapshot->commit span — retries with exponential backoff
+    # before failing. 0 attempts restores the fail-fast posture.
+    lock_retries: int = 5
+    lock_retry_base_s: float = 0.1
 
     # -- catalog (S7/S8: probe + schema reflection) -------------------------
 
@@ -94,20 +100,35 @@ class ParquetWarehouse:
         pointer flip would silently discard the first writer's committed
         rows (lost update — the reference's PostgreSQL store is
         transactional here). An ``O_CREAT|O_EXCL`` lock file makes the
-        claim atomic on POSIX filesystems; contention raises rather than
-        blocks (writers in this engine are pipeline steps, not ad-hoc
-        user sessions, so a concurrent writer is a bug to surface). A
-        crashed writer leaves a stale lock: surfaced in the error with
-        its pid so an operator can remove it — the same manual-unlock
-        tradeoff as a stale Delta _delta_log lock on non-transactional
-        stores.
+        claim atomic on POSIX filesystems.
+
+        Contention policy (round 9): TRANSIENT contention is legitimate
+        concurrency — two pipeline steps appending different batches to
+        the same table are both correct, just serialized — so a failed
+        claim retries ``lock_retries`` times with exponential backoff
+        (base ``lock_retry_base_s``, ~3 s total at the defaults) and
+        proceeds once the holder commits; version allocation happens
+        UNDER the lock, so the retried writer correctly builds on the
+        winner's commit. Contention that OUTLASTS the budget still
+        fails loudly with the holder's pid: a long-held or crashed-
+        writer (stale) lock is an operational situation to surface, not
+        to spin on — the same manual-unlock tradeoff as a stale Delta
+        _delta_log lock on non-transactional stores.
+        ``lock_retries=0`` restores the strict fail-fast posture.
         """
         tdir = self.table_path(table)
         os.makedirs(tdir, exist_ok=True)
         lock = os.path.join(tdir, "._writer_lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        fd = None
+        for attempt in range(max(0, self.lock_retries) + 1):
+            if attempt:
+                time.sleep(self.lock_retry_base_s * (2 ** (attempt - 1)))
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                continue
+        if fd is None:
             # The holder may release (delete) the lock between our failed
             # O_EXCL claim and this diagnostic read; default first so the
             # message never references an unbound name in that race.
@@ -116,7 +137,8 @@ class ParquetWarehouse:
                 holder = open(lock).read().strip() or "unknown"
             raise RuntimeError(
                 f"concurrent writer on table {table!r} (lock held by pid "
-                f"{holder}); single-writer-per-table is the contract — if "
+                f"{holder} past {max(0, self.lock_retries)} backoff "
+                f"retries); single-writer-per-table is the contract — if "
                 f"the holder crashed, remove {lock}"
             ) from None
         try:

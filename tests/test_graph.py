@@ -63,3 +63,74 @@ def test_pagerank_guard(spark):
     df = spark.createDataFrame(PAIRS, ["doc_a", "doc_b"])
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def _labels(df):
+    return sorted((r.doc_id, r.cluster_id) for r in df.collect())
+
+
+def test_star_cc_equals_propagation_on_corpus_pairs(spark):
+    """Large-star/small-star connected components (round 9) must label
+    the real near-dup pair graph identically to min-label
+    propagation — the same-driver-row gate's pytest twin."""
+    from pyspark.sql import functions as F
+
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+        minhash_lsh_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    assert pairs.count() > 0
+    assert _labels(dedup_clusters_star(pairs)) == _labels(dedup_clusters(pairs))
+
+
+def test_star_cc_round_count_win_on_path_graph(spark):
+    """The algorithmic point of the twin: a 200-node path graph (the
+    drift-chain worst case) converges in O(log n) alternating rounds
+    where propagation needs O(diameter) rounds — and both agree that
+    the whole path is one cluster rooted at its minimum."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    n = 200
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    star = dedup_clusters_star(path, max_iters=30, stats=stats)
+    got = _labels(star)
+    assert got == [(i, 0) for i in range(n + 1)]
+    assert stats["rounds"] <= 10, stats  # exponential contraction
+    # propagation needs ~diameter rounds: it must refuse at a small
+    # budget (silent wrong answers are worse than failure) ...
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(path, max_iters=10)
+    # ... and agree when given enough rounds
+    assert _labels(dedup_clusters(path, max_iters=2 * n + 2)) == got
+
+
+def test_star_cc_shapes(spark):
+    """Two disjoint components + an isolated pair + duplicate/reversed
+    input pairs: labels are per-component minima, each node exactly
+    once."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 5), (3, 5),      # triangle + dup/reversed
+         (20, 21),                             # isolated pair
+         (11, 10), (12, 11), (13, 12)],        # chain
+        "doc_a long, doc_b long",
+    )
+    got = _labels(dedup_clusters_star(pairs))
+    assert got == [(3, 3), (5, 3), (9, 3), (10, 10), (11, 10), (12, 10),
+                   (13, 10), (20, 20), (21, 20)]

@@ -156,7 +156,10 @@ def test_warehouse_write_lock_blocks_second_writer(spark, tmp_path):
 
     from stock_bars_data_engineering_project_spark.sinks import ParquetWarehouse
 
-    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    # lock_retries=0: the strict fail-fast posture (a PERSISTENT lock
+    # must fail loudly even with retries — that slower path is covered
+    # by the race test's default-config sibling)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), lock_retries=0)
     df = spark.range(5).select(F.col("id").alias("k"))
     wh.overwrite(df, "t")  # lock taken and released
 
@@ -169,6 +172,44 @@ def test_warehouse_write_lock_blocks_second_writer(spark, tmp_path):
     os.remove(lock)
     wh.append(df, "t")  # works again once the stale lock is cleared
     assert wh.read("t").count() == 10
+
+
+def test_warehouse_write_lock_transient_contention_retries(spark, tmp_path):
+    """Round 9 contention policy: a writer arriving while another holds
+    the lock backs off and succeeds once the holder releases (one
+    winner + one clean retry, no lost update); a lock held past the
+    whole retry budget still fails loudly."""
+    import os
+    import threading
+    import time
+
+    import pytest
+
+    from stock_bars_data_engineering_project_spark.sinks import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(5).select(F.col("id").alias("k"))
+    wh.overwrite(df, "t")
+
+    lock = os.path.join(wh.table_path("t"), "._writer_lock")
+    with open(lock, "w") as f:
+        f.write("winner")
+    releaser = threading.Thread(target=lambda: (time.sleep(0.4), os.remove(lock)))
+    releaser.start()
+    wh.append(df, "t")  # retries through the backoff, then commits
+    releaser.join()
+    assert wh.read("t").count() == 10
+    assert not os.path.exists(lock)
+
+    # a lock held past the entire budget is an operational error
+    wh_fast = ParquetWarehouse(
+        spark, str(tmp_path / "wh"), lock_retries=2, lock_retry_base_s=0.01
+    )
+    with open(lock, "w") as f:
+        f.write("stuck")
+    with pytest.raises(RuntimeError, match="past 2 backoff retries"):
+        wh_fast.append(df, "t")
+    os.remove(lock)
 
 
 def test_zscore_arm_guards_and_known_value(spark, tmp_path):
@@ -543,10 +584,17 @@ def test_mad_outliers_matches_python_replay(spark):
         vs = [v for g, v in rows if g == grp and v is not None]
         med = _med(vs)
         mad = _med([abs(v - med) for v in vs])
-        n_out = sum(1 for v in vs if abs(v - med) > 3 * 1.4826 * mad)
+        # MAD=0 degenerate contract (round 9): the count is NULL, not
+        # everything-off-median
+        n_out = (
+            None
+            if mad == 0
+            else sum(1 for v in vs if abs(v - med) > 3 * 1.4826 * mad)
+        )
         assert got[grp] == (med, mad, len(vs), n_out), grp
-    # sanity on the shape of the fixture itself
-    assert got["a"][3] == 1 and got["b"][3] == 1 and got["c"][3] == 0
+    # sanity on the shape of the fixture itself: 'b' (3 of 4 values at
+    # the median) and single-valued 'c' are the degenerate cases
+    assert got["a"][3] == 1 and got["b"][3] is None and got["c"][3] is None
 
 
 def test_mad_outliers_ungrouped_broadcast_scalar(spark):
@@ -602,16 +650,49 @@ def test_weighted_sample_k_favors_heavy_and_replays(spark):
         ).collect()
     ]
 
+    import math
+
     def key(i, w):
         u = (int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:12], 16)
              % 1_000_000 + 1) / 1_000_000.0
-        return round(u ** (1.0 / w), 9)
+        # round 9: the monotone-equivalent log form of u**(1/w) — same
+        # order pre-rounding, usable dynamic range at large w
+        return round(math.log(u) / w, 9)
 
     want = sorted(
         rows, key=lambda r: (-key(r[0], r[2]), r[0])
     )[:10]
     assert sorted(got) == sorted(i for i, _, _ in want)
     assert sum(1 for i in got if i < 50) >= 8  # heavy side dominates
+
+
+def test_weighted_sample_k_large_weights_keep_resolution(spark):
+    """ADVICE round 8: at w ~ 1e6 the old u**(1/w) key collapsed to
+    ~14 distinct 9dp values and selection degraded to the id tiebreak;
+    the log key must keep weight-proportional randomness — the picked
+    set follows the hash order, not the lowest ids."""
+    import hashlib
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, "g", 1_000_000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "w"])
+    got = sorted(
+        r.doc_id
+        for r in weighted_sample_k(df, ("src",), "doc_id", "w", k=10).collect()
+    )
+
+    def key(i, w=1_000_000):
+        u = (int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:12], 16)
+             % 1_000_000 + 1) / 1_000_000.0
+        return round(math.log(u) / w, 9)
+
+    want = sorted(sorted(range(100), key=lambda i: (-key(i), i))[:10])
+    assert got == want
+    assert got != list(range(10))  # not the id-tiebreak degeneracy
 
 
 def test_sampler_guards_raise_loudly(spark):
@@ -637,3 +718,24 @@ def test_sampler_guards_raise_loudly(spark):
     )
     with pytest.raises(SparkRuntimeException, match="weights must be"):
         weighted_sample_k(bad_w, ("src",), "doc_id", "w", k=1).collect()
+
+
+def test_mad_outliers_degenerate_mad_reports_null(spark):
+    """ADVICE round 8: >50% of a group equal to the median makes MAD=0
+    and the fence zero-width — the count must be NULL (undefined), not
+    'everything off the median is an outlier'; a healthy group in the
+    same frame still counts normally."""
+    from stock_bars_data_engineering_project_spark.operators.drift import mad_outliers
+
+    rows = (
+        # degenerate: 6 of 8 values at the median
+        [("const", 5.0)] * 6 + [("const", 1.0), ("const", 9.0)]
+        # healthy spread with one extreme value
+        + [("ok", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 100)]
+    )
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r.grp: r for r in mad_outliers(df, "value", keys=("grp",)).collect()}
+    assert got["const"].mad == 0.0
+    assert got["const"].n_outliers is None
+    assert got["const"].n == 8 and got["const"].median == 5.0
+    assert got["ok"].mad > 0 and got["ok"].n_outliers == 1
