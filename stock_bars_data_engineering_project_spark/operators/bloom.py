@@ -103,13 +103,27 @@ def bloom_bitmap(
     return words
 
 
+def _words_literal(words: list[int]) -> Column:
+    """The bitmap as an array literal built by ONE ``F.expr`` parse.
+    ``F.lit(list)`` issues one py4j call PER ELEMENT to assemble
+    ``array(lit, lit, ...)`` — measured ~1 s of pure driver-side
+    construction per bloom join at 2^16 bits (2048 words), paid on
+    EVERY plan build even with the bitmap itself memoized. Rendering
+    the same array as one SQL string parses JVM-side in ~ms. (A
+    bit-STRING literal was tried and is far worse: SQL ``substr`` on
+    UTF8String scans from byte 0 to find the character offset, so a
+    64k-char bitmap costs O(m_bits) per row per probe — measured 8x
+    slower than the whole join it was filtering.)"""
+    return F.expr("array(" + ",".join(str(int(w)) for w in words) + ")")
+
+
 def bloom_might_contain(
     key: Column, words: list[int], m_bits: int, n_hashes: int
 ) -> Column:
     """Codegen membership test against a literal bitmap: true unless
     some hash position's bit is unset. False positives possible by
     design; false negatives impossible."""
-    lit_words = F.lit(words)
+    lit_words = _words_literal(words)
     cond = F.lit(True)
     for p in _positions(key, m_bits, n_hashes):
         word = F.element_at(lit_words, (p / _WORD).cast("int") + 1)
