@@ -386,6 +386,10 @@ def refresh_corpus(
     ))
     counts["delta"] = delta.count()
     if counts["delta"] == 0:
+        wh.log(
+            f"{table}_runs",
+            "refresh " + " -> ".join(f"{k}:{v}" for k, v in counts.items()),
+        )
         return counts
 
     contaminated = (
@@ -446,6 +450,11 @@ def refresh_corpus(
         wh.append(done, processed_t)
     else:
         wh.overwrite(done, processed_t)
+    # K6 run-log parity with run_corpus_pipeline: one line per refresh
+    wh.log(
+        f"{table}_runs",
+        "refresh " + " -> ".join(f"{k}:{v}" for k, v in counts.items()),
+    )
     return counts
 
 
