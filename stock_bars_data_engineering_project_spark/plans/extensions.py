@@ -2441,25 +2441,35 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipe_arm = _pipe_label(pipe_corpus, "pipeline")
 
-    # 'refresh' (round 9): the INCREMENTAL composed refresh
-    # (pipeline/corpus_pipeline.refresh_corpus) — the corpus arrives as
-    # two doc_id-median-split batches; each flows through
-    # persisted-state dedup (ingest_batch band index) -> frozen-
-    # benchmark decontam -> scrub/quality gate/split -> pack
+    # 'refresh' (round 9): the INCREMENTAL composed refresh driven
+    # through a REAL readStream + foreachBatch drain
+    # (streaming/incremental.corpus_refresh_stream wrapping
+    # pipeline/corpus_pipeline.refresh_corpus) — the corpus arrives as
+    # two doc_id-median-split parquet file waves; each micro-batch
+    # flows through persisted-state dedup (ingest_batch band index) ->
+    # frozen-benchmark decontam -> scrub/quality gate/split -> pack
     # CONTINUATION (per-(split, source) token base derived from the
-    # published table) -> idempotent merge, batch 1 never re-processed.
-    # The oracle replays the ONE-SHOT composition (keeper = lowest id,
-    # frozen raw %20 benchmark), so the cross-engine hash IS the
-    # two-batch ≡ one-shot law for the whole composed product path;
-    # replay no-op and crash-heal stay pinned in
+    # published table) -> idempotent merge, wave 1 never re-processed
+    # and the file-source offset checkpoint carrying delivery state
+    # across the two drains. The oracle replays the ONE-SHOT
+    # composition (keeper = lowest id, frozen raw %20 benchmark), so
+    # the cross-engine hash IS the streamed ≡ one-shot law for the
+    # whole composed product path; batch-call equivalence, replay
+    # no-op, and crash-heal stay pinned in
     # tests/test_corpus_pipeline.py.
-    from ..pipeline.corpus_pipeline import refresh_corpus
+    import os as _os
+
+    from ..streaming.incremental import corpus_refresh_stream
 
     wh_r = scratch_warehouse(spark, "corpus_refresh_rows")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
-    refresh_corpus(spark, wh_r, docs.filter(F.col("doc_id") <= half), bench)
-    refresh_corpus(spark, wh_r, docs.filter(F.col("doc_id") > half), bench)
+    src_r = _os.path.join(wh_r.root, "_src")
+    ckpt_r = _os.path.join(wh_r.root, "_ckpt")
+    docs.filter(F.col("doc_id") <= half).write.mode("append").parquet(src_r)
+    corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
+    docs.filter(F.col("doc_id") > half).write.mode("append").parquet(src_r)
+    corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
     refresh_arm = _pipe_label(wh_r.read("training_corpus"), "refresh")
     return (
         split_arm.unionByName(strat_arm)

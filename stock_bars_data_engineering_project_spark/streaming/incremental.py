@@ -186,6 +186,64 @@ def dedup_ingest_stream(
     return q
 
 
+def corpus_refresh_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    benchmark: DataFrame,
+    table: str = "training_corpus",
+    min_quality: float = 0.3,
+    max_contamination: float = 0.5,
+    pack_budget: int = 2048,
+    available_now: bool = True,
+):
+    """Streaming form of the COMPOSED corpus refresh (round 9): each
+    micro-batch runs ``pipeline.corpus_pipeline.refresh_corpus`` — the
+    whole product chain (persisted-band-index dedup -> frozen-benchmark
+    decontamination -> scrub/quality gate/split -> pack continuation ->
+    idempotent merge) — so documents landing as files flow into the
+    published training corpus at O(batch) cost, end to end.
+
+    ``benchmark`` is the PINNED eval release, captured once at stream
+    start — exactly the frozen-benchmark contract that makes the batch
+    refresh reproduce the one-shot (and the realistic one: eval suites
+    do not grow with the crawl). Exactly-once composition is inherited
+    stage by stage: the file-source checkpoint gives at-least-once
+    micro-batches, ``ingest_batch`` dedups a replayed batch to an empty
+    delta, and the publish step is a keyed MERGE — so a replay commits
+    nothing. Pack continuity requires the same monotone-doc_id delivery
+    order the batch law documents; a file source replays files in
+    offset order, which preserves it."""
+    from ..pipeline.corpus_pipeline import refresh_corpus
+
+    src = spark.readStream.schema(schema).parquet(src_dir)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        refresh_corpus(
+            spark,
+            wh,
+            batch,
+            benchmark,
+            min_quality=min_quality,
+            max_contamination=max_contamination,
+            pack_budget=pack_budget,
+            table=table,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def pca_ingest_stream(
     spark: SparkSession,
     src_dir: str,

@@ -272,3 +272,54 @@ def test_incremental_refresh_crash_heal(spark, tmp_path):
         "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_corpus_refresh_equals_one_shot(spark, tmp_path):
+    """corpus_refresh_stream (round 9): documents delivered as two
+    parquet file waves through a REAL readStream + foreachBatch drain
+    must publish exactly prepare_corpus(union, keeper='first',
+    benchmark=frozen) — the streaming form of the batch refresh law,
+    with the offset checkpoint supplying at-least-once delivery and
+    every stage replay-idempotent."""
+    import os
+
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        corpus_refresh_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src = os.path.join(str(tmp_path), "_src")
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+
+    docs.filter(F.col("doc_id") <= half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus_refresh_stream(spark, src, docs.schema, wh, ckpt, benchmark)
+    n_after_wave1 = wh.read("training_corpus").count()
+    assert n_after_wave1 > 0
+
+    docs.filter(F.col("doc_id") > half).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    corpus_refresh_stream(spark, src, docs.schema, wh, ckpt, benchmark)
+
+    got = wh.read("training_corpus").select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    want, _ = prepare_corpus(docs, keeper="first", benchmark=benchmark)
+    want = want.select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a third drain with no new files is a clean no-op
+    corpus_refresh_stream(spark, src, docs.schema, wh, ckpt, benchmark)
+    assert wh.read("training_corpus").count() == want.count()
