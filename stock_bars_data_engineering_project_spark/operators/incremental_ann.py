@@ -226,11 +226,20 @@ def apply_deletes(wh: ParquetWarehouse, table: str = "ann_index") -> None:
     wh.drop(_deleted_table(table))
 
 
-def list_occupancy(wh: ParquetWarehouse, table: str = "ann_index") -> DataFrame:
+def list_occupancy(
+    wh: ParquetWarehouse, table: str = "ann_index", live: bool = False
+) -> DataFrame:
     """Per-list row counts plus the global max/mean skew ratio — the
     rebuild trigger metric. One partial-aggregating pass over the
-    (skinny) index."""
-    counts = wh.read(table).groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    (skinny) index. ``live=True`` anti-joins tombstones first: the
+    recall-drift policy should see the lists queries actually probe,
+    while the default physical count is the storage/compaction view
+    (a heavily tombstoned list is a reason to run apply_deletes, not
+    to retrain)."""
+    index = wh.read(table)
+    if live:
+        index = _not_deleted(wh, table, index, "vec_id")
+    counts = index.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     stats = counts.agg(
         F.max("n_vecs").alias("_mx"), F.avg("n_vecs").alias("_mean")
     )
@@ -239,3 +248,49 @@ def list_occupancy(wh: ParquetWarehouse, table: str = "ann_index") -> DataFrame:
         "n_vecs",
         (F.col("_mx") / F.col("_mean")).alias("skew_ratio"),
     )
+
+
+def maintain_ann_index(
+    wh: ParquetWarehouse,
+    table: str = "ann_index",
+    max_skew: float = 4.0,
+    centroid_stride: int = 125,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """The index lifecycle's maintenance policy in one call — the
+    operational loop FAISS users run by hand (the drift contract in
+    the module docstring), made explicit:
+
+    1. fold tombstones into the files (:func:`apply_deletes` — always,
+       it is a no-op without tombstones and a heavily tombstoned index
+       both wastes probe work and skews the occupancy signal);
+    2. read the LIVE skew ratio (:func:`list_occupancy`);
+    3. if it exceeds ``max_skew``, RETRAIN: rebuild the quantizer and
+       re-assign the surviving corpus (:func:`build_ann_index` on the
+       stored vectors — the one corpus-sized pass, paid only when
+       drift policy says so).
+
+    Returns ``{"skew_ratio": float, "rebuilt": bool}`` so callers can
+    log the decision. Answer-preserving when it does NOT rebuild
+    (apply_deletes is); a rebuild changes list membership (new
+    centroids) but not the exact-cosine ranking within probed lists —
+    recall is what it repairs."""
+    apply_deletes(wh, table)
+    occ = list_occupancy(wh, table).select("skew_ratio").limit(1).collect()
+    skew = float(occ[0]["skew_ratio"]) if occ else 0.0
+    rebuilt = False
+    if skew > max_skew:
+        corpus = wh.read(table).select(id_col, vec_col)
+        build_ann_index(
+            wh,
+            corpus,
+            table,
+            centroid_stride=centroid_stride,
+            refine_iters=refine_iters,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        rebuilt = True
+    return {"skew_ratio": skew, "rebuilt": rebuilt}

@@ -128,3 +128,41 @@ def test_probe_scan_partition_prunes(spark, emb, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_maintain_index_policy(spark, emb, tmp_path):
+    """maintain_ann_index: applies tombstones, reads LIVE skew, and
+    retrains only past the policy threshold — the explicit form of the
+    module's drift contract."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_ann import (
+        delete_vectors,
+        list_occupancy,
+        maintain_ann_index,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_ann_index(wh, emb, "idx", centroid_stride=40, refine_iters=1)
+    delete_vectors(wh, [r.vec_id for r in emb.limit(5).collect()], table="idx")
+
+    # lenient policy: tombstones fold, no retrain, answers preserved
+    queries = emb.filter(F.col("vec_id") >= 5).limit(3)
+    before = _rows(ann_query(wh, queries, "idx", k=5, nprobe=3))
+    res = maintain_ann_index(wh, "idx", max_skew=1e9)
+    assert res["rebuilt"] is False and res["skew_ratio"] >= 1.0
+    assert not wh.exists("idx__deleted")
+    assert _rows(ann_query(wh, queries, "idx", k=5, nprobe=3)) == before
+
+    # strict policy: any skew > 1 forces a retrain; the quantizer is
+    # rebuilt from the surviving corpus and every survivor re-assigns
+    res2 = maintain_ann_index(wh, "idx", max_skew=1.0000001,
+                              centroid_stride=40, refine_iters=1)
+    if res2["rebuilt"]:
+        assert wh.read("idx").count() == emb.count() - 5
+        occ = list_occupancy(wh, "idx").select("skew_ratio").first()[0]
+        assert occ >= 1.0
+    # live vs physical occupancy: tombstones shrink the live view only
+    delete_vectors(wh, [r.vec_id for r in emb.limit(20).collect()][5:10],
+                   table="idx")
+    phys = list_occupancy(wh, "idx").agg(F.sum("n_vecs")).first()[0]
+    live = list_occupancy(wh, "idx", live=True).agg(F.sum("n_vecs")).first()[0]
+    assert phys - live == 5
