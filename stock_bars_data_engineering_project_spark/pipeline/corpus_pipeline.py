@@ -82,6 +82,8 @@ def prepare_corpus(
     gopher: dict | None = None,
     keeper: str = "quality",
     benchmark: DataFrame | None = None,
+    surprisal_max: float | None = None,
+    frozen_unigram: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run stages 1-8 and return (final corpus frame, per-stage counts).
 
@@ -100,6 +102,17 @@ def prepare_corpus(
     (default) keeps the best-quality member via canonical_selection;
     ``"first"`` keeps the lowest id — the order-invariant policy an
     incremental refresh with monotone ids reproduces exactly.
+
+    ``surprisal_max`` (+ ``frozen_unigram``, a pinned (token, n)
+    reference LM — e.g. ``lm_state()``'s unigram table) switches on
+    the FROZEN-MODEL ABSOLUTE surprisal gate: drop documents whose
+    mean -ln p(token) under the frozen model exceeds the calibrated
+    ceiling. Unlike ``surprisal_keep_frac`` (a corpus percentile —
+    inherently a one-shot statistic), this gate is per-document
+    deterministic, so it is available on the incremental refresh path
+    too (:func:`refresh_corpus`) — the production posture: calibrate
+    the threshold once, apply it to every arriving batch. Token-less
+    docs have no score row and drop (the shared gate contract).
 
     ``surprisal_keep_frac`` (e.g. 0.9) switches on the unigram-LM gate:
     keep the fraction of documents with the LOWEST corpus-unigram
@@ -211,6 +224,19 @@ def prepare_corpus(
     )
     corpus = corpus.withColumn("text", scrubbed)
 
+    if surprisal_max is not None:
+        # frozen-model ABSOLUTE gate (docstring): per-doc deterministic,
+        # so the refresh path applies the identical rule batch-by-batch
+        keep_ids = (
+            unigram_surprisal(corpus, counts=frozen_unigram)
+            .filter(F.col("score") <= surprisal_max)
+            .select("doc_id")
+        )
+        corpus = corpus.join(keep_ids, "doc_id", "left_semi").transform(
+            materialize
+        )
+        counts["surprisal_abs_gated"] = corpus.count()
+
     if surprisal_keep_frac is not None:
         # corpus-unigram surprisal gate: keep the keep_frac least-
         # surprising documents (scored on the SCRUBBED text, the text
@@ -317,11 +343,17 @@ def refresh_corpus(
     max_contamination: float = 0.5,
     pack_budget: int = 2048,
     table: str = "training_corpus",
+    surprisal_max: float | None = None,
+    frozen_unigram: DataFrame | None = None,
 ) -> dict[str, int]:
     """Incrementally fold ONE document batch into the published
     training corpus — the composed refresh path (round 9): every stage
     of :func:`prepare_corpus`'s core chain runs at O(batch) cost
     against persisted state, never re-processing the corpus.
+    ``surprisal_max`` + ``frozen_unigram`` add the frozen-model
+    absolute surprisal gate (prepare_corpus's round-9 mode) — the
+    frozen model is REQUIRED here: a self-derived model would let each
+    batch normalize its own garbage and break the one-shot law.
 
         batch
           1. exact + near-dup dedup against the PERSISTED corpus/band
@@ -364,6 +396,12 @@ def refresh_corpus(
     merge is idempotent on doc_id."""
     from ..operators.incremental_dedup import ingest_batch
 
+    if surprisal_max is not None and frozen_unigram is None:
+        raise ValueError(
+            "refresh_corpus: surprisal_max needs frozen_unigram — a "
+            "batch-derived model would re-normalize per batch and "
+            "break incremental ≡ one-shot (docstring)"
+        )
     processed_t = f"{table}__processed"
     _counts, survivors = ingest_batch(
         spark, wh, batch, return_survivors=True
@@ -401,9 +439,15 @@ def refresh_corpus(
     scrubbed = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
     )
-    clean = clean.withColumn("text", scrubbed).filter(
-        quality_score(F.col("text")) >= min_quality
-    )
+    clean = clean.withColumn("text", scrubbed)
+    if surprisal_max is not None:
+        keep_ids = (
+            unigram_surprisal(clean, counts=frozen_unigram)
+            .filter(F.col("score") <= surprisal_max)
+            .select("doc_id")
+        )
+        clean = clean.join(keep_ids, "doc_id", "left_semi")
+    clean = clean.filter(quality_score(F.col("text")) >= min_quality)
     clean = stable_split(clean).withColumn(
         "n_tokens", token_count(F.col("text"))
     )

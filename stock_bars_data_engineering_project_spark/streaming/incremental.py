@@ -198,6 +198,8 @@ def corpus_refresh_stream(
     max_contamination: float = 0.5,
     pack_budget: int = 2048,
     available_now: bool = True,
+    surprisal_max: float | None = None,
+    frozen_unigram: DataFrame | None = None,
 ):
     """Streaming form of the COMPOSED corpus refresh (round 9): each
     micro-batch runs ``pipeline.corpus_pipeline.refresh_corpus`` — the
@@ -230,6 +232,8 @@ def corpus_refresh_stream(
             max_contamination=max_contamination,
             pack_budget=pack_budget,
             table=table,
+            surprisal_max=surprisal_max,
+            frozen_unigram=frozen_unigram,
         )
 
     writer = (
