@@ -213,6 +213,33 @@ def ingest_docs(
     return n_new
 
 
+def index_occupancy(
+    wh: ParquetWarehouse, table: str = "trgm_index", live: bool = False
+) -> DataFrame:
+    """Per-bucket posting counts plus the global max/mean skew ratio —
+    the rebuild/re-bucket trigger metric, completing occupancy parity
+    across the three persisted indexes (BM25 ``index_occupancy``, ANN
+    ``list_occupancy``). A hot trigram (whitespace runs, markup
+    residue) inflating one bucket makes that bucket's probe cost the
+    index's worst case. ``live=True`` anti-joins tombstones first
+    (the probe-cost view); the physical default is the
+    storage/compaction view."""
+    postings = wh.read(_postings_table(table))
+    if live:
+        postings = _live(wh, table, postings)
+    counts = postings.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_postings")
+    )
+    stats = counts.agg(
+        F.max("n_postings").alias("_mx"), F.avg("n_postings").alias("_mean")
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "bkt",
+        "n_postings",
+        (F.col("_mx") / F.col("_mean")).alias("skew_ratio"),
+    )
+
+
 def trgm_query(
     wh: ParquetWarehouse,
     docs: DataFrame,

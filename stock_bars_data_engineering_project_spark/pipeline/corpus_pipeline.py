@@ -345,6 +345,8 @@ def refresh_corpus(
     table: str = "training_corpus",
     surprisal_max: float | None = None,
     frozen_unigram: DataFrame | None = None,
+    corpus_table: str = "corpus_docs",
+    index_table: str = "corpus_bands",
 ) -> dict[str, int]:
     """Incrementally fold ONE document batch into the published
     training corpus — the composed refresh path (round 9): every stage
@@ -404,7 +406,12 @@ def refresh_corpus(
         )
     processed_t = f"{table}__processed"
     _counts, survivors = ingest_batch(
-        spark, wh, batch, return_survivors=True
+        spark,
+        wh,
+        batch,
+        corpus_table=corpus_table,
+        index_table=index_table,
+        return_survivors=True,
     )
     counts = dict(_counts)
 
@@ -413,7 +420,7 @@ def refresh_corpus(
     # membership covers BOTH published and gate-dropped docs, so the
     # anti-join is crash-window-sized, not dropped-set-sized.
     if wh.exists(processed_t):
-        missing = wh.read("corpus_docs").join(
+        missing = wh.read(corpus_table).join(
             wh.read(processed_t), "doc_id", "left_anti"
         ).join(survivors.select("doc_id"), "doc_id", "left_anti")
         delta = survivors.unionByName(missing, allowMissingColumns=False)

@@ -284,3 +284,27 @@ def test_trgm_query_pattern_size_cap_is_loud(spark, tmp_path):
     build_trgm_index(wh, docs, table="tg")
     with pytest.raises(ValueError, match="max_pattern_trigrams"):
         trgm_query(wh, docs, pats, table="tg", max_pattern_trigrams=3)
+
+
+def test_trgm_index_occupancy(spark, tmp_path):
+    """Occupancy parity with the BM25/ANN indexes: totals match the
+    postings, skew >= 1, and the live view shrinks under tombstones."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        delete_docs,
+        index_occupancy,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs, table="tg")
+    occ = index_occupancy(wh, "tg").collect()
+    assert sum(r.n_postings for r in occ) == wh.read("tg__postings").count()
+    assert all(r.skew_ratio >= 1.0 for r in occ)
+    delete_docs(wh, [1], table="tg")
+    phys = sum(r.n_postings for r in index_occupancy(wh, "tg").collect())
+    live = sum(
+        r.n_postings for r in index_occupancy(wh, "tg", live=True).collect()
+    )
+    n_doc1 = wh.read("tg__postings").filter(F.col("doc_id") == 1).count()
+    assert phys - live == n_doc1 > 0
