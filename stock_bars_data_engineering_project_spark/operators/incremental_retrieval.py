@@ -250,17 +250,21 @@ def bm25_query(
 
 
 def index_occupancy(
-    wh: ParquetWarehouse, table: str = "bm25_index"
+    wh: ParquetWarehouse, table: str = "bm25_index", live: bool = False
 ) -> DataFrame:
     """Per-bucket posting counts plus the global max/mean skew ratio —
     the rebuild/re-bucket trigger metric (incremental_ann's
     list_occupancy for the lexical index: a Zipf-head token inflating
     one bucket makes that bucket's probe cost the index's worst case).
-    One partial-aggregating pass over the skinny postings."""
-    counts = (
-        wh.read(_postings_table(table))
-        .groupBy("bkt")
-        .agg(F.count(F.lit(1)).alias("n_postings"))
+    One partial-aggregating pass over the skinny postings.
+    ``live=True`` anti-joins tombstones first (probe-cost view); the
+    physical default is the storage/compaction view — occupancy parity
+    across all three persisted indexes (round 9)."""
+    postings = wh.read(_postings_table(table))
+    if live:
+        postings = _live(wh, table, postings)
+    counts = postings.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("n_postings")
     )
     stats = counts.agg(
         F.max("n_postings").alias("_mx"), F.avg("n_postings").alias("_mean")
