@@ -701,3 +701,55 @@ def test_pagerank_matches_replay_on_any_graph(spark, pairs, n_iter):
     for v in pr:
         assert abs(got[v] - pr[v]) < 2e-9, (v, got[v], pr[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_edges)
+def test_star_cc_matches_python_union_find(spark, edges):
+    """Property: large-star/small-star connected components equal a
+    Python union-find ground truth (min label per component, one row
+    per node appearing in a non-self pair) on arbitrary random graphs
+    — self-loops, duplicates, reversed pairs, disconnected pieces and
+    all. The random-topology safety net under the driver row's
+    switch to the star implementation (round 9)."""
+    from stock_bars_data_engineering_project_spark.operators.dedup import (
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+    # ground truth: union-find over non-self edges
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    want = sorted((n, find(n)) for n in nodes)
+
+    got = sorted(
+        (r.doc_id, r.cluster_id) for r in dedup_clusters_star(pairs).collect()
+    )
+    assert got == want
