@@ -753,3 +753,48 @@ def test_star_cc_matches_python_union_find(spark, edges):
         (r.doc_id, r.cluster_id) for r in dedup_clusters_star(pairs).collect()
     )
     assert got == want
+
+
+_weighted_rows = st.lists(
+    st.tuples(
+        st.integers(0, 200),            # doc_id (dupes dropped below)
+        st.integers(0, 1),              # stratum
+        st.integers(1, 1_000_000),      # weight: spans the magnitudes
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_weighted_rows)
+def test_weighted_sample_k_matches_python_replay(spark, rows):
+    """Property: the A-ES sampler's survivor SET AND ORDER equal the
+    Python replay of the ln(u)/w key at any weight magnitude — the
+    round-9 log key must stay faithful from w=1 token up to the 1e6
+    range where the old u**(1/w) key collapsed."""
+    import hashlib
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, src long, w long")
+    got = sorted(
+        (r.src, r.rank, r.doc_id)
+        for r in weighted_sample_k(df, ("src",), "doc_id", "w", k=4).collect()
+    )
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:12], 16)
+             % 1_000_000 + 1) / 1_000_000.0
+        return round(math.log(u) / w, 9)
+
+    want = []
+    for src in {r[1] for r in rows}:
+        members = [(i, w) for i, s, w in rows if s == src]
+        ordered = sorted(members, key=lambda t: (-key(*t), t[0]))[:4]
+        want.extend((src, rank + 1, i) for rank, (i, _) in enumerate(ordered))
+    assert got == sorted(want)
