@@ -137,6 +137,29 @@ def bloom_might_contain(
     return cond
 
 
+def _check_words(words: list[int] | None, m_bits: int) -> None:
+    """Guard the caller-owned precomputed-bitmap contract: a bitmap
+    built at a different ``m_bits`` silently changes join results
+    (every word index is wrong), and on the broadcast-table path the
+    parameter has no effect at all. Cheap, catches the two most likely
+    misuses loudly instead of silently."""
+    if words is None:
+        return
+    if m_bits > _LITERAL_MAX_BITS:
+        raise ValueError(
+            f"precomputed 'words' bitmap is only used on the literal "
+            f"path (m_bits <= {_LITERAL_MAX_BITS}); at m_bits={m_bits} "
+            f"the broadcast-table path rebuilds the bitmap from the "
+            f"build side and would silently ignore it"
+        )
+    if len(words) * _WORD != m_bits:
+        raise ValueError(
+            f"precomputed 'words' bitmap has {len(words)} words = "
+            f"{len(words) * _WORD} bits but m_bits={m_bits}; it was "
+            f"built at a different size and would index the wrong words"
+        )
+
+
 # above this, the bitmap stops being a plan literal: a 131k-element
 # literal array took the x64 soak from 5.4 s to 101 s (codegen + task
 # binary size), so large bitmaps broadcast as a TABLE instead
@@ -218,9 +241,10 @@ def bloom_semi_join(
     across every probe, so callers that probe repeatedly should build
     once and pass it here. A stale or mismatched bitmap silently
     changes results — the caller owns that invariant (literal path
-    only; ignored on the broadcast-table path where no collect exists
-    to amortize)."""
+    only; passing it with a broadcast-table m_bits raises — see
+    :func:`_check_words`)."""
     bk = build_key or key
+    _check_words(words, m_bits)
     if m_bits <= _LITERAL_MAX_BITS:
         if words is None:
             words = bloom_bitmap(build, bk, m_bits, n_hashes)
@@ -259,9 +283,10 @@ def bloom_anti_join(
     the split is on ``test IS TRUE``).
 
     ``words``: optional precomputed bitmap — same build-once amortize
-    contract (and caller-owned staleness invariant) as
+    contract (size-checked, staleness caller-owned) as
     :func:`bloom_semi_join`."""
     bk = build_key or key
+    _check_words(words, m_bits)
     if m_bits <= _LITERAL_MAX_BITS:
         if words is None:
             words = bloom_bitmap(build, bk, m_bits, n_hashes)

@@ -334,6 +334,19 @@ def prepare_corpus(
     return corpus, counts
 
 
+def _record_processed(
+    wh: ParquetWarehouse, ids: DataFrame, processed_t: str
+) -> None:
+    """Append a doc_id membership batch to the ``__processed`` table
+    (create on first use). Ids are terminally-handled doc_ids —
+    published, gate-dropped, or benchmark-excluded — so the reconcile
+    anti-join stays crash-window-sized (refresh_corpus docstring)."""
+    if wh.exists(processed_t):
+        wh.append(ids, processed_t)
+    else:
+        wh.overwrite(ids, processed_t)
+
+
 def refresh_corpus(
     spark: SparkSession,
     wh: ParquetWarehouse,
@@ -417,20 +430,36 @@ def refresh_corpus(
 
     # reconcile: dedup-retained docs that never finished stage-B
     # processing (crash heal; empty in normal operation). Processed
-    # membership covers BOTH published and gate-dropped docs, so the
-    # anti-join is crash-window-sized, not dropped-set-sized.
+    # membership covers published, gate-dropped, AND benchmark-excluded
+    # docs (all terminally handled), so the anti-join is crash-window-
+    # sized, not dropped-set-sized. The anti-join itself runs on a
+    # skinny doc_id projection — text columns rejoin only for the
+    # (normally empty) crash-window ids via a broadcast-sized semi
+    # join, so the steady-state reconcile shuffles ids, never text.
+    survivor_ids = survivors.select("doc_id")
     if wh.exists(processed_t):
+        missing_ids = materialize(
+            wh.read(corpus_table)
+            .select("doc_id")
+            .join(wh.read(processed_t), "doc_id", "left_anti")
+            .join(survivor_ids, "doc_id", "left_anti")
+        )
         missing = wh.read(corpus_table).join(
-            wh.read(processed_t), "doc_id", "left_anti"
-        ).join(survivors.select("doc_id"), "doc_id", "left_anti")
+            missing_ids, "doc_id", "left_semi"
+        )
+        handled = survivor_ids.unionByName(missing_ids)
         delta = survivors.unionByName(missing, allowMissingColumns=False)
     else:
+        handled = survivor_ids
         delta = survivors
     delta = materialize(delta.join(
         benchmark.select("doc_id"), "doc_id", "left_anti"
     ))
     counts["delta"] = delta.count()
     if counts["delta"] == 0:
+        # benchmark-excluded docs are terminally handled — record them
+        # so they never re-enter the reconcile's 'missing' set
+        _record_processed(wh, handled, processed_t)
         wh.log(
             f"{table}_runs",
             "refresh " + " -> ".join(f"{k}:{v}" for k, v in counts.items()),
@@ -496,11 +525,9 @@ def refresh_corpus(
     counts["published"] = rows.count()
     if counts["published"]:
         wh.merge(rows, table, keys=("doc_id",))
-    done = delta.select("doc_id")
-    if wh.exists(processed_t):
-        wh.append(done, processed_t)
-    else:
-        wh.overwrite(done, processed_t)
+    # `handled` (not `delta`): benchmark-excluded ids are terminally
+    # handled too and must never re-enter the reconcile's missing set
+    _record_processed(wh, handled, processed_t)
     # K6 run-log parity with run_corpus_pipeline: one line per refresh
     wh.log(
         f"{table}_runs",

@@ -194,11 +194,16 @@ class JdbcWarehouse:
             f'"{c}" = EXCLUDED."{c}"' for c in df.columns if c not in keys
         )
         action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
-        self.execute(
-            f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} '
-            f"ON CONFLICT ({keylist}) {action}"
-        )
-        self.execute(f"DROP TABLE IF EXISTS {staging}")
+        try:
+            self.execute(
+                f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} '
+                f"ON CONFLICT ({keylist}) {action}"
+            )
+        finally:
+            # A failed merge must not leave __staging behind — the next
+            # upsert's overwrite would silently drop/recreate it with a
+            # possibly different schema, masking the original failure.
+            self.execute(f"DROP TABLE IF EXISTS {staging}")
 
     # -- DDL / driver-side statements ---------------------------------
 
@@ -212,7 +217,26 @@ class JdbcWarehouse:
         for k, v in self._props.items():
             if k != "driver":
                 props.setProperty(k, v)
-        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        # DriverManager filters registered drivers by CALLER-classloader
+        # visibility; a jar supplied via spark.jars / --jars lives in
+        # Spark's mutable URL classloader and is invisible to py4j's
+        # caller, so getConnection throws 'No suitable driver' even when
+        # the parallel read/write paths (which route the 'driver' option
+        # through Spark's DriverRegistry) work. Bypass it the way Spark's
+        # own DriverRegistry does: resolve the class via the thread
+        # context classloader and connect through the driver instance.
+        driver_cls = jvm.java.lang.Class.forName(
+            self._props["driver"],
+            True,
+            jvm.java.lang.Thread.currentThread().getContextClassLoader(),
+        )
+        driver = driver_cls.getDeclaredConstructor().newInstance()
+        conn = driver.connect(self.url, props)
+        if conn is None:
+            raise RuntimeError(
+                f"JDBC driver {self._props['driver']} rejected URL "
+                f"{self.url!r} (driver.connect returned null)"
+            )
         try:
             stmt = conn.createStatement()
             try:

@@ -94,6 +94,37 @@ def test_guards(spark):
         bloom_bitmap(build, "k", n_hashes=0)
 
 
+def test_precomputed_words_contract_guards(spark):
+    """The caller-owned precomputed-bitmap contract is size-checked:
+    a bitmap built at a different m_bits raises (it would index the
+    wrong words and silently change join results), and passing words
+    with a broadcast-table m_bits raises (the table path rebuilds the
+    bitmap and would silently ignore the parameter)."""
+    from stock_bars_data_engineering_project_spark.operators.bloom import (
+        bloom_anti_join,
+        bloom_semi_join,
+    )
+
+    build = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (3,)], "k long")
+    good = bloom_bitmap(build, "k", m_bits=1024)
+    # correct-size bitmap works on both join forms
+    assert [r.k for r in bloom_semi_join(
+        probe, build, "k", m_bits=1024, words=good
+    ).collect()] == [1]
+    wrong_size = good + [0]  # 1056 bits' worth of words vs m_bits=1024
+    with pytest.raises(ValueError, match="different size"):
+        bloom_semi_join(probe, build, "k", m_bits=1024, words=wrong_size)
+    with pytest.raises(ValueError, match="different size"):
+        bloom_anti_join(probe, build, "k", m_bits=1024, words=wrong_size)
+    # words on the broadcast-table path would be silently discarded —
+    # refuse loudly instead
+    with pytest.raises(ValueError, match="broadcast-table"):
+        bloom_semi_join(probe, build, "k", m_bits=1 << 20, words=good)
+    with pytest.raises(ValueError, match="broadcast-table"):
+        bloom_anti_join(probe, build, "k", m_bits=1 << 20, words=good)
+
+
 def test_table_path_equals_literal_path_and_plain_semi(spark):
     """Above _LITERAL_MAX_BITS the bitmap travels as a broadcast table
     (n_hashes map-side joins) instead of a plan literal — same bits,

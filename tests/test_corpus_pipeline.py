@@ -234,6 +234,43 @@ def test_incremental_refresh_equals_one_shot(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, got.collect()))
 
 
+def test_refresh_processed_covers_benchmark_excluded(spark, tmp_path):
+    """Benchmark-excluded docs are terminally handled and must be
+    recorded in __processed (round-10 ADVICE fix): otherwise every
+    subsequent refresh re-discovers them as 'missing' and pays an
+    O(dropped-set) reconcile forever. Steady-state law: after any
+    committed refresh, corpus_docs anti-join __processed is EMPTY."""
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        refresh_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= half)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    c1 = refresh_corpus(spark, wh, b1, benchmark)
+    assert c1["published"] > 0
+    stranded = wh.read("corpus_docs").join(
+        wh.read("training_corpus__processed"), "doc_id", "left_anti"
+    )
+    assert stranded.count() == 0
+
+    # a batch that is ENTIRELY benchmark ids takes the delta==0 early
+    # return — its ids must still land in __processed
+    pure_bench = docs.filter(
+        (F.col("doc_id") > half) & (F.col("doc_id") % 20 == 0)
+    )
+    c2 = refresh_corpus(spark, wh, pure_bench, benchmark)
+    assert c2["delta"] == 0
+    stranded2 = wh.read("corpus_docs").join(
+        wh.read("training_corpus__processed"), "doc_id", "left_anti"
+    )
+    assert stranded2.count() == 0
+
+
 def test_incremental_refresh_crash_heal(spark, tmp_path):
     """A crash between the dedup-state commit and the publish merge
     (simulated by ingesting a batch into the dedup state only) is
