@@ -20,8 +20,13 @@ Warehouse tables (``table`` = the index name):
 - ``<table>__docs`` — (doc_id, dl): membership (the replay-idempotence
   anti-join target, the same at-least-once discipline as
   incremental_dedup's ingest) plus exact per-doc lengths.
-- ``<table>__meta`` — ONE row (n_buckets): the immutable hashing
-  config. Corpus scalars (n_docs, sum_dl, n_dl) are DERIVED from
+- ``<table>__meta`` — ONE row (n_buckets, postings_gen): the hashing
+  config plus the postings GENERATION pointer. n_buckets is immutable
+  between rebuilds; :func:`maintain_bm25_index`'s re-bucketing rebuild
+  writes the next generation's postings cold and publishes both fields
+  in one atomic snapshot swap (the pointer protocol that makes the
+  rebuild crash-atomic). Corpus scalars (n_docs, sum_dl, n_dl) are
+  DERIVED from
   ``__docs`` at query time with one skinny partial-agg — deriving
   rather than incrementally maintaining them removes the crash window
   in which a half-committed ingest would leave scalar state
@@ -58,8 +63,21 @@ from ..sinks.warehouse import ParquetWarehouse
 from .retrieval import _term_counts, score_topk
 
 
-def _postings_table(table: str) -> str:
-    return f"{table}__postings"
+def _postings_table(table: str, gen: int = 0) -> str:
+    """Generation-addressed postings name: generation 0 is the plain
+    ``<table>__postings``; a re-bucketing rebuild writes generation
+    g+1 COLD under ``<table>__postings_g{g+1}`` and publishes it with
+    ONE atomic ``__meta`` snapshot swap (see
+    :func:`maintain_bm25_index`) — no reader ever sees a half-
+    re-bucketed index."""
+    return f"{table}__postings" if not gen else f"{table}__postings_g{gen}"
+
+
+def _meta(wh: ParquetWarehouse, table: str) -> tuple[int, int]:
+    """(n_buckets, postings_gen) from the one-row ``__meta`` table.
+    ``postings_gen`` is absent on pre-rebuild indexes — read as 0."""
+    row = wh.read(_meta_table(table)).collect()[0].asDict()
+    return int(row["n_buckets"]), int(row.get("postings_gen") or 0)
 
 
 def _docs_table(table: str) -> str:
@@ -140,7 +158,9 @@ def build_bm25_index(
     )
     wh.overwrite(_batch_doc_stats(docs, id_col, text_col), _docs_table(table))
     wh.overwrite(
-        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        spark.createDataFrame(
+            [(n_buckets, 0)], "n_buckets int, postings_gen int"
+        ),
         _meta_table(table),
     )
 
@@ -165,7 +185,7 @@ def ingest_docs(
     documents. Documents are immutable under their id (the
     index-module contract shared with incremental_ann): re-ingesting a
     changed text under an old id is ignored, not merged."""
-    meta = wh.read(_meta_table(table)).collect()[0]
+    n_buckets, gen = _meta(wh, table)
     known = wh.read(_docs_table(table)).select("doc_id")
     new_docs = materialize(
         batch.join(known, batch[id_col] == known["doc_id"], "left_anti")
@@ -175,8 +195,8 @@ def ingest_docs(
     if n_new == 0:
         return 0
     wh.append(
-        _batch_postings(new_docs, int(meta.n_buckets), id_col, text_col),
-        _postings_table(table),
+        _batch_postings(new_docs, n_buckets, id_col, text_col),
+        _postings_table(table, gen),
     )
     wh.append(doc_stats, _docs_table(table))
     return n_new
@@ -204,7 +224,7 @@ def bm25_query(
         raise ValueError(f"k must be positive, got {k}")
     if k1 < 0 or not 0 <= b <= 1:
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
-    meta = wh.read(_meta_table(table)).collect()[0]
+    n_buckets, gen = _meta(wh, table)
 
     qterms = _term_counts(queries, query_id_col, query_text_col).select(
         F.col("id").alias("query_id"), "token"
@@ -213,7 +233,7 @@ def bm25_query(
     probe_bkts = [
         r.bkt
         for r in qvocab.select(
-            md5_bucket48(F.col("token"), int(meta.n_buckets)).alias("bkt")
+            md5_bucket48(F.col("token"), n_buckets).alias("bkt")
         )
         .distinct()
         .collect()
@@ -221,7 +241,7 @@ def bm25_query(
     postings = _live(
         wh,
         table,
-        wh.read(_postings_table(table))
+        wh.read(_postings_table(table, gen))
         .filter(F.col("bkt").isin(probe_bkts))
         .join(F.broadcast(qvocab), "token", "left_semi")
         # full-row dedup: heals the duplicated postings a crashed-and-
@@ -260,7 +280,7 @@ def index_occupancy(
     ``live=True`` anti-joins tombstones first (probe-cost view); the
     physical default is the storage/compaction view — occupancy parity
     across all three persisted indexes (round 9)."""
-    postings = wh.read(_postings_table(table))
+    postings = wh.read(_postings_table(table, _meta(wh, table)[1]))
     if live:
         postings = _live(wh, table, postings)
     counts = postings.groupBy("bkt").agg(
@@ -330,12 +350,107 @@ def apply_deletes(wh: ParquetWarehouse, table: str = "bm25_index") -> None:
     id may be re-ingested as a new document."""
     if not wh.exists(_deleted_table(table)):
         return
+    gen = _meta(wh, table)[1]
+    # bkt hive layout preserved (+ list co-location against small
+    # files), so probe-time static partition pruning survives the
+    # compaction rewrite — the ann apply_deletes discipline
     wh.overwrite(
-        materialize(_live(wh, table, wh.read(_postings_table(table)))),
-        _postings_table(table),
+        materialize(
+            _live(wh, table, wh.read(_postings_table(table, gen)))
+            .repartition("bkt")
+        ),
+        _postings_table(table, gen),
+        partition_by=("bkt",),
     )
     wh.overwrite(
         materialize(_live(wh, table, wh.read(_docs_table(table)))),
         _docs_table(table),
     )
     wh.drop(_deleted_table(table))
+
+
+def maintain_bm25_index(
+    wh: ParquetWarehouse,
+    table: str = "bm25_index",
+    max_skew: float = 4.0,
+    rebucket_factor: int = 2,
+) -> dict:
+    """The index lifecycle's maintenance policy in one call — the port
+    of ``incremental_ann.maintain_ann_index`` (round-9) to the lexical
+    index, same three-step contract:
+
+    1. fold tombstones into the files (:func:`apply_deletes` — always;
+       no-op without tombstones, and a heavily tombstoned index both
+       wastes probe work and skews the occupancy signal);
+    2. read the LIVE bucket skew (:func:`index_occupancy`);
+    3. past ``max_skew``, REBUILD — for a lexical index that means
+       RE-BUCKETING: tokens re-hash into ``rebucket_factor`` × more
+       buckets, splitting colliding-token hotspots. (A single Zipf-head
+       token's posting list is irreducible by any bucketing — that cost
+       is the token's document frequency, not a maintenance defect.)
+
+    Unlike the ANN rebuild (new centroids change list membership and
+    repair recall), re-bucketing is ANSWER-PRESERVING by construction:
+    bucket ids never enter scoring, only pruning. The rebuild is also
+    CRASH-ATOMIC, which the ANN centroids→lists window is not: the
+    re-bucketed postings are written COLD to the next generation table
+    (``__postings_g{n}`` — no reader resolves it), and the ONE
+    ``__meta`` snapshot swap publishes (new n_buckets, new generation)
+    together. A crash before the swap leaves every reader on the old
+    generation, fully consistent; the orphan generation is swept by the
+    next maintenance call. Returns ``{"skew_ratio", "rebuilt",
+    "n_buckets"}`` for run-logging."""
+    if rebucket_factor < 2:
+        raise ValueError(
+            f"rebucket_factor must be >= 2, got {rebucket_factor}"
+        )
+    apply_deletes(wh, table)
+    n_buckets, gen = _meta(wh, table)
+    occ = index_occupancy(wh, table).select("skew_ratio").limit(1).collect()
+    skew = float(occ[0]["skew_ratio"]) if occ else 0.0
+    rebuilt = False
+    if skew > max_skew:
+        new_n = n_buckets * rebucket_factor
+        new_gen = gen + 1
+        old = wh.read(_postings_table(table, gen))
+        rebucketed = old.select(
+            md5_bucket48(F.col("token"), new_n).alias("bkt"),
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+        ).repartition("bkt")
+        wh.overwrite(
+            rebucketed, _postings_table(table, new_gen), partition_by=("bkt",)
+        )
+        spark = old.sparkSession
+        # the atomic publish: one snapshot swap flips n_buckets and the
+        # postings generation together
+        wh.overwrite(
+            spark.createDataFrame(
+                [(new_n, new_gen)], "n_buckets int, postings_gen int"
+            ),
+            _meta_table(table),
+        )
+        n_buckets, gen, rebuilt = new_n, new_gen, True
+    # sweep orphan generations (crashed rebuilds, superseded postings)
+    _sweep_postings_generations(wh, table, gen)
+    return {"skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets}
+
+
+def _sweep_postings_generations(
+    wh: ParquetWarehouse, table: str, current_gen: int
+) -> None:
+    """Drop every postings generation except the published one — the
+    GC half of the atomic-publish protocol (superseded generations
+    after a successful rebuild, cold orphans after a crashed one)."""
+    prefix = f"{table}__postings_g"
+    for t in wh.tables():
+        if t == f"{table}__postings":
+            if current_gen != 0:
+                wh.drop(t)
+            continue
+        if t.startswith(prefix):
+            tail = t[len(prefix):]
+            if tail.isdigit() and int(tail) != current_gen:
+                wh.drop(t)

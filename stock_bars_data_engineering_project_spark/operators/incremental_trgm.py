@@ -16,8 +16,10 @@ contract):
 - ``<table>__docs`` — (doc_id): membership, the replay-idempotence
   anti-join target (at-least-once redelivery of a committed batch
   appends nothing).
-- ``<table>__meta`` — ONE row (n_buckets), the immutable hashing
-  config.
+- ``<table>__meta`` — ONE row (n_buckets, postings_gen): the hashing
+  config plus the postings generation pointer;
+  :func:`maintain_trgm_index`'s re-bucketing rebuild publishes both
+  atomically (the BM25 index's pointer protocol verbatim).
 
 Crash consistency is inherited verbatim from the BM25 index: ingest
 appends postings FIRST, then membership; a crash in between leaves
@@ -54,8 +56,20 @@ from ..sinks.warehouse import ParquetWarehouse
 from .trigram import char_ngrams, substring_scan, trigram_postings
 
 
-def _postings_table(table: str) -> str:
-    return f"{table}__postings"
+def _postings_table(table: str, gen: int = 0) -> str:
+    """Generation-addressed postings name — the atomic-rebuild pointer
+    protocol shared with the BM25 index (incremental_retrieval.py):
+    generation 0 is the plain ``<table>__postings``; a re-bucketing
+    rebuild writes generation g+1 COLD and publishes it with one
+    ``__meta`` snapshot swap (:func:`maintain_trgm_index`)."""
+    return f"{table}__postings" if not gen else f"{table}__postings_g{gen}"
+
+
+def _meta(wh: ParquetWarehouse, table: str) -> tuple[int, int]:
+    """(n_buckets, postings_gen) from the one-row ``__meta`` table.
+    ``postings_gen`` is absent on pre-rebuild indexes — read as 0."""
+    row = wh.read(_meta_table(table)).collect()[0].asDict()
+    return int(row["n_buckets"]), int(row.get("postings_gen") or 0)
 
 
 def _docs_table(table: str) -> str:
@@ -114,11 +128,13 @@ def apply_deletes(wh: ParquetWarehouse, table: str = "trgm_index") -> None:
     deleted id may be re-ingested as a new document."""
     if not wh.exists(_deleted_table(table)):
         return
+    gen = _meta(wh, table)[1]
     wh.overwrite(
         materialize(
-            _live(wh, table, wh.read(_postings_table(table))).repartition("bkt")
+            _live(wh, table, wh.read(_postings_table(table, gen)))
+            .repartition("bkt")
         ),
-        _postings_table(table),
+        _postings_table(table, gen),
         partition_by=("bkt",),
     )
     wh.overwrite(
@@ -180,7 +196,9 @@ def build_trgm_index(
     )
     wh.overwrite(_batch_members(docs, id_col), _docs_table(table))
     wh.overwrite(
-        spark.createDataFrame([(n_buckets,)], "n_buckets int"),
+        spark.createDataFrame(
+            [(n_buckets, 0)], "n_buckets int, postings_gen int"
+        ),
         _meta_table(table),
     )
 
@@ -196,7 +214,7 @@ def ingest_docs(
     append survivors' postings then membership. Returns the number of
     newly indexed documents; documents are immutable under their id
     (the shared index-module contract)."""
-    meta = wh.read(_meta_table(table)).collect()[0]
+    n_buckets, gen = _meta(wh, table)
     known = wh.read(_docs_table(table)).select("doc_id")
     new_docs = materialize(
         batch.join(known, batch[id_col] == known["doc_id"], "left_anti")
@@ -206,8 +224,8 @@ def ingest_docs(
     if n_new == 0:
         return 0
     wh.append(
-        _batch_postings(new_docs, int(meta.n_buckets), id_col, text_col),
-        _postings_table(table),
+        _batch_postings(new_docs, n_buckets, id_col, text_col),
+        _postings_table(table, gen),
     )
     wh.append(members, _docs_table(table))
     return n_new
@@ -224,7 +242,7 @@ def index_occupancy(
     index's worst case. ``live=True`` anti-joins tombstones first
     (the probe-cost view); the physical default is the
     storage/compaction view."""
-    postings = wh.read(_postings_table(table))
+    postings = wh.read(_postings_table(table, _meta(wh, table)[1]))
     if live:
         postings = _live(wh, table, postings)
     counts = postings.groupBy("bkt").agg(
@@ -260,7 +278,7 @@ def trgm_query(
     broadcast-small by module contract; ``max_pattern_trigrams`` makes
     that contract LOUD — an oversized pattern frame fails fast instead
     of silently building a huge broadcast + driver literal."""
-    meta = wh.read(_meta_table(table)).collect()[0]
+    n_buckets, gen = _meta(wh, table)
     pats = patterns.select(
         F.col(pattern_id_col).alias("pattern_id"),
         F.col(pattern_col).alias("pattern"),
@@ -295,7 +313,7 @@ def trgm_query(
     probe_bkts = [
         r.bkt
         for r in pat_tri.select(
-            md5_bucket48(F.col("trigram"), int(meta.n_buckets)).alias("bkt")
+            md5_bucket48(F.col("trigram"), n_buckets).alias("bkt")
         )
         .distinct()
         .collect()
@@ -306,7 +324,7 @@ def trgm_query(
         _live(
             wh,
             table,
-            wh.read(_postings_table(table))
+            wh.read(_postings_table(table, gen))
             .filter(F.col("bkt").isin(probe_bkts))
             .join(
                 F.broadcast(pat_tri.select("trigram").distinct()),
@@ -357,3 +375,83 @@ def trgm_query(
         pattern_col="pattern",
     )
     return verified.unionByName(fallback)
+
+
+def maintain_trgm_index(
+    wh: ParquetWarehouse,
+    table: str = "trgm_index",
+    max_skew: float = 4.0,
+    rebucket_factor: int = 2,
+) -> dict:
+    """The index lifecycle's maintenance policy in one call — the
+    third port of ``incremental_ann.maintain_ann_index``'s contract
+    (see ``incremental_retrieval.maintain_bm25_index`` for the lexical
+    rationale shared verbatim here):
+
+    1. fold tombstones (:func:`apply_deletes` — always, no-op clean);
+    2. read the LIVE bucket skew (:func:`index_occupancy`);
+    3. past ``max_skew``, RE-BUCKET the postings into
+       ``rebucket_factor`` × more buckets — splits colliding-trigram
+       hotspots; a single hot trigram's posting list (whitespace runs,
+       markup residue) is irreducible by bucketing and is the
+       pattern-side ``max_pattern_trigrams`` contract's concern, not
+       maintenance's.
+
+    Re-bucketing is answer-preserving (bucket ids only prune, never
+    score) and crash-atomic: the new generation's postings are written
+    COLD under ``__postings_g{n}`` and ONE ``__meta`` snapshot swap
+    publishes (n_buckets, generation) together; a crash before the
+    swap leaves readers on the old generation and the orphan is swept
+    by the next call. Returns ``{"skew_ratio", "rebuilt", "n_buckets"}``
+    for run-logging."""
+    if rebucket_factor < 2:
+        raise ValueError(
+            f"rebucket_factor must be >= 2, got {rebucket_factor}"
+        )
+    apply_deletes(wh, table)
+    n_buckets, gen = _meta(wh, table)
+    occ = index_occupancy(wh, table).select("skew_ratio").limit(1).collect()
+    skew = float(occ[0]["skew_ratio"]) if occ else 0.0
+    rebuilt = False
+    if skew > max_skew:
+        new_n = n_buckets * rebucket_factor
+        new_gen = gen + 1
+        old = wh.read(_postings_table(table, gen))
+        rebucketed = old.select(
+            md5_bucket48(F.col("trigram"), new_n).alias("bkt"),
+            "trigram",
+            "doc_id",
+        ).repartition("bkt")
+        wh.overwrite(
+            rebucketed, _postings_table(table, new_gen), partition_by=("bkt",)
+        )
+        spark = old.sparkSession
+        # the atomic publish: one snapshot swap flips n_buckets and the
+        # postings generation together
+        wh.overwrite(
+            spark.createDataFrame(
+                [(new_n, new_gen)], "n_buckets int, postings_gen int"
+            ),
+            _meta_table(table),
+        )
+        n_buckets, gen, rebuilt = new_n, new_gen, True
+    _sweep_postings_generations(wh, table, gen)
+    return {"skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets}
+
+
+def _sweep_postings_generations(
+    wh: ParquetWarehouse, table: str, current_gen: int
+) -> None:
+    """Drop every postings generation except the published one — the
+    GC half of the atomic-publish protocol (superseded generations
+    after a successful rebuild, cold orphans after a crashed one)."""
+    prefix = f"{table}__postings_g"
+    for t in wh.tables():
+        if t == f"{table}__postings":
+            if current_gen != 0:
+                wh.drop(t)
+            continue
+        if t.startswith(prefix):
+            tail = t[len(prefix):]
+            if tail.isdigit() and int(tail) != current_gen:
+                wh.drop(t)

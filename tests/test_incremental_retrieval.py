@@ -201,3 +201,63 @@ def test_tombstone_delete_and_apply(spark, tmp_path):
     # after apply, a deleted id re-ingests as a fresh document
     assert ingest_docs(wh, corpus.filter(F.col("doc_id") == dead_ids[0]),
                        table="bm") == 1
+
+
+def test_maintain_bm25_policy(spark, tmp_path):
+    """maintain_bm25_index: folds tombstones, reads LIVE skew, and
+    re-buckets only past the policy threshold — the maintain_ann_index
+    contract ported to the lexical index, with the stronger law the
+    lexical rebuild affords: re-bucketing is ANSWER-PRESERVING (bucket
+    ids prune, never score) and publishes atomically via the __meta
+    generation pointer."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        delete_docs,
+        index_occupancy,
+        maintain_bm25_index,
+    )
+
+    corpus, queries = _corpus_and_queries(spark)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus, table="bm", n_buckets=16)
+    dead = [r.doc_id for r in corpus.limit(5).collect()]
+    delete_docs(wh, dead, table="bm")
+    before = _rows(bm25_query(wh, queries, table="bm", k=10))
+
+    # lenient policy: tombstones fold, no rebuild, answers preserved
+    res = maintain_bm25_index(wh, "bm", max_skew=1e9)
+    assert res["rebuilt"] is False and res["skew_ratio"] >= 1.0
+    assert res["n_buckets"] == 16
+    assert not wh.exists("bm__deleted")
+    assert wh.read("bm__postings").filter(
+        F.col("doc_id").isin(dead)
+    ).count() == 0
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == before
+
+    # strict policy: any skew > 1 re-buckets into factor x more buckets;
+    # generation advances, the old table is swept, answers are EQUAL
+    res2 = maintain_bm25_index(wh, "bm", max_skew=1.0000001)
+    assert res2["rebuilt"] is True and res2["n_buckets"] == 32
+    assert wh.exists("bm__postings_g1") and not wh.exists("bm__postings")
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == before
+    occ = index_occupancy(wh, table="bm").collect()
+    assert sum(r.n_postings for r in occ) == wh.read("bm__postings_g1").count()
+
+    # ingest after a rebuild lands in the NEW generation at the new
+    # bucketing, and the index answers like the one-shot over the union
+    refreshed = corpus.filter(F.col("doc_id").isin(dead))
+    assert ingest_docs(wh, refreshed, table="bm") == len(dead)
+    got = _rows(bm25_query(wh, queries, table="bm", k=10))
+    want = _rows(bm25_topk(corpus, queries, k=10))
+    assert got == want
+
+    # crash-atomicity: a cold orphan generation (rebuild that died
+    # before the meta swap) is invisible to queries and swept by the
+    # next maintenance call
+    wh.overwrite(wh.read("bm__postings_g1"), "bm__postings_g7")
+    assert _rows(bm25_query(wh, queries, table="bm", k=10)) == got
+    maintain_bm25_index(wh, "bm", max_skew=1e9)
+    assert not wh.exists("bm__postings_g7")
+    assert wh.exists("bm__postings_g1")
+
+    with pytest.raises(ValueError, match="rebucket_factor"):
+        maintain_bm25_index(wh, "bm", rebucket_factor=1)

@@ -308,3 +308,69 @@ def test_trgm_index_occupancy(spark, tmp_path):
     )
     n_doc1 = wh.read("tg__postings").filter(F.col("doc_id") == 1).count()
     assert phys - live == n_doc1 > 0
+
+
+def test_maintain_trgm_policy(spark, tmp_path):
+    """maintain_trgm_index: fold-only under a lenient threshold with
+    answers preserved; strict threshold re-buckets ANSWER-PRESERVINGLY
+    with an atomic generation publish — completing maintenance-policy
+    parity across the three persisted indexes (ANN round 9, BM25 and
+    trigram round 10)."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        delete_docs,
+        index_occupancy,
+        ingest_docs,
+        maintain_trgm_index,
+        trgm_query,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pats = spark.createDataFrame(PATTERNS, ["pattern_id", "pattern"])
+    wh = _wh(spark, tmp_path)
+    build_trgm_index(wh, docs, table="tg", n_buckets=8)
+    delete_docs(wh, [1, 5], table="tg")
+
+    def _got():
+        return sorted(
+            (r.pattern_id, r.id)
+            for r in trgm_query(wh, docs, pats, table="tg").collect()
+        )
+
+    before = _got()
+    assert before == sorted(
+        (pid, did)
+        for pid, pat in PATTERNS
+        for did, text in DOCS
+        if pat in text and did not in (1, 5)
+    )
+
+    # lenient: tombstones fold physically, no rebuild, answers preserved
+    res = maintain_trgm_index(wh, "tg", max_skew=1e9)
+    assert res["rebuilt"] is False and res["skew_ratio"] >= 1.0
+    assert res["n_buckets"] == 8
+    assert not wh.exists("tg__deleted")
+    assert _got() == before
+
+    # strict: re-bucket into 2x buckets; generation advances atomically,
+    # answers EQUAL (bucket ids prune, never match)
+    res2 = maintain_trgm_index(wh, "tg", max_skew=1.0000001)
+    assert res2["rebuilt"] is True and res2["n_buckets"] == 16
+    assert wh.exists("tg__postings_g1") and not wh.exists("tg__postings")
+    assert _got() == before
+    occ = index_occupancy(wh, table="tg").collect()
+    assert sum(r.n_postings for r in occ) == wh.read("tg__postings_g1").count()
+
+    # ingest after the rebuild lands in the new generation; the full
+    # answer set is restored
+    assert ingest_docs(
+        wh, docs.filter(F.col("doc_id").isin([1, 5])), table="tg"
+    ) == 2
+    assert _got() == _expected()
+
+    # crash-atomicity: a cold orphan generation is invisible and swept
+    wh.overwrite(wh.read("tg__postings_g1"), "tg__postings_g3")
+    assert _got() == _expected()
+    maintain_trgm_index(wh, "tg", max_skew=1e9)
+    assert not wh.exists("tg__postings_g3")
+    assert wh.exists("tg__postings_g1")
