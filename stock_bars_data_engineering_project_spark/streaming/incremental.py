@@ -18,6 +18,35 @@ from pyspark.sql import functions as F
 from ..sinks.warehouse import ParquetWarehouse
 
 
+def _drain(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    apply,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """The shared foreachBatch drain every ingest stream here runs:
+    readStream over a file source, ``apply(batch, epoch_id)`` per
+    micro-batch, offset checkpointing. With ``available_now`` the query
+    drains the current backlog and stops (the scheduled-batch
+    deployment shape); without it the query runs until stopped.
+    Exactly-once at the sink is the COMPOSITION contract each caller
+    documents: the checkpoint gives at-least-once micro-batches, and
+    the per-module batch ingest is replay-idempotent."""
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    writer = (
+        src.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def incremental_merge_stream(
     spark: SparkSession,
     src_dir: str,
@@ -35,21 +64,10 @@ def incremental_merge_stream(
     the reference's weekly ECS task, but restartable and exactly-once at
     the sink (merge idempotency + offset checkpoint).
     """
-    src = spark.readStream.schema(schema).parquet(src_dir)
-
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         wh.merge(batch, table, keys=keys)
 
-    writer = (
-        src.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
 
 
 def rollup_maintenance_stream(
@@ -79,8 +97,6 @@ def rollup_maintenance_stream(
     """
     from ..operators.rollup import rollup_increment
 
-    src = spark.readStream.schema(schema).parquet(src_dir)
-
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         inc = rollup_increment(
             batch, keys=keys, distinct_col=distinct_col
@@ -92,16 +108,7 @@ def rollup_maintenance_stream(
             partition_by=("_epoch",),
         )
 
-    writer = (
-        src.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
 
 
 def read_rollup_state(wh: ParquetWarehouse, table: str) -> DataFrame:
@@ -161,8 +168,6 @@ def dedup_ingest_stream(
     """
     from ..operators.incremental_dedup import ingest_batch
 
-    src = spark.readStream.schema(schema).parquet(src_dir)
-
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         ingest_batch(
             spark,
@@ -174,16 +179,7 @@ def dedup_ingest_stream(
             k=k,
         )
 
-    writer = (
-        src.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
 
 
 def corpus_refresh_stream(
@@ -220,8 +216,6 @@ def corpus_refresh_stream(
     offset order, which preserves it."""
     from ..pipeline.corpus_pipeline import refresh_corpus
 
-    src = spark.readStream.schema(schema).parquet(src_dir)
-
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         refresh_corpus(
             spark,
@@ -236,16 +230,7 @@ def corpus_refresh_stream(
             frozen_unigram=frozen_unigram,
         )
 
-    writer = (
-        src.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
 
 
 def pca_ingest_stream(
@@ -280,8 +265,6 @@ def pca_ingest_stream(
     """
     from ..operators.incremental_pca import ingest_pca_batch
 
-    src = spark.readStream.schema(schema).parquet(src_dir)
-
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -289,13 +272,106 @@ def pca_ingest_stream(
             wh, batch, table=table, id_col=id_col, vec_col=vec_col, dim=dim
         )
 
-    writer = (
-        src.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination()
-    return q
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
+
+
+def ann_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    table: str = "ann_index",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+):
+    """Streaming ingest for the persisted IVF ANN index — the last
+    asymmetry in the incremental family closed (round 10): vectors
+    landing as files fold into the stored inverted lists exactly as
+    ``incremental_ann.ingest_vectors`` batches do (frozen-centroid
+    map-only assignment + cid-pruned keyed merge), so a serving index
+    tracks an arriving corpus without any batch scheduler.
+
+    The index must already exist (``build_ann_index`` trains the
+    quantizer; a stream cannot — centroids are frozen state by the
+    module's drift contract). Exactly-once composition, the
+    dedup_ingest_stream argument: the file-source offset checkpoint
+    gives at-least-once micro-batches, and a replayed batch re-assigns
+    to identical (cid, vec_id) rows whose merge rewrites identical
+    partitions — a no-op. Batch-split invariance is structural:
+    assignment is per-vector against frozen centroids, so ANY
+    micro-batching of the same files yields the same lists.
+
+    Empty micro-batches are skipped — no version churn from a trigger
+    that found no files."""
+    from ..operators.incremental_ann import ingest_vectors
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_vectors(wh, batch, table=table, vec_col=vec_col, id_col=id_col)
+
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
+
+
+def bm25_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    table: str = "bm25_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming ingest for the persisted BM25 index: document files
+    fold into the postings/membership tables exactly as
+    ``incremental_retrieval.ingest_docs`` batches do — the membership
+    anti-join makes a replayed micro-batch append nothing, so the
+    at-least-once file-source delivery degrades to exactly-once state
+    (the shared composition contract of every drain in this module).
+    tf/dl/df are per-doc or per-token integer counts — batch-invariant
+    — so any micro-batching of the same files yields an index that
+    answers exactly like the one-shot build (the law
+    ``test_incremental_retrieval.py`` pins for the batch path and
+    ``test_streaming_index_ingest.py`` pins for this drain).
+
+    The index must already exist (``build_bm25_index`` fixes
+    n_buckets); empty micro-batches are skipped."""
+    from ..operators.incremental_retrieval import ingest_docs
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_docs(wh, batch, table=table, id_col=id_col, text_col=text_col)
+
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
+
+
+def trgm_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    table: str = "trgm_index",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming ingest for the persisted trigram substring index —
+    ``incremental_trgm.ingest_docs`` per micro-batch, with the same
+    replay-idempotence (membership anti-join), batch-split invariance
+    (postings are per-doc distinct trigram sets), and
+    already-built-index precondition as :func:`bm25_ingest_stream`.
+    Empty micro-batches are skipped."""
+    from ..operators.incremental_trgm import ingest_docs
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_docs(wh, batch, table=table, id_col=id_col, text_col=text_col)
+
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
