@@ -479,62 +479,116 @@ def _pil_or_none():
     return _pil()
 
 
-@pytest.mark.skipif(
-    _pil_or_none() is None,
-    reason="Pillow absent: the REAL decode branch cannot execute here — "
-    "install Pillow to exercise _gray8x8/resize_images' codec path "
-    "(the deterministic fake seam is pinned elsewhere)",
-)
 def test_real_gray8x8_reads_synthesized_pixels(spark):
-    """With a codec present, _gray8x8 must return the EXACT pixels the
-    PNG encodes (8x8 grayscale at native size: convert('L') + resize to
-    its own size are identities), and the Spark perceptual_hashes
-    default path must equal a pure-Python average_hash replay."""
+    """The REAL decode branch, executing in EVERY environment (round
+    10): on a synthesized 8x8 gray BMP, _gray8x8 must return the EXACT
+    encoded pixels — through Pillow when installed (convert('L') +
+    resize to own size are identities) or through the stdlib BMP
+    parser otherwise (gray-encoded r=g=b makes the integer luma exact)
+    — and the Spark perceptual_hashes default path must equal a
+    pure-Python average_hash replay of those pixels."""
     from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        _bmp_gray8x8,
         _gray8x8,
         average_hash,
+        encode_bmp,
         perceptual_hashes,
     )
 
-    png = _make_png(8, 8, _PNG_8X8_ROWS)
+    bmp = encode_bmp(_PNG_8X8_ROWS)
     flat = [p for row in _PNG_8X8_ROWS for p in row]
-    assert _gray8x8(png) == flat
+    assert _gray8x8(bmp) == flat
+    # the pure branch agrees pixel-for-pixel regardless of which branch
+    # _gray8x8 dispatched to
+    assert _bmp_gray8x8(bmp) == flat
 
-    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    df = spark.createDataFrame([(1, bytearray(bmp))], "media_id long, payload binary")
     got = perceptual_hashes(df).collect()[0]
     assert got.phash == average_hash(flat)
 
+    # with Pillow present, its PNG decode of the same pixels must agree
+    # with the BMP branch (cross-branch parity on real image bytes)
+    if _pil_or_none() is not None:
+        png = _make_png(8, 8, _PNG_8X8_ROWS)
+        assert _gray8x8(png) == flat
 
-@pytest.mark.skipif(
-    _pil_or_none() is None,
-    reason="Pillow absent: resize_images' codec path cannot execute here",
-)
+
 def test_real_resize_reencodes_payload(spark):
-    """With a codec present, resize_images must RE-ENCODE the payload
-    (not stamp-and-pass-through): bytes change, geometry stamps match,
-    and byte_len/content_md5 describe the NEW bytes."""
+    """resize_images must RE-ENCODE the payload (not
+    stamp-and-pass-through) in EVERY environment: bytes change,
+    geometry stamps match, byte_len/content_md5 describe the NEW bytes,
+    and the output decodes at the target size — PNG out under Pillow,
+    BMP out under the stdlib branch."""
     import hashlib
-    import io
 
     from stock_bars_data_engineering_project_spark.operators.multimodal import (
-        _pil,
         attach_binary_payload,
+        decode_bmp,
+        encode_bmp,
         resize_images,
     )
 
-    png = _make_png(8, 8, _PNG_8X8_ROWS)
+    bmp = encode_bmp(_PNG_8X8_ROWS)
     src = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     media = attach_binary_payload(src).withColumn(
-        "payload", F.lit(bytearray(png))
+        "payload", F.lit(bytearray(bmp))
     )
     row = resize_images(media, width=16, height=16).collect()[0]
     out_bytes = bytes(row.payload)
-    assert out_bytes != png
+    assert out_bytes != bmp
     assert row.resized_width == 16 and row.resized_height == 16
     assert row.byte_len == len(out_bytes)
     assert row.content_md5 == hashlib.md5(out_bytes).hexdigest()
-    img = _pil().open(io.BytesIO(out_bytes))
-    assert img.size == (16, 16)
+    Image = _pil_or_none()
+    if Image is not None:
+        import io
+
+        assert Image.open(io.BytesIO(out_bytes)).size == (16, 16)
+    else:
+        w, h, rows = decode_bmp(out_bytes)
+        assert (w, h) == (16, 16)
+        # nearest-neighbor of a 2x upscale: each source pixel appears
+        # as a 2x2 block, so the corners replay the source corners
+        assert rows[0][0] == (0, 0, 0)
+        src_last = _PNG_8X8_ROWS[7][7]
+        assert rows[15][15] == (src_last, src_last, src_last)
+
+
+def test_bmp_codec_roundtrip_and_guards():
+    """The stdlib BMP codec (the image modality's WAV trick): encode ->
+    decode is identity for RGB and gray matrices including odd widths
+    (4-byte row padding); non-BMP and truncated payloads raise
+    ValueError; decode_image dispatches BMP -> parsed tuple and
+    garbage -> the loud stub when Pillow is absent."""
+    import pytest as _pytest
+
+    from stock_bars_data_engineering_project_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rgb = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (200, 100, 50), (9, 8, 7)],
+    ]  # 3 wide: row stride pads 9 -> 12 bytes
+    w, h, back = decode_bmp(encode_bmp(rgb))
+    assert (w, h) == (3, 2) and back == rgb
+
+    gray = [[0, 17], [255, 128], [64, 32]]
+    w, h, back = decode_bmp(encode_bmp(gray))
+    assert (w, h) == (2, 3)
+    assert back == [[(p, p, p) for p in row] for row in gray]
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNG not a bmp at all, padded to header size....")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(rgb)[:-4])
+
+    if _pil_or_none() is None:
+        assert decode_image(encode_bmp(gray))[0:2] == (2, 3)
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"not an image payload of any kind whatsoever....")
 
 
 def test_wav_roundtrip_and_laws():
