@@ -19,6 +19,10 @@ Environment contract (the only configuration surface):
 - the PostgreSQL JDBC driver jar on the Spark classpath
   (``spark.jars`` / ``--jars``; not bundled here)
 
+Smoke procedure: ``tools/jdbc_smoke.md`` is the one-command dockerized
+PostgreSQL recipe that runs the four DSN-gated tests for real — run it
+before any deployment that enables this connector.
+
 Scale shape:
 
 - Reads go through ``spark.read.jdbc`` with an optional partition spec

@@ -467,6 +467,36 @@ class ParquetWarehouse:
                 )
         return sorted(out)
 
+    def export_manifest(
+        self, table: str, version: str | None = None, dest: str | None = None
+    ) -> str:
+        """Write a snapshot's data-file list as ONE newline-delimited
+        text file of absolute parquet paths and return its path — the
+        symlink-format-manifest idiom (what Delta emits for Presto/
+        Trino/Athena), making any table version directly readable by an
+        EXTERNAL engine without implementing the ``_MANIFEST`` pointer
+        protocol: the files are plain immutable parquet, so
+        ``duckdb.read_parquet(<the list>, hive_partitioning=true,
+        union_by_name=true)`` reconstructs exactly what :meth:`read`
+        returns (hive_partitioning recovers the directory-encoded
+        partition columns of partitioned snapshots; union_by_name
+        aligns drift-appended manifest members the way ``read``'s
+        allowMissingColumns does). Defaults to
+        ``<table>/<version>/_FILELIST`` next to the snapshot it
+        describes — immutable because the snapshot dir is; pass
+        ``dest`` to export elsewhere. O(files) driver metadata, no data
+        movement."""
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        files = self.data_files(table, v)
+        out = dest or os.path.join(self.table_path(table), v, "_FILELIST")
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(out), prefix="._fl")
+        with os.fdopen(fd, "w") as f:
+            f.write("\n".join(os.path.abspath(p) for p in files) + "\n")
+        os.replace(tmp, out)
+        return out
+
     def compact(
         self,
         table: str,
