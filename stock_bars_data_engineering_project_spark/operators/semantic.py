@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up
-from ..functions.vectors import cosine
+from ..functions.vectors import as_double, dot, norm
 from .dedup import _bucket_pairs, dedup_clusters
 from .similarity import ivf_assign, kmeans_refine
 
@@ -73,22 +73,30 @@ def semantic_dup_pairs(
 
 
 def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
+    # Norms hoisted to once-per-vector BEFORE the in-cell expansion —
+    # the embedding_dup_pairs_blocked verify discipline (dedup.py): the
+    # per-pair predicate then pays ONE dot fold instead of three
+    # (dot + both norms), which is the cost driver when cells are
+    # ~stride-sized (round-10 profile: the full-cosine predicate cost
+    # 4.3 s isolated at sf0.1, hoisted 1.5 s). Bit-identical to
+    # cosine()'s fold — norm(as_double(v)) is the same expression on
+    # the same values and the division associates identically — so the
+    # DuckDB oracle hash holds.
+    with_n = assigned.withColumn("_n", norm(as_double(F.col("embedding"))))
+    pair_cos = lambda a, b: dot(  # noqa: E731 — shared by pred + projection
+        as_double(a["embedding"]), as_double(b["embedding"])
+    ) / (a["_n"] * b["_n"])
     return _bucket_pairs(
-        assigned,
+        with_n,
         keys=["cid"],
         id_col="vec_id",
-        payload_cols=("embedding",),
-        pair_pred=lambda a, b: round_half_up(
-            cosine(a["embedding"], b["embedding"]), 6
-        )
-        >= threshold,
+        payload_cols=("embedding", "_n"),
+        pair_pred=lambda a, b: round_half_up(pair_cos(a, b), 6) >= threshold,
         distinct=False,  # one cluster per vector -> one emission site
     ).select(
         F.col("a.id").alias("doc_a"),
         F.col("b.id").alias("doc_b"),
-        round_half_up(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias(
-            "cos"
-        ),
+        round_half_up(pair_cos(F.col("a"), F.col("b")), 4).alias("cos"),
     )
 
 
