@@ -5,8 +5,15 @@ Timing uses a ``noop``-format write so every column of the result is
 fully materialized through the physical plan (a ``count()`` would let
 Catalyst prune the expensive window/score columns away).
 
-Compare against DuckDB on the same machine with ``--duckdb`` (fills
-BASELINE.md); the per-query oracle SQL is the workload definition.
+Every default run ALSO sweeps the DuckDB oracle over the same benched
+queries in the same invocation (round 10): the headline criterion's
+ratio is only honest when its numerator and denominator are measured
+same-session, same-machine, same-parquet — a stale oracle total from a
+prior round silently diverges as benched arms evolve. The JSON line
+therefore carries ``duckdb_total`` + ``queries_duckdb`` +
+``ratio_steady_vs_duckdb`` computed from this run's numbers only.
+``--duckdb`` still runs the oracle sweep alone; ``--no-duckdb`` skips
+it (iteration mode).
 """
 
 from __future__ import annotations
@@ -144,6 +151,21 @@ def main() -> None:
         out["value_steady"] = round(sum(steady_times.values()), 3)
         out["queries_steady"] = steady_times
         out["methodology"] = METHODOLOGY
+    if "--no-duckdb" not in sys.argv:
+        # same-session oracle denominator — AFTER the Spark timings
+        # (reading the parquet warms the page cache either way, but the
+        # sweep must never run concurrently with a Spark timing); the
+        # Spark JVM is stopped first so the sweep gets the idle machine
+        from stock_bars_data_engineering_project_spark.session import get_spark
+
+        get_spark("bench").stop()
+        duck = bench_duckdb(sf_dir)
+        out["queries_duckdb"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        if steady and out["duckdb_total"] > 0:
+            out["ratio_steady_vs_duckdb"] = round(
+                out["value_steady"] / out["duckdb_total"], 3
+            )
     print(json.dumps(out))
 
 

@@ -10,9 +10,19 @@ flat in corpus size (the band-index candidate join and the pack-base
 partial-agg are the only corpus-touching stages, and both are skinny),
 which is the entire reason the refresh path exists.
 
-Usage: python tools/soak_refresh.py [scales ...]   (default 2 4 8)
-One JSON line per scale: corpus size, build seconds (untimed-quality,
-context only), refresh seconds (min of 2).
+Usage: python tools/soak_refresh.py [scales ...] [--hot] [--no-skewjoin]
+(default scales 2 4 8). One JSON line per scale: corpus size, build
+seconds (untimed-quality, context only), refresh seconds.
+
+``--hot`` (round 10): additionally time an ADVERSARIALLY SKEWED batch
+— half the documents are near-dup perturbations of ONE template drawn
+from the corpus itself (the Zipf-headed crawl shape: one boilerplate
+template dominating the batch AND matching corpus band keys), so the
+band-index candidate join concentrates on the template's band keys and
+the in-batch pair expansion gets one dense cluster. ``--no-skewjoin``
+disables AQE skew-join handling for the A/B that shows where it kicks
+in. The hot refresh runs after the uniform one against the same state
+(+600 published docs — noise at every measured scale).
 """
 
 from __future__ import annotations
@@ -61,9 +71,47 @@ def _replica(docs, r: int):
     )
 
 
+# batch ids sit above ANY corpus replica at any soak scale (replica r
+# tops out near r*ID_STRIDE + 10^4; scales beyond ~999 are not a soak)
+BATCH_ID_BASE = 1000 * ID_STRIDE
+
+
+def _hot_batch(spark, docs, uniform_batch):
+    """The Zipf-headed batch: half fresh documents, half one-token
+    perturbations of ONE corpus-resident template (the longest base
+    doc — present verbatim as replica 0 at every scale), so the hot
+    half is a near-dup of the template, of each other, AND of the
+    corpus: its band keys concentrate the index candidate join."""
+    half = BATCH_DOCS // 2
+    tmpl = docs.orderBy(F.col("n_chars").desc(), "doc_id").limit(1).collect()[0]
+    n_chars_t = docs.schema["n_chars"].dataType
+    text = F.concat(
+        F.lit(tmpl.text + " uniq"), F.col("id").cast("string")
+    )
+    hot_half = spark.range(half).select(
+        (F.lit(BATCH_ID_BASE + 5_000_000) + F.col("id")).alias("doc_id"),
+        text.alias("text"),
+        F.lit(tmpl.lang).alias("lang"),
+        F.lit(tmpl.source).alias("source"),
+        F.length(text).cast(n_chars_t).alias("n_chars"),
+    )
+    # the fresh half uses its OWN rotation + id range: the hot refresh
+    # runs after the uniform one against the same state, so reusing the
+    # uniform batch's rows would replay-dedup them away and the hot
+    # batch would degenerate to 300 docs
+    fresh_half = _replica(docs.limit(half), 18).withColumn(
+        "doc_id", F.col("doc_id") - 18 * ID_STRIDE + BATCH_ID_BASE + 2_000_000
+    )
+    return fresh_half.unionByName(hot_half)
+
+
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [2, 4, 8]
-    spark = get_spark("soak-refresh")
+    args = list(sys.argv[1:])
+    hot = "--hot" in args
+    noskew = "--no-skewjoin" in args
+    scales = [int(a) for a in args if not a.startswith("--")] or [2, 4, 8]
+    conf = {"spark.sql.adaptive.skewJoin.enabled": "false"} if noskew else None
+    spark = get_spark("soak-refresh", extra_conf=conf)
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -72,8 +120,18 @@ def main() -> None:
     benchmark = docs.filter(F.col("doc_id") % 20 == 0)
     # the fixed refresh batch: a perturbed slice with ids ABOVE every
     # corpus replica (monotone-ingest contract)
-    batch = _replica(docs.limit(BATCH_DOCS), 19).persist()
+    batch = (
+        _replica(docs.limit(BATCH_DOCS), 19)
+        .withColumn(
+            "doc_id", F.col("doc_id") - 19 * ID_STRIDE + BATCH_ID_BASE
+        )
+        .persist()
+    )
     batch.count()
+    hot_b = None
+    if hot:
+        hot_b = _hot_batch(spark, docs, batch).persist()
+        hot_b.count()
 
     for s in scales:
         corpus = _replica(docs, 0)
@@ -95,6 +153,16 @@ def main() -> None:
         t0 = time.time()
         refresh_corpus(spark, wh, batch, benchmark)
         t_replay = time.time() - t0
+        extra = {}
+        if hot_b is not None:
+            t0 = time.time()
+            hot_counts = refresh_corpus(spark, wh, hot_b, benchmark)
+            extra = {
+                "refresh_hot_s": round(time.time() - t0, 2),
+                "hot_survivors": hot_counts.get("survivors", 0),
+                "hot_published": hot_counts.get("published", 0),
+                "skewjoin": not noskew,
+            }
         print(
             json.dumps(
                 {
@@ -104,6 +172,7 @@ def main() -> None:
                     "refresh_s": round(t_refresh, 2),
                     "replay_noop_s": round(t_replay, 2),
                     "batch_published": counts.get("published", 0),
+                    **extra,
                 }
             ),
             flush=True,
