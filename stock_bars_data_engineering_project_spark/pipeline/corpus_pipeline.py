@@ -360,6 +360,7 @@ def refresh_corpus(
     frozen_unigram: DataFrame | None = None,
     corpus_table: str = "corpus_docs",
     index_table: str = "corpus_bands",
+    pub_shard_docs: int = 1_000_000,
 ) -> dict[str, int]:
     """Incrementally fold ONE document batch into the published
     training corpus — the composed refresh path (round 9): every stage
@@ -524,7 +525,21 @@ def refresh_corpus(
     )
     counts["published"] = rows.count()
     if counts["published"]:
-        wh.merge(rows, table, keys=("doc_id",))
+        # O(batch) PHYSICAL publish (round 10): the published table is
+        # hive-partitioned on a doc_id range shard, and the shard rides
+        # in the merge key (sound: a doc_id's shard never changes), so
+        # the warehouse's partition-pruned merge writes ONLY the shards
+        # the batch lands in and hardlinks the rest forward. Monotone
+        # ingest ids cluster, so a refresh typically rewrites ONE shard
+        # however large the published corpus — the x64 soak measured
+        # the previous unpartitioned publish rewriting all of it.
+        rows = rows.withColumn(
+            "_shard",
+            F.floor(F.col("doc_id") / F.lit(int(pub_shard_docs))).cast("long"),
+        )
+        wh.merge(
+            rows, table, keys=("_shard", "doc_id"), partition_by=("_shard",)
+        )
     # `handled` (not `delta`): benchmark-excluded ids are terminally
     # handled too and must never re-enter the reconcile's missing set
     _record_processed(wh, handled, processed_t)

@@ -394,10 +394,18 @@ class ParquetWarehouse:
         of the operation's contract, made explicit here.
 
         new = source ∪ (target ⟕anti source on keys) — one shuffle each
-        side on the key columns. When the table is hive-partitioned and the
-        partition columns are part of the batch, the rewrite is pruned to
-        the partitions the source touches; untouched partitions carry over
-        file-unchanged.
+        side on the key columns. When the table is hive-partitioned on a
+        prefix of the merge key, the rewrite is pruned to the partitions
+        the source touches — and since round 10 that pruning is PHYSICAL:
+        only the touched partitions' merged rows are written; every
+        untouched partition's immutable parquet files carry into the new
+        snapshot as hardlinks (the local-filesystem form of Iceberg/
+        Delta's file-reference manifests — zero data bytes moved, and
+        vacuum of the old version cannot strand the new one because the
+        inodes are shared). Merge I/O is then O(touched + batch) however
+        large the table — the property the x64 refresh soak showed the
+        previous join-only pruning did NOT have (it still rewrote every
+        row of the merged frame).
         """
         from ..operators.merge import upsert_frames
 
@@ -407,45 +415,110 @@ class ParquetWarehouse:
                 version = self._write_snapshot(src, table, partition_by or ())
                 self._commit(table, version)
                 return
+            prev = self._latest_version(table)
             if partition_by is None:
                 # a merge never intends a layout change (same contract as
                 # append): inherit the live snapshot's recorded hive
                 # layout so an upsert cannot silently flatten the table
-                partition_by = self._layout(table, self._latest_version(table))
+                partition_by = self._layout(table, prev)
 
             target = self.read(table)
             if (
                 partition_by
                 and set(partition_by) <= set(src.columns)
                 and set(partition_by) <= set(keys)
+                and tuple(partition_by) == self._layout(table, prev)
+                and not allow_schema_drift
             ):
                 # Partition-pruned rewrite: only partitions in the batch.
-                # SOUND ONLY when the partition columns are part of the
-                # merge key: otherwise a key whose partition value
-                # changed (id=1 moving from date D1 to D2) leaves its
-                # old row in an untouched partition, and the anti-join
-                # (which only sees touched partitions) cannot evict it —
-                # the table would then hold the key twice. Non-key
-                # partitioning falls through to the full-table merge.
+                # SOUND ONLY when (a) the partition columns are part of
+                # the merge key — otherwise a key whose partition value
+                # changed (id=1 moving from date D1 to D2) leaves its old
+                # row in an untouched partition the anti-join cannot
+                # evict; (b) the live snapshot is ACTUALLY laid out this
+                # way — the carry-over references its partition dirs;
+                # (c) no schema drift — linked files collapse into one
+                # dir, and a single-dir read does not name-align drifted
+                # schemas the way the manifest union does. Anything else
+                # falls through to the full-table merge.
                 parts = src.select(*partition_by).distinct()
                 touched = target.join(
                     F.broadcast(parts), on=list(partition_by), how="left_semi"
                 )
-                untouched = target.join(
-                    F.broadcast(parts), on=list(partition_by), how="left_anti"
+                merged_touched = upsert_frames(
+                    touched, src, keys, allow_schema_drift, source_unique=True
                 )
-                merged = untouched.unionByName(
-                    upsert_frames(
-                        touched, src, keys, allow_schema_drift, source_unique=True
-                    ),
-                    allowMissingColumns=allow_schema_drift,
+                version = self._write_snapshot(
+                    merged_touched, table, partition_by
+                )
+                self._link_untouched_partitions(
+                    table, prev, version, partition_by
                 )
             else:
                 merged = upsert_frames(
                     target, src, keys, allow_schema_drift, source_unique=True
                 )
-            version = self._write_snapshot(merged, table, partition_by)
+                version = self._write_snapshot(merged, table, partition_by)
             self._commit(table, version)
+
+    def _partition_leaf_dirs(self, base: str, depth: int) -> dict[str, str]:
+        """Hive partition leaf dirs exactly ``depth`` levels under
+        ``base`` as {relative path: absolute path} — named by Spark at
+        write time, so dir-name comparison between two snapshots of the
+        same layout needs no value re-escaping."""
+        out: dict[str, str] = {}
+
+        def walk(d: str, rel: str, lvl: int) -> None:
+            if lvl == 0:
+                out[rel] = d
+                return
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if os.path.isdir(p) and "=" in name:
+                    walk(p, os.path.join(rel, name) if rel else name, lvl - 1)
+
+        walk(base, "", depth)
+        return out
+
+    def _link_untouched_partitions(
+        self,
+        table: str,
+        prev: str,
+        version: str,
+        partition_by: tuple[str, ...],
+    ) -> None:
+        """Carry every partition NOT rewritten by this merge into the
+        new snapshot by hardlinking its parquet files — data files are
+        immutable once written (the snapshot contract), so sharing
+        inodes is safe, O(files) metadata, and vacuum-proof (deleting
+        the old version dir unlinks names, never shared inodes). At
+        100 TB on an object store this step is a file-reference
+        manifest (Iceberg/Delta); hardlinks are its exact local-FS
+        realization. Falls back to a physical copy per file where the
+        filesystem refuses links — still correct, just not free."""
+        tdir = self.table_path(table)
+        new_dir = os.path.join(tdir, version)
+        depth = len(partition_by)
+        touched = set(self._partition_leaf_dirs(new_dir, depth))
+        for member in self._manifest_members(table, prev):
+            mdir = os.path.join(tdir, member)
+            for rel, absd in self._partition_leaf_dirs(mdir, depth).items():
+                if rel in touched:
+                    continue
+                dest = os.path.join(new_dir, rel)
+                os.makedirs(dest, exist_ok=True)
+                for name in os.listdir(absd):
+                    if not name.endswith(".parquet") or name.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    target_path = os.path.join(dest, name)
+                    if os.path.exists(target_path):
+                        continue  # same immutable file via another member
+                    try:
+                        os.link(os.path.join(absd, name), target_path)
+                    except OSError:
+                        shutil.copy2(os.path.join(absd, name), target_path)
 
     # -- table maintenance (beyond the reference; required at 100 TB) -------
 

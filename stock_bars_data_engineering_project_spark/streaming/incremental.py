@@ -375,3 +375,55 @@ def trgm_ingest_stream(
         ingest_docs(wh, batch, table=table, id_col=id_col, text_col=text_col)
 
     return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
+
+
+_INDEX_DELETE_FNS = {
+    "ann": ("..operators.incremental_ann", "delete_vectors", "ann_index"),
+    "bm25": ("..operators.incremental_retrieval", "delete_docs", "bm25_index"),
+    "trgm": ("..operators.incremental_trgm", "delete_docs", "trgm_index"),
+}
+
+
+def index_delete_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    checkpoint_dir: str,
+    kind: str,
+    table: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming TOMBSTONE drain — the retraction half of the index
+    lifecycle (round 10): id files land (a dedup pipeline's retraction
+    feed, a GDPR erasure queue) and each micro-batch appends them to
+    the index's ``__deleted`` table through the module's own
+    ``delete_docs``/``delete_vectors``, so queries exclude them from
+    the next probe onward at O(ids) cost. ``kind`` picks the index
+    family (``'ann' | 'bm25' | 'trgm'``); ``schema`` is the id-file
+    schema (first column = the id).
+
+    Exactly-once is WEAKER here than the ingest drains' and that is
+    fine by design: tombstone appends are idempotent in EFFECT
+    (duplicate tombstones change no query answer and compact away at
+    the next apply_deletes/maintenance fold), so an at-least-once
+    replay costs duplicate rows in the O(ids) tombstone table, never a
+    wrong answer. Empty micro-batches are skipped."""
+    if kind not in _INDEX_DELETE_FNS:
+        raise ValueError(
+            f"unknown index kind {kind!r}; expected one of "
+            f"{sorted(_INDEX_DELETE_FNS)}"
+        )
+    mod_name, fn_name, default_table = _INDEX_DELETE_FNS[kind]
+    import importlib
+
+    mod = importlib.import_module(mod_name, package=__package__)
+    delete_fn = getattr(mod, fn_name)
+    target = table or default_table
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        delete_fn(wh, batch, table=target)
+
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)

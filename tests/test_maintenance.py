@@ -220,3 +220,66 @@ def test_export_manifest_duckdb_reads_snapshot(spark, tmp_path):
     # and the new current version exports its own (different) list
     mf2 = wh.export_manifest("t")
     assert len(_duck(mf2)) == 10
+
+
+def test_merge_pruned_rewrite_links_untouched_partitions(spark, tmp_path):
+    """Round-10 merge contract: a partition-pruned merge WRITES only the
+    touched partitions — untouched partitions carry into the new
+    snapshot as hardlinks of the previous version's immutable files
+    (same inode, zero data bytes moved), content is exactly the
+    full-merge result, and vacuuming the old version cannot strand the
+    new snapshot (shared inodes survive the unlink)."""
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(400)], "id long, p int, val string"
+    )
+    wh.overwrite(base, "t", partition_by=("p",))
+    v1_files = {
+        f: os.stat(f).st_ino
+        for f in wh.data_files("t")
+        if "/p=1/" in f or "/p=2/" in f or "/p=3/" in f
+    }
+    assert v1_files
+
+    batch = spark.createDataFrame(
+        [(0, 0, "NEW"), (4, 0, "NEW"), (1000, 0, "NEW")],
+        "id long, p int, val string",
+    )
+    wh.merge(batch, "t", keys=("p", "id"), partition_by=("p",))
+
+    # content: exactly the full-merge semantics
+    got = sorted(tuple(r) for r in wh.read("t").select("id", "p", "val").collect())
+    want = sorted(
+        [(i, i % 4, "NEW" if i in (0, 4) else f"v{i}") for i in range(400)]
+        + [(1000, 0, "NEW")]
+    )
+    assert got == want
+
+    # physics: untouched partitions' files are the SAME inodes; the
+    # touched partition's files are new
+    v2_files = wh.data_files("t")
+    untouched_inodes = {
+        os.stat(f).st_ino for f in v2_files if "/p=1/" in f or "/p=2/" in f or "/p=3/" in f
+    }
+    assert untouched_inodes == set(v1_files.values())
+    v1_touched = {f for f in wh.data_files("t", "v000001") if "/p=0/" in f}
+    v2_touched = {f for f in v2_files if "/p=0/" in f}
+    assert v2_touched and not {os.path.basename(f) for f in v2_touched} & {
+        os.path.basename(f) for f in v1_touched
+    }
+
+    # durability: dropping the old version leaves the snapshot whole
+    wh.vacuum("t", keep_last=1)
+    assert sorted(
+        tuple(r) for r in wh.read("t").select("id", "p", "val").collect()
+    ) == want
+
+    # a second pruned merge on top of the linked snapshot still works
+    wh.merge(
+        spark.createDataFrame([(2000, 2, "NEW2")], "id long, p int, val string"),
+        "t", keys=("p", "id"), partition_by=("p",),
+    )
+    assert wh.read("t").filter("id = 2000").count() == 1
+    assert wh.read("t").count() == 402

@@ -186,3 +186,77 @@ def test_trgm_ingest_stream_matches_batch_path(spark, tmp_path):
     trgm_ingest_stream(spark, src, docs.schema, wh, ckpt, table="tg")
     assert wh.read("tg__postings").count() == n
     assert _got() == want
+
+
+def test_index_delete_stream_tombstones_all_three(spark, emb, docs, tmp_path):
+    """index_delete_stream: id file waves drained through one
+    checkpoint tombstone the target index exactly like batch
+    delete calls — queries exclude them immediately — for all three
+    index kinds; an unknown kind refuses loudly."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_ann import (
+        ann_query,
+        build_ann_index,
+    )
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        bm25_query,
+        build_bm25_index,
+    )
+    from stock_bars_data_engineering_project_spark.operators.incremental_trgm import (
+        build_trgm_index,
+        trgm_query,
+    )
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        index_delete_stream,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_ann_index(wh, emb, "idx", centroid_stride=40, refine_iters=1)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    build_bm25_index(wh, corpus, table="bm")
+    build_trgm_index(wh, corpus, table="tg")
+
+    dead_vecs = [r.vec_id for r in emb.limit(4).collect()]
+    dead_docs = [r.doc_id for r in corpus.limit(4).collect()]
+
+    # one id-file source per index kind, each drained twice (two waves)
+    def _drain_ids(kind, table, ids, col):
+        src = str(tmp_path / f"src_{kind}")
+        ckpt = str(tmp_path / f"ckpt_{kind}")
+        half = len(ids) // 2
+        sch = f"{col} long"
+        spark.createDataFrame([(i,) for i in ids[:half]], sch).write.mode(
+            "append"
+        ).parquet(src)
+        index_delete_stream(spark, src, sch, wh, ckpt, kind, table=table)
+        spark.createDataFrame([(i,) for i in ids[half:]], sch).write.mode(
+            "append"
+        ).parquet(src)
+        index_delete_stream(spark, src, sch, wh, ckpt, kind, table=table)
+
+    _drain_ids("ann", "idx", dead_vecs, "vec_id")
+    _drain_ids("bm25", "bm", dead_docs, "doc_id")
+    _drain_ids("trgm", "tg", dead_docs, "doc_id")
+
+    probe = emb.filter(~F.col("vec_id").isin(dead_vecs)).limit(3)
+    hits = {
+        r.vec_id for r in ann_query(wh, probe, "idx", k=5, nprobe=3).collect()
+    }
+    assert hits and not hits & set(dead_vecs)
+    bm_hits = {
+        r.doc_id for r in bm25_query(wh, queries, table="bm", k=10).collect()
+    }
+    assert bm_hits and not bm_hits & set(dead_docs)
+    pats = spark.createDataFrame([(1, "the")], ["pattern_id", "pattern"])
+    tg_hits = {
+        r.id for r in trgm_query(wh, docs, pats, table="tg").collect()
+    }
+    assert tg_hits and not tg_hits & set(dead_docs)
+
+    with pytest.raises(ValueError, match="unknown index kind"):
+        index_delete_stream(
+            spark, str(tmp_path / "x"), "doc_id long",
+            wh, str(tmp_path / "cx"), "nope",
+        )

@@ -51,20 +51,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BATCH_DOCS = 600
 ID_STRIDE = 10_000_000  # replica id offset, far above any real doc_id
 
-_ALPHA = "abcdefghijklmnopqrst"  # period-20 rotation: soak.py's vowel
-# trick has period 5, which made replica 5 an EXACT copy of replica 0
-# (and the fixed batch an exact copy of replica 4) — the x8 point then
-# measured dedup collapsing duplicates, not refresh cost
+_ALPHA = "abcdefghijklmnopqrst"  # 20-letter rotation — see period note
 
 
-def _replica(docs, r: int):
-    """Replica r: ids offset by r*ID_STRIDE, first 20 letters rotated
-    by r so most shingles change (near-dup growth stays linear) and no
-    two replicas under r=20 collide exactly."""
+def _replica(docs, r: int, tag: str | None = None):
+    """Replica r: ids offset by r*ID_STRIDE; text perturbed TWO-LEVEL
+    so the period exceeds any soak scale — the round-9 lesson struck
+    AGAIN at round 10's x64 (soak.py's vowel trick has period 5;
+    the 20-letter rotation alone has period 20, so the first x64
+    attempt collapsed replicas 20..63 onto 0..19 AND exact-killed the
+    rotation-19 batch): level 1 rotates the 20-letter alphabet by
+    r%%20 (most shingles change between rotations), level 2 prefixes
+    EVERY word with a group letter from r//20 (every shingle changes
+    between groups). Period 20*26 = 520. ``tag`` overrides the group
+    letter — the refresh batches use reserved letters ('z', 'y') no
+    corpus replica can take below scale 500, so batch-vs-corpus
+    near-dup structure comes only from the template arm that WANTS it.
+    ALWAYS check the perturbation period > max scale before trusting a
+    replicated-corpus soak."""
     rot = _ALPHA[r % 20 :] + _ALPHA[: r % 20]
+    tag = tag or chr(ord("a") + (r // 20) % 26)
+    text = F.regexp_replace(
+        F.translate(F.col("text"), _ALPHA, rot), r"(^|\s)", "$1" + tag
+    )
     return docs.select(
         (F.col("doc_id") + F.lit(r * ID_STRIDE)).alias("doc_id"),
-        F.translate(F.col("text"), _ALPHA, rot).alias("text"),
+        text.alias("text"),
         "lang",
         "source",
         "n_chars",
@@ -83,7 +95,12 @@ def _hot_batch(spark, docs, uniform_batch):
     half is a near-dup of the template, of each other, AND of the
     corpus: its band keys concentrate the index candidate join."""
     half = BATCH_DOCS // 2
-    tmpl = docs.orderBy(F.col("n_chars").desc(), "doc_id").limit(1).collect()[0]
+    # template drawn AS IT EXISTS IN THE CORPUS — replica 0's transform
+    # applied — else the hot half would near-dup nothing
+    tmpl = (
+        _replica(docs.orderBy(F.col("n_chars").desc(), "doc_id").limit(1), 0)
+        .collect()[0]
+    )
     n_chars_t = docs.schema["n_chars"].dataType
     text = F.concat(
         F.lit(tmpl.text + " uniq"), F.col("id").cast("string")
@@ -99,7 +116,7 @@ def _hot_batch(spark, docs, uniform_batch):
     # runs after the uniform one against the same state, so reusing the
     # uniform batch's rows would replay-dedup them away and the hot
     # batch would degenerate to 300 docs
-    fresh_half = _replica(docs.limit(half), 18).withColumn(
+    fresh_half = _replica(docs.limit(half), 18, tag="y").withColumn(
         "doc_id", F.col("doc_id") - 18 * ID_STRIDE + BATCH_ID_BASE + 2_000_000
     )
     return fresh_half.unionByName(hot_half)
@@ -121,7 +138,7 @@ def main() -> None:
     # the fixed refresh batch: a perturbed slice with ids ABOVE every
     # corpus replica (monotone-ingest contract)
     batch = (
-        _replica(docs.limit(BATCH_DOCS), 19)
+        _replica(docs.limit(BATCH_DOCS), 19, tag="z")
         .withColumn(
             "doc_id", F.col("doc_id") - 19 * ID_STRIDE + BATCH_ID_BASE
         )
