@@ -47,6 +47,24 @@ from ..functions.hashing import lsh_band_hashes
 from ..functions.scalars import round_half_up
 
 
+# The stored corpus is hive-partitioned on a doc_id range shard and the
+# shard rides in the merge key (sound — a doc_id's shard never changes),
+# so the warehouse's partition-pruned merge rewrites ONLY the shards a
+# batch lands in and hardlinks the rest forward: the corpus commit is
+# O(batch) PHYSICALLY, not just computationally (round 10 — the x64
+# refresh soak caught the unpartitioned merge rewriting the whole
+# text-bearing corpus per 600-doc batch). Monotone ingest ids cluster,
+# so a batch typically touches one shard.
+_CORPUS_SHARD_DOCS = 1_000_000
+
+
+def _sharded(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_shard",
+        F.floor(F.col("doc_id") / F.lit(_CORPUS_SHARD_DOCS)).cast("long"),
+    )
+
+
 def band_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -111,7 +129,13 @@ def ingest_batch(
     counts = {"batch_raw": new_docs.count()}
 
     batch = exact_dedup(new_docs)
-    corpus = wh.read(corpus_table) if wh.exists(corpus_table) else None
+    # the storage shard is a layout detail — strip it so every consumer
+    # below sees exactly the ingested document schema
+    corpus = (
+        wh.read(corpus_table).drop("_shard")
+        if wh.exists(corpus_table)
+        else None
+    )
     if corpus is not None:
         # exact cross-batch: same content hash as any retained doc
         batch = batch.join(
@@ -127,7 +151,9 @@ def ingest_batch(
         drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
         survivors = materialize(batch.join(drops, "doc_id", "left_anti"))
         counts["survivors"] = survivors.count()
-        wh.overwrite(survivors, corpus_table)
+        wh.overwrite(
+            _sharded(survivors), corpus_table, partition_by=("_shard",)
+        )
         wh.overwrite(band_index(survivors, k=k), index_table)
         return (counts, survivors) if return_survivors else counts
     # Self-heal: the corpus and index commit as two warehouse
@@ -193,7 +219,12 @@ def ingest_batch(
     counts["survivors"] = survivors.count()
 
     if counts["survivors"]:
-        wh.merge(survivors, corpus_table, keys=("doc_id",))
+        wh.merge(
+            _sharded(survivors),
+            corpus_table,
+            keys=("_shard", "doc_id"),
+            partition_by=("_shard",),
+        )
         # reuse the already-computed band keys (checkpointed above) —
         # re-running band_index would pay the 16-seed hashing twice
         survivor_bands = new_bands.join(

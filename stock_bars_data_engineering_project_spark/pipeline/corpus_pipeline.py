@@ -445,8 +445,10 @@ def refresh_corpus(
             .join(wh.read(processed_t), "doc_id", "left_anti")
             .join(survivor_ids, "doc_id", "left_anti")
         )
-        missing = wh.read(corpus_table).join(
-            missing_ids, "doc_id", "left_semi"
+        missing = (
+            wh.read(corpus_table)
+            .drop("_shard")  # storage layout detail, not document schema
+            .join(missing_ids, "doc_id", "left_semi")
         )
         handled = survivor_ids.unionByName(missing_ids)
         delta = survivors.unionByName(missing, allowMissingColumns=False)
