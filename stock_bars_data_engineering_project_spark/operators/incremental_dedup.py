@@ -57,12 +57,21 @@ from ..functions.scalars import round_half_up
 # so a batch typically touches one shard.
 _CORPUS_SHARD_DOCS = 1_000_000
 
+# storage-layout/metadata columns the corpus table carries beyond the
+# ingested document schema; stripped at every module boundary
+_CORPUS_META_COLS = ("_shard", "_h")
 
-def _sharded(df: DataFrame) -> DataFrame:
+
+def _sharded(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the storage columns written once per document: the range
+    shard (pruned-merge key) and the content md5 — computed here so the
+    exact cross-batch dedup reads a 32-char column instead of re-md5ing
+    every stored text per batch (an O(corpus) compute the x64 soak
+    showed dominating the replay floor)."""
     return df.withColumn(
         "_shard",
         F.floor(F.col("doc_id") / F.lit(_CORPUS_SHARD_DOCS)).cast("long"),
-    )
+    ).withColumn("_h", F.md5(F.col(text_col)))
 
 
 def band_index(
@@ -129,17 +138,24 @@ def ingest_batch(
     counts = {"batch_raw": new_docs.count()}
 
     batch = exact_dedup(new_docs)
-    # the storage shard is a layout detail — strip it so every consumer
+    # storage columns are a layout detail — strip them so every consumer
     # below sees exactly the ingested document schema
+    raw_corpus = wh.read(corpus_table) if wh.exists(corpus_table) else None
     corpus = (
-        wh.read(corpus_table).drop("_shard")
-        if wh.exists(corpus_table)
-        else None
+        raw_corpus.drop(*_CORPUS_META_COLS) if raw_corpus is not None else None
     )
-    if corpus is not None:
-        # exact cross-batch: same content hash as any retained doc
+    if raw_corpus is not None:
+        # exact cross-batch: same content hash as any retained doc. The
+        # hash column was persisted at commit time, so this reads one
+        # skinny column — only the BATCH pays an md5 (pre-round-10
+        # corpora without the column fall back to hashing in-plan)
+        stored_h = (
+            raw_corpus.select("_h")
+            if "_h" in raw_corpus.columns
+            else raw_corpus.select(F.md5("text").alias("_h"))
+        )
         batch = batch.join(
-            corpus.select(F.md5("text").alias("_h")).distinct(),
+            stored_h.distinct(),
             F.md5(batch["text"]) == F.col("_h"),
             "left_anti",
         )
@@ -155,30 +171,47 @@ def ingest_batch(
             _sharded(survivors), corpus_table, partition_by=("_shard",)
         )
         wh.overwrite(band_index(survivors, k=k), index_table)
+        _mark_synced(
+            spark, wh, f"{index_table}__sync",
+            wh._latest_version(corpus_table),
+        )
         return (counts, survivors) if return_survivors else counts
     # Self-heal: the corpus and index commit as two warehouse
     # transactions; a crash between them leaves corpus docs unindexed
     # (invisible to every future near-dup check) — or, after a
-    # first-batch crash, no index table at all. Reconcile up front: the
-    # missing set is empty in normal operation, batch-sized after a
+    # first-batch crash, no index table at all. The heal itself is a
+    # corpus-ids anti-join, so it is GATED on the ``__sync`` marker
+    # (one row: the corpus version the index last covered — committed
+    # AFTER the index, so any crash leaves it behind, never ahead): in
+    # normal operation the marker matches and the heal costs one 1-row
+    # read instead of an O(corpus) id shuffle per batch (the x64 soak's
+    # replay floor). On mismatch the missing set is batch-sized after a
     # crash, corpus-sized only in the missing-table case (a full index
     # rebuild, which is exactly first-batch cost).
-    if wh.exists(index_table):
+    sync_table = f"{index_table}__sync"
+    corpus_v = wh._latest_version(corpus_table)
+    in_sync = (
+        wh.exists(sync_table)
+        and wh.read(sync_table).first()["corpus_version"] == corpus_v
+    )
+    if not wh.exists(index_table):
+        wh.overwrite(band_index(corpus, k=k), index_table)
+        _mark_synced(spark, wh, sync_table, corpus_v)
+    elif not in_sync:
         missing = corpus.join(
             wh.read(index_table).select("doc_id").distinct(),
             "doc_id",
             "left_anti",
         )
-        # Gate the heal on the missing docs' BANDS being non-empty, not
-        # on the doc set: documents shorter than k words shingle to
-        # nothing and can never be indexed, so they sit in the missing
-        # set forever — an append gated on them would rewrite the index
-        # snapshot every batch while adding zero rows.
+        # Gate the heal append on the missing docs' BANDS being
+        # non-empty, not on the doc set: documents shorter than k words
+        # shingle to nothing and can never be indexed, so they sit in
+        # the missing set forever — an append gated on them would
+        # rewrite the index snapshot every batch while adding zero rows.
         fresh = band_index(missing, k=k)
         if fresh.limit(1).count():
             wh.append(fresh, index_table)
-    else:
-        wh.overwrite(band_index(corpus, k=k), index_table)
+        _mark_synced(spark, wh, sync_table, corpus_v)
     index = wh.read(index_table)
     new_bands = band_index(batch, k=k).transform(materialize)
 
@@ -231,4 +264,20 @@ def ingest_batch(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
         wh.append(survivor_bands, index_table)
+        # marker commits LAST: a crash anywhere above leaves it stale,
+        # which is exactly what re-arms the heal on the next ingest
+        _mark_synced(
+            spark, wh, sync_table, wh._latest_version(corpus_table)
+        )
     return (counts, survivors) if return_survivors else counts
+
+
+def _mark_synced(
+    spark: SparkSession, wh: ParquetWarehouse, sync_table: str, corpus_v: str
+) -> None:
+    """Record the corpus version the band index now covers — the 1-row
+    marker that lets every in-sync ingest skip the heal anti-join."""
+    wh.overwrite(
+        spark.createDataFrame([(corpus_v,)], "corpus_version string"),
+        sync_table,
+    )

@@ -410,7 +410,7 @@ def refresh_corpus(
     ``__processed`` membership anti-join) re-enter the gate chain,
     whose stages are all deterministic per-document, and the final
     merge is idempotent on doc_id."""
-    from ..operators.incremental_dedup import ingest_batch
+    from ..operators.incremental_dedup import _CORPUS_META_COLS, ingest_batch
 
     if surprisal_max is not None and frozen_unigram is None:
         raise ValueError(
@@ -447,7 +447,8 @@ def refresh_corpus(
         )
         missing = (
             wh.read(corpus_table)
-            .drop("_shard")  # storage layout detail, not document schema
+            # storage layout/metadata columns, not document schema
+            .drop(*_CORPUS_META_COLS)
             .join(missing_ids, "doc_id", "left_semi")
         )
         handled = survivor_ids.unionByName(missing_ids)

@@ -441,10 +441,43 @@ class ParquetWarehouse:
                 # dir, and a single-dir read does not name-align drifted
                 # schemas the way the manifest union does. Anything else
                 # falls through to the full-table merge.
-                parts = src.select(*partition_by).distinct()
-                touched = target.join(
-                    F.broadcast(parts), on=list(partition_by), how="left_semi"
-                )
+                # the touched values are batch-derived and bounded, so
+                # they collect to a driver literal and the target read
+                # STATICALLY partition-prunes — without this the semi
+                # join scans every partition (all columns) just to
+                # discover which rows it keeps, an O(table) read that
+                # defeats the O(touched) write
+                parts = [
+                    tuple(r) for r in
+                    src.select(*partition_by).distinct().collect()
+                ]
+                if not parts:
+                    touched = target.filter(F.lit(False))
+                elif len(parts) > 1000:
+                    # a batch touching >1000 partitions would blow the
+                    # literal predicate up; the broadcast semi join is
+                    # the right shape there (and such a batch rewrites
+                    # most of the table anyway)
+                    touched = target.join(
+                        F.broadcast(
+                            src.select(*partition_by).distinct()
+                        ),
+                        on=list(partition_by),
+                        how="left_semi",
+                    )
+                else:
+                    pred = None
+                    for vals in parts:
+                        conj = None
+                        for c, v in zip(partition_by, vals):
+                            term = (
+                                F.col(c).isNull()
+                                if v is None
+                                else (F.col(c) == F.lit(v))
+                            )
+                            conj = term if conj is None else (conj & term)
+                        pred = conj if pred is None else (pred | conj)
+                    touched = target.filter(pred)
                 merged_touched = upsert_frames(
                     touched, src, keys, allow_schema_drift, source_unique=True
                 )

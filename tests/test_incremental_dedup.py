@@ -100,11 +100,17 @@ def test_index_self_heals_after_partial_commit(spark, tmp_path):
     ingest_batch(spark, wh, _docs(spark, [(1, BASE_TEXT)]))
 
     # doc 2 lands in the corpus but its band keys are "lost" (crash):
+    # in the real crash state the index append AND the __sync marker
+    # write both never happened, so the marker still points at the
+    # pre-merge corpus version — simulate both halves (round 10: the
+    # heal is gated on the marker so in-sync ingests skip its
+    # O(corpus-ids) anti-join)
     novel = ("all the ships sailed out beyond the grey harbor wall while "
              "gulls wheeled slowly over the cold morning tide")
     ingest_batch(spark, wh, _docs(spark, [(2, novel)]))
     index = wh.read("corpus_bands")
     wh.overwrite(index.filter(F.col("doc_id") != 2), "corpus_bands")
+    wh.drop("corpus_bands__sync")
 
     # a near-dup of doc 2 arrives; without healing it would be ingested
     batch = _docs(spark, [(3, novel + " again tonight")])
