@@ -334,6 +334,19 @@ def prepare_corpus(
     return corpus, counts
 
 
+def _mark_refresh_synced(
+    spark: SparkSession, wh: ParquetWarehouse, sync_t: str, corpus_table: str
+) -> None:
+    """Record the corpus version this COMPLETED refresh covered — the
+    1-row marker that lets in-sync refreshes skip the reconcile
+    anti-join (see refresh_corpus's reconcile-gate comment)."""
+    v = wh._latest_version(corpus_table)
+    if v is not None:
+        wh.overwrite(
+            spark.createDataFrame([(v,)], "corpus_version string"), sync_t
+        )
+
+
 def _record_processed(
     wh: ParquetWarehouse, ids: DataFrame, processed_t: str
 ) -> None:
@@ -419,6 +432,21 @@ def refresh_corpus(
             "break incremental ≡ one-shot (docstring)"
         )
     processed_t = f"{table}__processed"
+    # Reconcile gate (round 10, the ingest __sync discipline): the
+    # reconcile anti-join only ever finds docs stranded by a PREVIOUS
+    # crashed refresh, so it is needed iff the 1-row marker recording
+    # the corpus version the last COMPLETED refresh covered does not
+    # match the pre-ingest corpus state. Checked BEFORE this call's
+    # ingest advances the version; in the in-sync steady state the
+    # reconcile (an O(corpus-ids) anti-join per refresh — the x64
+    # soak's replay floor) collapses to this 1-row read.
+    sync_t = f"{table}__sync"
+    pre_v = wh._latest_version(corpus_table)
+    reconcile_needed = not (
+        pre_v is not None
+        and wh.exists(sync_t)
+        and wh.read(sync_t).first()["corpus_version"] == pre_v
+    )
     _counts, survivors = ingest_batch(
         spark,
         wh,
@@ -438,7 +466,7 @@ def refresh_corpus(
     # (normally empty) crash-window ids via a broadcast-sized semi
     # join, so the steady-state reconcile shuffles ids, never text.
     survivor_ids = survivors.select("doc_id")
-    if wh.exists(processed_t):
+    if reconcile_needed and wh.exists(processed_t):
         missing_ids = materialize(
             wh.read(corpus_table)
             .select("doc_id")
@@ -464,6 +492,7 @@ def refresh_corpus(
         # benchmark-excluded docs are terminally handled — record them
         # so they never re-enter the reconcile's 'missing' set
         _record_processed(wh, handled, processed_t)
+        _mark_refresh_synced(spark, wh, sync_t, corpus_table)
         wh.log(
             f"{table}_runs",
             "refresh " + " -> ".join(f"{k}:{v}" for k, v in counts.items()),
@@ -546,6 +575,9 @@ def refresh_corpus(
     # `handled` (not `delta`): benchmark-excluded ids are terminally
     # handled too and must never re-enter the reconcile's missing set
     _record_processed(wh, handled, processed_t)
+    # marker commits LAST (the ingest __sync discipline): a crash
+    # anywhere above leaves it stale, re-arming the reconcile
+    _mark_refresh_synced(spark, wh, sync_t, corpus_table)
     # K6 run-log parity with run_corpus_pipeline: one line per refresh
     wh.log(
         f"{table}_runs",
