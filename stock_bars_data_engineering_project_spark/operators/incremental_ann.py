@@ -293,4 +293,18 @@ def maintain_ann_index(
             id_col=id_col,
         )
         rebuilt = True
-    return {"skew_ratio": skew, "rebuilt": rebuilt}
+    decision = {"skew_ratio": skew, "rebuilt": rebuilt}
+    log_maintenance(wh, table, decision)
+    return decision
+
+
+def log_maintenance(wh: ParquetWarehouse, table: str, decision: dict) -> None:
+    """K6 run-log line for an index-maintenance decision — the
+    operational record the reference keeps for every pipeline run
+    (log_metadata.py), applied to the maintenance loop so drift policy
+    firings are auditable after the fact. Shared by all three index
+    policies; one append-only row per call."""
+    wh.log(
+        f"{table}_maintenance",
+        "maintain " + " ".join(f"{k}:{v}" for k, v in sorted(decision.items())),
+    )

@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_bucket48
 from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
+from .incremental_ann import log_maintenance
 from .retrieval import _term_counts, score_topk
 
 
@@ -435,7 +436,11 @@ def maintain_bm25_index(
         n_buckets, gen, rebuilt = new_n, new_gen, True
     # sweep orphan generations (crashed rebuilds, superseded postings)
     _sweep_postings_generations(wh, table, gen)
-    return {"skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets}
+    decision = {
+        "skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets
+    }
+    log_maintenance(wh, table, decision)
+    return decision
 
 
 def _sweep_postings_generations(

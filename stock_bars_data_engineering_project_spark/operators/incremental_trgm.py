@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_bucket48
 from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
+from .incremental_ann import log_maintenance
 from .trigram import char_ngrams, substring_scan, trigram_postings
 
 
@@ -436,7 +437,11 @@ def maintain_trgm_index(
         )
         n_buckets, gen, rebuilt = new_n, new_gen, True
     _sweep_postings_generations(wh, table, gen)
-    return {"skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets}
+    decision = {
+        "skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets
+    }
+    log_maintenance(wh, table, decision)
+    return decision
 
 
 def _sweep_postings_generations(

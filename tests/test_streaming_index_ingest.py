@@ -260,3 +260,60 @@ def test_index_delete_stream_tombstones_all_three(spark, emb, docs, tmp_path):
             spark, str(tmp_path / "x"), "doc_id long",
             wh, str(tmp_path / "cx"), "nope",
         )
+
+
+def test_index_lifecycle_end_to_end(spark, docs, tmp_path):
+    """The complete lifecycle every persisted index now supports,
+    composed on the BM25 index: one-shot build -> streaming file-wave
+    ingest -> streaming tombstone retraction -> maintenance (tombstone
+    fold + strict re-bucket with atomic generation publish) -> answers
+    equal the one-shot index over the surviving corpus throughout."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_retrieval import (
+        bm25_query,
+        build_bm25_index,
+        maintain_bm25_index,
+    )
+    from stock_bars_data_engineering_project_spark.operators.retrieval import bm25_topk
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        bm25_ingest_stream,
+        index_delete_stream,
+    )
+
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    queries = docs.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    build_bm25_index(wh, corpus.filter(F.col("doc_id") % 2 == 0), table="bm")
+
+    # streaming ingest of the other half
+    src = str(tmp_path / "src")
+    corpus.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    bm25_ingest_stream(spark, src, corpus.schema, wh, str(tmp_path / "ck1"),
+                       table="bm")
+
+    # streaming retraction of a handful of ids
+    dead = [r.doc_id for r in corpus.limit(5).collect()]
+    dsrc = str(tmp_path / "dsrc")
+    spark.createDataFrame([(i,) for i in dead], "doc_id long").write.mode(
+        "append"
+    ).parquet(dsrc)
+    index_delete_stream(spark, dsrc, "doc_id long", wh, str(tmp_path / "ck2"),
+                        "bm25", table="bm")
+
+    def _hits(df):
+        return sorted(
+            (r.query_id, r.doc_id, round(r.bm25, 6), r.rank)
+            for r in df.collect()
+        )
+
+    survivors = corpus.filter(~F.col("doc_id").isin(dead))
+    want = _hits(bm25_topk(survivors, queries, k=10))
+    assert _hits(bm25_query(wh, queries, table="bm", k=10)) == want
+
+    # maintenance: folds the streamed tombstones, then a strict policy
+    # re-buckets with the atomic generation publish — answers unchanged
+    res = maintain_bm25_index(wh, "bm", max_skew=1.0000001)
+    assert not wh.exists("bm__deleted")
+    assert res["rebuilt"] is True and wh.exists("bm__postings_g1")
+    assert _hits(bm25_query(wh, queries, table="bm", k=10)) == want
