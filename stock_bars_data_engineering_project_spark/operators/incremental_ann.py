@@ -49,6 +49,7 @@ from ..functions.scalars import round_half_up
 from ..functions.vectors import cosine
 from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
+from .index_maint import log_maintenance
 from .similarity import ivf_assign, kmeans_refine, l2sq
 from .skew import salted_topk
 
@@ -296,15 +297,3 @@ def maintain_ann_index(
     decision = {"skew_ratio": skew, "rebuilt": rebuilt}
     log_maintenance(wh, table, decision)
     return decision
-
-
-def log_maintenance(wh: ParquetWarehouse, table: str, decision: dict) -> None:
-    """K6 run-log line for an index-maintenance decision — the
-    operational record the reference keeps for every pipeline run
-    (log_metadata.py), applied to the maintenance loop so drift policy
-    firings are auditable after the fact. Shared by all three index
-    policies; one append-only row per call."""
-    wh.log(
-        f"{table}_maintenance",
-        "maintain " + " ".join(f"{k}:{v}" for k, v in sorted(decision.items())),
-    )

@@ -252,12 +252,18 @@ def ingest_batch(
     counts["survivors"] = survivors.count()
 
     if counts["survivors"]:
-        wh.merge(
-            _sharded(survivors),
-            corpus_table,
-            keys=("_shard", "doc_id"),
-            partition_by=("_shard",),
-        )
+        if "_shard" in raw_corpus.columns:
+            wh.merge(
+                _sharded(survivors),
+                corpus_table,
+                keys=("_shard", "doc_id"),
+                partition_by=("_shard",),
+            )
+        else:
+            # pre-round-10 corpus without the shard column: keep the
+            # legacy unsharded merge — correctness identical, commit
+            # O(table) as it was before the shard landed
+            wh.merge(survivors, corpus_table, keys=("doc_id",))
         # reuse the already-computed band keys (checkpointed above) —
         # re-running band_index would pay the 16-seed hashing twice
         survivor_bands = new_bands.join(

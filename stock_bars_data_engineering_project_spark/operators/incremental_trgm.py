@@ -53,24 +53,21 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_bucket48
 from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
-from .incremental_ann import log_maintenance
+from .index_maint import maintain_bucketed_index, postings_table, read_meta
 from .trigram import char_ngrams, substring_scan, trigram_postings
 
 
 def _postings_table(table: str, gen: int = 0) -> str:
     """Generation-addressed postings name — the atomic-rebuild pointer
-    protocol shared with the BM25 index (incremental_retrieval.py):
-    generation 0 is the plain ``<table>__postings``; a re-bucketing
-    rebuild writes generation g+1 COLD and publishes it with one
-    ``__meta`` snapshot swap (:func:`maintain_trgm_index`)."""
-    return f"{table}__postings" if not gen else f"{table}__postings_g{gen}"
+    protocol shared with the BM25 index (operators/index_maint.py,
+    where the addressing, policy loop, and orphan sweep live once)."""
+    return postings_table(table, gen)
 
 
 def _meta(wh: ParquetWarehouse, table: str) -> tuple[int, int]:
-    """(n_buckets, postings_gen) from the one-row ``__meta`` table.
-    ``postings_gen`` is absent on pre-rebuild indexes — read as 0."""
-    row = wh.read(_meta_table(table)).collect()[0].asDict()
-    return int(row["n_buckets"]), int(row.get("postings_gen") or 0)
+    """(n_buckets, postings_gen) — index_maint.read_meta on this
+    index's ``__meta`` table."""
+    return read_meta(wh, _meta_table(table))
 
 
 def _docs_table(table: str) -> str:
@@ -405,58 +402,14 @@ def maintain_trgm_index(
     swap leaves readers on the old generation and the orphan is swept
     by the next call. Returns ``{"skew_ratio", "rebuilt", "n_buckets"}``
     for run-logging."""
-    if rebucket_factor < 2:
-        raise ValueError(
-            f"rebucket_factor must be >= 2, got {rebucket_factor}"
-        )
-    apply_deletes(wh, table)
-    n_buckets, gen = _meta(wh, table)
-    occ = index_occupancy(wh, table).select("skew_ratio").limit(1).collect()
-    skew = float(occ[0]["skew_ratio"]) if occ else 0.0
-    rebuilt = False
-    if skew > max_skew:
-        new_n = n_buckets * rebucket_factor
-        new_gen = gen + 1
-        old = wh.read(_postings_table(table, gen))
-        rebucketed = old.select(
-            md5_bucket48(F.col("trigram"), new_n).alias("bkt"),
-            "trigram",
-            "doc_id",
-        ).repartition("bkt")
-        wh.overwrite(
-            rebucketed, _postings_table(table, new_gen), partition_by=("bkt",)
-        )
-        spark = old.sparkSession
-        # the atomic publish: one snapshot swap flips n_buckets and the
-        # postings generation together
-        wh.overwrite(
-            spark.createDataFrame(
-                [(new_n, new_gen)], "n_buckets int, postings_gen int"
-            ),
-            _meta_table(table),
-        )
-        n_buckets, gen, rebuilt = new_n, new_gen, True
-    _sweep_postings_generations(wh, table, gen)
-    decision = {
-        "skew_ratio": skew, "rebuilt": rebuilt, "n_buckets": n_buckets
-    }
-    log_maintenance(wh, table, decision)
-    return decision
-
-
-def _sweep_postings_generations(
-    wh: ParquetWarehouse, table: str, current_gen: int
-) -> None:
-    """Drop every postings generation except the published one — the
-    GC half of the atomic-publish protocol (superseded generations
-    after a successful rebuild, cold orphans after a crashed one)."""
-    prefix = f"{table}__postings_g"
-    for t in wh.tables():
-        if t == f"{table}__postings":
-            if current_gen != 0:
-                wh.drop(t)
-            continue
-        if t.startswith(prefix):
-            tail = t[len(prefix):]
-            if tail.isdigit() and int(tail) != current_gen:
-                wh.drop(t)
+    return maintain_bucketed_index(
+        wh,
+        table,
+        _meta_table(table),
+        apply_deletes_fn=apply_deletes,
+        occupancy_fn=index_occupancy,
+        hash_col="trigram",
+        carry_cols=("trigram", "doc_id"),
+        max_skew=max_skew,
+        rebucket_factor=rebucket_factor,
+    )

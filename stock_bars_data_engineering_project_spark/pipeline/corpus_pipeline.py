@@ -339,12 +339,20 @@ def _mark_refresh_synced(
 ) -> None:
     """Record the corpus version this COMPLETED refresh covered — the
     1-row marker that lets in-sync refreshes skip the reconcile
-    anti-join (see refresh_corpus's reconcile-gate comment)."""
+    anti-join (see refresh_corpus's reconcile-gate comment). Skips the
+    write when the marker already records this version: a no-op replay
+    must not churn a snapshot version per redelivery."""
     v = wh._latest_version(corpus_table)
-    if v is not None:
-        wh.overwrite(
-            spark.createDataFrame([(v,)], "corpus_version string"), sync_t
-        )
+    if v is None:
+        return
+    if (
+        wh.exists(sync_t)
+        and wh.read(sync_t).first()["corpus_version"] == v
+    ):
+        return
+    wh.overwrite(
+        spark.createDataFrame([(v,)], "corpus_version string"), sync_t
+    )
 
 
 def _record_processed(
@@ -353,11 +361,13 @@ def _record_processed(
     """Append a doc_id membership batch to the ``__processed`` table
     (create on first use). Ids are terminally-handled doc_ids —
     published, gate-dropped, or benchmark-excluded — so the reconcile
-    anti-join stays crash-window-sized (refresh_corpus docstring)."""
-    if wh.exists(processed_t):
-        wh.append(ids, processed_t)
-    else:
+    anti-join stays crash-window-sized (refresh_corpus docstring).
+    Empty batches append nothing — a no-op replay must not grow the
+    manifest chain by one empty member per redelivery."""
+    if not wh.exists(processed_t):
         wh.overwrite(ids, processed_t)
+    elif ids.limit(1).count():
+        wh.append(ids, processed_t)
 
 
 def refresh_corpus(
@@ -373,7 +383,6 @@ def refresh_corpus(
     frozen_unigram: DataFrame | None = None,
     corpus_table: str = "corpus_docs",
     index_table: str = "corpus_bands",
-    pub_shard_docs: int = 1_000_000,
 ) -> dict[str, int]:
     """Incrementally fold ONE document batch into the published
     training corpus — the composed refresh path (round 9): every stage
@@ -466,12 +475,19 @@ def refresh_corpus(
     # (normally empty) crash-window ids via a broadcast-sized semi
     # join, so the steady-state reconcile shuffles ids, never text.
     survivor_ids = survivors.select("doc_id")
-    if reconcile_needed and wh.exists(processed_t):
+    if reconcile_needed and wh.exists(corpus_table):
+        # an absent __processed table means NOTHING is processed yet —
+        # every corpus doc outside this batch's survivors is stranded
+        # (docs ingested through ingest_batch/dedup_ingest_stream before
+        # the first refresh are exactly this case; skipping them here
+        # and then writing the marker would strand them permanently)
+        unprocessed = wh.read(corpus_table).select("doc_id")
+        if wh.exists(processed_t):
+            unprocessed = unprocessed.join(
+                wh.read(processed_t), "doc_id", "left_anti"
+            )
         missing_ids = materialize(
-            wh.read(corpus_table)
-            .select("doc_id")
-            .join(wh.read(processed_t), "doc_id", "left_anti")
-            .join(survivor_ids, "doc_id", "left_anti")
+            unprocessed.join(survivor_ids, "doc_id", "left_anti")
         )
         missing = (
             wh.read(corpus_table)
@@ -559,19 +575,38 @@ def refresh_corpus(
     if counts["published"]:
         # O(batch) PHYSICAL publish (round 10): the published table is
         # hive-partitioned on a doc_id range shard, and the shard rides
-        # in the merge key (sound: a doc_id's shard never changes), so
-        # the warehouse's partition-pruned merge writes ONLY the shards
-        # the batch lands in and hardlinks the rest forward. Monotone
+        # in the merge key (sound ONLY because the shard is a fixed
+        # pure function of doc_id — the width is the module constant
+        # shared with the dedup corpus, never a per-call knob: two
+        # calls disagreeing on it would file the same doc under two
+        # partitions and the pruned merge could not evict the old row).
+        # The warehouse's pruned merge then writes ONLY the shards the
+        # batch lands in and hardlinks the rest forward; monotone
         # ingest ids cluster, so a refresh typically rewrites ONE shard
         # however large the published corpus — the x64 soak measured
         # the previous unpartitioned publish rewriting all of it.
-        rows = rows.withColumn(
-            "_shard",
-            F.floor(F.col("doc_id") / F.lit(int(pub_shard_docs))).cast("long"),
-        )
-        wh.merge(
-            rows, table, keys=("_shard", "doc_id"), partition_by=("_shard",)
-        )
+        # ``_shard`` rides in the published schema as a declared
+        # storage column (readers that need pure document schema drop
+        # _CORPUS_META_COLS, as the laws and the driver arm do by
+        # projecting explicitly). Tables that predate the shard (or
+        # were written by run_corpus_pipeline's split-partitioned
+        # one-shot) keep their legacy unsharded merge — correctness
+        # identical, publish O(table) as before.
+        if wh.exists(table) and "_shard" not in wh.read(table).columns:
+            wh.merge(rows, table, keys=("doc_id",))
+        else:
+            from ..operators.incremental_dedup import _CORPUS_SHARD_DOCS
+
+            rows = rows.withColumn(
+                "_shard",
+                F.floor(
+                    F.col("doc_id") / F.lit(int(_CORPUS_SHARD_DOCS))
+                ).cast("long"),
+            )
+            wh.merge(
+                rows, table,
+                keys=("_shard", "doc_id"), partition_by=("_shard",),
+            )
     # `handled` (not `delta`): benchmark-excluded ids are terminally
     # handled too and must never re-enter the reconcile's missing set
     _record_processed(wh, handled, processed_t)

@@ -198,16 +198,28 @@ class JdbcWarehouse:
             f'"{c}" = EXCLUDED."{c}"' for c in df.columns if c not in keys
         )
         action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
+        merge_ok = False
         try:
             self.execute(
                 f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} '
                 f"ON CONFLICT ({keylist}) {action}"
             )
+            merge_ok = True
         finally:
             # A failed merge must not leave __staging behind — the next
             # upsert's overwrite would silently drop/recreate it with a
             # possibly different schema, masking the original failure.
-            self.execute(f"DROP TABLE IF EXISTS {staging}")
+            try:
+                self.execute(f"DROP TABLE IF EXISTS {staging}")
+            except Exception:
+                # when the merge itself failed (e.g. the database went
+                # away), the cleanup fails for the same reason — the
+                # MERGE error is the one callers must see, not the
+                # DROP's connect error; staging cleanup then falls to
+                # the next upsert's overwrite. A cleanup failure after
+                # a SUCCESSFUL merge still surfaces.
+                if merge_ok:
+                    raise
 
     # -- DDL / driver-side statements ---------------------------------
 

@@ -409,10 +409,24 @@ class ParquetWarehouse:
         """
         from ..operators.merge import upsert_frames
 
+        def _colocated(df: DataFrame) -> DataFrame:
+            # co-locate each hive partition before the write (the
+            # build_ann_index small-files discipline, enforced HERE so
+            # every merge inherits it): without this each of the
+            # upsert's N shuffle partitions writes a sliver into every
+            # touched partition dir — N×P files where P suffice, and at
+            # x128 the refresh soak measured the resulting file LISTING
+            # dominating every subsequent skinny read of the table
+            if partition_by:
+                return df.repartition(*[F.col(c) for c in partition_by])
+            return df
+
         src = source.dropDuplicates(list(keys))
         with self._write_lock(table):
             if not self.exists(table):
-                version = self._write_snapshot(src, table, partition_by or ())
+                version = self._write_snapshot(
+                    _colocated(src), table, partition_by or ()
+                )
                 self._commit(table, version)
                 return
             prev = self._latest_version(table)
@@ -429,6 +443,7 @@ class ParquetWarehouse:
                 and set(partition_by) <= set(keys)
                 and tuple(partition_by) == self._layout(table, prev)
                 and not allow_schema_drift
+                and self._members_schema_consistent(table, prev)
             ):
                 # Partition-pruned rewrite: only partitions in the batch.
                 # SOUND ONLY when (a) the partition columns are part of
@@ -482,7 +497,7 @@ class ParquetWarehouse:
                     touched, src, keys, allow_schema_drift, source_unique=True
                 )
                 version = self._write_snapshot(
-                    merged_touched, table, partition_by
+                    _colocated(merged_touched), table, partition_by
                 )
                 self._link_untouched_partitions(
                     table, prev, version, partition_by
@@ -491,8 +506,32 @@ class ParquetWarehouse:
                 merged = upsert_frames(
                     target, src, keys, allow_schema_drift, source_unique=True
                 )
-                version = self._write_snapshot(merged, table, partition_by)
+                version = self._write_snapshot(
+                    _colocated(merged), table, partition_by
+                )
             self._commit(table, version)
+
+    def _members_schema_consistent(self, table: str, version: str) -> bool:
+        """True when every manifest member of a snapshot carries the
+        same column set and types. The hardlink carry-over collapses
+        member files into ONE directory, and a single-dir parquet read
+        does not name-align drifted schemas the way the manifest union
+        does (it samples one footer) — so a drift-appended history must
+        fall back to the full rewrite, which re-aligns it. One driver
+        footer read per member, members bounded by manifest_limit;
+        the overwhelmingly common single-member case is free."""
+        members = self._manifest_members(table, version)
+        if len(members) <= 1:
+            return True
+        schemas = set()
+        for m in members:
+            df = self.spark.read.parquet(
+                os.path.join(self.table_path(table), m)
+            )
+            schemas.add(
+                tuple(sorted((f.name, str(f.dataType)) for f in df.schema))
+            )
+        return len(schemas) == 1
 
     def _partition_leaf_dirs(self, base: str, depth: int) -> dict[str, str]:
         """Hive partition leaf dirs exactly ``depth`` levels under

@@ -418,3 +418,101 @@ def test_incremental_refresh_frozen_surprisal_gate(spark, tmp_path):
 
     with pytest.raises(ValueError, match="frozen_unigram"):
         refresh_corpus(spark, wh, docs.limit(5), benchmark, surprisal_max=thr)
+
+
+def test_refresh_on_legacy_one_shot_table(spark, tmp_path):
+    """A published table written by run_corpus_pipeline (split-
+    partitioned, no _shard column) must keep working under
+    refresh_corpus: the publish detects the legacy layout and merges
+    unsharded instead of crashing on a missing merge-key column
+    (round-10 review finding)."""
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        refresh_corpus,
+        run_corpus_pipeline,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    run_corpus_pipeline(spark, SF, str(tmp_path / "wh"))
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    n_before = wh.read("training_corpus").count()
+    assert "_shard" not in wh.read("training_corpus").columns
+
+    docs = load_table(spark, SF, "documents")
+    top = docs.agg(F.max("doc_id")).first()[0]
+    batch = docs.limit(200).select(
+        (F.col("doc_id") + F.lit(int(top) + 1)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    counts = refresh_corpus(spark, wh, batch, benchmark)
+    assert counts["published"] > 0
+    out = wh.read("training_corpus")
+    assert "_shard" not in out.columns  # legacy layout preserved
+    assert out.count() > n_before
+    assert out.filter(F.col("doc_id") > top).count() == counts["published"]
+
+
+def test_first_refresh_heals_pre_refresh_stream_ingested_corpus(spark, tmp_path):
+    """Docs ingested through the dedup path BEFORE any refresh (the
+    dedup_ingest_stream composition: corpus_docs populated, no
+    __processed table) must be published by the FIRST refresh — the
+    round-10 reconcile gate treats an absent __processed as 'nothing
+    processed', not 'nothing missing' (review finding: the old skip
+    plus the sync marker would have stranded them permanently)."""
+    from stock_bars_data_engineering_project_spark.operators.incremental_dedup import (
+        ingest_batch,
+    )
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        prepare_corpus,
+        refresh_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+    b1 = docs.filter(F.col("doc_id") <= half)
+    b2 = docs.filter(F.col("doc_id") > half)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    ingest_batch(spark, wh, b1)  # stream-style ingest, no refresh ran
+    c = refresh_corpus(spark, wh, b2, benchmark)
+    assert c["published"] > 0
+
+    got = wh.read("training_corpus").select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    want, _ = prepare_corpus(docs, keeper="first", benchmark=benchmark)
+    want = want.select(
+        "doc_id", "split", "n_tokens", "pack_id", F.md5("text").alias("h")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_noop_replay_churns_no_versions(spark, tmp_path):
+    """A replayed committed batch must not grow ANY state table: no new
+    __processed member, no __sync rewrite, no corpus/published version
+    (round-10 review finding: empty appends churned a version per
+    redelivery until the manifest-limit collapse paid an O(table)
+    rewrite)."""
+    from stock_bars_data_engineering_project_spark.pipeline.corpus_pipeline import (
+        refresh_corpus,
+    )
+    from stock_bars_data_engineering_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    batch = docs.limit(300)
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    refresh_corpus(spark, wh, batch, benchmark)
+    refresh_corpus(spark, wh, batch, benchmark)  # first replay
+    tables = [
+        "training_corpus", "training_corpus__processed",
+        "training_corpus__sync", "corpus_docs", "corpus_bands",
+        "corpus_bands__sync",
+    ]
+    before = {t: wh._latest_version(t) for t in tables if wh.exists(t)}
+    c = refresh_corpus(spark, wh, batch, benchmark)  # second replay
+    assert c["delta"] == 0
+    after = {t: wh._latest_version(t) for t in before}
+    assert after == before

@@ -283,3 +283,35 @@ def test_merge_pruned_rewrite_links_untouched_partitions(spark, tmp_path):
     )
     assert wh.read("t").filter("id = 2000").count() == 1
     assert wh.read("t").count() == 402
+
+
+def test_merge_on_drift_appended_history_falls_back_to_full(spark, tmp_path):
+    """A pruned merge must NOT hardlink drift-appended manifest members
+    into one directory (a single-dir parquet read samples one footer
+    and silently drops/mis-aligns the drifted column): mixed-schema
+    histories fall back to the full rewrite, which re-aligns them
+    (round-10 review finding)."""
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.createDataFrame([(i, i % 2, "a") for i in range(20)],
+                              "id long, p int, val string"),
+        "t", partition_by=("p",),
+    )
+    wh.append(
+        spark.createDataFrame([(100, 0, "b", 9.5)],
+                              "id long, p int, val string, extra double"),
+        "t", allow_schema_drift=True,
+    )
+    batch = spark.createDataFrame(
+        [(0, 0, "NEW", None), (200, 1, "NEW", 1.5)],
+        "id long, p int, val string, extra double",
+    )
+    wh.merge(batch, "t", keys=("p", "id"), partition_by=("p",))
+    out = wh.read("t")
+    assert "extra" in out.columns
+    got = {(r.id): (r.val, r.extra) for r in out.collect()}
+    assert got[100] == ("b", 9.5)      # drifted member's value survives
+    assert got[200] == ("NEW", 1.5)    # merged row carries the column
+    assert got[0] == ("NEW", None)
+    assert got[1] == ("a", None)       # untouched rows aligned, present
+    assert len(got) == 22

@@ -88,7 +88,7 @@ def _replica(docs, r: int, tag: str | None = None):
 BATCH_ID_BASE = 1000 * ID_STRIDE
 
 
-def _hot_batch(spark, docs, uniform_batch):
+def _hot_batch(spark, docs):
     """The Zipf-headed batch: half fresh documents, half one-token
     perturbations of ONE corpus-resident template (the longest base
     doc — present verbatim as replica 0 at every scale), so the hot
@@ -147,7 +147,7 @@ def main() -> None:
     batch.count()
     hot_b = None
     if hot:
-        hot_b = _hot_batch(spark, docs, batch).persist()
+        hot_b = _hot_batch(spark, docs).persist()
         hot_b.count()
 
     for s in scales:
