@@ -146,3 +146,177 @@ def semantic_dedup(
         cluster_id.alias("cluster_id"),
         (cluster_id == F.col("vec_id")).alias("keep"),
     )
+
+
+def _best_eval_match(
+    scored: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared reduce for the decontamination arms: per train vector,
+    the best (highest-cosine) eval match. Ties on the raw double break
+    to the LOWEST eval id via lexicographic struct max over
+    ``(cos, -eval_id)`` — the deterministic rule the DuckDB oracle
+    replays as ``ORDER BY cos_raw DESC, eval_id``. The max is a
+    partial-aggregable groupBy (map-side combine), so the only shuffle
+    carries one pre-reduced row per train vector per partition."""
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_cos_raw").alias("c"), (-F.col("_eid")).alias("nid")
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        (-F.col("_b.nid")).cast("long").alias("near_eval_id"),
+        round_half_up(F.col("_b.c"), 4).alias("cos"),
+        (round_half_up(F.col("_b.c"), 6) >= F.lit(threshold)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _decontam_guard(train: DataFrame, threshold: float, id_col: str) -> None:
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    taken = {"near_eval_id", "cos", "contaminated"}
+    colliding = sorted(taken & set(train.columns))
+    if colliding:
+        raise ValueError(
+            f"semantic_decontaminate: column names {colliding} are "
+            "reserved for the output; rename them on the input first"
+        )
+    if id_col in taken:
+        raise ValueError(f"id_col {id_col!r} collides with an output column")
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination, exact form: score
+    every training vector by its maximum cosine against the held-out
+    evaluation set and flag the ones at or above ``threshold``
+    (6-digit-rounded compare, 4-digit display — the shared oracle
+    discipline). The token-level twin is
+    ``contamination.contamination_overlap``; this catches paraphrased /
+    re-embedded eval leakage that shingle overlap cannot (the semantic
+    decontamination step of modern pre-training pipelines).
+
+    Returns ``(id_col, near_eval_id, cos, contaminated)`` — one row per
+    training vector (the full scored table, not just the flagged ones),
+    with ``near_eval_id`` the argmax eval vector (ties -> lowest id).
+
+    Scale shape: an eval set is SMALL by construction (benchmarks are
+    thousands of rows, not billions), so it broadcasts with hoisted
+    norms and the scan side is one map-only pass — the per-row cost is
+    |eval| dot folds, and the groupBy max partial-aggregates map-side,
+    so nothing corpus-sized shuffles. When the eval side outgrows a
+    broadcast, use :func:`semantic_decontaminate_blocked`.
+
+    An empty eval set yields an empty result (no baseline to leak
+    against), not an all-false table — callers gating a corpus on the
+    output must treat "no eval set" upstream.
+    """
+    _decontam_guard(train, threshold, id_col)
+    eid = eval_id_col or id_col
+    ev = F.broadcast(
+        eval_set.select(
+            F.col(eid).cast("long").alias("_eid"),
+            as_double(F.col(vec_col)).alias("_ev"),
+        ).withColumn("_en", norm(F.col("_ev")))
+    )
+    tr = train.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_tv")
+    ).withColumn("_tn", norm(F.col("_tv")))
+    # hoisted-norm cosine: dot / (norm_a * norm_b) — the same fold and
+    # division association as functions.vectors.cosine and the oracle's
+    # _COS_DOUBLE, so values are bit-identical across engines
+    scored = tr.crossJoin(ev).withColumn(
+        "_cos_raw",
+        dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
+    )
+    return _best_eval_match(scored, threshold, id_col)
+
+
+def semantic_decontaminate_blocked(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 8,
+    hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Blocked form of :func:`semantic_decontaminate` for eval sets too
+    large to broadcast-scan: both sides get the deterministic
+    ``n_planes``-bit hyperplane sign bucket (similarity.lsh_bucket), the
+    eval side explodes each bucket into its full hamming-``hamming``
+    ball (1 + C(n,1) + C(n,2) keys for the default radius 2 — the ball
+    lives on the SMALL side, never the corpus), and candidates meet on
+    a bucket equi-join; the exact hoisted-norm cosine verifies
+    candidates only. Output schema matches the exact form, but only
+    training vectors with >= 1 in-radius candidate appear, and
+    ``near_eval_id``/``cos`` are the argmax over CANDIDATES — the
+    documented recall trade (same as embedding_dup_pairs_blocked), which
+    the oracle replays exactly via ``bit_count(xor(bucket_a, bucket_b))
+    <= hamming``.
+
+    Scale shape: one map-only bucket pass per side, a bucket equi-join
+    (broadcast when eval fits, hash-shuffle on the bucket key when not
+    — either way no cross join), verify folds on candidates only, then
+    the same partial-aggregable max reduce.
+    """
+    from itertools import combinations
+
+    from .similarity import lsh_bucket
+
+    _decontam_guard(train, threshold, id_col)
+    if not 0 <= hamming <= 2:
+        # the ball is C(n_planes, <=hamming); past radius 2 it grows
+        # combinatorially and the caller should raise n_planes instead
+        raise ValueError(f"hamming must be in [0, 2], got {hamming}")
+    eid = eval_id_col or id_col
+
+    masks = [0]
+    if hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)
+        ]
+
+    bucket = lsh_bucket(F.col("_ev"), dim, n_planes)
+    ev = (
+        eval_set.select(
+            F.col(eid).cast("long").alias("_eid"),
+            as_double(F.col(vec_col)).alias("_ev"),
+        )
+        .withColumn("_en", norm(F.col("_ev")))
+        .withColumn("_eb", bucket)
+        .withColumn(
+            "_probe",
+            F.explode(
+                F.array(*[F.col("_eb").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    )
+    tr = (
+        train.select(F.col(id_col), as_double(F.col(vec_col)).alias("_tv"))
+        .withColumn("_tn", norm(F.col("_tv")))
+        .withColumn("_tb", lsh_bucket(F.col("_tv"), dim, n_planes))
+    )
+    scored = tr.join(
+        F.broadcast(ev), tr["_tb"] == ev["_probe"]
+    ).withColumn(
+        "_cos_raw",
+        dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
+    )
+    return _best_eval_match(scored, threshold, id_col)

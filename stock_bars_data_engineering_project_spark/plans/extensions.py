@@ -1922,6 +1922,101 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_arm.unionByName(sem_arm)
 
 
+@register(
+    "decontam_semantic",
+    oracle=f"""
+WITH tr AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+),
+ev AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+),
+exact AS (
+    SELECT tid, eid, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY cos_raw DESC, eid) AS rn
+    FROM (
+        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
+        FROM (SELECT vec_id, embedding AS va FROM tr) t
+        CROSS JOIN (SELECT vec_id, embedding AS vb FROM ev) e
+    )
+),
+blocked AS (
+    SELECT tid, eid, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY cos_raw DESC, eid) AS rn
+    FROM (
+        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
+        FROM (SELECT vec_id, embedding AS va,
+                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt FROM tr) t
+        JOIN (SELECT vec_id, embedding AS vb,
+                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt FROM ev) e
+          ON bit_count(xor(t.bkt, e.bkt)) <= 2
+    )
+)
+SELECT 'exact' AS variant, tid AS vec_id, eid AS near_eval_id,
+       {sql_round('cos_raw', 4)} AS cos,
+       {sql_round('cos_raw', 6)} >= 0.4 AS contaminated
+FROM exact WHERE rn = 1
+UNION ALL
+SELECT 'blocked' AS variant, tid AS vec_id, eid AS near_eval_id,
+       {sql_round('cos_raw', 4)} AS cos,
+       {sql_round('cos_raw', 6)} >= 0.4 AS contaminated
+FROM blocked WHERE rn = 1
+""",
+    tags=("contamination", "embedding", "semantic"),
+)
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/semantic.semantic_decontaminate), both execution
+    strategies as variant-tagged arms over the same train/eval split
+    (vec_id % 20 == 0 held out as the benchmark — the decontam_suite
+    convention):
+
+    - 'exact': the small-eval fast path — eval broadcasts as hoisted
+      (vector, norm) rows, ONE map-only scan of the train side pays
+      |eval| dot folds per row, and the per-vector argmax is a
+      partial-aggregable struct max, so nothing corpus-sized shuffles.
+      Every train vector is scored (the full table rides, not just the
+      flagged rows) with its nearest eval id, 4dp cosine, and the
+      6dp-rounded >= 0.4 contamination flag.
+    - 'blocked': the big-eval path — hyperplane-LSH sign buckets on
+      both sides, the eval side exploded into its hamming<=2 probe
+      ball (37 keys for 8 planes, on the SMALL side), candidates meet
+      on a bucket equi-join and only they pay the exact verify. Only
+      train vectors with an in-radius candidate appear; the oracle
+      replays the identical bucketing, so the blocking itself — and
+      its recall trade — is value-hashed, not just the survivors.
+
+    The token-level twin is decontam_suite's 'overlap' arm; this one
+    catches paraphrased eval leakage that shingle overlap cannot see."""
+    from ..operators.semantic import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    exact_arm = semantic_decontaminate(train, ev, threshold=0.4).select(
+        F.lit("exact").alias("variant"),
+        "vec_id",
+        "near_eval_id",
+        "cos",
+        "contaminated",
+    )
+    blocked_arm = semantic_decontaminate_blocked(
+        train, ev, threshold=0.4, dim=64, n_planes=8, hamming=2
+    ).select(
+        F.lit("blocked").alias("variant"),
+        "vec_id",
+        "near_eval_id",
+        "cos",
+        "contaminated",
+    )
+    return exact_arm.unionByName(blocked_arm)
+
+
 # ---------------------------------------------------------------------------
 # Dataset statistics / snapshot diff (training-pipeline bookkeeping)
 # ---------------------------------------------------------------------------
