@@ -1886,8 +1886,39 @@ FROM (
     )
     WHERE {sql_round('cos_raw', 6)} >= 0.4
 )
+UNION ALL
+SELECT 'decontam_exact' AS variant, tid AS id_a, eid AS id_b, cos
+FROM (
+    SELECT tid, eid, {sql_round('cos_raw', 4)} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY cos_raw DESC, eid) AS rn
+    FROM (
+        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
+        FROM (SELECT vec_id, embedding AS va FROM embeddings
+              WHERE vec_id % 20 <> 0) t
+        CROSS JOIN (SELECT vec_id, embedding AS vb FROM embeddings
+                    WHERE vec_id % 20 = 0) e
+    )
+) WHERE rn = 1
+UNION ALL
+SELECT 'decontam_blocked' AS variant, tid AS id_a, eid AS id_b, cos
+FROM (
+    SELECT tid, eid, {sql_round('cos_raw', 4)} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY cos_raw DESC, eid) AS rn
+    FROM (
+        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
+        FROM (SELECT vec_id, embedding AS va,
+                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt
+              FROM embeddings WHERE vec_id % 20 <> 0) t
+        JOIN (SELECT vec_id, embedding AS vb,
+                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt
+              FROM embeddings WHERE vec_id % 20 = 0) e
+          ON bit_count(xor(t.bkt, e.bkt)) <= 2
+    )
+) WHERE rn = 1
 """,
-    tags=("dedup", "embedding", "semdedup"),
+    tags=("dedup", "embedding", "semdedup", "contamination"),
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.4), BOTH blocking
@@ -1906,8 +1937,27 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       the cosine verify before any shuffle. The oracle replays the
       stride seed + argmin assignment + in-cell pairing, so the
       opposite recall trade (cell-boundary misses vs the LSH ring) is
-      itself value-hashed."""
-    from ..operators.semantic import semantic_dup_pairs
+      itself value-hashed.
+    - 'decontam_exact' / 'decontam_blocked' (round 10): embedding-space
+      benchmark decontamination
+      (operators/semantic.semantic_decontaminate[_blocked]) over the
+      vec_id % 20 == 0 held-out split — the asymmetric relative of the
+      dup-pair arms, catching paraphrased eval leakage that
+      decontam_suite's shingle-overlap arm cannot see. id_a = the train
+      vector, id_b = its nearest eval vector (argmax cosine, ties ->
+      lowest eval id). The exact arm broadcasts the eval set with
+      hoisted norms (one map-only scan + partial-agg struct max — every
+      train vector rides); the blocked arm meets LSH sign buckets on an
+      equi-join with the hamming<=2 probe ball exploded on the SMALL
+      side, so only in-radius candidates appear and the oracle replays
+      the bucketing itself. The 6dp-rounded contamination flag is
+      pytest-pinned (tests/test_semantic.py); the driver row hashes the
+      full scored assignment."""
+    from ..operators.semantic import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+        semantic_dup_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     lsh_arm = embedding_dup_pairs_blocked(emb, dim=64, n_planes=8).select(
@@ -1919,102 +1969,27 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("id_b"),
         "cos",
     )
-    return lsh_arm.unionByName(sem_arm)
-
-
-@register(
-    "decontam_semantic",
-    oracle=f"""
-WITH tr AS (
-    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
-),
-ev AS (
-    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
-),
-exact AS (
-    SELECT tid, eid, cos_raw,
-           ROW_NUMBER() OVER (PARTITION BY tid
-                              ORDER BY cos_raw DESC, eid) AS rn
-    FROM (
-        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
-        FROM (SELECT vec_id, embedding AS va FROM tr) t
-        CROSS JOIN (SELECT vec_id, embedding AS vb FROM ev) e
-    )
-),
-blocked AS (
-    SELECT tid, eid, cos_raw,
-           ROW_NUMBER() OVER (PARTITION BY tid
-                              ORDER BY cos_raw DESC, eid) AS rn
-    FROM (
-        SELECT t.vec_id AS tid, e.vec_id AS eid, {_COS_DOUBLE} AS cos_raw
-        FROM (SELECT vec_id, embedding AS va,
-                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt FROM tr) t
-        JOIN (SELECT vec_id, embedding AS vb,
-                     {_lsh_bucket_sql('embedding', 64, 8)} AS bkt FROM ev) e
-          ON bit_count(xor(t.bkt, e.bkt)) <= 2
-    )
-)
-SELECT 'exact' AS variant, tid AS vec_id, eid AS near_eval_id,
-       {sql_round('cos_raw', 4)} AS cos,
-       {sql_round('cos_raw', 6)} >= 0.4 AS contaminated
-FROM exact WHERE rn = 1
-UNION ALL
-SELECT 'blocked' AS variant, tid AS vec_id, eid AS near_eval_id,
-       {sql_round('cos_raw', 4)} AS cos,
-       {sql_round('cos_raw', 6)} >= 0.4 AS contaminated
-FROM blocked WHERE rn = 1
-""",
-    tags=("contamination", "embedding", "semantic"),
-)
-def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space benchmark decontamination
-    (operators/semantic.semantic_decontaminate), both execution
-    strategies as variant-tagged arms over the same train/eval split
-    (vec_id % 20 == 0 held out as the benchmark — the decontam_suite
-    convention):
-
-    - 'exact': the small-eval fast path — eval broadcasts as hoisted
-      (vector, norm) rows, ONE map-only scan of the train side pays
-      |eval| dot folds per row, and the per-vector argmax is a
-      partial-aggregable struct max, so nothing corpus-sized shuffles.
-      Every train vector is scored (the full table rides, not just the
-      flagged rows) with its nearest eval id, 4dp cosine, and the
-      6dp-rounded >= 0.4 contamination flag.
-    - 'blocked': the big-eval path — hyperplane-LSH sign buckets on
-      both sides, the eval side exploded into its hamming<=2 probe
-      ball (37 keys for 8 planes, on the SMALL side), candidates meet
-      on a bucket equi-join and only they pay the exact verify. Only
-      train vectors with an in-radius candidate appear; the oracle
-      replays the identical bucketing, so the blocking itself — and
-      its recall trade — is value-hashed, not just the survivors.
-
-    The token-level twin is decontam_suite's 'overlap' arm; this one
-    catches paraphrased eval leakage that shingle overlap cannot see."""
-    from ..operators.semantic import (
-        semantic_decontaminate,
-        semantic_decontaminate_blocked,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") % 20 != 0)
     ev = emb.filter(F.col("vec_id") % 20 == 0)
-    exact_arm = semantic_decontaminate(train, ev, threshold=0.4).select(
-        F.lit("exact").alias("variant"),
-        "vec_id",
-        "near_eval_id",
+    dex_arm = semantic_decontaminate(train, ev, threshold=0.4).select(
+        F.lit("decontam_exact").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("near_eval_id").alias("id_b"),
         "cos",
-        "contaminated",
     )
-    blocked_arm = semantic_decontaminate_blocked(
+    dbl_arm = semantic_decontaminate_blocked(
         train, ev, threshold=0.4, dim=64, n_planes=8, hamming=2
     ).select(
-        F.lit("blocked").alias("variant"),
-        "vec_id",
-        "near_eval_id",
+        F.lit("decontam_blocked").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.col("near_eval_id").alias("id_b"),
         "cos",
-        "contaminated",
     )
-    return exact_arm.unionByName(blocked_arm)
+    return (
+        lsh_arm.unionByName(sem_arm)
+        .unionByName(dex_arm)
+        .unionByName(dbl_arm)
+    )
 
 
 # ---------------------------------------------------------------------------

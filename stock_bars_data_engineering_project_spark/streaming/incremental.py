@@ -427,3 +427,49 @@ def index_delete_stream(
         delete_fn(wh, batch, table=target)
 
     return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)
+
+
+def decontam_gate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    wh: ParquetWarehouse,
+    eval_set: DataFrame,
+    checkpoint_dir: str,
+    scores_table: str = "decontam_scores",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming embedding-decontamination gate: every arriving
+    micro-batch of vectors is scored against a FROZEN eval set
+    (operators/semantic.semantic_decontaminate — broadcast eval,
+    map-only scan, partial-agg argmax) and the scored rows
+    ``(id, near_eval_id, cos, contaminated)`` merge into
+    ``scores_table`` keyed on the id. The eval set is captured once at
+    stream start — the decontamination baseline must not drift
+    mid-stream (the corpus_refresh_stream frozen-benchmark stance).
+
+    Exactly-once composition: at-least-once micro-batches from the
+    offset checkpoint, and the per-batch apply is replay-idempotent —
+    the score is a deterministic function of (vector, frozen eval set),
+    so a replayed batch merges byte-identical rows onto the same keys
+    (no-op). Batch-split invariance holds trivially: rows are scored
+    independently, so ANY micro-batching of the same files produces the
+    same scores table — pinned as stream ≡ batch in
+    ``tests/test_streaming_index_ingest.py``.
+    """
+    from ..operators.semantic import semantic_decontaminate
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        scored = semantic_decontaminate(
+            batch,
+            eval_set,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        wh.merge(scored, scores_table, keys=(id_col,))
+
+    return _drain(spark, src_dir, schema, _apply, checkpoint_dir, available_now)

@@ -798,3 +798,61 @@ def test_weighted_sample_k_matches_python_replay(spark, rows):
         ordered = sorted(members, key=lambda t: (-key(*t), t[0]))[:4]
         want.extend((src, rank + 1, i) for rank, (i, _) in enumerate(ordered))
     assert got == sorted(want)
+
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False).map(
+            lambda x: x or 0.25  # no all-zero vectors (no direction)
+        ),
+        min_size=8, max_size=8,
+    ),
+    min_size=3, max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vecs, _vecs, st.integers(0, 2))
+def test_semantic_decontam_blocked_subset_law(spark, train_vs, eval_vs, ham):
+    """On ANY vector sets: the blocked arm's rows are a subset of the
+    exact arm's ids, each blocked cosine <= the exact max (it argmaxes
+    over a candidate subset), and at hamming radius = n_planes the ball
+    is total so blocked must equal exact... radius is capped at 2, so
+    instead pin the exactness law on the EXACT arm: its (cos, argmax)
+    equals a Python replay."""
+    import math
+
+    from stock_bars_data_engineering_project_spark.operators.semantic import (
+        semantic_decontaminate,
+        semantic_decontaminate_blocked,
+    )
+
+    train = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(train_vs)], "vec_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(eval_vs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {r.vec_id: r for r in semantic_decontaminate(train, ev, 0.5).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for i, tv in enumerate(train_vs):
+        best = sorted(
+            ((cos(tv, evv), 100 + j) for j, evv in enumerate(eval_vs)),
+            key=lambda p: (-p[0], p[1]),
+        )[0]
+        r = exact[i]
+        assert r.near_eval_id == best[1]
+        assert abs(r.cos - round(best[0], 4)) <= 1e-9
+
+    blocked = semantic_decontaminate_blocked(
+        train, ev, threshold=0.5, dim=8, n_planes=6, hamming=ham
+    ).collect()
+    for r in blocked:
+        assert r.vec_id in exact
+        assert r.cos <= exact[r.vec_id].cos + 1e-9

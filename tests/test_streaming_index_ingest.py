@@ -317,3 +317,40 @@ def test_index_lifecycle_end_to_end(spark, docs, tmp_path):
     assert not wh.exists("bm__deleted")
     assert res["rebuilt"] is True and wh.exists("bm__postings_g1")
     assert _hits(bm25_query(wh, queries, table="bm", k=10)) == want
+
+
+def test_decontam_gate_stream_matches_batch_path(spark, emb, tmp_path):
+    """Two embedding file waves drained through decontam_gate_stream
+    land the same scores table as one batch semantic_decontaminate over
+    the union, and a replay run with the drained checkpoint changes
+    nothing (the scores are deterministic in the frozen eval set)."""
+    from stock_bars_data_engineering_project_spark.operators.semantic import (
+        semantic_decontaminate,
+    )
+    from stock_bars_data_engineering_project_spark.streaming.incremental import (
+        decontam_gate_stream,
+    )
+
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    wave1 = train.filter(F.col("vec_id") % 2 == 0)
+    wave2 = train.filter(F.col("vec_id") % 2 == 1)
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1.write.mode("append").parquet(src)
+    decontam_gate_stream(spark, src, train.schema, wh, ev, ckpt)
+    wave2.write.mode("append").parquet(src)
+    decontam_gate_stream(spark, src, train.schema, wh, ev, ckpt)
+
+    got = _rows(wh.read("decontam_scores"))
+    want = _rows(semantic_decontaminate(train, ev))
+    assert got == want
+
+    # replay: a fresh drain over the same checkpoint commits nothing new
+    before = wh.versions("decontam_scores")
+    decontam_gate_stream(spark, src, train.schema, wh, ev, ckpt)
+    assert _rows(wh.read("decontam_scores")) == want
+    assert wh.versions("decontam_scores") == before
