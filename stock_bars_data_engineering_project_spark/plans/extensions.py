@@ -535,8 +535,31 @@ FROM (
     FROM nconv
     WHERE nconv.n > (SELECT COUNT(*) FROM first_pick WHERE rn = 1)
 )
+UNION ALL
+SELECT 'sessions' AS variant, user_id, n_events, seq
+FROM (
+    WITH so AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id)
+                            > 43200000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+    ), sl AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM so
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(sid AS VARCHAR) || '@' ||
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS VARCHAR) || '@' ||
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM sl GROUP BY user_id, sid
+)
 """,
-    tags=("sequence", "agg", "funnel"),
+    tags=("sequence", "agg", "funnel", "sessions"),
 )
 def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered per-entity history construction (the behavioral-sequence
@@ -641,6 +664,30 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     attribution_arm = _attr("last").unionByName(_attr("first"))
+
+    # 'sessions' (round 10, operators/sessionize.py): gap-based
+    # sessionization at a 12-hour inactivity timeout (the events table's
+    # median inter-event gap is ~7 h, so the timeout genuinely splits) —
+    # one row per (user, session) carrying the count and a
+    # sid@duration@chain label, so the session BOUNDARIES, the ordered
+    # in-session sequence, and the duration are all value-hashed. The
+    # streaming twin (native session_window + watermark) is pinned
+    # stream ≡ batch in tests/test_sessionize.py.
+    from ..operators.sessionize import session_stats
+
+    sessions_arm = session_stats(ev, gap_minutes=720).select(
+        F.lit("sessions").alias("variant"),
+        "user_id",
+        "n_events",
+        F.concat(
+            F.col("session_id").cast("string"),
+            F.lit("@"),
+            F.col("duration_us").cast("string"),
+            F.lit("@"),
+            F.col("seq"),
+        ).alias("seq"),
+    )
+
     ttc = time_to_convert(ev, ("view", "click", "purchase"))
     ttc_arm = ttc.select(
         F.lit("ttc").alias("variant"),
@@ -734,6 +781,7 @@ def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(windowed_arm)
         .unionByName(stream_arm)
         .unionByName(attribution_arm)
+        .unionByName(sessions_arm)
         .unionByName(ttc_arm)
     )
 
