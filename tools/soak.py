@@ -114,6 +114,11 @@ from stock_bars_data_engineering_project_spark.operators.graph import pagerank  
 from stock_bars_data_engineering_project_spark.operators.trigram import (  # noqa: E402
     substring_search,
 )
+from stock_bars_data_engineering_project_spark.operators.semantic import (  # noqa: E402
+    semantic_decontaminate,
+    semantic_decontaminate_blocked,
+)
+from stock_bars_data_engineering_project_spark.operators.sessionize import session_stats  # noqa: E402
 from stock_bars_data_engineering_project_spark.operators.skew import salted_topk  # noqa: E402
 from stock_bars_data_engineering_project_spark.streaming.joins import interval_join  # noqa: E402
 from stock_bars_data_engineering_project_spark.session import get_spark  # noqa: E402
@@ -607,6 +612,31 @@ def run(
         # linear — the curve should track minhash_lsh plus a
         # graph-sized constant per round
         "pagerank": lambda: pagerank(minhash_lsh_pairs(docs)),
+        # embedding decontamination, exact arm: FIXED 100-vector eval
+        # set (replica ids are offset, so vec_id < 100 stays the base
+        # replica's rows at every scale — benchmarks do not grow with
+        # the corpus) broadcast against the linearly growing train side
+        # — the curve should track the single map-only scan (|eval|
+        # dot folds per row) plus the train-sized partial-agg max
+        "decontam_exact": lambda: semantic_decontaminate(
+            emb.filter(F.col("vec_id") >= 100),
+            emb.filter(F.col("vec_id") < 100),
+        ),
+        # blocked arm: the big-eval path exercised with the same fixed
+        # eval set; plane count grows with the corpus (the
+        # embedding_blocked occupancy policy) so candidate volume stays
+        # a bounded fraction — the curve should track the two bucket
+        # passes (corpus-side map-only) plus candidate verify
+        "decontam_blocked": lambda: semantic_decontaminate_blocked(
+            emb.filter(F.col("vec_id") >= 100),
+            emb.filter(F.col("vec_id") < 100),
+            n_planes=8 + 2 * max(0, scale.bit_length() - 1),
+        ),
+        # gap-based sessionization stats: replica id offsets grow users
+        # linearly at constant per-user history, so the user-hash
+        # exchange and per-partition sorts grow linearly; the ordered
+        # chain rides the same sort the labeling pays
+        "sessionize_stats": lambda: session_stats(events, gap_minutes=720),
     }
     measured = {
         n: f for n, f in ops.items() if ops_filter is None or n in ops_filter
