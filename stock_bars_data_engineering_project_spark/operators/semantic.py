@@ -177,7 +177,10 @@ def _best_eval_match(
     )
 
 
-def _decontam_guard(train: DataFrame, threshold: float, id_col: str) -> None:
+def _decontam_guard(
+    train: DataFrame, eval_set: DataFrame, threshold: float,
+    id_col: str, eval_id_col: str,
+) -> None:
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     taken = {"near_eval_id", "cos", "contaminated"}
@@ -189,6 +192,18 @@ def _decontam_guard(train: DataFrame, threshold: float, id_col: str) -> None:
         )
     if id_col in taken:
         raise ValueError(f"id_col {id_col!r} collides with an output column")
+    # the argmax tie-break negates the eval id, so it must be numeric —
+    # a string id would silently cast to NULL and corrupt near_eval_id
+    from pyspark.sql import types as T
+
+    dt = eval_set.schema[eval_id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"semantic_decontaminate: eval id column {eval_id_col!r} must "
+            f"be an integer type (got {dt.simpleString()}) — the argmax "
+            "tie-break orders on its negation; map string ids to a "
+            "surrogate long first"
+        )
 
 
 def semantic_decontaminate(
@@ -223,8 +238,8 @@ def semantic_decontaminate(
     against), not an all-false table — callers gating a corpus on the
     output must treat "no eval set" upstream.
     """
-    _decontam_guard(train, threshold, id_col)
     eid = eval_id_col or id_col
+    _decontam_guard(train, eval_set, threshold, id_col, eid)
     ev = F.broadcast(
         eval_set.select(
             F.col(eid).cast("long").alias("_eid"),
@@ -278,12 +293,12 @@ def semantic_decontaminate_blocked(
 
     from .similarity import lsh_bucket
 
-    _decontam_guard(train, threshold, id_col)
+    eid = eval_id_col or id_col
+    _decontam_guard(train, eval_set, threshold, id_col, eid)
     if not 0 <= hamming <= 2:
         # the ball is C(n_planes, <=hamming); past radius 2 it grows
         # combinatorially and the caller should raise n_planes instead
         raise ValueError(f"hamming must be in [0, 2], got {hamming}")
-    eid = eval_id_col or id_col
 
     masks = [0]
     if hamming >= 1:
