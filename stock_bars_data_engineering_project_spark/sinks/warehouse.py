@@ -52,6 +52,85 @@ from pyspark.sql import functions as F
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST"
 _LAYOUT = "_LAYOUT"
+_STATS = "_STATS"
+
+
+def _local_path(p: str) -> str:
+    """Local filesystem path of a ``_metadata.file_path`` value, which
+    Spark reports as a file: URI (``file:///...`` or ``file:/...``)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
+def _file_bloom(
+    rows: DataFrame, col: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """(file_path, {col}__bloom) — per-file bloom word arrays on the
+    md5_bucket48 hash family with the ``bloom{i}`` salts, so the
+    driver-side probe (:func:`_py_bloom_positions`) recomputes the
+    exact same positions. NULL values contribute nothing (equality
+    never matches NULL)."""
+    from ..functions.hashing import md5_bucket48
+
+    n_words = m_bits // 32
+    pos = F.explode(
+        F.array(
+            *[
+                md5_bucket48(F.col(col), m_bits, salt=f"bloom{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        rows.filter(F.col(col).isNotNull())
+        .select("file_path", pos)
+        .select(
+            "file_path",
+            (F.col("pos") / 32).cast("int").alias("w"),
+            F.pow(F.lit(2.0), F.col("pos") % 32).cast("long").alias("b"),
+        )
+        .groupBy("file_path", "w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    assemble = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_wmap"), i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return (
+        words.groupBy("file_path")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("_wmap")
+        )
+        .select("file_path", assemble.alias(f"{col}__bloom"))
+    )
+
+
+def _py_bloom_positions(value, m_bits: int, n_hashes: int) -> list[int]:
+    """Driver-side twin of the md5_bucket48 bloom positions. The value
+    is stringified the way Spark's string cast renders it — exact for
+    strings and integers (the sane equality-skipping key types; float
+    equality pruning is a bug farm and deliberately unsupported)."""
+    import hashlib as _hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (str, int)):
+        raise ValueError(
+            f"equality skipping supports string/integer values, got "
+            f"{type(value).__name__}"
+        )
+    return [
+        int(
+            _hashlib.md5(f"bloom{i}:{value}".encode()).hexdigest()[:12], 16
+        )
+        % m_bits
+        for i in range(n_hashes)
+    ]
 
 
 @dataclass
@@ -327,6 +406,7 @@ class ParquetWarehouse:
         partition_by: tuple[str, ...] | None = None,
         cluster_by: tuple[str, ...] = (),
         zorder_by: tuple[str, ...] = (),
+        zorder_scaler: str = "minmax",
         n_files: int | None = None,
     ) -> None:
         """K2: drop-and-replace (postgresql.py:75-77) as a snapshot flip.
@@ -348,13 +428,17 @@ class ParquetWarehouse:
         interleaving of 2-3 columns instead: each file covers a small
         hyper-rectangle of the key space, so min/max skipping works for
         predicates on ANY of the z-dimensions (functions/zorder.py).
+        ``zorder_scaler="quantile"`` swaps the min/max grid for
+        equal-mass approx-quantile cells — the layout that keeps
+        skipping effective under value skew (Zipf heads, outlier
+        tails).
         """
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
         if zorder_by:
             from ..functions.zorder import with_zorder_key
 
-            df = with_zorder_key(df, zorder_by)
+            df = with_zorder_key(df, zorder_by, scaler=zorder_scaler)
             args = ([n_files] if n_files else []) + [F.col("_zorder")]
             df = (
                 df.repartitionByRange(*args)
@@ -641,6 +725,301 @@ class ParquetWarehouse:
             f.write("\n".join(os.path.abspath(p) for p in files) + "\n")
         os.replace(tmp, out)
         return out
+
+    # -- file-level data skipping (Delta stats / Iceberg manifest idiom) ----
+
+    def file_stats(
+        self,
+        table: str,
+        cols: list[str],
+        version: str | None = None,
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 4,
+    ) -> DataFrame:
+        """Per-data-file column statistics (row count, min, max,
+        non-null count) for a snapshot — the metadata Delta keeps in
+        its transaction log and Iceberg in manifest files, so the
+        PLANNER can drop files from the read set without opening a
+        single parquet footer. Computed as ONE distributed scan per
+        manifest member grouped on the ``_metadata.file_path`` hidden
+        column, column-pruned to the requested stat columns.
+
+        Drift-appended members that lack a requested column contribute
+        NULL min/max for it (union alignment) — exactly right for
+        skipping, because a range predicate can never match NULL.
+        Hive partition columns are fair stat targets too (Spark
+        synthesizes them from the directory, so min==max per file).
+
+        ``bloom_cols`` additionally builds a PER-FILE bloom bitmap
+        (``{c}__bloom``: array<long> of ``bloom_bits/32`` words, the
+        operators/bloom.py word layout on the same md5_bucket48 hash
+        family) — what min/max cannot give you: pruning for an
+        EQUALITY predicate on a high-cardinality column in an
+        unclustered layout, where every file's [min, max] spans the
+        whole domain. The parquet-bloom-filter idea lifted to the
+        planner's metadata, so membership is testable without opening
+        a footer. One partial-aggregable pass per bloom column
+        (explode k positions -> per-(file, word) bit_or -> word-array
+        assembly), all bounded by files x bloom_bits/32.
+        """
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        if bloom_bits <= 0 or bloom_bits % 32 != 0:
+            raise ValueError(f"bloom_bits must be a positive multiple of 32")
+        want = list(dict.fromkeys([*cols, *bloom_cols]))
+        parts = []
+        seen: set[str] = set()
+        for m in self._manifest_members(table, v):
+            df = self.spark.read.parquet(os.path.join(self.table_path(table), m))
+            present = [c for c in want if c in df.columns]
+            seen.update(present)
+            parts.append(
+                df.select(
+                    F.col("_metadata.file_path").alias("file_path"), *present
+                )
+            )
+        missing = [c for c in want if c not in seen]
+        if missing:
+            raise ValueError(
+                f"file_stats({table!r}): no snapshot member has column(s) "
+                f"{missing}"
+            )
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p, allowMissingColumns=True)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.count(c).alias(f"{c}__nonnull"),
+            ]
+        out = rows.groupBy("file_path").agg(*aggs)
+        for c in bloom_cols:
+            out = out.join(
+                _file_bloom(rows, c, bloom_bits, bloom_hashes),
+                "file_path",
+                "left",
+            ).withColumn(
+                f"{c}__bloom",
+                # a file with zero non-NULL values gets the empty bitmap
+                # (all zeros) — correctly skippable for any equality
+                F.coalesce(
+                    F.col(f"{c}__bloom"),
+                    F.array_repeat(F.lit(0).cast("long"), bloom_bits // 32),
+                ),
+            ).withColumn(
+                f"{c}__bloom_m", F.lit(bloom_bits)
+            ).withColumn(f"{c}__bloom_k", F.lit(bloom_hashes))
+        return out
+
+    def write_stats(
+        self,
+        table: str,
+        cols: list[str],
+        version: str | None = None,
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 4,
+    ) -> str:
+        """Materialize :meth:`file_stats` as ONE immutable parquet file
+        (``_STATS``) next to the snapshot it describes, so subsequent
+        :meth:`skip_files` calls are pure O(files) metadata reads with
+        no data scan at all — the stats-collection half of Delta's
+        ``OPTIMIZE``/checkpoint loop. Immutable because snapshot
+        members are: a version's file set never changes, so its stats
+        never go stale. Returns the manifest path."""
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        vdir = os.path.join(self.table_path(table), v)
+        tmp = os.path.join(vdir, f"._stats_tmp_{os.getpid()}")
+        # Spark writes the tmp dir (type-exact for timestamps/decimals,
+        # unlike a pandas round-trip); the single part file is then
+        # atomically renamed to _STATS. Underscore-prefixed, so data
+        # listings (Spark's and data_files') never mistake it for data.
+        self.file_stats(
+            table,
+            cols,
+            v,
+            bloom_cols=bloom_cols,
+            bloom_bits=bloom_bits,
+            bloom_hashes=bloom_hashes,
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(vdir, _STATS)
+        os.replace(os.path.join(tmp, part), dest)
+        shutil.rmtree(tmp)
+        return dest
+
+    def skip_files(
+        self,
+        table: str,
+        ranges: dict[str, tuple] | None = None,
+        version: str | None = None,
+        equals: dict[str, object] | None = None,
+    ) -> list[str]:
+        """File-skipping plan: the data files of a snapshot whose
+        [min, max] stats intersect EVERY predicate range in ``ranges``
+        (``{col: (lo, hi)}``, closed intervals, ``None`` = unbounded on
+        that side). Uses the persisted ``_STATS`` manifest when it
+        covers the predicate columns (pure metadata read), else
+        computes stats live. Driver-side O(files) — this IS the
+        planner's job, the same loop Delta/Iceberg run over their
+        logs. All-NULL files are skipped: a range predicate never
+        matches NULL. Skipping is a pure file-set reduction — callers
+        must still apply the predicate to the surviving rows (stats
+        prune files, never rows), which :meth:`read_skipped` does.
+
+        ``equals`` (``{col: value}``, string/integer values) prunes by
+        min/max AND — when the stats carry a ``{col}__bloom`` bitmap —
+        by per-file bloom membership: the pruning that works for an
+        equality on a high-cardinality column in an UNCLUSTERED layout,
+        where [min, max] never excludes anything. False positives keep
+        a file (bloom semantics); the residual filter owns row truth."""
+        ranges = ranges or {}
+        equals = equals or {}
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        if not ranges and not equals:
+            raise ValueError(
+                f"skip_files({table!r}): no predicate — pass ranges and/or "
+                "equals (an unpredicated read is just read())"
+            )
+        overlap = set(ranges) & set(equals)
+        if overlap:
+            raise ValueError(
+                f"skip_files({table!r}): column(s) {sorted(overlap)} in both "
+                "ranges and equals — express each predicate once"
+            )
+        for c, (lo, hi) in ranges.items():
+            if lo is None and hi is None:
+                raise ValueError(
+                    f"skip_files({table!r}): range for {c!r} is unbounded on "
+                    "both sides — drop the column from the predicate instead"
+                )
+        for c, val in equals.items():
+            if val is None:
+                raise ValueError(
+                    f"skip_files({table!r}): equals on {c!r} is NULL — "
+                    "equality never matches NULL, the result is empty"
+                )
+            if isinstance(val, bool) or not isinstance(val, (str, int)):
+                raise ValueError(
+                    f"skip_files({table!r}): equals on {c!r} must be a "
+                    f"string/integer value, got {type(val).__name__} — "
+                    "float equality pruning is deliberately unsupported"
+                )
+        cols = [*ranges, *equals]
+        stats_path = os.path.join(self.table_path(table), v, _STATS)
+        rows = None
+        if os.path.exists(stats_path):
+            # driver-side pyarrow read: the persisted plan input is pure
+            # metadata, so planning runs ZERO Spark jobs (also: Spark's
+            # file source ignores underscore-prefixed paths by design).
+            # Column-pruned to the predicate's stats — a range-only plan
+            # must not materialize other columns' bloom word arrays
+            # (measured: 512 files x 2048-word blooms made to_pylist the
+            # whole planning cost)
+            import pyarrow.parquet as pq
+
+            names = set(pq.read_schema(stats_path).names)
+            if all(f"{c}__min" in names for c in cols):
+                want = ["file_path"]
+                for c in cols:
+                    want += [f"{c}__min", f"{c}__max"]
+                for c in equals:
+                    trio = [f"{c}__bloom", f"{c}__bloom_m", f"{c}__bloom_k"]
+                    if all(t in names for t in trio):
+                        want += trio
+                rows = pq.read_table(stats_path, columns=want).to_pylist()
+        if rows is None:
+            rows = [
+                r.asDict()
+                for r in self.file_stats(
+                    table, cols, v, bloom_cols=tuple(equals)
+                ).collect()
+            ]
+        out = []
+        for r in rows:  # O(files) metadata rows
+            keep = True
+            for c, (lo, hi) in ranges.items():
+                mn, mx = r[f"{c}__min"], r[f"{c}__max"]
+                if (
+                    mn is None
+                    or (lo is not None and mx < lo)
+                    or (hi is not None and mn > hi)
+                ):
+                    keep = False
+                    break
+            if keep:
+                for c, val in equals.items():
+                    mn, mx = r[f"{c}__min"], r[f"{c}__max"]
+                    if mn is None or mn > val or mx < val:
+                        keep = False
+                        break
+                    words = r.get(f"{c}__bloom")
+                    if words is not None:
+                        m, k = r[f"{c}__bloom_m"], r[f"{c}__bloom_k"]
+                        if any(
+                            not (int(words[p // 32]) >> (p % 32)) & 1
+                            for p in _py_bloom_positions(val, m, k)
+                        ):
+                            keep = False
+                            break
+            if keep:
+                out.append(_local_path(r["file_path"]))
+        return sorted(out)
+
+    def read_skipped(
+        self,
+        table: str,
+        ranges: dict[str, tuple] | None = None,
+        version: str | None = None,
+        equals: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read: :meth:`skip_files` drops files whose
+        stats cannot satisfy the ranges, the survivors are read with
+        each manifest member's own ``basePath`` (so hive partition
+        columns survive a file-list read), and the range predicate is
+        re-applied as a residual filter — correctness never depends on
+        the stats, they only shrink I/O. On a ``cluster_by``/
+        ``zorder_by`` layout this is the end-to-end data-skipping
+        path: a selective range touches a handful of files out of
+        thousands before Spark plans a single task."""
+        ranges = ranges or {}
+        equals = equals or {}
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        pred = None
+        for c, (lo, hi) in ranges.items():
+            for bound, op in ((lo, "ge"), (hi, "le")):
+                if bound is None:
+                    continue
+                e = F.col(c) >= F.lit(bound) if op == "ge" else F.col(c) <= F.lit(bound)
+                pred = e if pred is None else pred & e
+        for c, val in equals.items():
+            e = F.col(c) == F.lit(val)
+            pred = e if pred is None else pred & e
+        files = set(self.skip_files(table, ranges, v, equals=equals))
+        if not files:
+            return self.read(table, v).where(pred).limit(0)
+        parts = []
+        for m in self._manifest_members(table, v):
+            base = os.path.abspath(os.path.join(self.table_path(table), m))
+            mine = [f for f in sorted(files) if f.startswith(base + os.sep)]
+            if mine:
+                parts.append(
+                    self.spark.read.option("basePath", base).parquet(*mine)
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out.where(pred)
 
     def compact(
         self,

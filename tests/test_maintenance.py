@@ -315,3 +315,201 @@ def test_merge_on_drift_appended_history_falls_back_to_full(spark, tmp_path):
     assert got[0] == ("NEW", None)
     assert got[1] == ("a", None)       # untouched rows aligned, present
     assert len(got) == 22
+
+
+# -- file-level data skipping (stats manifest + pruned reads) ---------------
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_read_skipped_equals_filtered_read_unclustered(spark, tmp_path):
+    # correctness never depends on stats: unclustered layout (every file
+    # spans the whole value range) must return exactly the filtered read
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 4000).withColumn(
+        "v", (F.col("id") * 2654435761 % 1000).cast("long")
+    )
+    wh.overwrite(df.repartition(8), "t")
+    ranges = {"v": (100, 299), "id": (None, 3500)}
+    expect = wh.read("t").where((F.col("v").between(100, 299)) & (F.col("id") <= 3500))
+    got = wh.read_skipped("t", ranges)
+    assert _sorted_rows(got) == _sorted_rows(expect)
+
+
+def test_read_skipped_prunes_clustered_files(spark, tmp_path):
+    # cluster_by gives disjoint per-file ranges -> a selective range
+    # predicate must drop most files at PLAN time (the 100 TB lever)
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 8000).withColumn("v", F.col("id") % 800)
+    wh.overwrite(df, "t", cluster_by=("v",), n_files=8)
+    assert len(wh.data_files("t")) == 8
+    survivors = wh.skip_files("t", {"v": (100, 199)})
+    # ~1/8th of the key space; sampled range boundaries can straddle an
+    # extra file run to run
+    assert 1 <= len(survivors) <= 3
+    got = wh.read_skipped("t", {"v": (100, 199)})
+    expect = wh.read("t").where(F.col("v").between(100, 199))
+    assert _sorted_rows(got) == _sorted_rows(expect)
+
+
+def test_read_skipped_zorder_prunes_on_second_dimension(spark, tmp_path):
+    # the z-order promise: skipping bites on a NON-leading dimension too
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    wh.overwrite(df, "t", zorder_by=("x", "y"), n_files=16)
+    n = len(wh.data_files("t"))
+    survivors = wh.skip_files("t", {"y": (0, 15)})
+    assert len(survivors) < n  # second dimension still prunes
+    got = wh.read_skipped("t", {"y": (0, 15)})
+    expect = wh.read("t").where(F.col("y").between(0, 15))
+    assert _sorted_rows(got) == _sorted_rows(expect)
+
+
+def test_skip_files_uses_persisted_stats_and_skips_all_null_member(spark, tmp_path):
+    # manifest-chain table where one member is all-NULL in the stat
+    # column: a range predicate can never match NULL, so the planner
+    # must drop that member's files entirely; _STATS makes the plan a
+    # pure metadata read (pinned by stats-file existence + mtime)
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.append(spark.range(0, 100).withColumn("v", F.col("id") % 10), "t")
+    wh.append(
+        spark.range(100, 200).withColumn("v", F.lit(None).cast("long")), "t"
+    )
+    stats_path = wh.write_stats("t", ["v"])
+    assert os.path.basename(stats_path) == "_STATS"
+    mtime = os.path.getmtime(stats_path)
+    survivors = wh.skip_files("t", {"v": (0, 9)})
+    assert len(survivors) >= 1
+    assert all("v000001" in f for f in survivors)  # null member dropped
+    got = wh.read_skipped("t", {"v": (3, 5)})
+    expect = wh.read("t").where(F.col("v").between(3, 5))
+    assert _sorted_rows(got) == _sorted_rows(expect)
+    assert os.path.getmtime(stats_path) == mtime  # reused, not rewritten
+
+
+def test_read_skipped_partitioned_members_keep_partition_columns(spark, tmp_path):
+    # survivors are read per-member with basePath so hive partition
+    # columns survive a file-list read; drift-appended members align
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 1000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    wh.append(df, "t", partition_by=("bucket",))
+    wh.append(
+        df.withColumn("id", F.col("id") + 1000).withColumn("extra", F.lit("x")),
+        "t",
+        allow_schema_drift=True,
+    )
+    got = wh.read_skipped("t", {"bucket": (1, 2)})
+    assert set(got.columns) == {"id", "bucket", "extra"}
+    expect = wh.read("t").where(F.col("bucket").between(1, 2))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    # partition-column stats prune: bucket=0/bucket=3 dirs never read
+    survivors = wh.skip_files("t", {"bucket": (1, 2)})
+    assert survivors and all(
+        "bucket=1" in f or "bucket=2" in f for f in survivors
+    )
+
+
+def test_read_skipped_empty_survivor_set_keeps_schema(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 100).withColumn("v", F.col("id") % 10), "t")
+    got = wh.read_skipped("t", {"v": (1000, 2000)})
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v"}
+
+
+def test_skip_files_rejects_doubly_unbounded_range(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 10), "t")
+    try:
+        wh.skip_files("t", {"id": (None, None)})
+        raise AssertionError("doubly-unbounded range must refuse")
+    except ValueError as e:
+        assert "unbounded" in str(e)
+
+
+def test_file_stats_missing_column_refuses_loudly(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 10), "t")
+    try:
+        wh.file_stats("t", ["nope"])
+        raise AssertionError("unknown stat column must refuse")
+    except ValueError as e:
+        assert "nope" in str(e)
+
+
+def test_equality_bloom_skips_unclustered_files(spark, tmp_path):
+    # high-cardinality string equality on an UNCLUSTERED layout: every
+    # file's [min, max] spans the domain (hash-partitioned tokens), so
+    # min/max prunes nothing — the per-file bloom does the work
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 3200).select(
+        F.col("id"), F.concat(F.lit("tok"), F.col("id")).alias("val")
+    )
+    wh.overwrite(df.repartition(8, "val"), "t")
+    assert len(wh.data_files("t")) == 8
+    wh.write_stats("t", ["val"], bloom_cols=("val",), bloom_bits=32768)
+    survivors = wh.skip_files("t", equals={"val": "tok123"})
+    assert 1 <= len(survivors) <= 2  # the owning file (+ rare bloom FP)
+    got = wh.read_skipped("t", equals={"val": "tok123"}).collect()
+    assert [r["id"] for r in got] == [123]
+    # absent value: bloom can prove absence -> zero files planned
+    assert wh.skip_files("t", equals={"val": "tok99999"}) == []
+    assert wh.read_skipped("t", equals={"val": "tok99999"}).count() == 0
+
+
+def test_equality_and_range_compose(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 40).alias("bucket"),
+        F.concat(F.lit("u"), (F.col("id") % 500)).alias("user"),
+    )
+    wh.overwrite(df, "t", cluster_by=("bucket",), n_files=8)
+    wh.write_stats("t", ["bucket", "user"], bloom_cols=("user",), bloom_bits=32768)
+    got = wh.read_skipped("t", {"bucket": (10, 19)}, equals={"user": "u123"})
+    expect = wh.read("t").where(
+        F.col("bucket").between(10, 19) & (F.col("user") == "u123")
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    # the range alone prunes the clustered dimension (<=3 of 8: the
+    # range-partitioner's sampled boundaries can straddle one extra file)
+    assert len(wh.skip_files("t", {"bucket": (10, 19)})) <= 3
+
+
+def test_equals_guards(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 10).withColumn("v", F.col("id") % 3), "t")
+    for bad, match in [
+        (dict(equals={"v": None}), "NULL"),
+        (dict(equals={"v": 1.5}), "float"),
+        (dict(ranges={"v": (0, 1)}, equals={"v": 2}), "once"),
+        (dict(), "no predicate"),
+    ]:
+        try:
+            wh.skip_files("t", bad.get("ranges"), equals=bad.get("equals"))
+            raise AssertionError(f"{bad} must refuse")
+        except ValueError as e:
+            assert match in str(e)
+
+
+def test_equality_minmax_prunes_without_bloom(spark, tmp_path):
+    # no bloom in the persisted stats: equality still prunes via the
+    # clustered min/max (lo = hi = v), silently skipping the bloom test
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 8000).withColumn("v", F.col("id") % 800)
+    wh.overwrite(df, "t", cluster_by=("v",), n_files=8)
+    wh.write_stats("t", ["v"])
+    survivors = wh.skip_files("t", equals={"v": 42})
+    assert 1 <= len(survivors) <= 2
+    got = wh.read_skipped("t", equals={"v": 42})
+    assert got.count() == 10 and all(r["v"] == 42 for r in got.collect())

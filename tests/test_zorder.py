@@ -91,3 +91,81 @@ def test_zorder_preserves_rows(spark, layouts):
     assert (
         got.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
     )
+
+
+# -- skew-robust quantile scaler --------------------------------------------
+
+
+def _skewed(spark, n=20000):
+    # 99% of x mass in [0, 100), a 1% outlier tail at ~1e9; y uniform.
+    # min/max scaling maps every normal row to x-cell 0.
+    return spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 100 == 0, F.col("id") * F.lit(50000) + F.lit(10**9))
+        .otherwise(F.col("id") % 100)
+        .cast("double")
+        .alias("x"),
+        (F.col("id") % 64).cast("double").alias("y"),
+    )
+
+
+def test_quantile_zorder_preserves_rows_and_schema(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = _skewed(spark)
+    wh.overwrite(df, "t", zorder_by=("x", "y"), zorder_scaler="quantile", n_files=8)
+    got = wh.read("t")
+    assert got.columns == df.columns
+    assert got.count() == df.count()
+    assert (
+        got.agg(F.sum("row_id")).first()[0] == df.agg(F.sum("row_id")).first()[0]
+    )
+
+
+def test_quantile_zorder_skips_where_minmax_cannot(spark, tmp_path):
+    # the skew claim, measured end to end through the stats planner:
+    # a range predicate INSIDE the hot region prunes files under the
+    # equal-mass grid and cannot under min/max scaling (outlier tail
+    # collapses all normal rows into grid cell 0)
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = _skewed(spark)
+    wh.overwrite(df, "mm", zorder_by=("x", "y"), n_files=8)
+    wh.overwrite(df, "qt", zorder_by=("x", "y"), zorder_scaler="quantile", n_files=8)
+    ranges = {"x": (10.0, 19.0)}
+    mm = wh.skip_files("mm", ranges)
+    qt = wh.skip_files("qt", ranges)
+    assert len(mm) == len(wh.data_files("mm"))  # min/max grid: no pruning
+    assert len(qt) < len(wh.data_files("qt"))  # equal-mass grid: prunes
+    # and the pruned read stays exact
+    got = wh.read_skipped("qt", ranges)
+    expect = wh.read("qt").where(F.col("x").between(10.0, 19.0))
+    assert sorted(r["row_id"] for r in got.collect()) == sorted(
+        r["row_id"] for r in expect.collect()
+    )
+
+
+def test_quantile_zorder_null_rows_survive(spark, tmp_path):
+    from stock_bars_data_engineering_project_spark.functions.zorder import (
+        with_zorder_key,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") < 3, None).otherwise(F.col("id").cast("double")).alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    keyed = with_zorder_key(df, ("x", "y"), scaler="quantile")
+    assert keyed.count() == 10
+    assert keyed.filter(F.col("_zorder").isNull()).count() == 0
+
+
+def test_zorder_rejects_unknown_scaler(spark):
+    from stock_bars_data_engineering_project_spark.functions.zorder import (
+        with_zorder_key,
+    )
+
+    df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+    try:
+        with_zorder_key(df, ("x",), scaler="nope")
+        raise AssertionError("unknown scaler must refuse")
+    except ValueError as e:
+        assert "scaler" in str(e)
