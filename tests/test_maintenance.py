@@ -513,3 +513,74 @@ def test_equality_minmax_prunes_without_bloom(spark, tmp_path):
     assert 1 <= len(survivors) <= 2
     got = wh.read_skipped("t", equals={"v": 42})
     assert got.count() == 10 and all(r["v"] == 42 for r in got.collect())
+
+
+# -- DML DELETE -------------------------------------------------------------
+
+
+def test_delete_where_partition_pruned_hardlinks_untouched(spark, tmp_path):
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 2000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    wh.overwrite(df, "t", partition_by=("bucket",))
+    wh.compact("t", partition_by=("bucket",))  # one file per partition
+    def _rel(f):
+        # bucket=N/part-...: basenames alone can collide across hive
+        # dirs (one write task serves several partition values)
+        return os.path.join(os.path.basename(os.path.dirname(f)), os.path.basename(f))
+
+    prev_files = {_rel(f): os.stat(f).st_ino for f in wh.data_files("t")}
+    # delete on a NON-partition column touching only bucket 2
+    n = wh.delete_where("t", (F.col("id") % 4 == 2) & (F.col("id") < 100))
+    assert n == 1
+    got = wh.read("t")
+    assert got.count() == 2000 - 25  # ids 2,6,...,98
+    assert got.filter((F.col("id") % 4 == 2) & (F.col("id") < 100)).count() == 0
+    # untouched partitions carried as hardlinks (same inode, zero bytes moved)
+    new_by_rel = {_rel(f): f for f in wh.data_files("t")}
+    linked = {
+        rel.split(os.sep)[0]
+        for rel, ino in prev_files.items()
+        if rel in new_by_rel and os.stat(new_by_rel[rel]).st_ino == ino
+    }
+    assert linked == {"bucket=0", "bucket=1", "bucket=3"}
+    # time travel: the pre-delete version still reads whole
+    assert wh.read("t", "v000002").count() == 2000
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 10).withColumn(
+        "v", F.when(F.col("id") < 3, None).otherwise(F.col("id"))
+    )
+    wh.overwrite(df, "t")
+    wh.delete_where("t", F.col("v") > 5)  # NULL v rows must survive
+    got = wh.read("t")
+    assert got.count() == 6  # ids 0,1,2 (NULL v) + 3,4,5
+    assert got.filter(F.col("v").isNull()).count() == 3
+
+
+def test_delete_where_no_match_is_versionless_noop(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.range(0, 100).withColumn("bucket", (F.col("id") % 2).cast("int")),
+        "t",
+        partition_by=("bucket",),
+    )
+    before = wh.versions("t")
+    assert wh.delete_where("t", "id > 1000") == 0
+    assert wh.versions("t") == before  # replay-idempotent: no commit
+    # and the same on an unpartitioned table
+    wh.overwrite(spark.range(5), "u")
+    before_u = wh.versions("u")
+    assert wh.delete_where("u", F.col("id") > 99) == 0
+    assert wh.versions("u") == before_u
+
+
+def test_delete_where_sql_string_and_unpartitioned_fallback(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(0, 50), "t")
+    assert wh.delete_where("t", "id % 10 = 0") == 1
+    got = sorted(r["id"] for r in wh.read("t").collect())
+    assert got == [i for i in range(50) if i % 10 != 0]
