@@ -65,6 +65,43 @@ def _local_path(p: str) -> str:
     return p
 
 
+def _stats_of_rows(
+    rows: DataFrame,
+    cols: list[str],
+    bloom_cols: tuple[str, ...],
+    bloom_bits: int,
+    bloom_hashes: int,
+) -> DataFrame:
+    """Per-file stats aggregation over a (file_path, *cols) frame —
+    shared by the full-snapshot scan (`file_stats`) and the new-files-
+    only incremental path (`refresh_stats`)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.count(c).alias(f"{c}__nonnull"),
+        ]
+    out = rows.groupBy("file_path").agg(*aggs)
+    for c in bloom_cols:
+        out = out.join(
+            _file_bloom(rows, c, bloom_bits, bloom_hashes),
+            "file_path",
+            "left",
+        ).withColumn(
+            f"{c}__bloom",
+            # a file with zero non-NULL values gets the empty bitmap
+            # (all zeros) — correctly skippable for any equality
+            F.coalesce(
+                F.col(f"{c}__bloom"),
+                F.array_repeat(F.lit(0).cast("long"), bloom_bits // 32),
+            ),
+        ).withColumn(
+            f"{c}__bloom_m", F.lit(bloom_bits)
+        ).withColumn(f"{c}__bloom_k", F.lit(bloom_hashes))
+    return out
+
+
 def _partition_values_pred(parts: list[tuple], partition_by) -> "Column":
     """Static partition-pruning predicate from a bounded list of touched
     partition-value tuples (NULL-safe): OR over per-partition AND terms."""
@@ -870,31 +907,7 @@ class ParquetWarehouse:
         rows = parts[0]
         for p in parts[1:]:
             rows = rows.unionByName(p, allowMissingColumns=True)
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
-        for c in cols:
-            aggs += [
-                F.min(c).alias(f"{c}__min"),
-                F.max(c).alias(f"{c}__max"),
-                F.count(c).alias(f"{c}__nonnull"),
-            ]
-        out = rows.groupBy("file_path").agg(*aggs)
-        for c in bloom_cols:
-            out = out.join(
-                _file_bloom(rows, c, bloom_bits, bloom_hashes),
-                "file_path",
-                "left",
-            ).withColumn(
-                f"{c}__bloom",
-                # a file with zero non-NULL values gets the empty bitmap
-                # (all zeros) — correctly skippable for any equality
-                F.coalesce(
-                    F.col(f"{c}__bloom"),
-                    F.array_repeat(F.lit(0).cast("long"), bloom_bits // 32),
-                ),
-            ).withColumn(
-                f"{c}__bloom_m", F.lit(bloom_bits)
-            ).withColumn(f"{c}__bloom_k", F.lit(bloom_hashes))
-        return out
+        return _stats_of_rows(rows, cols, bloom_cols, bloom_bits, bloom_hashes)
 
     def write_stats(
         self,
@@ -934,6 +947,116 @@ class ParquetWarehouse:
         os.replace(os.path.join(tmp, part), dest)
         shutil.rmtree(tmp)
         return dest
+
+    def refresh_stats(self, table: str, version: str | None = None) -> dict:
+        """Bring a snapshot's ``_STATS`` current at O(new files) — the
+        per-commit stats-maintenance discipline (Delta writes stats in
+        the transaction log at commit time; here the equivalent is a
+        refresh after each append/merge/delete that REUSES every prior
+        row instead of rescanning the table).
+
+        Identity is the file INODE ``(st_dev, st_ino)``: manifest-
+        chain members keep their paths, and merge/delete carry
+        untouched partitions as hardlinks — both share inodes with the
+        prior version's files, and immutability is the snapshot
+        contract, so a prior stats row is exact for the same inode.
+        Only files with no donor row (the new batch / the rewritten
+        partitions) are scanned, per member with ``basePath`` so hive
+        partition stats survive. Stat/bloom columns and bloom sizing
+        are inherited from the newest prior ``_STATS`` manifest
+        (raises if none exists — seed with :meth:`write_stats` once).
+
+        Returns ``{"path", "reused", "computed"}`` — the reuse count
+        is the O(new) claim, observable."""
+        import pyarrow.parquet as pq
+
+        v = version or self._latest_version(table)
+        if v is None:
+            raise FileNotFoundError(f"no such table: {table}")
+        vdir = os.path.join(self.table_path(table), v)
+        donor = None
+        # newest manifest wins, the target version's own included — a
+        # refresh of an already-statsed version is a pure-reuse no-op
+        for prior in reversed(self.versions(table)):
+            p = os.path.join(self.table_path(table), prior, _STATS)
+            if os.path.exists(p):
+                donor = p
+                break
+        if donor is None:
+            raise ValueError(
+                f"refresh_stats({table!r}): no prior _STATS manifest to "
+                "inherit columns from — seed with write_stats() once"
+            )
+        donor_tbl = pq.read_table(donor)
+        names = donor_tbl.column_names
+        cols = [n[: -len("__min")] for n in names if n.endswith("__min")]
+        bloom_cols = tuple(
+            n[: -len("__bloom")] for n in names if n.endswith("__bloom")
+        )
+        donor_rows = donor_tbl.to_pylist()
+        bloom_bits, bloom_hashes = 1024, 4
+        if bloom_cols and donor_rows:
+            bloom_bits = donor_rows[0][f"{bloom_cols[0]}__bloom_m"]
+            bloom_hashes = donor_rows[0][f"{bloom_cols[0]}__bloom_k"]
+        by_inode = {}
+        for r in donor_rows:
+            p = _local_path(r["file_path"])
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue  # vacuumed since
+            by_inode[(st.st_dev, st.st_ino)] = r
+        reused, new_by_member = [], {}
+        tdir = self.table_path(table)
+        members = self._manifest_members(table, v)
+        for f in self.data_files(table, v):
+            st = os.stat(f)
+            prior = by_inode.get((st.st_dev, st.st_ino))
+            if prior is not None:
+                reused.append({**prior, "file_path": os.path.abspath(f)})
+                continue
+            member = next(
+                m
+                for m in members
+                if os.path.abspath(f).startswith(
+                    os.path.abspath(os.path.join(tdir, m)) + os.sep
+                )
+            )
+            new_by_member.setdefault(member, []).append(f)
+        computed = []
+        if new_by_member:
+            parts = []
+            for m, files in new_by_member.items():
+                base = os.path.abspath(os.path.join(tdir, m))
+                df = self.spark.read.option("basePath", base).parquet(*files)
+                present = [c for c in {*cols, *bloom_cols} if c in df.columns]
+                parts.append(
+                    df.select(
+                        F.col("_metadata.file_path").alias("file_path"),
+                        *present,
+                    )
+                )
+            rows = parts[0]
+            for p in parts[1:]:
+                rows = rows.unionByName(p, allowMissingColumns=True)
+            stats = _stats_of_rows(
+                rows, cols, bloom_cols, bloom_bits, bloom_hashes
+            )
+            computed = [
+                {**r.asDict(), "file_path": _local_path(r["file_path"])}
+                for r in stats.collect()
+            ]
+        import pyarrow as pa
+
+        merged = pa.Table.from_pylist(
+            [*reused, *computed], schema=donor_tbl.schema
+        )
+        dest = os.path.join(vdir, _STATS)
+        fd, tmp = tempfile.mkstemp(dir=vdir, prefix="._stats")
+        os.close(fd)
+        pq.write_table(merged, tmp)
+        os.replace(tmp, dest)
+        return {"path": dest, "reused": len(reused), "computed": len(computed)}
 
     def skip_files(
         self,
@@ -1152,6 +1275,63 @@ class ParquetWarehouse:
                 df = df.repartition(n)
             version = self._write_snapshot(df, table, partition_by)
             self._commit(table, version)
+
+    def maintain_table(
+        self,
+        table: str,
+        max_files_per_partition: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        stats: bool = True,
+    ) -> dict:
+        """Table-lifecycle maintenance policy in one call — the
+        `maintain_ann_index` contract (read the health signal, act only
+        past the threshold, return the decision for run-logging)
+        applied to the table itself, closing the symmetry between the
+        three persisted indexes and the warehouse that stores them:
+
+        1. read the small-file signal: data files per hive partition
+           (per table when unpartitioned) — what micro-batch appends
+           and merges accrete;
+        2. past ``max_files_per_partition``, :meth:`compact` (the
+           Delta OPTIMIZE step — the one table-sized rewrite, paid
+           only when the policy says so);
+        3. if a ``_STATS`` manifest lineage exists and ``stats``,
+           :meth:`refresh_stats` the live version — O(new files)
+           normally, O(table) right after a compaction (every inode is
+           new; that cost is the compaction's, not the refresh's).
+
+        Returns ``{"files", "partitions", "max_per_partition",
+        "compacted", "stats"}``."""
+        files = self.data_files(table)
+        layout = self._layout(table, self._latest_version(table))
+        if layout:
+            per: dict[str, int] = {}
+            depth = len(layout)
+            for f in files:
+                leaf = os.path.dirname(f)
+                rel = os.path.relpath(leaf, start=self.table_path(table))
+                key = os.sep.join(rel.split(os.sep)[-depth:])
+                per[key] = per.get(key, 0) + 1
+            n_parts, worst = len(per), max(per.values())
+        else:
+            n_parts, worst = 1, len(files)
+        compacted = False
+        if worst > max_files_per_partition:
+            self.compact(table, target_file_bytes=target_file_bytes)
+            compacted = True
+        refreshed = None
+        if stats:
+            try:
+                refreshed = self.refresh_stats(table)
+            except ValueError:
+                refreshed = None  # no seed manifest — stats not in use
+        return {
+            "files": len(files),
+            "partitions": n_parts,
+            "max_per_partition": worst,
+            "compacted": compacted,
+            "stats": refreshed,
+        }
 
     def changes(
         self,

@@ -584,3 +584,84 @@ def test_delete_where_sql_string_and_unpartitioned_fallback(spark, tmp_path):
     assert wh.delete_where("t", "id % 10 = 0") == 1
     got = sorted(r["id"] for r in wh.read("t").collect())
     assert got == [i for i in range(50) if i % 10 != 0]
+
+
+def test_refresh_stats_appends_compute_only_new_files(spark, tmp_path):
+    import os
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.append(
+        spark.range(0, 1000).withColumn("v", F.col("id") % 100).repartition(4), "t"
+    )
+    wh.write_stats("t", ["v"], bloom_cols=("v",), bloom_bits=8192)
+    n_v1 = len(wh.data_files("t"))
+    wh.append(
+        spark.range(1000, 1500).withColumn("v", F.col("id") % 100).repartition(2), "t"
+    )
+    out = wh.refresh_stats("t")
+    assert out["reused"] == n_v1  # prior member's files never rescanned
+    assert out["computed"] == len(wh.data_files("t")) - n_v1
+    assert os.path.dirname(out["path"]).endswith("v000002")
+    # refreshed manifest answers both predicate kinds over ALL files
+    got = wh.read_skipped("t", {"id": (0, 10)})
+    assert got.count() == 11
+    assert sorted(r["id"] for r in wh.read_skipped("t", equals={"v": 7}).collect()) == [
+        i for i in range(1500) if i % 100 == 7
+    ]
+
+
+def test_refresh_stats_after_delete_reuses_hardlinked_partitions(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 2000).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    wh.overwrite(df, "t", partition_by=("bucket",))
+    wh.compact("t", partition_by=("bucket",))
+    wh.write_stats("t", ["bucket", "id"])
+    wh.delete_where("t", (F.col("bucket") == 2) & (F.col("id") < 100))
+    out = wh.refresh_stats("t")
+    assert out["reused"] == 3  # untouched buckets: shared inodes
+    assert out["computed"] >= 1  # rewritten bucket 2
+    # stats reflect the delete: bucket-2 min id is now >= 100
+    survivors = wh.read_skipped("t", {"id": (0, 99)}, equals={"bucket": 2})
+    assert survivors.count() == 0
+    assert wh.read_skipped("t", {"id": (0, 99)}).count() == 75
+
+
+def test_refresh_stats_without_seed_refuses(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(spark.range(10), "t")
+    try:
+        wh.refresh_stats("t")
+        raise AssertionError("refresh without a seed manifest must refuse")
+    except ValueError as e:
+        assert "write_stats" in str(e)
+
+
+def test_maintain_table_policy(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    # healthy table: no compaction, decision logged
+    wh.overwrite(
+        spark.range(0, 100).withColumn("v", F.col("id") % 10).coalesce(2), "t"
+    )
+    wh.write_stats("t", ["v"])
+    out = wh.maintain_table("t", max_files_per_partition=8)
+    assert out["compacted"] is False
+    assert out["stats"]["computed"] == 0  # same inodes: pure reuse
+    versions_before = wh.versions("t")
+    # accrete small files past the threshold -> compact fires
+    for i in range(3):
+        wh.append(
+            spark.range(100 * (i + 1), 100 * (i + 2))
+            .withColumn("v", F.col("id") % 10)
+            .repartition(4),
+            "t",
+        )
+    out = wh.maintain_table("t", max_files_per_partition=8)
+    assert out["max_per_partition"] > 8 and out["compacted"] is True
+    assert len(wh.data_files("t")) <= 2  # post-compact
+    assert wh.read("t").count() == 400
+    # stats refreshed onto the compacted version: pruning still works
+    assert wh.read_skipped("t", equals={"v": 3}).count() == 40
+    assert len(wh.versions("t")) > len(versions_before)
+    # stats lineage absent: policy reports stats None, never raises
+    wh.overwrite(spark.range(5), "u")
+    assert wh.maintain_table("u")["stats"] is None
