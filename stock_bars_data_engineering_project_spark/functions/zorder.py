@@ -92,15 +92,23 @@ def with_zorder_key(
         raise ValueError(
             f"scaler must be 'minmax' or 'quantile', got {scaler!r}"
         )
-    working = {key_col, *(f"_lo_{c}" for c in cols), *(f"_hi_{c}" for c in cols)}
+    if key_col in df.columns:
+        raise ValueError(
+            f"with_zorder_key key column {key_col!r} collides with an "
+            "input column; pass a different key_col"
+        )
+    if scaler == "quantile":
+        return _with_quantile_zorder_key(df, cols, key_col, bits)
+    # each path checks only its OWN working names: a quantile caller
+    # must not be refused over _lo_/_hi_ columns the minmax path alone
+    # creates
+    working = {*(f"_lo_{c}" for c in cols), *(f"_hi_{c}" for c in cols)}
     clash = working & set(df.columns)
     if clash:
         raise ValueError(
             f"with_zorder_key working columns collide with input columns: "
-            f"{sorted(clash)}; rename them or pass a different key_col"
+            f"{sorted(clash)}; rename them"
         )
-    if scaler == "quantile":
-        return _with_quantile_zorder_key(df, cols, key_col, bits)
     aggs = []
     for c in cols:
         aggs += [F.min(_as_double(df, c)).alias(f"_lo_{c}"),

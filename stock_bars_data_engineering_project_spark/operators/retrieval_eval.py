@@ -47,9 +47,13 @@ def ranks_from_scores(
 
 def _assert_unique(df: DataFrame, cols: list[str], what: str) -> None:
     """Loud duplicate guard: a duplicated (query, doc) double-counts
-    gain/recall silently. One partial-agg count-vs-distinct probe."""
+    gain/recall silently. One partial-agg count-vs-distinct probe —
+    over a struct, so NULL-keyed rows count as values instead of being
+    dropped by multi-arg count_distinct (which would report clean data
+    as duplicated)."""
     n, d = df.select(
-        F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in cols])
+        F.count(F.lit(1)),
+        F.count_distinct(F.struct(*[F.col(c) for c in cols])),
     ).first()
     if n != d:
         raise ValueError(

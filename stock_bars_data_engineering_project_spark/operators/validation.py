@@ -323,3 +323,58 @@ def l_diversity(
         F.min("_l").alias("min_distinct_sensitive"),
         F.sum((F.col("_l") < l).cast("long")).alias("n_below_l"),
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    secret: str,
+    token_len: int = 16,
+    prefix: str = "pid_",
+) -> DataFrame:
+    """Deterministic keyed pseudonymization (GDPR Art. 4(5) — the
+    release-governance companion to ``delete_where``: tokenize
+    identifiers up front, delete on request): each value becomes
+    ``prefix`` + the first ``token_len`` hex chars of
+    ``sha256(secret || ':' || value)``.
+
+    Keyed determinism is the point — the same value under the same
+    secret maps to the same token in EVERY table, so joins, groupBys,
+    and referential integrity keep working across a pseudonymized
+    warehouse; without the secret the mapping is one-way (re-identify
+    only by brute-forcing the value domain, which is what rotating the
+    secret defends against). NULL stays NULL (absence is not an
+    identity). Map-only ``sha2`` codegen — no shuffle, no UDF; the
+    pure-Python twin in the tests pins the hash family cross-side.
+
+    ``token_len`` trades linkage-collision risk for width: 16 hex
+    chars = 64 bits, birthday-safe to ~2^32 distinct identities.
+    """
+    if not secret:
+        raise ValueError("pseudonymize needs a non-empty secret")
+    if not cols:
+        raise ValueError("pseudonymize needs at least one column")
+    if not 8 <= token_len <= 64:
+        raise ValueError(f"token_len must be in [8, 64], got {token_len}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"pseudonymize: no such column(s) {missing}")
+    out = df
+    for c in cols:
+        tok = F.concat(
+            F.lit(prefix),
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(f"{secret}:"), F.col(c).cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                token_len,
+            ),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), None).otherwise(tok)
+        )
+    return out

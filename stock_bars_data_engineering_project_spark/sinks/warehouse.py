@@ -118,29 +118,26 @@ def _partition_values_pred(parts: list[tuple], partition_by) -> "Column":
 def _file_bloom(
     rows: DataFrame, col: str, m_bits: int, n_hashes: int
 ) -> DataFrame:
-    """(file_path, {col}__bloom) — per-file bloom word arrays on the
-    md5_bucket48 hash family with the ``bloom{i}`` salts, so the
-    driver-side probe (:func:`_py_bloom_positions`) recomputes the
-    exact same positions. NULL values contribute nothing (equality
-    never matches NULL)."""
-    from ..functions.hashing import md5_bucket48
+    """(file_path, {col}__bloom) — per-file bloom word arrays on
+    operators/bloom.py's hash family and word layout (its `_positions`
+    and `_WORD` are imported, not re-derived, so a change there cannot
+    silently diverge from these bitmaps); the driver-side probe
+    (:func:`_py_bloom_positions`) is the pure-Python twin of the same
+    positions. NULL values contribute nothing (equality never matches
+    NULL)."""
+    from ..operators.bloom import _WORD, _positions
 
-    n_words = m_bits // 32
+    n_words = m_bits // _WORD
     pos = F.explode(
-        F.array(
-            *[
-                md5_bucket48(F.col(col), m_bits, salt=f"bloom{i}")
-                for i in range(n_hashes)
-            ]
-        )
+        F.array(*_positions(F.col(col), m_bits, n_hashes))
     ).alias("pos")
     words = (
         rows.filter(F.col(col).isNotNull())
         .select("file_path", pos)
         .select(
             "file_path",
-            (F.col("pos") / 32).cast("int").alias("w"),
-            F.pow(F.lit(2.0), F.col("pos") % 32).cast("long").alias("b"),
+            (F.col("pos") / _WORD).cast("int").alias("w"),
+            F.pow(F.lit(2.0), F.col("pos") % _WORD).cast("long").alias("b"),
         )
         .groupBy("file_path", "w")
         .agg(F.bit_or("b").alias("bits"))
@@ -674,13 +671,38 @@ class ParquetWarehouse:
                 partition_by = self._layout(table, prev)
             target = self.read(table)
             if partition_by and self._members_schema_consistent(table, prev):
-                parts = [
-                    tuple(r)
-                    for r in target.filter(hit)
-                    .select(*partition_by)
-                    .distinct()
-                    .collect()
-                ]
+                # ONE pushdown-filtered scan per member finds both the
+                # touched partition VALUES (for the survivor rewrite)
+                # and the touched leaf DIR names (collected from
+                # _metadata.file_path — Spark-written names, no value
+                # re-escaping). The dirs must be excluded from the
+                # carry-over explicitly: a partition whose rows are ALL
+                # deleted writes no survivor leaf dir, and inferring
+                # touched-ness from the new snapshot's dirs would
+                # hardlink the old files back in — a delete that
+                # empties a partition (the most common GDPR shape)
+                # silently resurrected.
+                tdir = self.table_path(table)
+                touched_vals: set[tuple] = set()
+                touched_rel: set[str] = set()
+                for m in self._manifest_members(table, prev):
+                    mdir = os.path.abspath(os.path.join(tdir, m))
+                    mdf = self.spark.read.parquet(mdir)
+                    for r in (
+                        mdf.filter(hit)
+                        .select(
+                            F.col("_metadata.file_path").alias("__fp"),
+                            *partition_by,
+                        )
+                        .distinct()
+                        .collect()
+                    ):
+                        touched_vals.add(tuple(r[c] for c in partition_by))
+                        leaf = os.path.dirname(_local_path(r["__fp"]))
+                        touched_rel.add(os.path.relpath(leaf, mdir))
+                parts = sorted(
+                    touched_vals, key=lambda t: tuple(str(x) for x in t)
+                )
                 if not parts:
                     return 0
                 if len(parts) > 1000:
@@ -700,7 +722,7 @@ class ParquetWarehouse:
                 )
                 version = self._write_snapshot(survivors, table, partition_by)
                 self._link_untouched_partitions(
-                    table, prev, version, partition_by
+                    table, prev, version, partition_by, exclude=touched_rel
                 )
                 self._commit(table, version)
                 return len(parts)
@@ -760,6 +782,7 @@ class ParquetWarehouse:
         prev: str,
         version: str,
         partition_by: tuple[str, ...],
+        exclude: set[str] = frozenset(),
     ) -> None:
         """Carry every partition NOT rewritten by this merge into the
         new snapshot by hardlinking its parquet files — data files are
@@ -773,7 +796,10 @@ class ParquetWarehouse:
         tdir = self.table_path(table)
         new_dir = os.path.join(tdir, version)
         depth = len(partition_by)
-        touched = set(self._partition_leaf_dirs(new_dir, depth))
+        # `exclude` is for rewrites that may produce NO leaf dir for a
+        # touched partition (a delete emptying it) — the new snapshot's
+        # dirs alone cannot reveal those
+        touched = set(self._partition_leaf_dirs(new_dir, depth)) | set(exclude)
         for member in self._manifest_members(table, prev):
             mdir = os.path.join(tdir, member)
             for rel, absd in self._partition_leaf_dirs(mdir, depth).items():
@@ -907,7 +933,11 @@ class ParquetWarehouse:
         rows = parts[0]
         for p in parts[1:]:
             rows = rows.unionByName(p, allowMissingColumns=True)
-        return _stats_of_rows(rows, cols, bloom_cols, bloom_bits, bloom_hashes)
+        # bloom columns get min/max too ('want', not 'cols'): skip_files'
+        # persisted-stats gate requires {c}__min for EVERY predicate
+        # column, so a bloom-only column would silently demote every
+        # equality plan to a live full scan
+        return _stats_of_rows(rows, want, bloom_cols, bloom_bits, bloom_hashes)
 
     def write_stats(
         self,
@@ -1168,19 +1198,36 @@ class ParquetWarehouse:
             keep = True
             for c, (lo, hi) in ranges.items():
                 mn, mx = r[f"{c}__min"], r[f"{c}__max"]
-                if (
-                    mn is None
-                    or (lo is not None and mx < lo)
-                    or (hi is not None and mn > hi)
-                ):
-                    keep = False
-                    break
+                try:
+                    if (
+                        mn is None
+                        or (lo is not None and mx < lo)
+                        or (hi is not None and mn > hi)
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    raise ValueError(
+                        f"skip_files({table!r}): range bound for {c!r} "
+                        f"({type((lo if lo is not None else hi)).__name__}) "
+                        f"does not compare with the column's stats "
+                        f"({type(mn).__name__}) — pass a bound of the "
+                        "column's type"
+                    ) from None
             if keep:
                 for c, val in equals.items():
                     mn, mx = r[f"{c}__min"], r[f"{c}__max"]
-                    if mn is None or mn > val or mx < val:
-                        keep = False
-                        break
+                    try:
+                        if mn is None or mn > val or mx < val:
+                            keep = False
+                            break
+                    except TypeError:
+                        raise ValueError(
+                            f"skip_files({table!r}): equals value for {c!r} "
+                            f"({type(val).__name__}) does not compare with "
+                            f"the column's stats ({type(mn).__name__}) — "
+                            "pass a value of the column's type"
+                        ) from None
                     words = r.get(f"{c}__bloom")
                     if words is not None:
                         m, k = r[f"{c}__bloom_m"], r[f"{c}__bloom_k"]

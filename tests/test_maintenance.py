@@ -665,3 +665,46 @@ def test_maintain_table_policy(spark, tmp_path):
     # stats lineage absent: policy reports stats None, never raises
     wh.overwrite(spark.range(5), "u")
     assert wh.maintain_table("u")["stats"] is None
+
+
+def test_delete_where_emptying_whole_partition_is_not_resurrected(spark, tmp_path):
+    # the review-confirmed hole: survivors of an emptied partition write
+    # NO leaf dir, and a dir-presence-inferred carry-over would hardlink
+    # the old files straight back into the committed snapshot
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 400).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    wh.overwrite(df, "t", partition_by=("bucket",))
+    assert wh.delete_where("t", F.col("bucket") == 2) == 1
+    got = wh.read("t")
+    assert got.count() == 300
+    assert got.filter(F.col("bucket") == 2).count() == 0
+    assert sorted(r["bucket"] for r in got.select("bucket").distinct().collect()) == [0, 1, 3]
+
+
+def test_write_stats_bloom_only_column_gets_minmax(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.range(0, 200).withColumn("user", F.concat(F.lit("u"), F.col("id"))), "t"
+    )
+    path = wh.write_stats("t", ["id"], bloom_cols=("user",), bloom_bits=4096)
+    names = set(pq.read_schema(path).names)
+    # a bloom-only column must still carry min/max, else the persisted-
+    # stats gate demotes every equality plan to a live full scan
+    assert {"user__min", "user__max", "user__bloom"} <= names
+    assert [r["id"] for r in wh.read_skipped("t", equals={"user": "u7"}).collect()] == [7]
+
+
+def test_skip_files_type_mismatch_refuses_loudly(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.overwrite(
+        spark.range(0, 10).withColumn("user", F.concat(F.lit("u"), F.col("id"))), "t"
+    )
+    wh.write_stats("t", ["user"])
+    for kwargs in [dict(equals={"user": 123}), dict(ranges={"user": (0, 5)})]:
+        try:
+            wh.skip_files("t", kwargs.get("ranges"), equals=kwargs.get("equals"))
+            raise AssertionError(f"{kwargs} must refuse")
+        except ValueError as e:
+            assert "user" in str(e) and "type" in str(e)

@@ -157,3 +157,14 @@ def test_python_replay_pseudo_random(spark):
             (2**r - 1) / math.log2(i + 2) for i, r in enumerate(rels[:k]) if r > 0
         )
         assert row["ndcg"] == pytest.approx(dcg / idcg)
+
+
+def test_null_keyed_rows_do_not_trip_duplicate_guard(spark):
+    # count_distinct over a struct keeps NULL-keyed rows: a run with a
+    # NULL doc_id placeholder is clean data, not a duplicate
+    run = spark.createDataFrame(
+        [("q1", None, 1), ("q1", 5, 2)], "query_id string, doc_id long, rank int"
+    )
+    qrels = _qrels(spark, [("q1", 5, 1)])
+    r = ranking_metrics(run, qrels, k=5).first()
+    assert r["recall"] == 1.0 and r["mrr"] == 0.5

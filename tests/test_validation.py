@@ -214,3 +214,53 @@ def test_l_diversity_report_and_guards(spark):
         l_diversity(df, (), "lang")
     with pytest.raises(ValueError):
         l_diversity(df, ("src",), "lang", l=0)
+
+
+def test_pseudonymize_deterministic_keyed_and_python_twin(spark):
+    import hashlib
+
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice@x.com", "NL"), (2, "bob@y.org", None), (3, "alice@x.com", "DE")],
+        "id long, email string, country string",
+    )
+    got = {r["id"]: r for r in pseudonymize(df, ("email", "country"), "s3cret").collect()}
+    # python twin of the token construction pins the hash family
+    def tok(v):
+        return "pid_" + hashlib.sha256(f"s3cret:{v}".encode()).hexdigest()[:16]
+
+    assert got[1]["email"] == tok("alice@x.com")
+    assert got[3]["email"] == got[1]["email"]  # referential integrity
+    assert got[2]["country"] is None  # NULL stays NULL
+    assert got[1]["country"] == tok("NL") and got[3]["country"] == tok("DE")
+    # a different secret unlinks every token
+    other = {r["id"]: r for r in pseudonymize(df, ("email",), "rotated").collect()}
+    assert other[1]["email"] != got[1]["email"]
+    # joins still work across tables sharing the secret
+    dim = spark.createDataFrame([("alice@x.com", "gold")], "email string, tier string")
+    joined = pseudonymize(df, ("email",), "s3cret").join(
+        pseudonymize(dim, ("email",), "s3cret"), "email"
+    )
+    assert sorted(r["id"] for r in joined.collect()) == [1, 3]
+
+
+def test_pseudonymize_guards(spark):
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    for bad, match in [
+        (dict(cols=("v",), secret=""), "secret"),
+        (dict(cols=(), secret="s"), "column"),
+        (dict(cols=("nope",), secret="s"), "nope"),
+        (dict(cols=("v",), secret="s", token_len=4), "token_len"),
+    ]:
+        try:
+            pseudonymize(df, **bad)
+            raise AssertionError(f"{bad} must refuse")
+        except ValueError as e:
+            assert match in str(e)

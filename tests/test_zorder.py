@@ -169,3 +169,18 @@ def test_zorder_rejects_unknown_scaler(spark):
         raise AssertionError("unknown scaler must refuse")
     except ValueError as e:
         assert "scaler" in str(e)
+
+
+def test_quantile_scaler_ignores_minmax_working_names(spark):
+    from stock_bars_data_engineering_project_spark.functions.zorder import (
+        with_zorder_key,
+    )
+
+    # _lo_x/_hi_x are the MINMAX path's working names; the quantile path
+    # never creates them and must not refuse over them
+    df = spark.range(20).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(0.0).alias("_lo_x"),
+    )
+    keyed = with_zorder_key(df, ("x",), scaler="quantile")
+    assert keyed.count() == 20
