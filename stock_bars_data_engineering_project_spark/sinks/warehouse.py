@@ -1107,12 +1107,14 @@ class ParquetWarehouse:
         must still apply the predicate to the surviving rows (stats
         prune files, never rows), which :meth:`read_skipped` does.
 
-        ``equals`` (``{col: value}``, string/integer values) prunes by
-        min/max AND — when the stats carry a ``{col}__bloom`` bitmap —
-        by per-file bloom membership: the pruning that works for an
-        equality on a high-cardinality column in an UNCLUSTERED layout,
-        where [min, max] never excludes anything. False positives keep
-        a file (bloom semantics); the residual filter owns row truth."""
+        ``equals`` (``{col: value}`` or ``{col: [values]}`` for an IN
+        predicate — a file survives if ANY candidate might be present;
+        string/integer values) prunes by min/max AND — when the stats
+        carry a ``{col}__bloom`` bitmap — by per-file bloom membership:
+        the pruning that works for an equality on a high-cardinality
+        column in an UNCLUSTERED layout, where [min, max] never
+        excludes anything. False positives keep a file (bloom
+        semantics); the residual filter owns row truth."""
         ranges = ranges or {}
         equals = equals or {}
         v = version or self._latest_version(table)
@@ -1135,18 +1137,28 @@ class ParquetWarehouse:
                     f"skip_files({table!r}): range for {c!r} is unbounded on "
                     "both sides — drop the column from the predicate instead"
                 )
-        for c, val in equals.items():
-            if val is None:
+        equals = {
+            c: list(v) if isinstance(v, (list, tuple, set)) else [v]
+            for c, v in equals.items()
+        }  # a list is an IN predicate: keep a file if ANY value might be in it
+        for c, vals in equals.items():
+            if not vals:
                 raise ValueError(
-                    f"skip_files({table!r}): equals on {c!r} is NULL — "
-                    "equality never matches NULL, the result is empty"
+                    f"skip_files({table!r}): equals on {c!r} is an empty "
+                    "list — IN () matches nothing, the result is empty"
                 )
-            if isinstance(val, bool) or not isinstance(val, (str, int)):
-                raise ValueError(
-                    f"skip_files({table!r}): equals on {c!r} must be a "
-                    f"string/integer value, got {type(val).__name__} — "
-                    "float equality pruning is deliberately unsupported"
-                )
+            for val in vals:
+                if val is None:
+                    raise ValueError(
+                        f"skip_files({table!r}): equals on {c!r} is NULL — "
+                        "equality never matches NULL, the result is empty"
+                    )
+                if isinstance(val, bool) or not isinstance(val, (str, int)):
+                    raise ValueError(
+                        f"skip_files({table!r}): equals on {c!r} must be "
+                        f"string/integer value(s), got {type(val).__name__} — "
+                        "float equality pruning is deliberately unsupported"
+                    )
         cols = [*ranges, *equals]
         stats_path = os.path.join(self.table_path(table), v, _STATS)
         rows = None
@@ -1215,28 +1227,34 @@ class ParquetWarehouse:
                         "column's type"
                     ) from None
             if keep:
-                for c, val in equals.items():
+                for c, vals in equals.items():
                     mn, mx = r[f"{c}__min"], r[f"{c}__max"]
-                    try:
-                        if mn is None or mn > val or mx < val:
-                            keep = False
-                            break
-                    except TypeError:
-                        raise ValueError(
-                            f"skip_files({table!r}): equals value for {c!r} "
-                            f"({type(val).__name__}) does not compare with "
-                            f"the column's stats ({type(mn).__name__}) — "
-                            "pass a value of the column's type"
-                        ) from None
                     words = r.get(f"{c}__bloom")
-                    if words is not None:
-                        m, k = r[f"{c}__bloom_m"], r[f"{c}__bloom_k"]
-                        if any(
-                            not (int(words[p // 32]) >> (p % 32)) & 1
-                            for p in _py_bloom_positions(val, m, k)
-                        ):
-                            keep = False
-                            break
+                    any_possible = False
+                    for val in vals:
+                        try:
+                            if mn is None or mn > val or mx < val:
+                                continue
+                        except TypeError:
+                            raise ValueError(
+                                f"skip_files({table!r}): equals value for "
+                                f"{c!r} ({type(val).__name__}) does not "
+                                f"compare with the column's stats "
+                                f"({type(mn).__name__}) — pass a value of "
+                                "the column's type"
+                            ) from None
+                        if words is not None:
+                            m, k = r[f"{c}__bloom_m"], r[f"{c}__bloom_k"]
+                            if any(
+                                not (int(words[p // 32]) >> (p % 32)) & 1
+                                for p in _py_bloom_positions(val, m, k)
+                            ):
+                                continue
+                        any_possible = True
+                        break
+                    if not any_possible:
+                        keep = False
+                        break
             if keep:
                 out.append(_local_path(r["file_path"]))
         return sorted(out)
@@ -1270,7 +1288,8 @@ class ParquetWarehouse:
                 e = F.col(c) >= F.lit(bound) if op == "ge" else F.col(c) <= F.lit(bound)
                 pred = e if pred is None else pred & e
         for c, val in equals.items():
-            e = F.col(c) == F.lit(val)
+            vals = list(val) if isinstance(val, (list, tuple, set)) else [val]
+            e = F.col(c).isin(vals)
             pred = e if pred is None else pred & e
         files = set(self.skip_files(table, ranges, v, equals=equals))
         if not files:

@@ -708,3 +708,68 @@ def test_skip_files_type_mismatch_refuses_loudly(spark, tmp_path):
             raise AssertionError(f"{kwargs} must refuse")
         except ValueError as e:
             assert "user" in str(e) and "type" in str(e)
+
+
+def test_warehouse_lifecycle_end_to_end(spark, tmp_path):
+    """The round-10 lakehouse loop in one pass: micro-batch appends
+    accrete -> maintain_table compacts + refreshes stats -> a GDPR
+    delete prunes physically -> refresh_stats stays O(new) -> the
+    version exports to an external engine byte-equal."""
+    import duckdb
+
+    from stock_bars_data_engineering_project_spark.operators.validation import (
+        pseudonymize,
+    )
+
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    for wave in range(3):
+        batch = spark.range(wave * 1000, (wave + 1) * 1000).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            F.concat(F.lit("user"), F.col("id") % 100).alias("owner"),
+        )
+        wh.append(pseudonymize(batch, ("owner",), "k1"), "t", partition_by=("bucket",))
+    wh.write_stats("t", ["id"], bloom_cols=("owner",), bloom_bits=32768)
+    out = wh.maintain_table("t", max_files_per_partition=2)
+    assert out["compacted"] is True
+    # point lookup through the refreshed stats: one owner token, pruned
+    import hashlib
+
+    tok = "pid_" + hashlib.sha256(b"k1:user7").hexdigest()[:16]
+    hits = wh.read_skipped("t", equals={"owner": tok})
+    assert sorted(r["id"] % 100 for r in hits.collect()) == [7] * 30
+    # the delete: one owner's rows leave, physically partition-pruned
+    assert wh.delete_where("t", F.col("owner") == tok) >= 1
+    ref = wh.refresh_stats("t")
+    assert ref["reused"] >= 1  # untouched partitions rode their inodes
+    assert wh.read_skipped("t", equals={"owner": tok}).count() == 0
+    assert wh.read("t").count() == 3000 - 30
+    # external engine reads the final version byte-equal
+    manifest = wh.export_manifest("t")
+    with open(manifest) as f:
+        files = [line.strip() for line in f if line.strip()]
+    n = duckdb.sql(
+        f"select count(*) from read_parquet({files!r}, hive_partitioning=true, union_by_name=true)"
+    ).fetchone()[0]
+    assert n == 3000 - 30
+
+
+def test_equality_in_list_pruning(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 3200).select(
+        F.col("id"), F.concat(F.lit("tok"), F.col("id")).alias("val")
+    )
+    wh.overwrite(df.repartition(8, "val"), "t")
+    wh.write_stats("t", ["val"], bloom_cols=("val",), bloom_bits=32768)
+    # IN over two present values + one absent: union of owning files
+    survivors = wh.skip_files("t", equals={"val": ["tok123", "tok999", "tok99999"]})
+    assert 1 <= len(survivors) <= 4
+    got = wh.read_skipped("t", equals={"val": ["tok123", "tok999", "tok99999"]})
+    assert sorted(r["id"] for r in got.collect()) == [123, 999]
+    # all-absent IN proves empty at plan time
+    assert wh.skip_files("t", equals={"val": ["tokA", "tokB"]}) == []
+    try:
+        wh.skip_files("t", equals={"val": []})
+        raise AssertionError("empty IN must refuse")
+    except ValueError as e:
+        assert "empty" in str(e)

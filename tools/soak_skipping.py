@@ -96,13 +96,44 @@ def soak_scale(spark, root: str, scale: int) -> dict:
     }
 
 
+def soak_delete(spark, root: str, scale: int) -> dict:
+    """delete_where O(touched) claim: table size scales, the deleted
+    slice does not. Partition-scoped predicate -> discovery scan
+    partition-prunes and the whole delete is O(touched); value-only
+    predicate -> discovery is an O(table) pushdown scan, write still
+    O(touched)."""
+    n_rows = 64 * ROWS_PER_FILE * scale
+    wh = ParquetWarehouse(spark, os.path.join(root, f"d{scale}"))
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 64).cast("int").alias("bucket")
+    )
+    wh.overwrite(df, "t", partition_by=("bucket",))
+    t0 = time.perf_counter()
+    n1 = wh.delete_where("t", (F.col("bucket") == 7) & (F.col("id") < 5000))
+    t_scoped = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n2 = wh.delete_where("t", F.col("id") % 997 == 13)  # value-only
+    t_value = time.perf_counter() - t0
+    return {
+        "scale": scale,
+        "rows": n_rows,
+        "t_delete_scoped_s": round(t_scoped, 2),
+        "t_delete_value_s": round(t_value, 2),
+        "touched_scoped": n1,
+        "touched_value": n2,
+    }
+
+
 def main() -> None:
-    scales = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    delete_mode = "--delete" in args
+    scales = [int(a) for a in args if a != "--delete"] or [1, 2, 4, 8]
     root = "/tmp/soak_skipping"
     shutil.rmtree(root, ignore_errors=True)
     spark = get_spark("soak_skipping")
+    fn = soak_delete if delete_mode else soak_scale
     for s in scales:
-        print(json.dumps(soak_scale(spark, root, s)), flush=True)
+        print(json.dumps(fn(spark, root, s)), flush=True)
     shutil.rmtree(root, ignore_errors=True)
 
 
