@@ -830,9 +830,13 @@ class ParquetWarehouse:
             raise FileNotFoundError(f"no such table: {table}")
         out: list[str] = []
         for member in self._manifest_members(table, v):
-            for dirpath, _dirs, names in os.walk(
+            for dirpath, dirs, names in os.walk(
                 os.path.join(self.table_path(table), member)
             ):
+                # prune metadata/hidden DIRS too (Spark's listing rule):
+                # a crashed ._stats_tmp dir must not leak its part files
+                # into the data set
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 out.extend(
                     os.path.join(dirpath, n)
                     for n in names
