@@ -53,6 +53,7 @@ _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST"
 _LAYOUT = "_LAYOUT"
 _STATS = "_STATS"
+_CLUSTER = "_CLUSTER"
 
 
 def _local_path(p: str) -> str:
@@ -502,7 +503,53 @@ class ParquetWarehouse:
                 cur = self._latest_version(table)
                 partition_by = self._layout(table, cur) if cur else ()
             version = self._write_snapshot(df, table, partition_by)
+            if cluster_by or zorder_by:
+                # record the layout INTENT beside the snapshot, so
+                # compact can re-apply it instead of silently degrading
+                # every stats-skipping property the layout bought
+                self._record_cluster(
+                    table, version, cluster_by, zorder_by, zorder_scaler
+                )
             self._commit(table, version)
+
+    def _record_cluster(
+        self,
+        table: str,
+        version: str,
+        cluster_by: tuple[str, ...],
+        zorder_by: tuple[str, ...],
+        zorder_scaler: str = "minmax",
+    ) -> None:
+        spec = (
+            f"zorder:{','.join(zorder_by)}:{zorder_scaler}"
+            if zorder_by
+            else f"cluster:{','.join(cluster_by)}"
+        )
+        with open(
+            os.path.join(self.table_path(table), version, _CLUSTER), "w"
+        ) as f:
+            f.write(spec)
+
+    def _cluster_spec(
+        self, table: str
+    ) -> tuple[str, tuple[str, ...], str] | None:
+        """The table's most recent recorded cluster intent: walk
+        versions newest-first (appends between clusterings record no
+        spec — their members stay unclustered until the next compact,
+        the Delta OPTIMIZE contract). Returns (kind, cols, scaler)."""
+        for v in reversed(self.versions(table)):
+            try:
+                with open(
+                    os.path.join(self.table_path(table), v, _CLUSTER)
+                ) as f:
+                    spec = f.read().strip()
+            except FileNotFoundError:
+                continue
+            if spec.startswith("zorder:"):
+                _, cols, scaler = spec.split(":")
+                return "zorder", tuple(cols.split(",")), scaler
+            return "cluster", tuple(spec.split(":")[1].split(",")), "minmax"
+        return None
 
     def create_as(self, df: DataFrame, table: str) -> None:
         """K4: CTAS — the analysis table's drop+create
@@ -1325,6 +1372,14 @@ class ParquetWarehouse:
         sweet spot (~128 MB), exactly Delta OPTIMIZE / Iceberg rewrite.
         Runs as an ordinary snapshot write + pointer flip, so readers
         see either the old or the compacted snapshot, never a mix.
+
+        A recorded ``cluster_by``/``zorder_by`` intent (written by
+        ``overwrite``) is RE-APPLIED: compaction is exactly when
+        append-accreted unclustered members get folded back into the
+        layout (Delta's OPTIMIZE ZORDER), and a plain repartition here
+        would silently destroy every stats-skipping property the
+        layout bought. On a hive-partitioned table the cluster sort
+        applies within each partition's files.
         """
         with self._write_lock(table):
             if partition_by is None:
@@ -1334,7 +1389,39 @@ class ParquetWarehouse:
                 cur = self._latest_version(table)
                 partition_by = self._layout(table, cur) if cur else ()
             df = self.read(table)
-            if partition_by:
+            spec = self._cluster_spec(table)
+            if spec and spec[0] == "zorder":
+                from ..functions.zorder import with_zorder_key
+
+                df = with_zorder_key(df, spec[1], scaler=spec[2])
+                if partition_by:
+                    df = df.repartition(
+                        *[F.col(c) for c in partition_by]
+                    ).sortWithinPartitions("_zorder")
+                else:
+                    total = sum(
+                        os.path.getsize(f) for f in self.data_files(table)
+                    )
+                    n = max(1, -(-total // target_file_bytes))
+                    df = df.repartitionByRange(
+                        n, F.col("_zorder")
+                    ).sortWithinPartitions("_zorder")
+                df = df.drop("_zorder")
+            elif spec and spec[0] == "cluster":
+                ccols = [F.col(c) for c in spec[1]]
+                if partition_by:
+                    df = df.repartition(
+                        *[F.col(c) for c in partition_by]
+                    ).sortWithinPartitions(*spec[1])
+                else:
+                    total = sum(
+                        os.path.getsize(f) for f in self.data_files(table)
+                    )
+                    n = max(1, -(-total // target_file_bytes))
+                    df = df.repartitionByRange(n, *ccols).sortWithinPartitions(
+                        *spec[1]
+                    )
+            elif partition_by:
                 df = df.repartition(*[F.col(c) for c in partition_by])
             else:
                 # size the file count from actual bytes — only needed on
@@ -1344,6 +1431,16 @@ class ParquetWarehouse:
                 n = max(1, -(-total // target_file_bytes))  # ceil div
                 df = df.repartition(n)
             version = self._write_snapshot(df, table, partition_by)
+            if spec:
+                # carry the intent forward so the NEXT compact sees it
+                kind, cols, scaler = spec
+                self._record_cluster(
+                    table,
+                    version,
+                    cols if kind == "cluster" else (),
+                    cols if kind == "zorder" else (),
+                    scaler,
+                )
             self._commit(table, version)
 
     def maintain_table(

@@ -773,3 +773,43 @@ def test_equality_in_list_pruning(spark, tmp_path):
         raise AssertionError("empty IN must refuse")
     except ValueError as e:
         assert "empty" in str(e)
+
+
+def test_compact_reapplies_recorded_cluster_layout(spark, tmp_path):
+    # append-accreted members are unclustered; compact must fold them
+    # back into the recorded layout instead of destroying it
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 8000).withColumn("v", F.col("id") % 800)
+    wh.overwrite(df, "t", cluster_by=("v",), n_files=8)
+    wh.append(
+        spark.range(8000, 12000).withColumn("v", F.col("id") % 800).repartition(4),
+        "t",
+    )
+    # pre-compact: the appended member spans the whole v-range, so the
+    # range predicate keeps its files — pruning partially degraded
+    before = wh.skip_files("t", {"v": (100, 199)})
+    wh.compact("t", target_file_bytes=1 << 15)
+    after = wh.skip_files("t", {"v": (100, 199)})
+    n_files = len(wh.data_files("t"))
+    assert n_files > 1
+    assert len(after) < n_files  # clustering restored: pruning works
+    assert len(after) <= len(before)
+    got = wh.read_skipped("t", {"v": (100, 199)})
+    expect = wh.read("t").where(F.col("v").between(100, 199))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+
+
+def test_compact_reapplies_zorder_layout(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"), (F.col("id") / 128).cast("long").alias("y")
+    )
+    wh.overwrite(df, "t", zorder_by=("x", "y"), n_files=16)
+    wh.append(df.withColumn("x", F.col("x")), "t")  # unclustered member
+    wh.compact("t", target_file_bytes=1 << 15)
+    n = len(wh.data_files("t"))
+    assert n > 1
+    # second-dimension pruning survives the compaction (z-order restored)
+    assert len(wh.skip_files("t", {"y": (0, 15)})) < n
