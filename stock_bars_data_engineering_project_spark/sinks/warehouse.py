@@ -431,6 +431,26 @@ class ParquetWarehouse:
                         f"{sorted(set(df.columns) ^ prev_cols)} differ); pass "
                         "allow_schema_drift=True to align by name"
                     )
+                # TYPE drift too: a same-name type change passes the
+                # column-set check but detonates at READ time (the
+                # manifest union can't align string vs long), turning a
+                # bad write into a poisoned table. Checked here, where
+                # the writer can still fix the batch.
+                prev_types = dict(existing.dtypes)
+                mismatched = [
+                    (c, t, prev_types[c])
+                    for c, t in df.dtypes
+                    if prev_types.get(c, t) != t
+                ]
+                if mismatched:
+                    raise ValueError(
+                        f"append to {table!r}: type drift — "
+                        + ", ".join(
+                            f"{c!r} is {t} but the table has {pt}"
+                            for c, t, pt in mismatched
+                        )
+                        + "; cast the batch to the table's types"
+                    )
             chain = self._manifest_members(table, prev)
             if len(chain) + 1 > manifest_limit:
                 if existing is None:

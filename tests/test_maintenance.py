@@ -813,3 +813,18 @@ def test_compact_reapplies_zorder_layout(spark, tmp_path):
     assert n > 1
     # second-dimension pruning survives the compaction (z-order restored)
     assert len(wh.skip_files("t", {"y": (0, 15)})) < n
+
+
+def test_append_type_drift_refuses_at_write_time(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    wh.append(spark.createDataFrame([(1, "a")], "id long, v string"), "t")
+    bad = spark.createDataFrame([(2, 3)], "id long, v long")  # v flipped type
+    try:
+        wh.append(bad, "t")
+        raise AssertionError("type drift must refuse at write time")
+    except ValueError as e:
+        assert "type drift" in str(e) and "'v'" in str(e)
+    # the table is unpoisoned: still readable, still one row
+    assert wh.read("t").count() == 1
+    # and an explicitly drift-allowed append stays the caller's call
+    wh.append(bad, "t", allow_schema_drift=True)
