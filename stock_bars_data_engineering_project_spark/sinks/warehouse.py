@@ -103,6 +103,20 @@ def _stats_of_rows(
     return out
 
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _types_compatible(a: str, b: str) -> bool:
+    """True when Spark's union alignment resolves the pair implicitly
+    (numeric widening family, incl. decimals) — the read stays sound,
+    so the append type-drift guard lets it through."""
+    if a == b:
+        return True
+    num_a = a in _NUMERIC_TYPES or a.startswith("decimal")
+    num_b = b in _NUMERIC_TYPES or b.startswith("decimal")
+    return num_a and num_b
+
+
 def _partition_values_pred(parts: list[tuple], partition_by) -> "Column":
     """Static partition-pruning predicate from a bounded list of touched
     partition-value tuples (NULL-safe): OR over per-partition AND terms."""
@@ -431,16 +445,22 @@ class ParquetWarehouse:
                         f"{sorted(set(df.columns) ^ prev_cols)} differ); pass "
                         "allow_schema_drift=True to align by name"
                     )
-                # TYPE drift too: a same-name type change passes the
-                # column-set check but detonates at READ time (the
-                # manifest union can't align string vs long), turning a
-                # bad write into a poisoned table. Checked here, where
-                # the writer can still fix the batch.
+                # TYPE drift too: a same-name INCOMPATIBLE type change
+                # passes the column-set check but detonates at READ time
+                # (the manifest union can't align string vs long),
+                # turning a bad write into a poisoned table. Checked
+                # here, where the writer can still fix the batch.
+                # Numeric-widening pairs are fine (the union resolves
+                # them), and hive partition columns are exempt — their
+                # read-back dtype is DIRNAME INFERENCE (a bigint bkt
+                # comes back int), not anything the writer controls.
                 prev_types = dict(existing.dtypes)
                 mismatched = [
                     (c, t, prev_types[c])
                     for c, t in df.dtypes
-                    if prev_types.get(c, t) != t
+                    if c not in partition_by
+                    and prev_types.get(c, t) != t
+                    and not _types_compatible(t, prev_types[c])
                 ]
                 if mismatched:
                     raise ValueError(

@@ -828,3 +828,17 @@ def test_append_type_drift_refuses_at_write_time(spark, tmp_path):
     assert wh.read("t").count() == 1
     # and an explicitly drift-allowed append stays the caller's call
     wh.append(bad, "t", allow_schema_drift=True)
+
+
+def test_append_numeric_widening_and_partition_inference_allowed(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path))
+    # int -> bigint widening: union alignment resolves it, must pass
+    wh.append(spark.createDataFrame([(1, 2)], "id long, v int"), "t")
+    wh.append(spark.createDataFrame([(2, 3)], "id long, v long"), "t")
+    assert wh.read("t").count() == 2
+    # hive partition column read back as int (dirname inference) while
+    # batches carry bigint: the persisted-index ingest shape, must pass
+    df = spark.range(0, 10).withColumn("bkt", F.col("id") % 4)
+    wh.append(df, "p", partition_by=("bkt",))
+    wh.append(df.withColumn("id", F.col("id") + 10), "p")
+    assert wh.read("p").count() == 20
