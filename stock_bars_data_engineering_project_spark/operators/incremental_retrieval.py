@@ -223,18 +223,47 @@ def bm25_query(
         raise ValueError(f"need k1 >= 0 and 0 <= b <= 1, got k1={k1}, b={b}")
     n_buckets, gen = _meta(wh, table)
 
-    qterms = _term_counts(queries, query_id_col, query_text_col).select(
-        F.col("id").alias("query_id"), "token"
-    )
-    qvocab = qterms.select("token").distinct()
-    probe_bkts = [
-        r.bkt
-        for r in qvocab.select(
-            md5_bucket48(F.col("token"), n_buckets).alias("bkt")
-        )
-        .distinct()
+    # ONE driver job for the whole query side (round-10 opt): collect
+    # the (query_id, token) pairs — query-set-sized by module contract
+    # — and derive the probe-bucket literal in Python (md5_bucket48's
+    # first-12-hex-chars arithmetic is byte-exact over the same UTF-8).
+    # Tokenization itself stays in the JVM via _term_counts, so the
+    # probe vocabulary can never diverge from the postings' tokens.
+    # The former shape paid a distinct-shuffle collect AND re-ran the
+    # query tokenization subtree inside the final action; qterms is now
+    # a local relation on both paths.
+    import hashlib
+
+    qrows = [
+        (r[0], r[1])
+        for r in _term_counts(queries, query_id_col, query_text_col)
+        .select("id", "token")
         .collect()
     ]
+    probe_bkts = sorted(
+        {
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+            % n_buckets
+            for _, t in qrows
+        }
+    )
+    from pyspark.sql import types as T
+
+    qid_type = queries.schema[query_id_col].dataType
+    spark = queries.sparkSession
+    qterms = spark.createDataFrame(
+        qrows,
+        T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("token", T.StringType()),
+            ]
+        ),
+    )
+    qvocab = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in qrows})],
+        T.StructType([T.StructField("token", T.StringType())]),
+    )
     postings = _live(
         wh,
         table,

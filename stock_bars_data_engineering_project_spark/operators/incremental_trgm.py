@@ -54,7 +54,7 @@ from ..functions.hashing import md5_bucket48
 from ..materialize import materialize
 from ..sinks.warehouse import ParquetWarehouse
 from .index_maint import maintain_bucketed_index, postings_table, read_meta
-from .trigram import char_ngrams, substring_scan, trigram_postings
+from .trigram import substring_scan, trigram_postings
 
 
 def _postings_table(table: str, gen: int = 0) -> str:
@@ -277,28 +277,36 @@ def trgm_query(
     that contract LOUD — an oversized pattern frame fails fast instead
     of silently building a huge broadcast + driver literal."""
     n_buckets, gen = _meta(wh, table)
-    pats = patterns.select(
-        F.col(pattern_id_col).alias("pattern_id"),
-        F.col(pattern_col).alias("pattern"),
-    )
-    short = pats.filter(F.length("pattern") < 3)
-    indexed = pats.filter(F.length("pattern") >= 3)
+    # Patterns are broadcast-small by module contract, so the WHOLE
+    # pattern side runs on the driver from ONE collect (round-10 opt):
+    # the previous shape paid three serialized driver jobs per call
+    # (materialize the trigram expansion, count it for the cap guard,
+    # collect the probe buckets) before the probe plan even existed.
+    # The Python trigram expansion replicates char_ngrams exactly
+    # (both Java's regex split("") and Python strings walk code
+    # points) and md5_bucket48's first-12-hex-chars mod arithmetic.
+    import hashlib
 
-    pat_tri = materialize(
-        indexed.select(
-            "pattern_id",
-            "pattern",
-            F.array_distinct(char_ngrams(F.col("pattern"))).alias("_tris"),
-        ).select(
-            "pattern_id",
-            "pattern",
-            F.size("_tris").alias("n_tri"),
-            F.explode("_tris").alias("trigram"),
-        )
-    )
-    # loud broadcast-contract guard: pat_tri is already materialized,
-    # so this count re-runs nothing
-    n_tri_total = pat_tri.count()
+    pats_rows = [
+        (r[0], r[1])
+        for r in patterns.select(
+            F.col(pattern_id_col).alias("pattern_id"),
+            F.col(pattern_col).alias("pattern"),
+        ).collect()
+    ]
+    # NULL patterns fall out of BOTH arms, as with the former
+    # F.length() filters (NULL comparison is never true)
+    short_rows = [
+        (pid, p) for pid, p in pats_rows if p is not None and len(p) < 3
+    ]
+    tri_rows = []
+    for pid, p in pats_rows:
+        if p is None or len(p) < 3:
+            continue
+        tris = list(dict.fromkeys(p[i : i + 3] for i in range(len(p) - 2)))
+        tri_rows.extend((pid, p, len(tris), t) for t in tris)
+    # loud broadcast-contract guard (driver-side, no job)
+    n_tri_total = len(tri_rows)
     if n_tri_total > max_pattern_trigrams:
         raise ValueError(
             f"trgm_query: pattern set expands to {n_tri_total} trigrams "
@@ -308,14 +316,28 @@ def trgm_query(
         )
     # driver-side probe-bucket literal: DISTINCT buckets, so bounded by
     # min(pattern trigram count, n_buckets) — never corpus-sized
-    probe_bkts = [
-        r.bkt
-        for r in pat_tri.select(
-            md5_bucket48(F.col("trigram"), n_buckets).alias("bkt")
-        )
-        .distinct()
-        .collect()
-    ]
+    probe_bkts = sorted(
+        {
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+            % n_buckets
+            for _, _, _, t in tri_rows
+        }
+    )
+    from pyspark.sql import types as T
+
+    pid_type = patterns.schema[pattern_id_col].dataType
+    spark = patterns.sparkSession
+    pat_tri = spark.createDataFrame(
+        tri_rows,
+        T.StructType(
+            [
+                T.StructField("pattern_id", pid_type),
+                T.StructField("pattern", T.StringType()),
+                T.StructField("n_tri", T.IntegerType()),
+                T.StructField("trigram", T.StringType()),
+            ]
+        ),
+    )
     # tombstones anti-join out on the already-pruned probe slice, not
     # the whole postings table (the bm25_query/ann_query discipline)
     postings = (
@@ -352,8 +374,17 @@ def trgm_query(
         .filter(F.contains(F.col("_text"), F.col("pattern")))
         .select("pattern_id", "id")
     )
-    if short.limit(1).count() == 0:
+    if not short_rows:
         return verified
+    short = spark.createDataFrame(
+        short_rows,
+        T.StructType(
+            [
+                T.StructField("pattern_id", pid_type),
+                T.StructField("pattern", T.StringType()),
+            ]
+        ),
+    )
     # the scan fallback answers over LIVE INDEX MEMBERS only (the
     # caller's corpus frame semi-joined against tombstone-free
     # membership): the indexed arm's answer surface is exactly the live

@@ -53,11 +53,22 @@ def _term_counts(
     rides the groupBy as a per-doc constant. ``vocab`` (a 1-column
     ``token`` frame, broadcast) drops out-of-vocabulary tokens between
     the explode and the groupBy, so they never enter the tf shuffle."""
-    toks = F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
-    exploded = df.select(
+    # Pre-project the token array ONCE per row before exploding it
+    # next to a sibling column: explode's siblings live in the Project
+    # ABOVE Generate, which evaluates per OUTPUT row — an inline array
+    # expression there re-tokenizes the document once per token,
+    # O(len^2) per doc (measured 7x this stage's cost at sf0.1).
+    # array_remove(.., "") == filter(t != "") for split output (split
+    # never yields NULL elements) and stays in whole-stage codegen
+    # instead of the interpreted higher-order-function path.
+    arr = df.select(
         F.col(id_col).alias("id"),
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("token"),
+        F.array_remove(tokens(F.lower(F.col(text_col))), "").alias("__toks"),
+    )
+    exploded = arr.select(
+        "id",
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("token"),
     )
     if vocab is not None:
         exploded = exploded.join(F.broadcast(vocab), "token", "left_semi")
@@ -124,7 +135,7 @@ def corpus_stats_1row(docs: DataFrame, text_col: str = "text") -> DataFrame:
     — factored out so multi-pass callers (PRF) compute it once."""
     return docs.select(
         F.size(
-            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+            F.array_remove(tokens(F.lower(F.col(text_col))), "")
         ).alias("dl")
     ).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -4189,16 +4189,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     from ..materialize import materialize
-    from ..operators.retrieval import corpus_stats_1row
-
-    # the 1-row corpus stats serve BOTH Okapi passes (recompute + prf
-    # second pass) — computed once instead of one tokenization each
-    stats = materialize(corpus_stats_1row(corpus))
 
     # materialized: the lexical ranking feeds BOTH its own arm and the
     # rrf fusion AND the prf feedback pick — without this the whole
-    # bm25 pipeline replays per consumer
-    lex = materialize(bm25_topk(corpus, queries, k=10, stats=stats))
+    # bm25 pipeline replays per consumer. The 1-row corpus stats are
+    # NOT materialized separately (round-10 opt): inside this one job
+    # the stats scan runs as an independent stage CONCURRENTLY with the
+    # doc-terms stages, where a standalone eager materialize serialized
+    # a whole extra job of it on the driver.
+    lex = materialize(bm25_topk(corpus, queries, k=10))
     recompute = _round(lex, "recompute")
     wh = _bm25_index(spark, sf_dir, corpus)
     index = _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
@@ -4226,8 +4225,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized ONCE per row instead of twice. This is why retrieval
     # systems persist an inverted index at all; PRF's "one more corpus
     # scan" cost only applies when no index exists.
-    expanded = prf_expand(
-        corpus, queries, lex.select("query_id", "doc_id", "rank")
+    # materialized (round-10 opt): bm25_query's probe-bucket collect
+    # forces the expansion lineage once at build time and the final
+    # union action would replay it (feedback-text join + count window)
+    # — the checkpoint is 25 rows, so both consumers read it instead
+    expanded = materialize(
+        prf_expand(corpus, queries, lex.select("query_id", "doc_id", "rank"))
     )
     prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
 

@@ -70,6 +70,25 @@ def test_redelivery_is_a_noop(spark, tmp_path, corpus):
     assert _counts(*lm_state(wh, min_count=1)) == before
 
 
+def test_redelivery_writes_nothing(spark, tmp_path, corpus):
+    """Round-10 opt pin: a present (content-addressed) epoch partition
+    short-circuits BEFORE any write — redelivery commits no new table
+    version, where the former keyed merge re-wrote the identical
+    partition as a fresh snapshot."""
+    wh = _wh(spark, tmp_path, "skipwrite")
+    batch = corpus.filter("doc_id <= 2")
+    ingest_lm_batch(wh, batch)
+    vers_before = (
+        wh.versions("lm_unigrams"),
+        wh.versions("lm_bigrams"),
+    )
+    ingest_lm_batch(wh, batch)
+    assert (
+        wh.versions("lm_unigrams"),
+        wh.versions("lm_bigrams"),
+    ) == vers_before
+
+
 def test_read_time_pruning(spark, tmp_path, corpus):
     wh = _wh(spark, tmp_path, "prune")
     ingest_lm_batch(wh, corpus)
