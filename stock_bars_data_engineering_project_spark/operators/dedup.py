@@ -426,30 +426,36 @@ def simhash_fingerprints(
     h2 = F.conv(F.substring(F.md5("_tok"), 8, 8), 16, 10).cast("long")
     tok = tok.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
 
-    def vote(j: int) -> Column:
+    # The 60 vote aggregates and the 60-piece fingerprint assembly are
+    # each ONE F.expr parse instead of loop-built Column trees: py4j
+    # constructs expressions one round-trip per operator node (~2 s of
+    # pure driver time per call for these two loops, measured at
+    # round 10), while the SQL parser builds the identical trees in a
+    # few ms. CASE WHEN b IS NULL handles the explode_outer row of a
+    # NULL-text doc (split of non-null text never yields an empty
+    # array): zero votes, and the _ntok guard below turns the whole
+    # fingerprint NULL to match simhash60's fold over a NULL token
+    # array.
+    def vote_sql(j: int) -> str:
         src, off = ("_h2", j) if j < 32 else ("_h1", j - 32)
-        b = F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
-        # NULL hash = the explode_outer row of a NULL-text doc (split
-        # of non-null text never yields an empty array, so that is the
-        # only way a NULL lands here): zero votes, and the _ntok guard
-        # below turns the whole fingerprint NULL to match simhash60's
-        # fold over a NULL token array
+        b = f"(shiftright({src}, {off}) & 1)"
         return (
-            F.when(b.isNull(), F.lit(0))
-            .when(b == 1, F.lit(1))
-            .otherwise(F.lit(-1))
+            f"sum(CASE WHEN {b} IS NULL THEN 0 "
+            f"WHEN {b} = 1 THEN 1 ELSE -1 END)"
         )
 
     agg = tok.groupBy("doc_id").agg(
         F.count("_h1").alias("_ntok"),
-        *[F.sum(vote(j)).alias(f"_s{j}") for j in range(SIMHASH_BITS)],
+        *[
+            F.expr(vote_sql(j)).alias(f"_s{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    fingerprint = None
-    for j in range(SIMHASH_BITS):
-        piece = F.when(
-            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = piece if fingerprint is None else fingerprint.bitwiseOR(piece)
+    fingerprint_sql = " | ".join(
+        f"(CASE WHEN _s{j} > 0 THEN CAST({1 << j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
     # NULL text -> NULL fingerprint, exactly like the per-row simhash60
     # over tokens(NULL); NULL fingerprints then never pair downstream
     # (NULL bucket values survive to the expansion, but the hamming
@@ -457,7 +463,9 @@ def simhash_fingerprints(
     # way the old path behaved)
     return agg.select(
         "doc_id",
-        F.when(F.col("_ntok") > 0, fingerprint).alias("simhash"),
+        F.expr(
+            f"CASE WHEN _ntok > 0 THEN ({fingerprint_sql}) END"
+        ).alias("simhash"),
     )
 
 
@@ -471,40 +479,45 @@ assert sum(_SIMHASH_SUB_WIDTHS) == SIMHASH_BITS - SIMHASH_BLOCK_BITS, (
 assert len(_SIMHASH_SUB_WIDTHS) == SIMHASH_BLOCKS
 
 
-def _simhash_block_pieces(col: Column):
-    """Yield (flat_idx, block_val, sub_val) Column triples for every
+def _simhash_block_pieces(col: str):
+    """Yield (flat_idx, block_val, sub_val) SQL-string triples for every
     (block i, sub-block j) of a 60-bit fingerprint — THE one definition
     of the two-level split, shared by the bucket keys and the canonical
-    first-match index so they cannot drift."""
+    first-match index so they cannot drift. SQL strings rather than
+    Column trees (round-10 opt): py4j pays one driver round-trip per
+    expression node, so the loop-built Column form cost ~0.5 s of pure
+    plan construction per call where F.expr parses the identical tree
+    in single-digit ms."""
     bb = SIMHASH_BLOCK_BITS
     mask = (1 << bb) - 1
     for i in range(SIMHASH_BLOCKS):
-        block_val = F.shiftright(col, i * bb).bitwiseAND(F.lit(mask))
+        block_val = f"(shiftright({col}, {i * bb}) & {mask})"
         # remainder: all fingerprint bits except block i, packed low
-        low = col.bitwiseAND(F.lit((1 << (bb * i)) - 1))
-        high = F.shiftright(col, bb * (i + 1))
-        rem = low.bitwiseOR(F.shiftleft(high, bb * i))
+        low = f"({col} & {(1 << (bb * i)) - 1})"
+        high = f"shiftright({col}, {bb * (i + 1)})"
+        rem = f"({low} | shiftleft({high}, {bb * i}))"
         off = 0
         for j, w in enumerate(_SIMHASH_SUB_WIDTHS):
-            sub_val = F.shiftright(rem, off).bitwiseAND(F.lit((1 << w) - 1))
+            sub_val = f"(shiftright({rem}, {off}) & {(1 << w) - 1})"
             off += w
             yield i * SIMHASH_BLOCKS + j, block_val, sub_val
 
 
-def _simhash_first_match_idx(x: Column, y: Column) -> Column:
+def _simhash_first_match_idx(x: str, y: str) -> Column:
     """The smallest flat (block, sub) index where two fingerprints agree
     on BOTH the block and the sub-block — pure bit arithmetic over
     x XOR y (a piece matches iff its bits of the diff are all zero).
     Every hamming<=3 pair has at least one such index (the two-level
     pigeonhole), so emitting a pair ONLY from that bucket makes the
     pair output distinct by construction — no duplicate emissions to
-    shuffle, no distinct-pair stage at all."""
-    diff = x.bitwiseXOR(y)
-    expr = None
-    for flat, block_d, sub_d in _simhash_block_pieces(diff):
-        cond = (block_d == 0) & (sub_d == 0)
-        expr = F.when(cond, flat) if expr is None else expr.when(cond, flat)
-    return expr.otherwise(-1)
+    shuffle, no distinct-pair stage at all. ``x``/``y`` are SQL column
+    references (struct-field paths allowed), one parse total."""
+    diff = f"({x} ^ {y})"
+    whens = " ".join(
+        f"WHEN ({block_d} = 0 AND {sub_d} = 0) THEN {flat}"
+        for flat, block_d, sub_d in _simhash_block_pieces(diff)
+    )
+    return F.expr(f"CASE {whens} ELSE -1 END")
 
 
 def simhash_pairs_from_fingerprints(
@@ -521,15 +534,17 @@ def simhash_pairs_from_fingerprints(
             f"simhash blocking is candidate-complete only for "
             f"max_hamming <= {SIMHASH_BLOCKS - 1}, got {max_hamming}"
         )
-    keys = [
+    keys_sql = ", ".join(
         # one long key: block value in the high bits, sub value low
-        F.shiftleft(block_val, 12).bitwiseOR(sub_val)
-        for _, block_val, sub_val in _simhash_block_pieces(F.col("simhash"))
-    ]
+        f"(shiftleft({block_val}, 12) | {sub_val})"
+        for _, block_val, sub_val in _simhash_block_pieces("simhash")
+    )
     blocked = fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
+        F.posexplode(F.expr(f"array({keys_sql})")).alias(
+            "block_idx", "block_val"
+        ),
     )
     # hamming <= k verified INSIDE the bucket expansion: the shuffle
     # after it sees only true near-dups, not every block collision
@@ -544,7 +559,7 @@ def simhash_pairs_from_fingerprints(
         pair_pred=lambda a, b, block_idx: (
             hamming(a["simhash"], b["simhash"]) <= F.lit(max_hamming)
         )
-        & (_simhash_first_match_idx(a["simhash"], b["simhash"]) == block_idx),
+        & (_simhash_first_match_idx("a.simhash", "b.simhash") == block_idx),
         pred_keys=("block_idx",),
         distinct=False,
     )

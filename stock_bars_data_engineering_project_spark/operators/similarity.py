@@ -498,53 +498,45 @@ def pq_topk(
     # higher-order function — measured ~4x slower for the encode, the
     # same finding that moved the simhash/minhash hashing to codegen).
     # Left-associated sums keep bit-identical FP accumulation with both
-    # the fold form and the oracle's list_reduce.
-    def unrolled_l2(c, s):
+    # the fold form and the oracle's list_reduce. The unrolled trees are
+    # built as SQL strings and parsed in ONE F.expr per consumer
+    # (round-10 opt): py4j pays a driver round-trip per Column node, so
+    # the loop-built form cost >1 s of pure construction per call.
+    def unrolled_l2(s):
         # sum_i (cw_i - v_{s*sub+i})^2, i = 1..sub, left-assoc; the
         # square is an explicit product, not pow(x, 2) — POW may route
         # through Math.pow, which is not guaranteed bit-identical
         def sq(i):
-            d = F.element_at(c["cw"], i) - F.element_at(F.col("_v"), s * sub + i)
-            return d * d
+            d = f"(element_at(c.cw, {i}) - element_at(_v, {s * sub + i}))"
+            return f"({d} * {d})"
 
-        terms = [sq(i) for i in range(1, sub + 1)]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
+        return "(" + " + ".join(sq(i) for i in range(1, sub + 1)) + ")"
 
-    def unrolled_dot(c, s):
-        terms = [
-            F.element_at(F.col("q_vec"), s * sub + i) * F.element_at(c["cw"], i)
+    def unrolled_dot(s):
+        return "(" + " + ".join(
+            f"(element_at(q_vec, {s * sub + i}) * element_at(c.cw, {i}))"
             for i in range(1, sub + 1)
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        return acc
+        ) + ")"
 
     # per-row encode: for each subspace, fold argmin over that
     # subspace's codewords (cb is (s,j)-sorted, filter preserves order).
     # Distances materialize once per codeword (transform) before the
     # fold — the lambda-re-evaluation trap ivf_assign documents.
     def argmin_code(s):
-        return F.aggregate(
-            F.transform(
-                F.filter(F.col("cb"), lambda c: c["s"] == s),
-                lambda c: F.struct(
-                    c["j"].alias("j"), unrolled_l2(c, s).alias("d2")
-                ),
-            ),
-            F.struct(
-                F.lit(None).cast("long").alias("j"),
-                F.lit(None).cast("double").alias("d2"),
-            ),
-            lambda acc, c: F.when(
-                acc["j"].isNull() | (c["d2"] < acc["d2"]), c
-            ).otherwise(acc),
-        )["j"]
+        return (
+            f"aggregate("
+            f"transform(filter(cb, c -> c.s = {s}), "
+            f"c -> named_struct('j', c.j, 'd2', {unrolled_l2(s)})), "
+            f"named_struct('j', CAST(NULL AS BIGINT), "
+            f"'d2', CAST(NULL AS DOUBLE)), "
+            f"(acc, c) -> CASE WHEN acc.j IS NULL OR c.d2 < acc.d2 "
+            f"THEN c ELSE acc END"
+            f").j"
+        )
 
-    codes_expr = F.array(*[argmin_code(s) for s in range(m)])
+    codes_expr = F.expr(
+        "array(" + ", ".join(argmin_code(s) for s in range(m)) + ")"
+    )
     # NULL/short vectors would silently encode to codeword 0 via the
     # null-poisoned fold — same loud contract as ivf_assign
     guarded_v = F.when(
@@ -566,14 +558,10 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     )
-    # NOTE: binding the loop variable with a `lambda c, s=s:` default arg
-    # is WRONG here — PySpark reads a two-parameter lambda as the
-    # (element, index) form and binds s to the array INDEX. A def-scope
-    # closure keeps the lambda unary.
     def tq_for(s):
-        return F.transform(
-            F.filter(F.col("cb"), lambda c: c["s"] == s),
-            lambda c: unrolled_dot(c, s),
+        return (
+            f"transform(filter(cb, c -> c.s = {s}), "
+            f"c -> {unrolled_dot(s)})"
         )
 
     # qt deliberately does NOT carry q_vec: the crossJoin replicates qt's
@@ -582,21 +570,21 @@ def pq_topk(
     # extra broadcast-build job the rerank's separate q join costs here
     qt = (
         q.crossJoin(F.broadcast(cb_row))
-        .withColumn("tq", F.array(*[tq_for(s) for s in range(m)]))
+        .withColumn(
+            "tq",
+            F.expr("array(" + ", ".join(tq_for(s) for s in range(m)) + ")"),
+        )
         .select("query_id", "tq")
     )
 
     # approx = sum_s tq[s][codes[s]], left-assoc in subspace order
-    lookups = [
-        F.element_at(
-            F.element_at(F.col("tq"), s + 1),
-            (F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+    approx = F.expr(
+        " + ".join(
+            f"element_at(element_at(tq, {s + 1}), "
+            f"CAST(element_at(codes, {s + 1}) + 1 AS INT))"
+            for s in range(m)
         )
-        for s in range(m)
-    ]
-    approx = lookups[0]
-    for t in lookups[1:]:
-        approx = approx + t
+    )
     # project to exactly the ranking triple — codes and the tq table
     # must not ride the salted shuffle
     adc = (
