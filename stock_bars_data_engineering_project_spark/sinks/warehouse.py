@@ -342,6 +342,16 @@ class ParquetWarehouse:
                 f.write(",".join(partition_by))
         return version
 
+    def _has_data_files(self, table: str, version: str) -> bool:
+        """True iff the version dir holds at least one parquet data
+        file — a pure filesystem probe (no Spark job)."""
+        for dirpath, _dirnames, filenames in os.walk(
+            os.path.join(self.table_path(table), version)
+        ):
+            if any(f.endswith(".parquet") for f in filenames):
+                return True
+        return False
+
     def _layout(self, table: str, version: str) -> tuple[str, ...]:
         """Partition columns the snapshot was written with (() if
         unpartitioned) — read from the version's _LAYOUT record."""
@@ -482,9 +492,18 @@ class ParquetWarehouse:
                 self._commit(table, version)
                 return
             version = self._write_snapshot(df, table, partition_by)
+            members = [*chain, version]
+            if not self._has_data_files(table, version):
+                # empty batch: old ∪ ∅ = old. A PARTITIONED write of an
+                # empty frame emits no data files at all, and a member
+                # dir without parquet files poisons every later read
+                # (UNABLE_TO_INFER_SCHEMA on the union) — so commit the
+                # version with the prior members only and never list
+                # the file-less dir.
+                members = chain
             mf = os.path.join(self.table_path(table), version, _MANIFEST)
             with open(mf, "w") as f:
-                f.write("\n".join([*chain, version]) + "\n")
+                f.write("\n".join(members) + "\n")
             self._commit(table, version)
 
     def overwrite(

@@ -235,6 +235,25 @@ def test_append_is_o_batch_via_manifest(spark, wh):
     ]
 
 
+def test_append_empty_partitioned_batch_is_noop_read(spark, wh):
+    """Appending an EMPTY batch to a partitioned table must leave the
+    table readable: a partitioned write of an empty frame emits no data
+    files, and a file-less member dir in the manifest poisons every
+    later read with UNABLE_TO_INFER_SCHEMA (the lm_state empty-epoch
+    regression). The commit still advances the version pointer; the
+    manifest just never lists the empty member."""
+    wh.overwrite(
+        _df(spark, [("TSLA", "t1", 1.0)]), "t", partition_by=("stock",)
+    )
+    empty = _df(spark, []).filter("1 = 0")
+    wh.append(empty, "t")
+    assert {r.stock for r in wh.read("t").collect()} == {"TSLA"}
+    # idempotent under repetition, and a later real append still lands
+    wh.append(empty, "t")
+    wh.append(_df(spark, [("AAPL", "t2", 2.0)]), "t")
+    assert {r.stock for r in wh.read("t").collect()} == {"TSLA", "AAPL"}
+
+
 def test_vacuum_keeps_referenced_manifest_members(spark, wh):
     """vacuum must not delete a version dir that a retained manifest
     snapshot references — and must still drop truly dead versions."""
