@@ -867,7 +867,7 @@ def embedding_dup_pairs_blocked(
 
     slim = balance(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     bucketed = slim.select(
-        "_id", lsh_bucket(F.col("_v"), dim, n_planes).alias("_bucket")
+        "_id", lsh_bucket("_v", dim, n_planes).alias("_bucket")
     )
     probe_keys = F.array(
         F.col("_bucket"),

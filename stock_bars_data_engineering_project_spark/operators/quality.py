@@ -264,85 +264,140 @@ def gopher_panel(
     already carries any of those names (the bpe_segment/salted_topk
     collision discipline).
     """
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
-    n_words = F.size(toks)
-    nw = n_words.cast("double")
+    # The whole rule panel is emitted as SQL strings and parsed by ONE
+    # selectExpr (round-10 opt): the loop-built Column form paid ~0.4 s
+    # of py4j round-trips per call (each higher-order lambda alone is
+    # ~30 ms of driver chatter), where the parser builds the identical
+    # trees in single-digit ms. Thresholds interpolate as literals —
+    # ints verbatim, floats as repr + the `D` suffix, which parses to
+    # the identical IEEE double (the lsh_bucket rule). Repeated
+    # sub-expression TEXT (toks/lines appear in several rules) costs
+    # nothing at runtime: the old Column reuse also expanded to
+    # repeated subtrees in the analyzed plan, and codegen
+    # subexpression elimination dedups both forms identically.
+    def lit_sql(v) -> str:
+        return str(int(v)) if isinstance(v, int) else f"{float(v)!r}D"
+
+    text = f"coalesce(`{text_col}`, '')"
+    toks = f"filter(split({text}, '\\\\s+'), t -> t != '')"
+    n_words = f"size({toks})"
+    nw = f"CAST({n_words} AS DOUBLE)"
+
+    def sum_lengths(arr: str) -> str:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
 
     # ALL ratios go through try_divide: ANSI mode (the Spark 4 default)
     # turns a zero divisor — empty doc, no lines — into a hard error,
     # and a quality GATE must fail such docs closed, not kill the job
-    mean_wlen = F.try_divide(_sum_lengths(toks), nw)
+    mean_wlen = f"try_divide({sum_lengths(toks)}, {nw})"
 
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_hash = f"(length({text}) - length(replace({text}, '#', '')))"
     n_ell = (
-        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
-        + F.length(text)
-        - F.length(F.replace(text, F.lit("…"), F.lit("")))
+        f"(((length({text}) - length(replace({text}, '...', ''))) / 3) "
+        f"+ length({text}) - length(replace({text}, '…', '')))"
     )
     # per-symbol ratios, each tested against the threshold on its own —
     # the paper's rule is "hash OR ellipsis ratio above 0.1", not a sum
-    hash_ratio = F.try_divide(n_hash, nw)
-    ell_ratio = F.try_divide(n_ell, nw)
+    hash_ratio = f"try_divide({n_hash}, {nw})"
+    ell_ratio = f"try_divide({n_ell}, {nw})"
 
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), F.trim), lambda l: l != F.lit("")
+    lines = (
+        f"filter(transform(split({text}, '\\\\n'), l -> trim(l)), "
+        f"l -> l != '')"
     )
-    n_lines = F.size(lines).cast("double")
-    bullet_ratio = F.try_divide(
-        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))), n_lines
+    n_lines = f"CAST(size({lines}) AS DOUBLE)"
+    bullet_ratio = (
+        f"try_divide(size(filter({lines}, l -> l rlike '^[-*•]')), {n_lines})"
     )
-    ellipsis_ratio = F.try_divide(
-        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))), n_lines
-    )
-
-    alpha_frac = F.try_divide(
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))), nw
+    ellipsis_ratio = (
+        f"try_divide(size(filter({lines}, "
+        f"l -> l rlike '(\\\\.\\\\.\\\\.|…)$')), {n_lines})"
     )
 
-    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stops = F.size(F.array_intersect(F.transform(toks, F.lower), stops))
-
-    distinct_lines = F.array_distinct(lines)
-    dup_line_frac = F.try_divide(F.size(lines) - F.size(distinct_lines), n_lines)
-    dup_line_char_frac = F.try_divide(
-        _sum_lengths(lines) - _sum_lengths(distinct_lines),
-        _sum_lengths(lines).cast("double"),
+    alpha_frac = (
+        f"try_divide(size(filter({toks}, t -> t rlike '[A-Za-z]')), {nw})"
     )
 
-    flat = F.trim(F.regexp_replace(text, r"\s+", " "))
-    grams2 = word_shingles(flat, 2)
-    top2 = F.when(F.size(grams2) > 0, top_gram_share(grams2)).otherwise(F.lit(0.0))
+    stops = "array(" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + ")"
+    n_stops = (
+        f"size(array_intersect(transform({toks}, t -> lower(t)), {stops}))"
+    )
 
-    def ok(c: Column) -> Column:
-        return F.coalesce(c, F.lit(False))
+    distinct_lines = f"array_distinct({lines})"
+    dup_line_frac = (
+        f"try_divide(size({lines}) - size({distinct_lines}), {n_lines})"
+    )
+    dup_line_char_frac = (
+        f"try_divide({sum_lengths(lines)} - {sum_lengths(distinct_lines)}, "
+        f"CAST({sum_lengths(lines)} AS DOUBLE))"
+    )
+
+    # word_shingles(flat, 2) + top_gram_share, same zip/fold shapes as
+    # functions/text.py (k=2: one zip_with of the shifted token array,
+    # incomplete tail shingles null out and are filtered)
+    flat = f"trim(regexp_replace({text}, '\\\\s+', ' '))"
+    ftoks = f"split({flat}, ' ')"
+    grams2 = (
+        f"filter(zip_with({ftoks}, slice({ftoks}, 2, size({ftoks})), "
+        f"(x, y) -> concat(x, ' ', y)), x -> x IS NOT NULL)"
+    )
+    run_best = (
+        f"aggregate(array_sort({grams2}), "
+        f"named_struct('prev', CAST(NULL AS STRING), "
+        f"'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+        f"(acc, g) -> named_struct('prev', g, "
+        f"'run', CASE WHEN g = acc.prev THEN acc.run + 1 ELSE 1 END, "
+        f"'best', greatest(acc.best, "
+        f"CASE WHEN g = acc.prev THEN acc.run + 1 ELSE 1 END))).best"
+    )
+    top2 = (
+        f"(CASE WHEN size({grams2}) > 0 "
+        f"THEN {run_best} / size({grams2}) ELSE 0.0D END)"
+    )
+
+    def ok(c: str) -> str:
+        return f"coalesce({c}, false)"
 
     rules = {
-        "rule_word_count": ok((n_words >= min_words) & (n_words <= max_words)),
+        "rule_word_count": ok(
+            f"{n_words} >= {lit_sql(min_words)} "
+            f"AND {n_words} <= {lit_sql(max_words)}"
+        ),
         "rule_mean_word_len": ok(
-            (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+            f"{mean_wlen} >= {lit_sql(min_mean_word_len)} "
+            f"AND {mean_wlen} <= {lit_sql(max_mean_word_len)}"
         ),
         "rule_symbol_ratio": ok(
-            (hash_ratio <= max_symbol_word_ratio)
-            & (ell_ratio <= max_symbol_word_ratio)
+            f"{hash_ratio} <= {lit_sql(max_symbol_word_ratio)} "
+            f"AND {ell_ratio} <= {lit_sql(max_symbol_word_ratio)}"
         ),
         # a doc with no surviving lines trivially passes the line-shape
         # rules (nothing to object to) — hence the n_lines==0 branch
         "rule_bullet_lines": ok(
-            (n_lines == 0) | (bullet_ratio <= max_bullet_line_ratio)
+            f"{n_lines} = 0 OR {bullet_ratio} <= "
+            f"{lit_sql(max_bullet_line_ratio)}"
         ),
         "rule_ellipsis_lines": ok(
-            (n_lines == 0) | (ellipsis_ratio <= max_ellipsis_line_ratio)
+            f"{n_lines} = 0 OR {ellipsis_ratio} <= "
+            f"{lit_sql(max_ellipsis_line_ratio)}"
         ),
-        "rule_alpha_words": ok(alpha_frac >= min_alpha_word_fraction),
-        "rule_stopwords": ok(n_stops >= min_distinct_stopwords),
+        "rule_alpha_words": ok(
+            f"{alpha_frac} >= {lit_sql(min_alpha_word_fraction)}"
+        ),
+        "rule_stopwords": ok(
+            f"{n_stops} >= {lit_sql(min_distinct_stopwords)}"
+        ),
         "rule_dup_lines": ok(
-            (n_lines == 0) | (dup_line_frac <= max_dup_line_fraction)
+            f"{n_lines} = 0 OR {dup_line_frac} <= "
+            f"{lit_sql(max_dup_line_fraction)}"
         ),
         "rule_dup_line_chars": ok(
-            (n_lines == 0) | (dup_line_char_frac <= max_dup_line_char_fraction)
+            f"{n_lines} = 0 OR {dup_line_char_frac} <= "
+            f"{lit_sql(max_dup_line_char_fraction)}"
         ),
-        "rule_top_2gram": ok(top2 <= max_top_2gram_fraction),
+        "rule_top_2gram": ok(
+            f"{top2} <= {lit_sql(max_top_2gram_fraction)}"
+        ),
     }
     clash = ({"n_words", "keep"} | set(rules)) & set(docs.columns)
     if clash:
@@ -350,13 +405,17 @@ def gopher_panel(
             f"gopher_panel writes column(s) {sorted(clash)}; rename them "
             "on the input first"
         )
-    out = docs.withColumn("n_words", n_words.cast("bigint"))
-    for name, flag in rules.items():
-        out = out.withColumn(name, flag)
+    out = docs.selectExpr(
+        "*",
+        f"CAST({n_words} AS BIGINT) AS n_words",
+        *[f"{expr} AS {name}" for name, expr in rules.items()],
+    )
+    # keep references the NAMED rule columns so each rule expression is
+    # analyzed once, not inlined ten more times
     keep = None
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
-    return out.withColumn("keep", keep)
+    return out.select("*", keep.alias("keep"))
 
 
 def pmi_collocations(

@@ -308,7 +308,7 @@ def semantic_decontaminate_blocked(
             (1 << i) | (1 << j) for i, j in combinations(range(n_planes), 2)
         ]
 
-    bucket = lsh_bucket(F.col("_ev"), dim, n_planes)
+    bucket = lsh_bucket("_ev", dim, n_planes)
     ev = (
         eval_set.select(
             F.col(eid).cast("long").alias("_eid"),
@@ -326,7 +326,7 @@ def semantic_decontaminate_blocked(
     tr = (
         train.select(F.col(id_col), as_double(F.col(vec_col)).alias("_tv"))
         .withColumn("_tn", norm(F.col("_tv")))
-        .withColumn("_tb", lsh_bucket(F.col("_tv"), dim, n_planes))
+        .withColumn("_tb", lsh_bucket("_tv", dim, n_planes))
     )
     scored = tr.join(
         F.broadcast(ev), tr["_tb"] == ev["_probe"]

@@ -85,8 +85,43 @@ def _hyperplane(dim: int, plane_idx: int) -> F.Column:
     return F.lit(plane_components(dim, plane_idx))
 
 
-def lsh_bucket(vec: F.Column, dim: int, n_planes: int = 8) -> F.Column:
-    """Sign-pattern bucket id in [0, 2^n_planes)."""
+def lsh_bucket(vec: F.Column | str, dim: int, n_planes: int = 8) -> F.Column:
+    """Sign-pattern bucket id in [0, 2^n_planes).
+
+    ``vec`` as a SQL column reference (str) takes the fast path: the
+    whole bucket expression — per-plane double-literal arrays, index-
+    ordered dot folds, sign sum — is emitted as ONE ``F.expr`` parse.
+    The loop-built Column form paid a py4j driver round-trip per node
+    (~0.4 s of pure plan construction per call at dim 64 x 5 planes,
+    measured round 10); the parser builds the identical tree in
+    single-digit ms. ``repr(double)`` + the ``D`` literal suffix
+    round-trips to the identical IEEE double (same rule the DuckDB
+    oracle twin relies on), and the fold shape mirrors ``dot`` exactly:
+    left fold in index order from a 0.0 double seed. A Column argument
+    keeps the legacy tree (value-identical; used only by callers that
+    cannot name their input)."""
+    if isinstance(vec, str):
+        v = f"transform({vec}, x -> CAST(x AS DOUBLE))"
+        # dim mismatch must fail loudly: zip_with null-pads, the dot
+        # product goes NULL, and every vector would silently land in
+        # bucket 0 — degrading the "scale path" to a full cross join
+        guarded = (
+            f"(CASE WHEN size({v}) = {dim} THEN {v} "
+            f"ELSE raise_error('lsh_bucket: embedding dim != {dim}') END)"
+        )
+        terms = ["0"]
+        for p in range(n_planes):
+            arr = "array(" + ",".join(
+                f"{c!r}D" for c in plane_components(dim, p)
+            ) + ")"
+            dotp = (
+                f"aggregate(zip_with({guarded}, {arr}, (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"((CASE WHEN {dotp} >= 0 THEN 1 ELSE 0 END) * {1 << p})"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
     v = as_double(vec)
     # dim mismatch must fail loudly: zip_with null-pads, the dot product
     # goes NULL, and every vector would silently land in bucket 0 —
@@ -378,12 +413,12 @@ def lsh_ann_topk(
     c = balance(corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))).select(
         "vec_id",
         "c_vec",
-        lsh_bucket(F.col("c_vec"), dim, n_planes).alias("c_bucket"),
+        lsh_bucket("c_vec", dim, n_planes).alias("c_bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("q_bucket"),
+        lsh_bucket(vec_col, dim, n_planes).alias("q_bucket"),
     )
     cand = (
         c.crossJoin(F.broadcast(q))
