@@ -93,7 +93,7 @@ SIMHASH_BLOCKS = 4
 SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
 
 
-def simhash60(toks: Column) -> Column:
+def simhash60(toks: Column | str) -> Column:
     """60-bit SimHash over tokens: bit j of the fingerprint is the sign
     of ``sum over tokens of (bit_j(md5_prefix60(token)) ? +1 : -1)``.
 
@@ -109,6 +109,35 @@ def simhash60(toks: Column) -> Column:
     once via the ``array_repeat`` trick), then vote into all 60 bit
     counters via ``zip_with`` — ``toks`` is evaluated once per row
     regardless of what expression produced it."""
+    if isinstance(toks, str):
+        # SQL token-array expression -> the whole two-fold simhash as
+        # ONE F.expr parse (round-10 opt: the lambda-built Column form
+        # paid ~70 ms of py4j round-trips per call); shapes and
+        # NULL/type semantics mirror the Column form below exactly
+        halves_sql = (
+            "named_struct("
+            "'h1', CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT), "
+            "'h2', CAST(conv(substring(md5(t), 8, 8), 16, 10) AS BIGINT))"
+        )
+        bit_sql = (
+            "CASE WHEN j < 32 "
+            "THEN CAST(floor(s.h2 / power(2.0D, j)) AS BIGINT) % 2 "
+            "ELSE CAST(floor(s.h1 / power(2.0D, j - 32)) AS BIGINT) % 2 END"
+        )
+        bit_sums_sql = (
+            f"aggregate({toks}, array_repeat(0, {SIMHASH_BITS}), "
+            f"(acc, t) -> zip_with(acc, "
+            f"transform(array_repeat({halves_sql}, {SIMHASH_BITS}), "
+            f"(s, j) -> CASE WHEN ({bit_sql}) = 1 THEN 1 ELSE -1 END), "
+            f"(a, b) -> a + b))"
+        )
+        return F.expr(
+            f"aggregate(zip_with({bit_sums_sql}, "
+            f"sequence(0, {SIMHASH_BITS - 1}), "
+            f"(s, j) -> CASE WHEN s > 0 THEN CAST(power(2.0D, j) AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
     pow2 = lambda j: F.pow(F.lit(2.0), j)  # noqa: E731 — exact for 2^j
     # Deliberately computes F.md5(t) twice (h1 and h2): hoisting the
     # single md5 through a one-element transform + element_at was

@@ -94,7 +94,21 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def word_shingles_sql(text: str, k: int = 3) -> str:
+    """SQL text for :func:`word_shingles` over a SQL column reference —
+    one parse at the consumer instead of k zip_with lambdas' worth of
+    py4j round trips (round-10 opt)."""
+    toks = f"split({text}, ' ')"
+    acc = toks
+    for off in range(1, k):
+        acc = (
+            f"zip_with({acc}, slice({toks}, {off + 1}, size({toks})), "
+            f"(x, y) -> concat(x, ' ', y))"
+        )
+    return f"filter({acc}, x -> x IS NOT NULL)"
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Overlapping k-word shingles; documents shorter than k words yield
     an empty array.
 
@@ -104,7 +118,12 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ``transform(sequence(...), j -> slice(toks, j, k))`` — references
     ``toks`` inside a lambda BODY, which re-evaluates the tokenization
     per shingle index (O(n^2) in document length) after projection
-    collapse; the zip shape touches each token O(k) times total."""
+    collapse; the zip shape touches each token O(k) times total.
+
+    A str argument (SQL column reference) parses the identical tree in
+    ONE F.expr (round-10 opt)."""
+    if isinstance(text, str):
+        return F.expr(word_shingles_sql(text, k))
     toks = tokens(text)
     acc = toks
     for off in range(1, k):
@@ -116,7 +135,7 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.filter(acc, lambda x: x.isNotNull())
 
 
-def top_gram_share(grams: Column) -> Column:
+def top_gram_share(grams: Column | str) -> Column:
     """Fraction of the gram stream taken by its single most frequent
     gram — the Gopher-style "top n-gram fraction" repetition filter
     (dup_ratio catches BREADTH of repetition; this catches one phrase
@@ -127,7 +146,20 @@ def top_gram_share(grams: Column) -> Column:
     longest run of equal adjacent elements (the max multiplicity).
     Counts are integers, so any engine computing multiplicity any other
     way (the oracle uses an O(n^2) count-max over distincts) agrees
-    exactly; only the final division is FP."""
+    exactly; only the final division is FP.
+
+    A str argument is SQL text for the gram array (e.g. from
+    :func:`word_shingles_sql`): the whole run fold parses as ONE
+    F.expr (round-10 opt)."""
+    if isinstance(grams, str):
+        nxt = "CASE WHEN g = acc.prev THEN acc.run + 1 ELSE 1 END"
+        return F.expr(
+            f"aggregate(array_sort({grams}), "
+            f"named_struct('prev', CAST(NULL AS STRING), "
+            f"'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)), "
+            f"(acc, g) -> named_struct('prev', g, 'run', {nxt}, "
+            f"'best', greatest(acc.best, {nxt}))).best / size({grams})"
+        )
     run = F.aggregate(
         F.array_sort(grams),
         F.struct(

@@ -62,50 +62,53 @@ def word_counts(
     )
 
 
-def _initial_symbols(word: Column, eow: str | None) -> Column:
-    chars = F.filter(F.split(word, ""), lambda c: c != "")
+def _sql_str(s: str) -> str:
+    """SQL string literal with backslash/quote escaping — merge-rule
+    symbols come from corpus tokens and may contain either."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _initial_symbols(word: str, eow: str | None) -> str:
+    """SQL text for the initial per-character symbol array. SQL strings
+    rather than Column trees (round-10 opt): the nested merge folds paid
+    a py4j driver round-trip per node (~0.4 s of plan construction per
+    6-rule bpe_segment call), where one F.expr parse at the consumer is
+    single-digit ms."""
+    chars = f"filter(split({word}, ''), c -> c != '')"
     if eow:
-        chars = F.concat(chars, F.array(F.lit(eow)))
+        chars = f"concat({chars}, array({_sql_str(eow)}))"
     return chars
 
 
-def _apply_merge(syms: Column, a: str, b: str) -> Column:
+def _apply_merge(syms: str, a: str, b: str) -> str:
     """Leftmost-first, non-overlapping replacement of the adjacent pair
-    (a, b) with a+b — a single left fold with a one-symbol carry.
+    (a, b) with a+b — a single left fold with a one-symbol carry, as
+    SQL text over a symbol-array expression.
 
     Walking the array: the carry holds the previous unmerged symbol.
     Seeing ``x`` with carry == a and x == b emits the merged symbol and
     clears the carry (so the merged token cannot immediately re-merge —
     'aaa' under (a,a) becomes ['aa','a'], the reference semantics);
     otherwise the carry is flushed and ``x`` becomes the new carry.
+    (NULL-carry semantics match the old Column form exactly: NULL AND
+    false short-circuits false, NULL AND true stays NULL, and CASE
+    routes both to the flush branch.)
     """
-    merged = a + b
-    empty = F.array().cast("array<string>")
-    init = F.struct(empty.alias("out"), F.lit(None).cast("string").alias("carry"))
-
-    def step(acc: Column, x: Column) -> Column:
-        hit = (acc["carry"] == a) & (x == b)
-        return F.when(
-            hit,
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
-                F.lit(None).cast("string").alias("carry"),
-            ),
-        ).otherwise(
-            F.struct(
-                F.when(acc["carry"].isNull(), acc["out"])
-                .otherwise(F.concat(acc["out"], F.array(acc["carry"])))
-                .alias("out"),
-                x.alias("carry"),
-            )
-        )
-
-    def finish(acc: Column) -> Column:
-        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
-            F.concat(acc["out"], F.array(acc["carry"]))
-        )
-
-    return F.aggregate(syms, init, step, finish)
+    sa, sb, sm = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    flush = (
+        "CASE WHEN acc.carry IS NULL THEN acc.out "
+        "ELSE concat(acc.out, array(acc.carry)) END"
+    )
+    return (
+        f"aggregate({syms}, "
+        f"named_struct('out', CAST(array() AS ARRAY<STRING>), "
+        f"'carry', CAST(NULL AS STRING)), "
+        f"(acc, x) -> CASE WHEN acc.carry = {sa} AND x = {sb} "
+        f"THEN named_struct('out', concat(acc.out, array({sm})), "
+        f"'carry', CAST(NULL AS STRING)) "
+        f"ELSE named_struct('out', {flush}, 'carry', x) END, "
+        f"acc -> {flush})"
+    )
 
 
 def _pair_counts(symtab: DataFrame) -> DataFrame:
@@ -202,7 +205,7 @@ def train_bpe(
     # propagation; same cluster-durability caveat and remedy as
     # dedup_clusters discusses.
     symtab = wc.select(
-        "n", _initial_symbols(F.col("word"), eow).alias("syms")
+        "n", F.expr(_initial_symbols("word", eow)).alias("syms")
     ).transform(materialize)
     merges: list[tuple[str, str, int]] = []
     rounds = 0
@@ -221,10 +224,12 @@ def train_bpe(
         if not picked:
             break
         merges.extend(picked)
-        syms = F.col("syms")
+        syms = "syms"
         for a, b, _cnt in picked:
             syms = _apply_merge(syms, a, b)
-        symtab = symtab.select("n", syms.alias("syms")).transform(materialize)
+        symtab = symtab.select(
+            "n", F.expr(syms).alias("syms")
+        ).transform(materialize)
     if stats is not None:
         stats["rounds"] = rounds
     return merges
@@ -256,15 +261,15 @@ def bpe_segment(
         # silently overwriting a caller's column is a data bug, not a
         # convenience
         raise ValueError("bpe_segment writes a 'pieces' column; input already has one")
-    syms = _initial_symbols(F.col(word_col), eow)
+    syms = _initial_symbols(f"`{word_col}`", eow)
     out = df
     for i, rule in enumerate(merges):
         a, b = rule[0], rule[1]
         syms = _apply_merge(syms, a, b)
         if (i + 1) % checkpoint_every == 0 and (i + 1) < len(merges):
-            out = materialize(out.withColumn("pieces", syms))
-            syms = F.col("pieces")
-    return out.withColumn("pieces", syms)
+            out = materialize(out.withColumn("pieces", F.expr(syms)))
+            syms = "pieces"
+    return out.withColumn("pieces", F.expr(syms))
 
 
 def bpe_decode(

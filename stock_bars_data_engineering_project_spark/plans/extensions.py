@@ -24,6 +24,7 @@ from ..functions.text import (
     token_count,
     top_gram_share,
     word_shingles,
+    word_shingles_sql,
     tokens,
 )
 from ..functions.quality_model import quality_scores
@@ -3718,7 +3719,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in rule_cols:
         n_fail_expr = n_fail_expr - F.col(c).cast("int")
     t = F.col("text")
-    grams = word_shingles(t, 2)
+    grams = word_shingles("text", 2)
     has_grams = F.size(grams) > 0
     return d.select(
         "doc_id",
@@ -3736,11 +3737,14 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_grams,
             round_half_up(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 4),
         ).alias("dup_ratio"),
-        F.when(has_grams, round_half_up(top_gram_share(grams), 4)).alias(
+        F.when(
+            has_grams,
+            round_half_up(top_gram_share(word_shingles_sql("text", 2)), 4),
+        ).alias(
             "top_gram_ratio"
         ),
         rolling_fingerprint(t).alias("fingerprint"),
-        simhash60(tokens(t)).alias("simhash"),
+        simhash60("split(text, ' ')").alias("simhash"),
         _scrubbed(t).alias("scrubbed"),
         (F.length(t) - F.length(_scrubbed(t))).cast("long").alias("delta_chars"),
         F.col("keep").alias("gopher_keep"),
