@@ -55,6 +55,33 @@ _LAYOUT = "_LAYOUT"
 _STATS = "_STATS"
 _CLUSTER = "_CLUSTER"
 
+# Version dirs are immutable once written (module contract above), so
+# the spark.read.parquet of one — file listing + parquet schema
+# inference, ~70 ms per member — is memoizable per process (round-10
+# opt: every index probe re-paid it per member per plan build). Keyed
+# on (session, absolute path, dir mtime): the mtime guards the one
+# path that can legitimately reuse a version path with new content
+# (drop_table + recreate restarting the version counter), because
+# replacing a version dir replaces its direct entries and bumps its
+# mtime. DataFrames are immutable plans, so sharing one object across
+# consumers is safe.
+_VERSION_READ_CACHE: dict = {}
+
+
+def _read_version_dir(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mt = os.path.getmtime(path)
+    except OSError:
+        # path not yet visible (or raced away) — fall through to the
+        # plain read so the caller surfaces the real error
+        return spark.read.parquet(path)
+    key = (id(spark), os.path.abspath(path), mt)
+    df = _VERSION_READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _VERSION_READ_CACHE[key] = df
+    return df
+
 
 def _local_path(p: str) -> str:
     """Local filesystem path of a ``_metadata.file_path`` value, which
@@ -389,7 +416,9 @@ class ParquetWarehouse:
             raise FileNotFoundError(f"no such table: {table}")
         members = self._manifest_members(table, v)
         parts = [
-            self.spark.read.parquet(os.path.join(self.table_path(table), m))
+            _read_version_dir(
+                self.spark, os.path.join(self.table_path(table), m)
+            )
             for m in members
         ]
         out = parts[0]
@@ -793,7 +822,7 @@ class ParquetWarehouse:
                 touched_rel: set[str] = set()
                 for m in self._manifest_members(table, prev):
                     mdir = os.path.abspath(os.path.join(tdir, m))
-                    mdf = self.spark.read.parquet(mdir)
+                    mdf = _read_version_dir(self.spark, mdir)
                     for r in (
                         mdf.filter(hit)
                         .select(
@@ -855,8 +884,8 @@ class ParquetWarehouse:
             return True
         schemas = set()
         for m in members:
-            df = self.spark.read.parquet(
-                os.path.join(self.table_path(table), m)
+            df = _read_version_dir(
+                self.spark, os.path.join(self.table_path(table), m)
             )
             schemas.add(
                 tuple(sorted((f.name, str(f.dataType)) for f in df.schema))
@@ -1026,7 +1055,9 @@ class ParquetWarehouse:
         parts = []
         seen: set[str] = set()
         for m in self._manifest_members(table, v):
-            df = self.spark.read.parquet(os.path.join(self.table_path(table), m))
+            df = _read_version_dir(
+                self.spark, os.path.join(self.table_path(table), m)
+            )
             present = [c for c in want if c in df.columns]
             seen.update(present)
             parts.append(
