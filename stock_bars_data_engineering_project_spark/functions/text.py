@@ -19,19 +19,49 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ("a", "an", "the", "of", "to", "and", "in", "is", "it", "that")
 
 
-def tokens(text: Column) -> Column:
+# ``*_sql`` twins + str fast paths (round-10 opt, the vectors.py
+# discipline): a str argument is a SQL column reference/expression and
+# the helper parses the identical tree in ONE F.expr instead of a py4j
+# driver round-trip per node. Same fold shapes, same literal types
+# (``D``-suffixed doubles), so values are bit-identical to the Column
+# forms (verified by join-compare on testdata at conversion time).
+
+
+def tokens_sql(text: str) -> str:
+    return f"split({text}, ' ')"
+
+
+def tokens(text: Column | str) -> Column:
     """Whitespace tokenization -> array<string>."""
+    if isinstance(text, str):
+        return F.expr(tokens_sql(text))
     return F.split(text, " ")
 
 
-def token_count(text: Column) -> Column:
+def token_count_sql(text: str) -> str:
+    return f"size({tokens_sql(text)})"
+
+
+def token_count(text: Column | str) -> Column:
+    if isinstance(text, str):
+        return F.expr(token_count_sql(text))
     return F.size(tokens(text))
 
 
-def bpe_ish_token_count(text: Column) -> Column:
+def bpe_ish_token_count_sql(text: str) -> str:
+    return (
+        f"(size(filter(split(lower({text}), '[^a-z0-9]+'), "
+        "x -> x != '')) "
+        f"+ length(regexp_replace({text}, '[a-zA-Z0-9\\\\s]', '')))"
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
     """Sub-word-ish token count via a BPE-flavored regex: words are split
     from punctuation/digits, so counts approximate LLM tokenizer load
     better than whitespace counts."""
+    if isinstance(text, str):
+        return F.expr(bpe_ish_token_count_sql(text))
     return F.size(
         F.filter(
             F.split(F.lower(text), r"[^a-z0-9]+"),
@@ -40,39 +70,97 @@ def bpe_ish_token_count(text: Column) -> Column:
     ) + F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", F.lit("")))
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+def stopword_ratio_sql(
+    text: str, stopwords: tuple[str, ...] = EN_STOPWORDS
+) -> str:
+    toks = tokens_sql(text)
+    arr = "array(" + ",".join(f"'{s}'" for s in stopwords) + ")"
+    return (
+        f"(size(filter({toks}, t -> array_contains({arr}, lower(t)))) "
+        f"/ size({toks}))"
+    )
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS
+) -> Column:
     """Fraction of tokens that are closed-class function words."""
+    if isinstance(text, str):
+        return F.expr(stopword_ratio_sql(text, stopwords))
     toks = tokens(text)
     stops = F.array(*[F.lit(s) for s in stopwords])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
     return n_stop / F.size(toks)
 
 
-def punct_ratio(text: Column) -> Column:
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"(length(regexp_replace({text}, '[a-zA-Z0-9\\\\s]', '')) "
+        f"/ length({text}))"
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are neither word chars nor whitespace."""
+    if isinstance(text, str):
+        return F.expr(punct_ratio_sql(text))
     return (
         F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", F.lit("")))
         / F.length(text)
     )
 
 
-def mean_word_len(text: Column) -> Column:
+def mean_word_len_sql(text: str) -> str:
+    toks = tokens_sql(text)
+    return f"((length({text}) - size({toks}) + 1) / size({toks}))"
+
+
+def mean_word_len(text: Column | str) -> Column:
+    if isinstance(text, str):
+        return F.expr(mean_word_len_sql(text))
     return (F.length(text) - F.size(tokens(text)) + 1) / F.size(tokens(text))
 
 
-def lang_id(text: Column, threshold: float = 0.03) -> Column:
+def lang_id_sql(text: str, threshold: float = 0.03) -> str:
+    return (
+        f"(CASE WHEN {stopword_ratio_sql(text)} >= {float(threshold)!r}D "
+        "THEN 'en' ELSE 'unknown' END)"
+    )
+
+
+def lang_id(text: Column | str, threshold: float = 0.03) -> Column:
     """Heuristic language ID: stopword density above threshold -> 'en'.
     (A real n-gram profile model drops in here; the Spark plumbing —
     per-document closed-vocabulary scan, no shuffle — is the point.)"""
+    if isinstance(text, str):
+        return F.expr(lang_id_sql(text, threshold))
     return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(
         F.lit("unknown")
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score_sql(text: str) -> str:
+    from .scalars import sql_round
+
+    length_credit = f"least(1.0D, ({token_count_sql(text)} / 100.0D))"
+    prose = f"(1.0D - least(1.0D, ({punct_ratio_sql(text)} * 5.0D)))"
+    stop = f"least(1.0D, ({stopword_ratio_sql(text)} * 10.0D))"
+    # left association matches the Column form: (0.4*lc + 0.3*prose) + 0.3*stop
+    return sql_round(
+        f"(((0.4D * {length_credit}) + (0.3D * {prose})) + (0.3D * {stop}))",
+        4,
+    )
+
+
+def quality_score(text: Column | str) -> Column:
     """Composite document-quality score in [0,1]:
     length credit (saturates at 100 tokens) + prose-likeness (low
     punctuation density) + function-word density (saturates at 10%)."""
+    if isinstance(text, str):
+        # scalars.sql_round emits engine-portable ANSI SQL (the same
+        # text the DuckDB oracles use), so it serves as the Spark-side
+        # single-parse twin of round_half_up here
+        return F.expr(quality_score_sql(text))
     from .scalars import round_half_up
 
     length_credit = F.least(F.lit(1.0), token_count(text) / 100.0)
@@ -81,11 +169,20 @@ def quality_score(text: Column) -> Column:
     return round_half_up(0.4 * length_credit + 0.3 * prose + 0.3 * stop, 4)
 
 
-def rolling_fingerprint(text: Column) -> Column:
+def rolling_fingerprint_sql(text: str) -> str:
+    return (
+        f"aggregate(transform(split({text}, ''), ch -> ascii(ch)), "
+        "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"
+    )
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive polynomial rolling hash over characters,
     ``h = (h*31 + ascii(ch)) mod (2^31-1)`` — a content fingerprint that
     is cheap, incremental, and identical in any engine with 64-bit
     integer arithmetic."""
+    if isinstance(text, str):
+        return F.expr(rolling_fingerprint_sql(text))
     codes = F.transform(F.split(text, ""), F.ascii)
     return F.aggregate(
         codes,

@@ -830,7 +830,7 @@ def embedding_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", round_half_up(cosine(F.col("v_a"), F.col("v_b")), 4))
+        .withColumn("cos", round_half_up(cosine("v_a", "v_b"), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -906,17 +906,15 @@ def embedding_dup_pairs_blocked(
     va = slim.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("v_a"),
-        norm(as_double(F.col("_v"))).alias("_na"),
+        norm("_v").alias("_na"),
     )
     vb = slim.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("v_b"),
-        norm(as_double(F.col("_v"))).alias("_nb"),
+        norm("_v").alias("_nb"),
     )
     pair_cos = round_half_up(
-        dot(as_double(F.col("v_a")), as_double(F.col("v_b")))
-        / (F.col("_na") * F.col("_nb")),
-        4,
+        dot("v_a", "v_b") / (F.col("_na") * F.col("_nb")), 4
     )
     return (
         cand.join(va, "id_a")

@@ -140,7 +140,7 @@ def ann_query(
     )
     qc = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("d2", l2sq(F.col("q_vec"), F.col("cv")))
+        .withColumn("d2", l2sq("q_vec", "cv"))
         .withColumn(
             "probe_rank",
             F.row_number().over(
@@ -160,7 +160,7 @@ def ann_query(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.withColumn(
-        "cos", round_half_up(cosine(F.col("q_vec"), F.col("embedding")), 6)
+        "cos", round_half_up(cosine("q_vec", "embedding"), 6)
     )
     return salted_topk(scored, ("query_id",), "cos", "vec_id", k).select(
         "query_id", "vec_id", "cos", "rank"

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_half_up
-from ..functions.vectors import as_double, dot, norm
+from ..functions.vectors import as_double, dot, dot_sql, norm
 from .dedup import _bucket_pairs, dedup_clusters
 from .similarity import ivf_assign, kmeans_refine
 
@@ -82,21 +82,26 @@ def _pairs_from_assigned(assigned: DataFrame, threshold: float) -> DataFrame:
     # cosine()'s fold — norm(as_double(v)) is the same expression on
     # the same values and the division associates identically — so the
     # DuckDB oracle hash holds.
-    with_n = assigned.withColumn("_n", norm(as_double(F.col("embedding"))))
-    pair_cos = lambda a, b: dot(  # noqa: E731 — shared by pred + projection
-        as_double(a["embedding"]), as_double(b["embedding"])
-    ) / (a["_n"] * b["_n"])
+    with_n = assigned.withColumn("_n", norm("embedding"))
+    # one F.expr parse per consumer (round-10 opt): _bucket_pairs always
+    # evaluates pair_pred on the named struct columns a/b, so the SQL
+    # references are stable; same dot fold / same division association
+    # as the Column-lambda form it replaces
+    pair_cos_sql = (
+        f"({dot_sql('a.embedding', 'b.embedding')} / (a._n * b._n))"
+    )
     return _bucket_pairs(
         with_n,
         keys=["cid"],
         id_col="vec_id",
         payload_cols=("embedding", "_n"),
-        pair_pred=lambda a, b: round_half_up(pair_cos(a, b), 6) >= threshold,
+        pair_pred=lambda a, b: round_half_up(F.expr(pair_cos_sql), 6)
+        >= threshold,
         distinct=False,  # one cluster per vector -> one emission site
     ).select(
         F.col("a.id").alias("doc_a"),
         F.col("b.id").alias("doc_b"),
-        round_half_up(pair_cos(F.col("a"), F.col("b")), 4).alias("cos"),
+        round_half_up(F.expr(pair_cos_sql), 4).alias("cos"),
     )
 
 
@@ -244,17 +249,16 @@ def semantic_decontaminate(
         eval_set.select(
             F.col(eid).cast("long").alias("_eid"),
             as_double(F.col(vec_col)).alias("_ev"),
-        ).withColumn("_en", norm(F.col("_ev")))
+        ).withColumn("_en", norm("_ev"))
     )
     tr = train.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_tv")
-    ).withColumn("_tn", norm(F.col("_tv")))
+    ).withColumn("_tn", norm("_tv"))
     # hoisted-norm cosine: dot / (norm_a * norm_b) — the same fold and
     # division association as functions.vectors.cosine and the oracle's
     # _COS_DOUBLE, so values are bit-identical across engines
     scored = tr.crossJoin(ev).withColumn(
-        "_cos_raw",
-        dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
+        "_cos_raw", dot("_tv", "_ev") / (F.col("_tn") * F.col("_en"))
     )
     return _best_eval_match(scored, threshold, id_col)
 
@@ -314,7 +318,7 @@ def semantic_decontaminate_blocked(
             F.col(eid).cast("long").alias("_eid"),
             as_double(F.col(vec_col)).alias("_ev"),
         )
-        .withColumn("_en", norm(F.col("_ev")))
+        .withColumn("_en", norm("_ev"))
         .withColumn("_eb", bucket)
         .withColumn(
             "_probe",
@@ -325,13 +329,12 @@ def semantic_decontaminate_blocked(
     )
     tr = (
         train.select(F.col(id_col), as_double(F.col(vec_col)).alias("_tv"))
-        .withColumn("_tn", norm(F.col("_tv")))
+        .withColumn("_tn", norm("_tv"))
         .withColumn("_tb", lsh_bucket("_tv", dim, n_planes))
     )
     scored = tr.join(
         F.broadcast(ev), tr["_tb"] == ev["_probe"]
     ).withColumn(
-        "_cos_raw",
-        dot(F.col("_tv"), F.col("_ev")) / (F.col("_tn") * F.col("_en")),
+        "_cos_raw", dot("_tv", "_ev") / (F.col("_tn") * F.col("_en"))
     )
     return _best_eval_match(scored, threshold, id_col)

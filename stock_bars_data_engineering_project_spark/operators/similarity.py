@@ -52,7 +52,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cos", round_half_up(cosine("q_vec", "c_vec"), 6))
     )
     # salted two-phase ranking: a plain window on query_id would pull
     # EVERY scored corpus row of a query into one task; salting bounds
@@ -138,9 +138,23 @@ def lsh_bucket(vec: F.Column | str, dim: int, n_planes: int = 8) -> F.Column:
     return bucket
 
 
-def l2sq(a: F.Column, b: F.Column) -> F.Column:
+def l2sq_sql(a: str, b: str) -> str:
+    """SQL text twin of :func:`l2sq` — one parse instead of a py4j
+    round-trip per node (the vectors.py round-10 discipline)."""
+    from ..functions.vectors import as_double_sql
+
+    return (
+        f"aggregate(zip_with({as_double_sql(a)}, {as_double_sql(b)}, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2sq(a: F.Column | str, b: F.Column | str) -> F.Column:
     """Squared L2 distance, double-promoted, sequential fold — same
-    accumulation order as the oracle's index-ordered list sum."""
+    accumulation order as the oracle's index-ordered list sum. Two str
+    arguments (SQL column references) take the single-parse path."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(l2sq_sql(a, b))
     return F.aggregate(
         F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -177,22 +191,20 @@ def ivf_assign(
     # distances materialize ONCE per centroid (transform), then the
     # argmin folds over (cid, d2) pairs — putting l2sq inside the fold's
     # comparison AND its winning struct would evaluate the O(dim) fold
-    # twice per centroid (the hashing.py lambda-re-evaluation trap)
-    dists = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            c["cid"].alias("cid"), l2sq(c["cv"], F.col("_v")).alias("d2")
-        ),
+    # twice per centroid (the hashing.py lambda-re-evaluation trap).
+    # The whole fold is emitted as ONE F.expr parse (round-10 opt, the
+    # lsh_bucket discipline): identical tree, none of the per-node py4j
+    # round-trips the loop-built Column form paid.
+    dists = (
+        "transform(cents, c -> named_struct("
+        f"'cid', c.cid, 'd2', {l2sq_sql('c.cv', '_v')}))"
     )
-    best = F.aggregate(
-        dists,
-        F.struct(
-            F.lit(None).cast("long").alias("cid"),
-            F.lit(None).cast("double").alias("d2"),
-        ),
-        lambda acc, c: F.when(
-            acc["cid"].isNull() | (c["d2"] < acc["d2"]), c
-        ).otherwise(acc),
+    best = F.expr(
+        f"aggregate({dists}, "
+        "named_struct('cid', CAST(NULL AS BIGINT), "
+        "'d2', CAST(NULL AS DOUBLE)), "
+        "(acc, c) -> CASE WHEN acc.cid IS NULL OR c.d2 < acc.d2 "
+        "THEN c ELSE acc END)"
     )
     # NULL / dim-mismatched vectors must fail loudly, same contract as
     # lsh_bucket: l2sq over a bad vector goes NULL, the argmin fold's
@@ -372,7 +384,7 @@ def ivf_topk(
     # nprobe nearest centroids per query (deterministic (d2, cid) order)
     qc = (
         q.crossJoin(F.broadcast(cent))
-        .withColumn("d2", l2sq(F.col("q_vec"), F.col("cv")))
+        .withColumn("d2", l2sq("q_vec", "cv"))
         .withColumn(
             "probe_rank",
             F.row_number().over(
@@ -386,7 +398,7 @@ def ivf_topk(
         F.col("vec_id") != F.col("query_id")
     )
     scored = cand.withColumn(
-        "cos", round_half_up(cosine(F.col("q_vec"), F.col("embedding")), 6)
+        "cos", round_half_up(cosine("q_vec", "embedding"), 6)
     )
     # salted two-phase ranking, same as cosine_topk: with large inverted
     # lists a plain per-query window funnels every candidate of a query
@@ -426,7 +438,7 @@ def lsh_ann_topk(
         .filter(
             hamming(F.col("c_bucket"), F.col("q_bucket")) <= probe_radius
         )
-        .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cos", round_half_up(cosine("q_vec", "c_vec"), 6))
     )
     # salted ranking: the bucket ring admits a fixed fraction of the
     # corpus per query, so the per-query candidate set scales with the
@@ -638,7 +650,7 @@ def pq_topk(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
         .join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cos", round_half_up(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cos", round_half_up(cosine("q_vec", "c_vec"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -234,9 +234,9 @@ def corpus_report(
         raise ValueError("group_cols must name at least one column")
     per_doc = df.select(
         *group_cols,
-        token_count(F.col(text_col)).alias("_tok"),
+        token_count(f"`{text_col}`").alias("_tok"),
         F.length(F.col(text_col)).alias("_chars"),
-        quality_score(F.col(text_col)).alias("_q"),
+        quality_score(f"`{text_col}`").alias("_q"),
     )
     return (
         per_doc.rollup(*group_cols)

@@ -288,7 +288,7 @@ def prepare_corpus(
         # temperature rebalance of per-source token mass; map-only
         # membership once the tiny per-stratum threshold table exists
         corpus = alpha_mixture_sample(
-            corpus, alpha=mixture_alpha, size=token_count(F.col("text"))
+            corpus, alpha=mixture_alpha, size=token_count("text")
         ).transform(materialize)
         counts["alpha_mixture"] = corpus.count()
 
@@ -302,7 +302,7 @@ def prepare_corpus(
     from pyspark.sql import Observation
 
     quality_obs = Observation("quality_gated")
-    corpus = corpus.filter(quality_score(F.col("text")) >= min_quality).observe(
+    corpus = corpus.filter(quality_score("text") >= min_quality).observe(
         quality_obs, F.count(F.lit(1)).alias("n")
     )
 
@@ -313,7 +313,7 @@ def prepare_corpus(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     corpus = (
-        corpus.withColumn("n_tokens", token_count(F.col("text")))
+        corpus.withColumn("n_tokens", token_count("text"))
         .withColumn("cum", F.sum("n_tokens").over(w))
         .withColumn(
             "pack_id",
@@ -532,9 +532,9 @@ def refresh_corpus(
             .select("doc_id")
         )
         clean = clean.join(keep_ids, "doc_id", "left_semi")
-    clean = clean.filter(quality_score(F.col("text")) >= min_quality)
+    clean = clean.filter(quality_score("text") >= min_quality)
     clean = stable_split(clean).withColumn(
-        "n_tokens", token_count(F.col("text"))
+        "n_tokens", token_count("text")
     )
 
     # pack base derived from the published table EXCLUDING the delta

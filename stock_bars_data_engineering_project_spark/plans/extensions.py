@@ -2515,7 +2515,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget_arm = token_budget_sample(
         docs,
         budgets={"src0": 20_000, "src1": 5_000},
-        n_tokens=token_count(F.col("text")),
+        n_tokens=token_count("text"),
         default_budget=1_000,
     ).select(F.lit("budget").alias("tag"), "doc_id", F.col("source").alias("label"))
     shard_arm = shuffle_shards(docs, id_col="doc_id", n_shards=16, seed="ep0").select(
@@ -2527,7 +2527,7 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha_arm = alpha_mixture_sample(
         docs, alpha=0.5, stratum_col="source", id_col="doc_id",
-        size=token_count(F.col("text")),
+        size=token_count("text"),
     ).select(F.lit("alpha").alias("tag"), "doc_id", F.col("source").alias("label"))
     curr_arm = curriculum_phases(
         docs, size=F.size(F.split(F.col("text"), " "))
@@ -3418,11 +3418,12 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", F.col("rank").cast("int")
         )
     )
-    from ..functions.vectors import dequantize_int8, quantize_int8
+    from ..functions.vectors import dequantize_int8, quantize_int8_sql
 
     corpus_dq = emb.select(
         "vec_id",
-        dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+        # single-parse quantize->dequantize round trip (round-10 opt)
+        dequantize_int8(quantize_int8_sql("embedding")).alias("embedding"),
     )
     int8_arm = cosine_topk(corpus_dq, queries, k=10).withColumn(
         "rank", F.col("rank").cast("int")
@@ -3432,9 +3433,9 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _trunc(df):
         return df.select(
             "vec_id",
-            truncate_dims(
-                F.col("embedding"), 16, renormalize=False
-            ).alias("embedding"),
+            truncate_dims("embedding", 16, renormalize=False).alias(
+                "embedding"
+            ),
         )
 
     mrl_arm = cosine_topk(_trunc(emb), _trunc(queries), k=10).withColumn(
@@ -3529,7 +3530,21 @@ _SCRUB_SQL = (
 )
 
 
+def _scrubbed_sql(t: str) -> str:
+    """Spark-SQL text twin of :func:`_scrubbed` — one parse at the
+    consumer (round-10 opt). Backslashes in the regexes double for the
+    SQL string literal; the parsed pattern is byte-identical."""
+    email = "'" + _EMAIL_RE.replace("\\", "\\\\") + "'"
+    phone = "'" + _PHONE_RE.replace("\\", "\\\\") + "'"
+    return (
+        f"regexp_replace(regexp_replace({t}, {email}, '<EMAIL>'), "
+        f"{phone}, '<PHONE>')"
+    )
+
+
 def _scrubbed(t):
+    if isinstance(t, str):
+        return F.expr(_scrubbed_sql(t))
     return F.regexp_replace(
         F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
@@ -3719,19 +3734,21 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in rule_cols:
         n_fail_expr = n_fail_expr - F.col(c).cast("int")
     t = F.col("text")
+    # every per-document panel column takes the single-parse str path
+    # (round-10 opt — identical trees, none of the per-node py4j cost)
     grams = word_shingles("text", 2)
     has_grams = F.size(grams) > 0
     return d.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
+        token_count("text").alias("n_tokens"),
         F.length(t).cast("long").alias("n_chars"),
-        round_half_up(mean_word_len(t), 4).alias("mean_word_len"),
+        round_half_up(mean_word_len("text"), 4).alias("mean_word_len"),
         "lang",
-        lang_id(t).alias("pred_lang"),
+        lang_id("text").alias("pred_lang"),
         lang_id_profiles("text").alias("pred_lang_multi"),
-        round_half_up(stopword_ratio(t), 4).alias("stop_ratio"),
-        quality_score(t).alias("quality"),
-        bpe_ish_token_count(t).cast("long").alias("bpe_ish_tokens"),
+        round_half_up(stopword_ratio("text"), 4).alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
         F.when(has_grams, F.size(grams).cast("bigint")).alias("n_grams"),
         F.when(
             has_grams,
@@ -3743,10 +3760,12 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(
             "top_gram_ratio"
         ),
-        rolling_fingerprint(t).alias("fingerprint"),
+        rolling_fingerprint("text").alias("fingerprint"),
         simhash60("split(text, ' ')").alias("simhash"),
-        _scrubbed(t).alias("scrubbed"),
-        (F.length(t) - F.length(_scrubbed(t))).cast("long").alias("delta_chars"),
+        _scrubbed("text").alias("scrubbed"),
+        (F.length(t) - F.length(_scrubbed("text"))).cast("long").alias(
+            "delta_chars"
+        ),
         F.col("keep").alias("gopher_keep"),
         n_fail_expr.cast("int").alias("gopher_n_fail"),
     )
@@ -3814,7 +3833,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    n = token_count(F.col("text"))
+    n = token_count("text")
     pack = (
         docs.select("doc_id", "source", n.alias("n_tokens"))
         .withColumn("cum", F.sum("n_tokens").over(w))
