@@ -7,6 +7,8 @@ LSH step itself (not just the verified output) is correctness-gated.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2760,6 +2762,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_topk_suite): corpus joined against the 5 query vectors,
 # deterministic (cos, id) ranking.
 _ANN_INDEX_MEMO: dict = {}
+
+# One lock shared by the three persisted-index builders: the suite
+# rows overlap their independent eager build chains from a small
+# driver thread pool (guide §2.6 — concurrent jobs backfill executor
+# tails), so the check-then-build memo pattern must not race two
+# threads into building the same index twice.
+_INDEX_MEMO_LOCK = threading.Lock()
 _ANN_TRAINED_MEMO: dict = {}
 
 
@@ -2833,6 +2842,11 @@ def _ann_incremental_index(spark, sf_dir: str, emb):
     keeps the chain fully exercised once per process (the driver's
     correctness pass, every check_oracle run) while repeat executions
     in one session probe the stored lists like a real deployment."""
+    with _INDEX_MEMO_LOCK:
+        return _ann_incremental_index_impl(spark, sf_dir, emb)
+
+
+def _ann_incremental_index_impl(spark, sf_dir: str, emb):
     import os
 
     from ..operators.incremental_ann import (
@@ -3403,21 +3417,46 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       memoized per process per (sf_dir, mtime): training is a
       build-once artifact, the flags carry no output rows, and every
       fresh process still runs the full loop it gates."""
-    from ..operators.incremental_ann import ann_query
-
     from ..materialize import materialize
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
 
-    # k x |queries| rows — materialized because THREE consumers reuse it
-    # (the union output, the recall denominator, the recall semi-join);
-    # without this each action replays the full corpus-vs-queries pass
-    brute = materialize(
-        cosine_topk(emb, queries, k=10).withColumn(
-            "rank", F.col("rank").cast("int")
+    # The row's eager build-time work forms two INDEPENDENT chains —
+    # (a) materialize the brute ranking, then the memoized trained-laws
+    # flags that consume it, and (b) the memoized incremental-index
+    # build + its probe-set collect. They overlap from a 2-thread pool
+    # (guide §2.6: Spark happily runs driver-submitted jobs
+    # concurrently and FIFO backfills the tail) instead of serializing
+    # ~4 driver jobs; results and plans are identical — only the
+    # wall-clock of the eager build shrinks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.incremental_ann import ann_query as _ann_query
+
+    def _brute_chain():
+        # k x |queries| rows — materialized because THREE consumers
+        # reuse it (the union output, the recall denominator, the
+        # recall semi-join); without this each action replays the full
+        # corpus-vs-queries pass
+        brute = materialize(
+            cosine_topk(emb, queries, k=10).withColumn(
+                "rank", F.col("rank").cast("int")
+            )
         )
-    )
+        # trained_laws (docstring below) consumes brute, so it rides
+        # this chain; memoized per process per (sf_dir, mtime)
+        return brute, _ann_trained_laws(spark, sf_dir, emb, queries, brute)
+
+    def _index_chain():
+        wh = _ann_incremental_index(spark, sf_dir, emb)
+        return _ann_query(wh, queries, table="ann_idx", k=10, nprobe=3)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        brute_f = pool.submit(_brute_chain)
+        index_f = pool.submit(_index_chain)
+        brute, flags = brute_f.result()
+        incremental = index_f.result()
     from ..functions.vectors import dequantize_int8, quantize_int8_sql
 
     corpus_dq = emb.select(
@@ -3460,9 +3499,8 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the build across every query — so repeat executions (bench steady
     # runs) pay only the probe, while every fresh process (the driver's
     # correctness run, each check_oracle invocation) still executes the
-    # full build -> ingest -> probe chain it value-gates.
-    wh = _ann_incremental_index(spark, sf_dir, emb)
-    incremental = ann_query(wh, queries, table="ann_idx", k=10, nprobe=3)
+    # full build -> ingest -> probe chain it value-gates. (Built and
+    # probed in _index_chain above, overlapping the brute chain.)
 
     # contrastive arms: (anchor, positive, hard-negative, random-
     # negative) mining (operators/contrastive.py) melted onto the suite
@@ -3486,7 +3524,7 @@ def q_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # like the classifier training and the incremental index: model
     # training is a build-once artifact, and every fresh process (the
     # driver's correctness pass) still runs the full loop it gates.
-    flags = _ann_trained_laws(spark, sf_dir, emb, queries, brute)
+    # (Computed in _brute_chain above — it consumes brute.)
     laws = spark.createDataFrame(
         [(-1, i + 1, v, 0) for i, v in enumerate(flags)],
         "query_id bigint, vec_id bigint, cos double, rank int",
@@ -4266,19 +4304,72 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..materialize import materialize
 
-    # materialized: the lexical ranking feeds BOTH its own arm and the
-    # rrf fusion AND the prf feedback pick — without this the whole
-    # bm25 pipeline replays per consumer. The 1-row corpus stats are
-    # NOT materialized separately (round-10 opt): inside this one job
-    # the stats scan runs as an independent stage CONCURRENTLY with the
-    # doc-terms stages, where a standalone eager materialize serialized
-    # a whole extra job of it on the driver.
-    lex = materialize(bm25_topk(corpus, queries, k=10))
+    # The row's eager build-time work forms three INDEPENDENT driver
+    # chains — (a) materialize the lexical ranking, then the PRF
+    # expansion + second-pass probe that consume it, (b) the memoized
+    # BM25 index build + the 'index' arm's probe collect, (c) the
+    # memoized trigram index build + the 'trgm' arm's pattern collect.
+    # They overlap from a 3-thread pool (guide §2.6 — Spark runs
+    # driver-submitted jobs concurrently, FIFO backfills the tail)
+    # instead of serializing ~6 driver jobs; plans and values are
+    # identical, only the eager-build wall shrinks. The index memos are
+    # lock-guarded (_INDEX_MEMO_LOCK), so chains (a) and (b) sharing
+    # _bm25_index cannot race a double build.
+    patterns = docs.filter(F.col("doc_id").isin(1, 7, 13, 19)).select(
+        F.col("doc_id").alias("pattern_id"),
+        F.substring("text", 11, 12).alias("pattern"),
+    )
+
+    from ..operators.incremental_trgm import trgm_query
+
+    def _lex_chain():
+        # materialized: the lexical ranking feeds BOTH its own arm and
+        # the rrf fusion AND the prf feedback pick — without this the
+        # whole bm25 pipeline replays per consumer. The 1-row corpus
+        # stats are NOT materialized separately (round-10 opt): inside
+        # this one job the stats scan runs as an independent stage
+        # CONCURRENTLY with the doc-terms stages, where a standalone
+        # eager materialize serialized a whole extra job of it on the
+        # driver.
+        lex = materialize(bm25_topk(corpus, queries, k=10))
+        # PRF (docstring below): the expansion is materialized because
+        # bm25_query's probe-bucket collect forces the expansion
+        # lineage once at build time and the final union action would
+        # replay it (feedback-text join + count window) — the
+        # checkpoint is 25 rows, so both consumers read it instead
+        expanded = materialize(
+            prf_expand(
+                corpus, queries, lex.select("query_id", "doc_id", "rank")
+            )
+        )
+        wh = _bm25_index(spark, sf_dir, corpus)
+        prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
+        return lex, prf
+
+    def _index_chain():
+        wh = _bm25_index(spark, sf_dir, corpus)
+        return _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
+
+    def _trgm_chain():
+        return trgm_query(
+            _trgm_index(spark, sf_dir, corpus),
+            corpus,
+            patterns,
+            table="trgm_idx",
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        lex_f = pool.submit(_lex_chain)
+        index_f = pool.submit(_index_chain)
+        trgm_f = pool.submit(_trgm_chain)
+        lex, prf = lex_f.result()
+        index = index_f.result()
+        matches = trgm_f.result()
     recompute = _round(lex, "recompute")
-    wh = _bm25_index(spark, sf_dir, corpus)
-    index = _round(bm25_query(wh, queries, table="bm25_idx", k=10), "index")
 
     emb = load_table(spark, sf_dir, "embeddings")
     sem = cosine_topk(
@@ -4302,15 +4393,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arm hitting the same oracle ranking — while the corpus is
     # tokenized ONCE per row instead of twice. This is why retrieval
     # systems persist an inverted index at all; PRF's "one more corpus
-    # scan" cost only applies when no index exists.
-    # materialized (round-10 opt): bm25_query's probe-bucket collect
-    # forces the expansion lineage once at build time and the final
-    # union action would replay it (feedback-text join + count window)
-    # — the checkpoint is 25 rows, so both consumers read it instead
-    expanded = materialize(
-        prf_expand(corpus, queries, lex.select("query_id", "doc_id", "rank"))
-    )
-    prf = _round(bm25_query(wh, expanded, table="bm25_idx", k=10), "prf")
+    # scan" cost only applies when no index exists. (Built in
+    # _lex_chain above — it consumes the materialized lex ranking.)
 
     # 'trgm' (round 8, operators/trigram.py +
     # operators/incremental_trgm.py): substring patterns cut from four
@@ -4323,18 +4407,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cross-engine hash IS the index+ingest ≡ scan law (the
     # bloom-arm gating pattern). ALL matches are emitted (no top-k): a
     # 12-char pattern's selectivity bounds the result, and rank is a
-    # doc_id ordinal for schema parity.
-    patterns = docs.filter(F.col("doc_id").isin(1, 7, 13, 19)).select(
-        F.col("doc_id").alias("pattern_id"),
-        F.substring("text", 11, 12).alias("pattern"),
-    )
+    # doc_id ordinal for schema parity. (Probed in _trgm_chain above.)
     from pyspark.sql import Window
 
-    from ..operators.incremental_trgm import trgm_query
-
-    matches = trgm_query(
-        _trgm_index(spark, sf_dir, corpus), corpus, patterns, table="trgm_idx"
-    )
     trgm = matches.select(
         F.lit("trgm").alias("variant"),
         F.col("pattern_id").alias("query_id"),
@@ -4361,6 +4436,11 @@ def _trgm_index(spark, sf_dir: str, corpus):
     """Build (even ids) + ingest (odd ids) the persisted trigram index,
     memoized per process per (sf_dir, documents mtime) — the
     _bm25_index discipline verbatim."""
+    with _INDEX_MEMO_LOCK:
+        return _trgm_index_impl(spark, sf_dir, corpus)
+
+
+def _trgm_index_impl(spark, sf_dir: str, corpus):
     import os
 
     from ..operators.incremental_trgm import (
@@ -4396,6 +4476,11 @@ def _bm25_index(spark, sf_dir: str, corpus):
     memoized per process per (sf_dir, documents mtime) — the
     _ann_incremental_index discipline, including the mtime refresh
     that keeps the concurrent scratch reaper off a live index."""
+    with _INDEX_MEMO_LOCK:
+        return _bm25_index_impl(spark, sf_dir, corpus)
+
+
+def _bm25_index_impl(spark, sf_dir: str, corpus):
     import os
 
     from ..operators.incremental_retrieval import build_bm25_index, ingest_docs

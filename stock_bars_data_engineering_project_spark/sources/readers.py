@@ -50,9 +50,14 @@ def balance(df: DataFrame) -> DataFrame:
     cluster scale, where 100 TB is hundreds of thousands of splits), an
     unconditional repartition would round-robin-shuffle the whole input
     for nothing, so it is skipped. The partition count probe is
-    metadata-only: it compiles the plan but runs no job."""
+    metadata-only: it compiles the plan but runs no job — and it reads
+    the count off the INTERNAL row RDD (round-10 opt): ``df.rdd`` would
+    additionally build the Java-to-Python conversion plan plus the
+    Python RDD wrapper per call (~10-30 ms of pure driver work), while
+    the partition count is identical on both (the conversion is a
+    partition-preserving map)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
