@@ -1173,7 +1173,13 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..materialize import materialize
+    from ..operators.bpe import bpe_segment, train_bpe, word_counts
+    from ..operators.heavy import merged_heavy_hitters, mg_summaries
+
+    import os as _os
 
     # ONE materialized wordcount serves six consumers (vocab top-100,
     # unigram surprisal model, bigram unigram side, the heavy arm's
@@ -1182,12 +1188,95 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregates the corpus; with it they all read a vocab-sized
     # cached table. Vocabulary is Heaps'-law sub-linear, so the
     # materialization is small at any corpus scale.
-    counts = materialize(
+    counts_plan = (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    tok_stream = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    _MG_K = 64
+    _memo_key = (
+        sf_dir,
+        _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet")),
+    )
+
+    def _mg_flags_for(counts):
+        # the MG sketch run + its law evaluation is a build-once
+        # verification artifact, memoized per (sf_dir, mtime) like the
+        # classifier's train_laws — every fresh process still runs the
+        # full sketch pass it gates, repeat executions (bench steady
+        # runs) skip the per-execution corpus re-sketch. Laws (heavy.py
+        # docstring): superset (every exact heavy hitter survives the
+        # merge), bounds (lo <= true <= lo + total decrement budget),
+        # bounded per-partition summary size.
+        mg_flags = _MG_LAWS_MEMO.get(_memo_key)
+        if mg_flags is not None:
+            return mg_flags
+        total_row = counts.agg(F.sum("n").alias("t"))
+        exact_hh = (
+            counts.crossJoin(F.broadcast(total_row))
+            .filter(F.col("n") * 25 > F.col("t"))
+            .select("token", "n")
+        )
+        summaries = materialize(mg_summaries(tok_stream, "token", k=_MG_K))
+        cand, budget = merged_heavy_hitters(summaries)
+        total_d = budget.first().total_d
+        missing = exact_hh.join(
+            cand, exact_hh["token"] == cand["item"], "left_anti"
+        ).count()
+        bad_bounds = (
+            cand.join(counts, cand["item"] == counts["token"])
+            .filter(
+                (F.col("lo") > F.col("n"))
+                | (F.col("n") > F.col("lo") + F.lit(int(total_d)))
+            )
+            .count()
+        )
+        oversized = (
+            summaries.filter(F.col("item").isNotNull())
+            .groupBy("pid")
+            .count()
+            .filter(F.col("count") > _MG_K)
+            .count()
+        )
+        mg_flags = (
+            1.0 if missing == 0 else 0.0,
+            1.0 if bad_bounds == 0 else 0.0,
+            1.0 if oversized == 0 else 0.0,
+        )
+        _MG_LAWS_MEMO[_memo_key] = mg_flags
+        return mg_flags
+
+    def _counts_chain():
+        counts = materialize(counts_plan)
+        return counts, _mg_flags_for(counts)
+
+    def _bpe_rules():
+        rules = _BPE_RULES_MEMO.get(_memo_key)
+        if rules is None:
+            rules = train_bpe(docs, n_merges=_BPE_MERGES)
+            _BPE_RULES_MEMO[_memo_key] = rules
+        return rules
+
+    # The suite's build-once artifacts are mutually independent eager
+    # chains — (a) the materialized wordcount + the MG laws that consume
+    # it, (b) the persisted-LM two-batch ingest, (c) BPE training,
+    # (d) classifier training — so a cold build overlaps them from a
+    # 4-thread pool (guide §2.6) instead of serializing ~12 driver
+    # jobs; steady builds hit the memos and pay only the wordcount job.
+    # Plans and values are identical either way.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts_f = pool.submit(_counts_chain)
+        lm_f = pool.submit(_lm_state_warehouse, spark, sf_dir, docs)
+        bpe_f = pool.submit(_bpe_rules)
+        train_f = pool.submit(_classifier_train_laws, spark, sf_dir, docs)
+        counts, mg_flags = counts_f.result()
+        lm_wh = lm_f.result()
+        rules = bpe_f.result()
+        classifier_laws = train_f.result()
     # Distributed top-k FIRST (TakeOrderedAndProject: per-partition
     # top-100 then a 100-row merge on the driver side of the exchange),
     # then rank the surviving 100 rows. Ranking the full vocabulary
@@ -1254,7 +1343,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across the warehouse round-trip.
     from ..operators.lm_state import lm_state
 
-    lm_wh = _lm_state_warehouse(spark, sf_dir, docs)
+    # (lm_wh resolved in the build-artifact pool above)
     lm_uni, lm_bi = lm_state(lm_wh, min_count=2)
     lm_state_arm = bigram_surprisal(
         docs, unigram_counts=lm_uni, bigram_counts=lm_bi
@@ -1278,18 +1367,7 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index (the rules are a plain Python list, so unlike warehouse-
     # backed memos there is no staleness surface beyond the mtime key);
     # every fresh process (each driver run) still trains from scratch.
-    from ..operators.bpe import bpe_segment, train_bpe, word_counts
-
-    import os as _os
-
-    bpe_key = (
-        sf_dir,
-        _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet")),
-    )
-    rules = _BPE_RULES_MEMO.get(bpe_key)
-    if rules is None:
-        rules = train_bpe(docs, n_merges=_BPE_MERGES)
-        _BPE_RULES_MEMO[bpe_key] = rules
+    # (rules resolved in the build-artifact pool above)
     bpe_arm = spark.createDataFrame(
         [
             ("bpe_rule", None, f"{a} {b}", float(c), i + 1)
@@ -1326,10 +1404,11 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned in tests/test_classifier_training.py. Training is
     # memoized per process per (sf_dir, mtime) — a model is a
     # build-once artifact, same argument as the ANN index memo.
+    # (classifier_laws resolved in the build-artifact pool above)
     train_arm = spark.createDataFrame(
         [
             ("train_laws", None, name, flag, None)
-            for name, flag in _classifier_train_laws(spark, sf_dir, docs)
+            for name, flag in classifier_laws
         ],
         "tag string, doc_id bigint, term string, score double, rank int",
     )
@@ -1343,11 +1422,6 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exceeds the decrement budget Σd_i ≤ n/(k+1)), bounds (lo ≤ true ≤
     # lo + Σd for every candidate), and per-partition size ≤ k. All law
     # inputs are bounded frames (candidates ≤ k x partitions).
-    from ..operators.heavy import merged_heavy_hitters, mg_summaries
-
-    tok_stream = docs.select(
-        F.explode(tokens(F.lower(F.col("text")))).alias("token")
-    ).filter(F.col("token") != "")
     total_row = counts.agg(F.sum("n").alias("t"))
     exact_hh = (
         counts.crossJoin(F.broadcast(total_row))
@@ -1361,47 +1435,8 @@ def q_tfidf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("score"),
         F.lit(None).cast("int").alias("rank"),
     )
-    _MG_K = 64
-    # the MG sketch run + its law evaluation is a build-once
-    # verification artifact, memoized per (sf_dir, mtime) like the
-    # classifier's train_laws — every fresh process still runs the full
-    # sketch pass it gates, repeat executions (bench steady runs) skip
-    # the per-execution corpus re-sketch
-    import os as _mg_os
-
-    mg_key = (
-        sf_dir,
-        _mg_os.path.getmtime(_mg_os.path.join(sf_dir, "documents.parquet")),
-    )
-    mg_flags = _MG_LAWS_MEMO.get(mg_key)
-    if mg_flags is None:
-        summaries = materialize(mg_summaries(tok_stream, "token", k=_MG_K))
-        cand, budget = merged_heavy_hitters(summaries)
-        total_d = budget.first().total_d
-        missing = exact_hh.join(
-            cand, exact_hh["token"] == cand["item"], "left_anti"
-        ).count()
-        bad_bounds = (
-            cand.join(counts, cand["item"] == counts["token"])
-            .filter(
-                (F.col("lo") > F.col("n"))
-                | (F.col("n") > F.col("lo") + F.lit(int(total_d)))
-            )
-            .count()
-        )
-        oversized = (
-            summaries.filter(F.col("item").isNotNull())
-            .groupBy("pid")
-            .count()
-            .filter(F.col("count") > _MG_K)
-            .count()
-        )
-        mg_flags = (
-            1.0 if missing == 0 else 0.0,
-            1.0 if bad_bounds == 0 else 0.0,
-            1.0 if oversized == 0 else 0.0,
-        )
-        _MG_LAWS_MEMO[mg_key] = mg_flags
+    # (mg_flags resolved in the build-artifact pool above, where the MG
+    # law evaluation rides the counts chain)
     mg_laws_arm = spark.createDataFrame(
         [
             ("heavy", None, "mg_superset", mg_flags[0], None),
