@@ -170,11 +170,45 @@ def train_quality_classifier(
         feats.select("bucket").distinct().withColumn("w", F.lit(0.0))
         .transform(materialize)
     )
+    # The per-iteration loss/acc probe is a MONITOR, not a dependency
+    # of the weight update, so it rides the update job as OBSERVED
+    # METRICS (round-11 opt): ``observe`` computes the two aggregates
+    # over the margins rows as they flow through the update's own
+    # execution — zero extra driver jobs and zero recompute, where the
+    # previous structure paid a separate checkpoint + collect per
+    # iteration (~2 of the 3 serialized jobs each round). Margins are
+    # no longer materialized either: lineage stays bounded (feats and
+    # weights are both checkpoints) and the forward pass fuses into the
+    # update job. The probe aggregates ride a different partial-agg
+    # order than the materialized-margins form, so loss/acc can move in
+    # the last ulps — exactly the non-bit-replayability the training
+    # laws already tolerate (their flags carry 1e-9 relative slack, and
+    # the iteration-0 loss is ln 2 exactly under any order because
+    # every summand is 0.0). Results drain in iteration order, so
+    # ``stats`` is unchanged.
+    from pyspark.sql import Observation
+
+    _loss_expr = F.avg(
+        -(
+            F.col("_y") * F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
+            + (1 - F.col("_y"))
+            * F.log(F.greatest(1 - F.col("_p"), F.lit(1e-12)))
+        )
+    ).alias("loss")
+    _acc_expr = F.avg(
+        ((F.col("_p") >= 0.5).cast("double") == F.col("_y")).cast("double")
+    ).alias("acc")
+
     losses: list[float] = []
     accs: list[float] = []
+    observations: list[Observation] = []
     for i in range(n_iters + 1):
         margins = (
-            feats.join(weights, "bucket", "left")
+            # weights is bounded at 2^20 rows BY CONSTRUCTION (the
+            # hashing trick), so it broadcasts at any corpus scale —
+            # the corpus-sized feature table is never shuffled by
+            # this join (guide §3.1)
+            feats.join(F.broadcast(weights), "bucket", "left")
             .groupBy("_id", "_y")
             .agg(
                 F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_s"),
@@ -183,52 +217,51 @@ def train_quality_classifier(
             .withColumn(
                 "_p",
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-F.lit(GAIN) * F.col("_s") / F.col("_nf"))),
+                / (
+                    F.lit(1.0)
+                    + F.exp(-F.lit(GAIN) * F.col("_s") / F.col("_nf"))
+                ),
             )
-            .transform(materialize)
         )
-        row = margins.agg(
-            F.avg(
-                -(
-                    F.col("_y") * F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
-                    + (1 - F.col("_y"))
-                    * F.log(F.greatest(1 - F.col("_p"), F.lit(1e-12)))
-                )
-            ).alias("loss"),
-            F.avg(
-                ((F.col("_p") >= 0.5).cast("double") == F.col("_y")).cast(
-                    "double"
-                )
-            ).alias("acc"),
-        ).collect()[0]
-        if row.loss is None:
-            raise ValueError(
-                "train_quality_classifier: no document yielded features "
-                "(all texts NULL/empty?) — nothing to train on"
-            )
-        losses.append(float(row.loss))
-        accs.append(float(row.acc))
+        obs = Observation(f"train_probe_{i}")
+        margins = margins.observe(obs, _loss_expr, _acc_expr)
+        observations.append(obs)
         if i == n_iters:
+            # no update consumes the final margins — one noop action
+            # executes them so the last probe's metrics materialize
+            margins.write.mode("overwrite").format("noop").save()
             break
         resid = margins.select(
             "_id",
-            (F.lit(GAIN) * (F.col("_p") - F.col("_y")) / F.col("_nf")).alias(
-                "_r"
-            ),
+            (
+                F.lit(GAIN) * (F.col("_p") - F.col("_y")) / F.col("_nf")
+            ).alias("_r"),
         )
         grad = feats.join(resid, "_id").groupBy("bucket").agg(
             F.avg("_r").alias("_g")
         )
         weights = (
-            weights.join(grad, "bucket", "left")
+            # both sides are bucket-bounded; broadcasting the fresh
+            # gradient keeps the update map-side
+            weights.join(F.broadcast(grad), "bucket", "left")
             .select(
                 "bucket",
-                (F.col("w") - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0))).alias(
-                    "w"
-                ),
+                (
+                    F.col("w")
+                    - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0))
+                ).alias("w"),
             )
             .transform(materialize)
         )
+    for obs in observations:
+        row = obs.get
+        if row["loss"] is None:
+            raise ValueError(
+                "train_quality_classifier: no document yielded features "
+                "(all texts NULL/empty?) — nothing to train on"
+            )
+        losses.append(float(row["loss"]))
+        accs.append(float(row["acc"]))
     if stats is not None:
         stats["loss"] = losses
         stats["acc"] = accs
