@@ -79,14 +79,26 @@ def build_ann_index(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     cent = kmeans_refine(corpus, seed, refine_iters, vec_col, id_col)
-    wh.overwrite(cent, _centroids_table(table))
     # co-locate each inverted list before the hive-partitioned write:
     # without this, every one of the assignment's N shuffle partitions
     # writes its own sliver into every cid dir — N x K tiny files where
     # K files suffice (the small-files problem that makes list scans
     # metadata-bound at scale)
     assigned = ivf_assign(corpus, cent, vec_col, id_col).repartition("cid")
-    wh.overwrite(assigned, table, partition_by=("cid",))
+    # kmeans_refine returns a materialized centroid table, so the two
+    # writes are independent jobs and overlap (guide §2.6). The
+    # centroids→lists window was never crash-atomic (see
+    # maintain_ann_index's docstring) — a crashed build is rebuilt from
+    # scratch either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cent = pool.submit(wh.overwrite, cent, _centroids_table(table))
+        f_lists = pool.submit(
+            wh.overwrite, assigned, table, partition_by=("cid",)
+        )
+        f_cent.result()
+        f_lists.result()
 
 
 def ingest_vectors(

@@ -144,16 +144,30 @@ def build_bm25_index(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = docs.sparkSession
-    # __docs is the membership table ingest anti-joins against, so it
-    # commits LAST (after postings): a crash in between leaves orphan
-    # postings a redelivery re-appends, which the query path's
-    # full-row dedup heals (module docstring, "Crash consistency")
-    wh.overwrite(
-        _batch_postings(docs, n_buckets, id_col, text_col),
-        _postings_table(table),
-        partition_by=("bkt",),
-    )
-    wh.overwrite(_batch_doc_stats(docs, id_col, text_col), _docs_table(table))
+    # The postings and __docs writes are independent jobs over the same
+    # input, so a fresh build overlaps them (guide §2.6) — ``__meta``
+    # commits LAST as the publish barrier: every reader resolves the
+    # index through read_meta, so a crash before the meta write leaves
+    # an unpublished directory a rebuild simply overwrites. (The
+    # postings-before-membership ordering contract applies to INGEST,
+    # where membership already published by a prior commit gates the
+    # replay anti-join; a from-scratch build has no reader until meta.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_post = pool.submit(
+            wh.overwrite,
+            _batch_postings(docs, n_buckets, id_col, text_col),
+            _postings_table(table),
+            partition_by=("bkt",),
+        )
+        f_docs = pool.submit(
+            wh.overwrite,
+            _batch_doc_stats(docs, id_col, text_col),
+            _docs_table(table),
+        )
+        f_post.result()
+        f_docs.result()
     wh.overwrite(
         spark.createDataFrame(
             [(n_buckets, 0)], "n_buckets int, postings_gen int"

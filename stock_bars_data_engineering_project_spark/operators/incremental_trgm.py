@@ -181,18 +181,30 @@ def build_trgm_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Materialize the index from scratch. Membership commits LAST
-    (docs shorter than 3 chars post nothing but must still be members,
-    and the crash contract needs postings-before-membership)."""
+    """Materialize the index from scratch. ``__meta`` commits LAST as
+    the publish barrier (no reader resolves the index before it, so a
+    crashed build is an unpublished directory a rebuild overwrites);
+    the postings and membership writes are independent jobs over the
+    same input and overlap (guide §2.6). The postings-before-membership
+    crash contract applies to INGEST, where prior-commit membership
+    gates the replay anti-join."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = docs.sparkSession
-    wh.overwrite(
-        _batch_postings(docs, n_buckets, id_col, text_col),
-        _postings_table(table),
-        partition_by=("bkt",),
-    )
-    wh.overwrite(_batch_members(docs, id_col), _docs_table(table))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_post = pool.submit(
+            wh.overwrite,
+            _batch_postings(docs, n_buckets, id_col, text_col),
+            _postings_table(table),
+            partition_by=("bkt",),
+        )
+        f_docs = pool.submit(
+            wh.overwrite, _batch_members(docs, id_col), _docs_table(table)
+        )
+        f_post.result()
+        f_docs.result()
     wh.overwrite(
         spark.createDataFrame(
             [(n_buckets, 0)], "n_buckets int, postings_gen int"
