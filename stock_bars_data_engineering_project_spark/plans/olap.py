@@ -665,6 +665,11 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_counts = ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # ONE narrow projection write feeds BOTH streaming arms (round-11
+    # opt, guide §6): arms (h) and (j) read the identical
+    # (event_id, ts, event_type, value) slice, so the second write job
+    # and its scratch dir were pure duplication. The two drains are
+    # submitted together further down (guide §2.6).
     sub = ev.select("event_id", "ts", "event_type", "value")
     root = scratch_warehouse(spark, "psi_stream_rows").root
     src = os.path.join(root, "_src")
@@ -676,7 +681,57 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = stream.groupBy(
         F.col("event_type"), day_idx.alias("day_idx"), bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
-    run_stream_to_memory(cur, "stats_psi_stream", output_mode="complete")
+    # Arm (j)'s stream (docstring below, at its arm) is built HERE so
+    # the two availableNow drains — the suite's only eager build jobs —
+    # run concurrently from a 2-thread pool (guide §2.6) instead of
+    # serializing two stream-start floors. ``out_stats`` is shared with
+    # arm (i) below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.drift import mad_outliers
+
+    out_stats = mad_outliers(ev, "value", keys=("event_type",))
+    fence = out_stats.select(
+        F.col("event_type").alias("_fet"), "median", "mad"
+    )
+    stream_o = spark.readStream.schema(sub.schema).parquet(src)
+    day_idx_o = F.floor(
+        event_micros(stream_o, "ts") / F.lit(86400000000.0)
+    ).cast("long")
+    joined_o = stream_o.join(
+        F.broadcast(fence),
+        stream_o["event_type"].eqNullSafe(F.col("_fet")),
+        "left",
+    )
+    cur_o = joined_o.groupBy(
+        stream_o["event_type"].alias("event_type"),
+        day_idx_o.alias("day_idx"),
+    ).agg(
+        F.count(F.col("value")).cast("double").alias("n"),
+        # MAD=0 degenerate guard — matches mad_outliers' NULL contract
+        F.when(
+            F.max(F.col("mad")) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("median"))
+                    > F.lit(3.0) * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+        )
+        .alias("n_outliers"),
+    )
+    with ThreadPoolExecutor(max_workers=2) as drain_pool:
+        f_psi = drain_pool.submit(
+            run_stream_to_memory, cur, "stats_psi_stream", "complete"
+        )
+        f_out = drain_pool.submit(
+            run_stream_to_memory, cur_o, "stats_outlier_stream", "complete"
+        )
+        f_psi.result()
+        f_out.result()
     psi_stream_arm = (
         psi_vs_reference(
             spark.table("stats_psi_stream"),
@@ -713,9 +768,7 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of identical doubles are IEEE-exact); the window_functions
     # suite's mean/stddev zscore is the fragile cousin this fence
     # replaces when the tail itself is what's being hunted.
-    from ..operators.drift import mad_outliers
-
-    out_stats = mad_outliers(ev, "value", keys=("event_type",))
+    # (out_stats computed with the streaming arms above)
     out_arm = (
         out_stats
         .select(
@@ -747,45 +800,8 @@ def stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # psi_stream / frozen-LM posture). Counts are exact integers over
     # the 6dp-rounded fence, so the arm is FP-safe by the same
     # argument as (i).
-    fence = out_stats.select(
-        F.col("event_type").alias("_fet"), "median", "mad"
-    )
-    sub_o = ev.select("event_id", "ts", "event_type", "value")
-    root_o = scratch_warehouse(spark, "outlier_stream_rows").root
-    src_o = os.path.join(root_o, "_src")
-    sub_o.write.mode("overwrite").parquet(src_o)
-    stream_o = spark.readStream.schema(sub_o.schema).parquet(src_o)
-    day_idx_o = F.floor(
-        event_micros(stream_o, "ts") / F.lit(86400000000.0)
-    ).cast("long")
-    joined_o = stream_o.join(
-        F.broadcast(fence),
-        stream_o["event_type"].eqNullSafe(F.col("_fet")),
-        "left",
-    )
-    cur_o = joined_o.groupBy(
-        stream_o["event_type"].alias("event_type"),
-        day_idx_o.alias("day_idx"),
-    ).agg(
-        F.count(F.col("value")).cast("double").alias("n"),
-        # MAD=0 degenerate guard — matches mad_outliers' NULL contract
-        F.when(
-            F.max(F.col("mad")) == 0, F.lit(None).cast("double")
-        )
-        .otherwise(
-            F.sum(
-                F.when(
-                    F.abs(F.col("value") - F.col("median"))
-                    > F.lit(3.0) * 1.4826 * F.col("mad"),
-                    1,
-                ).otherwise(0)
-            ).cast("double")
-        )
-        .alias("n_outliers"),
-    )
-    run_stream_to_memory(
-        cur_o, "stats_outlier_stream", output_mode="complete"
-    )
+    # (stream built and drained with arm (h) above — one shared source
+    # write, two concurrent availableNow drains)
     out_stream_arm = (
         spark.table("stats_outlier_stream")
         .select(
