@@ -43,6 +43,7 @@ import contextlib
 import os
 import shutil
 import tempfile
+import threading
 import time
 from dataclasses import dataclass
 
@@ -65,7 +66,14 @@ _CLUSTER = "_CLUSTER"
 # replacing a version dir replaces its direct entries and bumps its
 # mtime. DataFrames are immutable plans, so sharing one object across
 # consumers is safe.
+# Bounded LRU (round-11): mtime-keyed entries go stale when a table is
+# appended to, so a long-lived session would otherwise leak one
+# DataFrame plan per superseded version; 512 plan objects (a few KB
+# each) comfortably covers every live version dir of every table in a
+# run while capping the leak.
 _VERSION_READ_CACHE: dict = {}
+_VERSION_READ_CACHE_CAP = 512
+_VERSION_READ_CACHE_LOCK = threading.Lock()
 
 
 def _read_version_dir(spark: SparkSession, path: str) -> DataFrame:
@@ -76,10 +84,18 @@ def _read_version_dir(spark: SparkSession, path: str) -> DataFrame:
         # plain read so the caller surfaces the real error
         return spark.read.parquet(path)
     key = (id(spark), os.path.abspath(path), mt)
-    df = _VERSION_READ_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
+    with _VERSION_READ_CACHE_LOCK:
+        df = _VERSION_READ_CACHE.pop(key, None)
+        if df is not None:
+            # re-insert at the tail: plain dicts iterate in insertion
+            # order, so the head is always the least recently used
+            _VERSION_READ_CACHE[key] = df
+            return df
+    df = spark.read.parquet(path)
+    with _VERSION_READ_CACHE_LOCK:
         _VERSION_READ_CACHE[key] = df
+        while len(_VERSION_READ_CACHE) > _VERSION_READ_CACHE_CAP:
+            _VERSION_READ_CACHE.pop(next(iter(_VERSION_READ_CACHE)))
     return df
 
 
