@@ -2675,8 +2675,6 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isolation) is value-hash-checked cross-engine.
     from ..pipeline.corpus_pipeline import prepare_corpus
 
-    pipe_corpus, _pipe_counts = prepare_corpus(docs)
-
     def _pipe_label(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             F.lit(tag).alias("tag"),
@@ -2691,8 +2689,6 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5("text"),
             ).alias("label"),
         )
-
-    pipe_arm = _pipe_label(pipe_corpus, "pipeline")
 
     # 'refresh' (round 9): the INCREMENTAL composed refresh driven
     # through a REAL readStream + foreachBatch drain
@@ -2712,17 +2708,40 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_corpus_pipeline.py.
     import os as _os
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..streaming.incremental import corpus_refresh_stream
 
-    wh_r = scratch_warehouse(spark, "corpus_refresh_rows")
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
-    src_r = _os.path.join(wh_r.root, "_src")
-    ckpt_r = _os.path.join(wh_r.root, "_ckpt")
-    docs.filter(F.col("doc_id") <= half).write.mode("append").parquet(src_r)
-    corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
-    docs.filter(F.col("doc_id") > half).write.mode("append").parquet(src_r)
-    corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
+    def _refresh_chain():
+        wh_r = scratch_warehouse(spark, "corpus_refresh_rows")
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        half = docs.agg(F.expr("percentile(doc_id, 0.5D)")).first()[0]
+        src_r = _os.path.join(wh_r.root, "_src")
+        ckpt_r = _os.path.join(wh_r.root, "_ckpt")
+        docs.filter(F.col("doc_id") <= half).write.mode("append").parquet(
+            src_r
+        )
+        corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
+        docs.filter(F.col("doc_id") > half).write.mode("append").parquet(
+            src_r
+        )
+        corpus_refresh_stream(spark, src_r, docs.schema, wh_r, ckpt_r, bench)
+        return wh_r
+
+    # The one-shot 'pipeline' arm (prepare_corpus, ~14 s of eager stage
+    # counts) and the two-wave 'refresh' drain chain (~30 s) are fully
+    # independent — separate scratch warehouses, no shared state beyond
+    # the immutable docs frame — so a build overlaps them (guide §2.6,
+    # round-11 opt); they previously serialized ~44 s of driver-side
+    # build. The refresh chain keeps its internal order (wave 2 is
+    # written only after drain 1 commits — the restart contract under
+    # test).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pipe_f = pool.submit(prepare_corpus, docs)
+        wh_f = pool.submit(_refresh_chain)
+        pipe_corpus, _pipe_counts = pipe_f.result()
+        wh_r = wh_f.result()
+    pipe_arm = _pipe_label(pipe_corpus, "pipeline")
     refresh_arm = _pipe_label(wh_r.read("training_corpus"), "refresh")
     return (
         split_arm.unionByName(strat_arm)
